@@ -1,0 +1,132 @@
+"""Vector kernels as Catalyst SQL expressions (the reference's ``linalg``).
+
+Reference: ``/root/reference/src/linalg.rs`` — dot (:12-53), norm2 (:61-146),
+add/subtract (:149-185), scale_in (:188-203), sum (:208-247), min (:252-301),
+max_abs (:306-363). The reference hand-unrolls x16 for SIMD
+(``src/linalg.rs:7``); on Spark the equivalent is staying inside
+whole-stage codegen — every helper here is a pure Column expression
+(``zip_with`` / ``aggregate`` / ``transform``), no Python UDFs, so the hot
+path runs JVM-side and vectorizes under Tungsten.
+
+Accumulation is in DOUBLE regardless of the element type: the reference
+stores f32 but our correctness oracle (DuckDB) computes in double, and
+double accumulation over float inputs is deterministic enough to
+hash-match after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "squared_l2",
+    "norm2",
+    "normalize",
+    "add",
+    "subtract",
+    "scale",
+    "vsum",
+    "vmin",
+    "max_abs",
+    "cosine_similarity",
+    "slice_division",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Inner product Σ aᵢ·bᵢ (double). Ref: src/linalg.rs:12-53."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def squared_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance Σ (aᵢ-bᵢ)² — THE distance of the reference
+    (composed subtract+dot there, e.g. src/db/stored.rs:570-571; defined
+    once here and reused everywhere per SURVEY.md §2.2)."""
+    # (x-y)*(x-y), not pow(x-y, 2): multiply stays a cheap codegen'd op,
+    # POWER is a transcendental call per element.
+    diffs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm2(a: Column | str) -> Column:
+    """Euclidean norm √(Σ aᵢ²). Ref: src/linalg.rs:61-146 (the reference
+    pre-scales by √max|x| against f32 overflow; double accumulation makes
+    that guard unnecessary here — parity-tested in tests/test_linalg.py)."""
+    return F.sqrt(dot(a, a))
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-length vector v/‖v‖ (float elements, matching storage type).
+    Usage pattern of the reference's callers: src/main.rs:45-48.
+    Zero vectors pass through unchanged (0/0 guard)."""
+    col = _c(a)
+    n = norm2(col)
+    return F.when(n == 0.0, col.cast("array<float>")).otherwise(
+        F.transform(col, lambda x: (x.cast("double") / n).cast("float"))
+    )
+
+
+def add(a: Column | str, b: Column | str) -> Column:
+    """Elementwise a+b. Ref: src/linalg.rs:149-160."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x + y)
+
+
+def subtract(a: Column | str, b: Column | str) -> Column:
+    """Elementwise a-b. Ref: src/linalg.rs:163-185."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x - y)
+
+
+def scale(a: Column | str, s: Column | float) -> Column:
+    """Multiply every element by scalar s. Ref: src/linalg.rs:188-203."""
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return F.transform(_c(a), lambda x: x * s)
+
+
+def vsum(a: Column | str) -> Column:
+    """Horizontal sum (double). Ref: src/linalg.rs:208-247."""
+    return F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def vmin(a: Column | str) -> Column:
+    """Horizontal min; NULL for empty input (the reference returns the
+    identity of fold with +inf; NULL is the SQL-honest equivalent).
+    Ref: src/linalg.rs:252-301."""
+    return F.array_min(_c(a))
+
+
+def max_abs(a: Column | str) -> Column:
+    """Horizontal max of |x|. Ref: src/linalg.rs:306-363."""
+    return F.array_max(F.transform(_c(a), F.abs))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b) = a·b / (‖a‖‖b‖); NULL if either norm is 0.
+
+    Extension kernel (not in the reference, which normalizes inputs so
+    cosine ≡ L2 ordering — src/main.rs:45-48); needed by the near-dup and
+    ANN extension operators."""
+    denom = norm2(a) * norm2(b)
+    return F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        dot(a, b) / denom
+    )
+
+
+def slice_division(a: Column | str, division: int, width: int) -> Column:
+    """Subvector view: elements [division*width, (division+1)*width).
+
+    The reference's zero-copy ``SubVectorSet`` (src/vector.rs:103-174);
+    in Spark this is a projection expression — no data copy until
+    materialization, and Catalyst prunes unused slices."""
+    return F.slice(_c(a), division * width + 1, width)
