@@ -1,0 +1,124 @@
+"""Exact (flat) kNN operators — the recall oracle and the batch query path.
+
+The reference leaves "Flat database" unimplemented
+(``/root/reference/README.md:74``); in Spark it is a handful of
+declarative ops and doubles as the correctness oracle for the ANN path
+(SURVEY.md §5.2). The single-query shape mirrors the reference's query
+result ``{vector_id, squared_distance}``
+(``/root/reference/src/db/build.rs:577-587``).
+
+Scale notes (100 TB):
+- Single query: one full scan + ``TakeOrderedAndProject`` (partial top-k
+  per partition, merge on driver) — no shuffle of the data, only k rows
+  per partition travel.
+- Batch queries: queries are broadcast (small side), the big side is
+  scanned once; per-query top-k uses a ``row_number`` window which Spark
+  >= 3.5 executes with ``WindowGroupLimit`` (partial top-k before the
+  shuffle), so shuffle volume is O(#queries * k * partitions), not
+  O(M * Q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
+
+__all__ = ["flat_knn", "knn_join"]
+
+
+def _literal_vector(qv: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
+
+
+def flat_knn(
+    vectors: DataFrame,
+    query_vector: list[float] | Column,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k by squared L2 distance to one query vector.
+
+    Returns ``(id_col, squared_distance)`` ascending by distance, ties by
+    id (the reference leaves ties arbitrary — SURVEY.md §2.4 — we pin
+    them for determinism).
+    """
+    qv = (
+        _literal_vector(query_vector)
+        if isinstance(query_vector, list)
+        else query_vector
+    )
+    dist = squared_l2(F.col(vec_col), qv)
+    if round_to is not None:
+        dist_out = F.round(dist, round_to)
+    else:
+        dist_out = dist
+    return (
+        vectors.select(
+            F.col(id_col),
+            dist_out.alias("squared_distance"),
+            dist.alias("__dist_full"),
+        )
+        .orderBy(F.col("__dist_full").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__dist_full")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "squared_l2",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch kNN: for every query row, the k nearest vector rows.
+
+    This is the Spark-native generalization of the reference's
+    single-vector query loop (SURVEY.md §2.3 "Joins"): a broadcast
+    nested-loop similarity join + per-query top-k. ``metric`` is
+    ``squared_l2`` (ascending) or ``cosine`` (descending similarity).
+
+    Returns ``(query_id, id_col, distance|similarity, rank)``.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        )
+    )
+    pairs = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    if metric == "squared_l2":
+        score = squared_l2(F.col(vec_col), F.col("__qv"))
+        order = [F.col("__score").asc(), F.col(id_col).asc()]
+        out_name = "squared_distance"
+    elif metric == "cosine":
+        score = cosine_similarity(F.col(vec_col), F.col("__qv"))
+        order = [F.col("__score").desc(), F.col(id_col).asc()]
+        out_name = "cosine_sim"
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+
+    w = Window.partitionBy("query_id").orderBy(*order)
+    scored = pairs.withColumn("__score", score).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    out_score = (
+        F.round(F.col("__score"), round_to) if round_to is not None else F.col("__score")
+    )
+    return (
+        scored.where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            out_score.alias(out_name),
+            "rank",
+        )
+    )

@@ -1,0 +1,76 @@
+"""Replicates the driver's DuckDB-oracle comparison so every queries()
+entry is gated locally before the driver sees it: row count, column
+names, and order-insensitive exact value match (columns sorted by name,
+rows sorted by all columns)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions; empty means PASS."""
+    issues: list[str] = []
+    sp = _canon(spark_df.toPandas())
+    od = _canon(oracle_pdf)
+    if list(sp.columns) != list(od.columns):
+        issues.append(f"columns differ: spark={list(sp.columns)} oracle={list(od.columns)}")
+        return issues
+    if len(sp) != len(od):
+        issues.append(f"row count differs: spark={len(sp)} oracle={len(od)}")
+        return issues
+    for c in sp.columns:
+        a, b = sp[c].to_numpy(), od[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(
+            b.dtype, np.floating
+        ):
+            a = a.astype(np.float64)
+            b = b.astype(np.float64)
+            bad = ~(
+                (np.isnan(a) & np.isnan(b)) | (a == b)
+            )
+        else:
+            bad = a != b
+        if bad.any():
+            i = int(np.argmax(bad))
+            issues.append(
+                f"column {c}: {int(bad.sum())} mismatching values, "
+                f"first at row {i}: spark={a[i]!r} oracle={b[i]!r}"
+            )
+    return issues
