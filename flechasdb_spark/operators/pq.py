@@ -1,0 +1,93 @@
+"""Relational product-quantization operators — PQ encode and ADC scoring
+expressed PURELY in DataFrame ops (no UDFs), so the whole pipeline stays
+in whole-stage codegen and is DuckDB-oracle checkable.
+
+These mirror the reference ops B7 (division), B9 (encode),
+Q2 (ADC table) and Q3 (scan scoring) — SURVEY.md §2.1 — against an
+explicit codebook table ``(division int, code int, center array<float>)``.
+The UDF-based fused variants used by the MLlib-trained index live in
+``operators/build.py`` / ``plans/ivf.py``; these relational forms are the
+semantics ground truth and work with ANY codebooks (trained or fixed).
+
+Scale: codebooks are D*C rows — always broadcast. Encoding is a
+broadcast join + per-(vector, division) argmin window (WindowGroupLimit:
+partial top-1 before any shuffle); scoring is a broadcast join + partial
+aggregation (map-side combine). No full shuffle of the data anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import squared_l2
+
+__all__ = ["pq_encode", "adc_table", "adc_score", "fixed_codebooks"]
+
+
+def fixed_codebooks(spark, num_divisions: int, num_codes: int, width: int) -> DataFrame:
+    """The FIXTURES.md F3 deterministic codebooks:
+    center[division, code][j] = (code - 3.5) * 0.1 + division * 0.01 * j.
+    Pins ADC arithmetic without k-means randomness."""
+    rows = [
+        (d, c, [float((c - 3.5) * 0.1 + d * 0.01 * j) for j in range(width)])
+        for d in range(num_divisions)
+        for c in range(num_codes)
+    ]
+    return spark.createDataFrame(rows, "division int, code int, center array<float>")
+
+
+def _sliced(vec_col: str, width: int) -> Column:
+    # per-division subvector view (B7): elements [division*w, (division+1)*w)
+    return F.expr(f"slice({vec_col}, division * {width} + 1, {width})")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    width: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """B9: nearest codebook entry per (vector, division).
+
+    Returns long-form ``(id_col, division, code)`` — the join-ready shape
+    for ADC scoring; ties in distance break by lowest code."""
+    pairs = vectors.select(id_col, vec_col).join(F.broadcast(codebooks))
+    dist = squared_l2(_sliced(vec_col, width), F.col("center"))
+    w = Window.partitionBy(id_col, "division").orderBy(
+        dist.asc(), F.col("code").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "division", "code")
+    )
+
+
+def adc_table(
+    codebooks: DataFrame,
+    query_vector: list[float],
+    width: int,
+) -> DataFrame:
+    """Q2: the D x C partial-distance table for one query —
+    table[division, code] = ||query_slice_division - center||^2."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
+    part = squared_l2(
+        F.slice(qv, F.col("division") * width + 1, width), F.col("center")
+    )
+    return codebooks.select("division", "code", part.alias("partial"))
+
+
+def adc_score(
+    encoded: DataFrame,
+    table: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Q3: approximate squared distance per vector = sum of D table
+    lookups — a broadcast join on (division, code) + partial agg."""
+    return (
+        encoded.join(F.broadcast(table), ["division", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("partial").alias("squared_distance"))
+    )

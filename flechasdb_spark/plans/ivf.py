@@ -1,0 +1,215 @@
+"""Two-phase IVF+PQ ANN query (reference Q1-Q5, SURVEY.md §3.2/§4).
+
+Phase 1 (driver, tiny data): for a batch of Q query vectors
+- exact distances to the P centroids -> nprobe probed partitions per
+  query (Q1; the IVF analogue of dynamic partition pruning),
+- localized query v - centroid per probe and the ADC distance table
+  T[probe, d, c] = ||localized_d - codebook[d][c]||^2 (Q2).
+
+Phase 2 (executors): scan ONLY the probed Parquet partitions
+(partition pruning == the reference's lazy partition load, S3), join the
+broadcast probe list, score every encoded vector with a vectorized Arrow
+gather dist = sum_d T[probe, d, codes[d]] (Q3), then per-query top-k via
+``row_number`` which Spark executes with WindowGroupLimit — partial
+top-k before the shuffle (Q4+Q5, the reference's NBest merge).
+
+Scale: probe list and ADC tables are O(Q * nprobe * D * C) — broadcast;
+the scan shuffles only k rows per (query, partition). The reference's
+async I/O-overlap machinery (A1) is Spark task parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import squared_l2
+from flechasdb_spark.operators.build import IndexModel
+
+__all__ = ["ann_query", "select_probes", "ivf_assign", "ivf_flat_query"]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pid_col: str = "partition_id",
+    cent_col: str = "centroid",
+) -> DataFrame:
+    """B6 (coarse assignment) as a pure relational op: nearest centroid
+    per vector via broadcast join + per-vector argmin window
+    (WindowGroupLimit: top-1 resolved before any shuffle of the data).
+    Oracle-checkable with any fixed centroid table; the MLlib-trained
+    path in operators/build.py is the production variant."""
+    pairs = vectors.join(F.broadcast(centroids))
+    dist = squared_l2(F.col(vec_col), F.col(cent_col))
+    w = Window.partitionBy(id_col).orderBy(dist.asc(), F.col(pid_col).asc())
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(vectors["*"], pid_col)
+    )
+
+
+def ivf_flat_query(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF-Flat search, fully relational (Q1 + S3 + Q3-exact + Q4/Q5):
+    probe the nprobe nearest centroids, scan only vectors assigned to the
+    probed partitions, exact distance within candidates, global top-k.
+
+    With an index at rest partitioned by partition_id the semi-join
+    becomes Parquet partition pruning; here assignment is computed inline
+    so the whole query is oracle-checkable end to end."""
+    from flechasdb_spark.operators.knn import flat_knn
+
+    probes = flat_knn(
+        centroids,
+        query_vector,
+        k=nprobe,
+        id_col="partition_id",
+        vec_col=cent_col_name(centroids),
+    ).select("partition_id")
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    candidates = assigned.join(F.broadcast(probes), "partition_id", "left_semi")
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
+    dist = squared_l2(F.col(vec_col), qv)
+    out = (
+        candidates.select(
+            F.col(id_col),
+            F.col("partition_id"),
+            dist.alias("__d"),
+        )
+        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    score = F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
+    return out.select(id_col, "partition_id", score.alias("squared_distance"))
+
+
+def cent_col_name(centroids: DataFrame) -> str:
+    return "centroid" if "centroid" in centroids.columns else centroids.columns[-1]
+
+
+def select_probes(
+    model: IndexModel, queries: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Q1: per query, the nprobe nearest partitions by exact squared L2.
+
+    Returns (probe_qidx [Q*nprobe], probe_pid [Q*nprobe]); errors when
+    nprobe > P, matching /root/reference/src/db/stored.rs:403-409.
+    """
+    p = model.centroids.shape[0]
+    if nprobe > p:
+        raise ValueError(f"nprobe {nprobe} exceeds num_partitions {p}")
+    # ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2 ; ||q||^2 constant per row
+    cross = queries @ model.centroids.T
+    c2 = (model.centroids**2).sum(axis=1)
+    scores = c2[None, :] - 2.0 * cross  # (Q, P) up to a per-row constant
+    probed = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
+    q_idx = np.repeat(np.arange(queries.shape[0]), nprobe)
+    return q_idx, probed.ravel()
+
+
+def _adc_tables(
+    model: IndexModel,
+    queries: np.ndarray,
+    probe_qidx: np.ndarray,
+    probe_pid: np.ndarray,
+) -> np.ndarray:
+    """Q2: T[i, d, c] for each probe i = (query, partition) pair."""
+    d, c, w = model.codebooks.shape
+    localized = queries[probe_qidx] - model.centroids[probe_pid]  # (QP, N)
+    sub = localized.reshape(-1, d, w)  # (QP, D, w)
+    # (QP, D, C): sum over w of (sub - cb)^2
+    diff = sub[:, :, None, :] - model.codebooks[None, :, :, :]
+    return np.einsum("qdcw,qdcw->qdc", diff, diff)
+
+
+def ann_query(
+    model: IndexModel,
+    queries: list[tuple[int, list[float]]] | np.ndarray,
+    k: int,
+    nprobe: int,
+    query_ids: list[int] | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch IVF+PQ kNN. ``queries``: [(query_id, vector), ...] or an
+    (Q, N) array with ``query_ids``. Returns (query_id, vector_id,
+    partition_id, squared_distance, rank) — the reference's QueryResult
+    shape (/root/reference/src/db/build.rs:577-587) plus batch columns.
+    """
+    if isinstance(queries, np.ndarray):
+        qarr = queries.astype(np.float64)
+        qids = list(query_ids) if query_ids is not None else list(range(len(qarr)))
+    else:
+        qids = [int(q[0]) for q in queries]
+        qarr = np.array([q[1] for q in queries], dtype=np.float64)
+    if qarr.ndim != 2 or qarr.shape[1] != model.vector_size:
+        raise ValueError(
+            f"query width {qarr.shape} != vector_size {model.vector_size}"
+        )
+
+    probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
+    tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
+
+    spark = model.encoded.sparkSession
+    sc = spark.sparkContext
+    b_tables = sc.broadcast(tables)
+    d = model.config.num_divisions
+
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qids[qi]), int(pid), int(i))
+                for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid))
+            ],
+            "query_id long, partition_id int, probe_idx int",
+        )
+    )
+
+    @F.pandas_udf("double")
+    def adc_score(probe_idx: pd.Series, codes: pd.Series) -> pd.Series:
+        t = b_tables.value  # (QP, D, C)
+        pi = probe_idx.to_numpy()
+        cd = np.stack(codes.to_numpy())  # (batch, D)
+        return pd.Series(t[pi[:, None], np.arange(d)[None, :], cd].sum(axis=1))
+
+    probed_pids = [int(x) for x in np.unique(probe_pid)]
+    id_col = model.config.id_col
+    scored = (
+        model.encoded
+        # partition pruning: only probed directories are read (S3)
+        .where(F.col("partition_id").isin(probed_pids))
+        .join(probes_df, "partition_id")
+        .withColumn("__score", adc_score(F.col("probe_idx"), F.col("codes")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").asc(), F.col(id_col).asc()
+    )
+    out_score = (
+        F.round(F.col("__score"), round_to)
+        if round_to is not None
+        else F.col("__score")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("vector_id"),
+            "partition_id",
+            out_score.alias("squared_distance"),
+            "rank",
+        )
+    )

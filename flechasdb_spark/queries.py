@@ -114,6 +114,170 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF / PQ deterministic surface (reference B6-B9, Q1-Q5 with fixed
+# centroids/codebooks so DuckDB can recompute exactly; the MLlib-trained
+# pipeline is covered by pytest recall gates + the rows-only ann_ivfpq)
+# ---------------------------------------------------------------------------
+
+# IVF with fixed centroids = embeddings of vec_id 0..3 (P=4), nprobe=2,
+# query = embedding of vec_id 42.
+_IVF_P, _IVF_NPROBE, _IVF_QID, _IVF_K = 4, 2, 42, 10
+
+
+@query(
+    "ivf_flat_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_IVF_P}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_IVF_QID}),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")} AS d,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                    c.partition_id) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, v, partition_id FROM assign_scored WHERE rn = 1),
+probes AS (
+  SELECT c.partition_id
+  FROM cent c, q
+  ORDER BY {_DD_SQL2.format(a="c.cv", b="q.qv")}, c.partition_id
+  LIMIT {_IVF_NPROBE}),
+candidates AS (
+  SELECT a.vec_id, a.partition_id,
+         {_DD_SQL2.format(a="a.v", b="q.qv")} AS d
+  FROM assigned a, q
+  WHERE a.partition_id IN (SELECT partition_id FROM probes))
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM candidates ORDER BY d, vec_id LIMIT {_IVF_K}
+""",
+)
+def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.plans.ivf import ivf_flat_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < _IVF_P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qv = emb.where(F.col("vec_id") == _IVF_QID).first()["embedding"]
+    return ivf_flat_query(
+        emb.select("vec_id", "embedding"),
+        cent,
+        [float(x) for x in qv],
+        k=_IVF_K,
+        nprobe=_IVF_NPROBE,
+        round_to=4,
+    )
+
+
+# PQ with the FIXTURES.md F3 fixed codebooks: D=4 divisions, C=8 codes,
+# width=16 over the 64-dim embeddings; query = embedding of vec_id 7.
+_PQ_D, _PQ_C, _PQ_W, _PQ_QID = 4, 8, 16, 7
+
+_DD_CODEBOOKS = f"""
+codebooks AS (
+  SELECT d.division::INT AS division, c.code::INT AS code,
+         list_transform(generate_series(0, {_PQ_W - 1}),
+           j -> (c.code::DOUBLE - 3.5) * 0.1 + d.division::DOUBLE * 0.01 * j::DOUBLE)
+           AS center
+  FROM range({_PQ_D}) d(division), range({_PQ_C}) c(code))
+"""
+
+_DD_SLICE = (
+    "list_slice(e.embedding::DOUBLE[], cb.division * {w} + 1, (cb.division + 1) * {w})"
+)
+
+
+@query(
+    "pq_encode",
+    f"""
+WITH {_DD_CODEBOOKS},
+scored AS (
+  SELECT e.vec_id, cb.division, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.division
+           ORDER BY {_DD_SQL2.format(a=_DD_SLICE.format(w=_PQ_W), b="cb.center")},
+                    cb.code) AS rn
+  FROM embeddings e CROSS JOIN codebooks cb)
+SELECT vec_id, division::BIGINT AS division, code::BIGINT AS code
+FROM scored WHERE rn = 1 ORDER BY vec_id, division
+""",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.pq import fixed_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(spark, _PQ_D, _PQ_C, _PQ_W)
+    out = pq_encode(emb, cb, width=_PQ_W)
+    return out.select(
+        "vec_id",
+        F.col("division").cast("long").alias("division"),
+        F.col("code").cast("long").alias("code"),
+    ).orderBy("vec_id", "division")
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+WITH {_DD_CODEBOOKS},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_PQ_QID}),
+encoded AS (
+  SELECT vec_id, division, code FROM (
+    SELECT e.vec_id, cb.division, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.division
+             ORDER BY {_DD_SQL2.format(a=_DD_SLICE.format(w=_PQ_W), b="cb.center")},
+                      cb.code) AS rn
+    FROM embeddings e CROSS JOIN codebooks cb) s WHERE rn = 1),
+adc AS (
+  SELECT cb.division, cb.code,
+         {_DD_SQL2.format(
+             a=f"list_slice(q.qv, cb.division * {_PQ_W} + 1, (cb.division + 1) * {_PQ_W})",
+             b="cb.center")} AS partial
+  FROM codebooks cb, q),
+scoredv AS (
+  SELECT en.vec_id, sum(a.partial) AS d
+  FROM encoded en JOIN adc a ON en.division = a.division AND en.code = a.code
+  GROUP BY en.vec_id)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scoredv ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.pq import adc_score, adc_table, fixed_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(spark, _PQ_D, _PQ_C, _PQ_W)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]]
+    encoded = pq_encode(emb, cb, width=_PQ_W)
+    table = adc_table(cb, qv, width=_PQ_W)
+    scored = adc_score(encoded, table)
+    return (
+        scored.orderBy(F.col("squared_distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("squared_distance", 4).alias("squared_distance"))
+    )
+
+
+@query("ann_ivfpq")  # rows-only: MLlib k-means training is seeded but not
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:  # SQL-reproducible
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cfg = IndexConfig(num_partitions=8, num_divisions=16, num_codes=16, seed=7)
+    model = build_index(emb, cfg)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    return ann_query(model, qs, k=5, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
 # Relational surface (SURVEY.md §2.3 — Spark-native; TPC-H-ish over the
 # driver tables, exercising scan/filter/join/agg/window/sort/limit)
 # ---------------------------------------------------------------------------

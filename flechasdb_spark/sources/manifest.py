@@ -1,0 +1,148 @@
+"""Index persistence: Parquet datasets + JSON manifest with load-time
+validation.
+
+The reference persists content-addressed zlib-protobuf files with
+hash-verify-on-read (``/root/reference/src/db/build/proto.rs:25-63``,
+``src/io.rs:242-300``); Parquet's footer checksums + immutable dataset
+paths + an explicit manifest serve the same integrity/layout role
+(SURVEY.md §1.4). Layout:
+
+    <root>/manifest.json
+    <root>/index/partition_id=<p>/...parquet   (vector_id, codes, attrs)
+    <root>/centroids/...parquet                (partition_id, centroid)
+    <root>/codebooks/...parquet                (division, code, center)
+
+``partitionBy("partition_id")`` gives the reference's lazy per-partition
+loading for free: an nprobe query reads only the probed directories
+(Parquet partition pruning == ``load_partition`` memoization,
+``src/db/stored.rs:262-293``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.build import IndexConfig, IndexModel
+
+__all__ = ["save_index", "load_index", "validate_manifest"]
+
+MANIFEST_NAME = "manifest.json"
+FORMAT_VERSION = 1
+
+
+def save_index(model: IndexModel, path: str) -> None:
+    spark = model.encoded.sparkSession
+    (
+        model.encoded.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(path, "index"))
+    )
+    model.centroids_df(spark).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    model.codebooks_df(spark).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "vector_size": model.vector_size,
+        "num_vectors": model.num_vectors,
+        "num_partitions": model.config.num_partitions,
+        "num_divisions": model.config.num_divisions,
+        "num_codes": model.config.num_codes,
+        "seed": model.config.seed,
+        "id_col": model.config.id_col,
+        "vec_col": model.config.vec_col,
+        "attr_cols": model.attr_cols,
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+def validate_manifest(m: dict) -> None:
+    """Invariant checks mirroring the reference's load-time validation
+    (/root/reference/src/db/stored.rs:670-702)."""
+    required = [
+        "vector_size",
+        "num_vectors",
+        "num_partitions",
+        "num_divisions",
+        "num_codes",
+    ]
+    for k in required:
+        if k not in m:
+            raise ValueError(f"manifest missing field: {k}")
+        if not isinstance(m[k], int) or m[k] < 0:
+            raise ValueError(f"manifest field {k} must be a non-negative int")
+    if m["num_divisions"] == 0 or m["vector_size"] % m["num_divisions"] != 0:
+        raise ValueError(
+            f"vector_size {m['vector_size']} not divisible by "
+            f"num_divisions {m['num_divisions']}"
+        )
+    if m["num_partitions"] == 0:
+        raise ValueError("num_partitions must be > 0")
+
+
+def load_index(spark: SparkSession, path: str) -> IndexModel:
+    """Load manifest + small models eagerly (S4), index lazily (S3)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    validate_manifest(manifest)
+    p, d, c = (
+        manifest["num_partitions"],
+        manifest["num_divisions"],
+        manifest["num_codes"],
+    )
+    n = manifest["vector_size"]
+    w = n // d
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("partition_id")
+        .collect()
+    )
+    if len(cent_rows) != p:
+        raise ValueError(f"expected {p} centroids, found {len(cent_rows)}")
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    if centroids.shape[1] != n:
+        raise ValueError(
+            f"centroid width {centroids.shape[1]} != vector_size {n}"
+        )
+
+    cb_rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("division", "code")
+        .collect()
+    )
+    if len(cb_rows) != d * c:
+        raise ValueError(f"expected {d * c} codebook rows, found {len(cb_rows)}")
+    codebooks = np.array([r.center for r in cb_rows], dtype=np.float64).reshape(
+        d, c, w
+    )
+
+    encoded = spark.read.parquet(os.path.join(path, "index")).withColumn(
+        "partition_id", F.col("partition_id").cast("int")
+    )
+    cfg = IndexConfig(
+        num_partitions=p,
+        num_divisions=d,
+        num_codes=c,
+        seed=manifest.get("seed", 42),
+        id_col=manifest.get("id_col", "vec_id"),
+        vec_col=manifest.get("vec_col", "embedding"),
+    )
+    return IndexModel(
+        config=cfg,
+        vector_size=n,
+        num_vectors=manifest["num_vectors"],
+        centroids=centroids,
+        codebooks=codebooks,
+        encoded=encoded,
+        attr_cols=manifest.get("attr_cols", []),
+    )

@@ -1,0 +1,131 @@
+"""IVF+PQ build / persist / query tests (SURVEY.md §5.2: recall vs the
+exact oracle + manifest invariants; randomness pinned by seeds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.build import IndexConfig, build_index
+from flechasdb_spark.operators.knn import knn_join
+from flechasdb_spark.plans.ivf import ann_query, select_probes
+from flechasdb_spark.sources.manifest import load_index, save_index, validate_manifest
+
+CFG = IndexConfig(num_partitions=8, num_divisions=8, num_codes=16, seed=7)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(emb):
+    return build_index(emb, CFG)
+
+
+def test_build_shapes(model, emb):
+    assert model.vector_size == 64
+    assert model.centroids.shape == (8, 64)
+    assert model.codebooks.shape == (8, 16, 8)
+    assert model.num_vectors == emb.count()
+    assert model.attr_cols == ["label"]
+    enc = model.encoded
+    row = enc.first()
+    assert len(row.codes) == 8
+    assert all(0 <= c < 16 for c in row.codes)
+    # every vector encoded exactly once
+    assert enc.count() == model.num_vectors
+    assert enc.select("vec_id").distinct().count() == model.num_vectors
+    # partition ids in range
+    pids = [r.partition_id for r in enc.select("partition_id").distinct().collect()]
+    assert all(0 <= p < 8 for p in pids)
+
+
+def test_deterministic_rebuild(emb):
+    m1 = build_index(emb, CFG)
+    m2 = build_index(emb, CFG)
+    assert np.allclose(m1.centroids, m2.centroids)
+    assert np.allclose(m1.codebooks, m2.codebooks)
+
+
+def test_save_load_roundtrip(model, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index"))
+    save_index(model, path)
+    loaded = load_index(spark, path)
+    assert loaded.vector_size == model.vector_size
+    assert loaded.num_vectors == model.num_vectors
+    assert np.allclose(loaded.centroids, model.centroids, atol=1e-6)
+    assert np.allclose(loaded.codebooks, model.codebooks, atol=1e-6)
+    a = {r.vec_id: (r.partition_id, list(r.codes)) for r in model.encoded.collect()}
+    b = {r.vec_id: (r.partition_id, list(r.codes)) for r in loaded.encoded.collect()}
+    assert a == b
+
+
+def test_validate_manifest_rejects_bad():
+    with pytest.raises(ValueError, match="divisible"):
+        validate_manifest(
+            dict(vector_size=10, num_vectors=1, num_partitions=2,
+                 num_divisions=3, num_codes=4)
+        )
+    with pytest.raises(ValueError, match="missing"):
+        validate_manifest({"vector_size": 8})
+
+
+def test_nprobe_exceeds_partitions_errors(model):
+    with pytest.raises(ValueError, match="nprobe"):
+        select_probes(model, np.zeros((1, 64)), nprobe=9)
+
+
+def _recall(model, emb, k, nprobe, nq=20):
+    qdf = emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    exact = {(r.query_id, r.vec_id) for r in knn_join(qdf, emb, k=k).collect()}
+    queries = [(r.query_id, list(r.qvector)) for r in qdf.collect()]
+    approx = ann_query(model, queries, k=k, nprobe=nprobe)
+    got = {(r.query_id, r.vector_id) for r in approx.collect()}
+    return len(exact & got) / len(exact), queries, got
+
+
+def test_recall_vs_exact(model, emb):
+    """Recall@10 vs the flat oracle. These synthetic embeddings are
+    near-random — PQ's worst case — so the default-resolution threshold
+    is calibrated (measured ~0.2 at D=8/C=16, ~0.67 at D=32/C=16); the
+    reference on the same data would degrade identically (same ADC
+    math). nprobe=P isolates PQ error from IVF probing error."""
+    recall, queries, got = _recall(model, emb, k=10, nprobe=8)
+    assert recall >= 0.12, f"recall@10 too low: {recall}"
+    # scoring over a frozen index is deterministic (SURVEY.md §2.4)
+    again = {
+        (r.query_id, r.vector_id)
+        for r in ann_query(model, queries, k=10, nprobe=8).collect()
+    }
+    assert got == again
+
+
+def test_recall_high_resolution(emb):
+    hi = IndexConfig(num_partitions=8, num_divisions=32, num_codes=16, seed=7)
+    model = build_index(emb, hi)
+    recall, _, _ = _recall(model, emb, k=10, nprobe=8)
+    assert recall >= 0.5, f"high-res recall@10 too low: {recall}"
+
+
+def test_more_probes_never_hurt_much(model, emb):
+    """nprobe=1 is a strict subset of candidates vs nprobe=P."""
+    r1, _, _ = _recall(model, emb, k=10, nprobe=1, nq=10)
+    rp, _, _ = _recall(model, emb, k=10, nprobe=8, nq=10)
+    assert rp >= r1
+
+
+def test_partition_pruning_reads_fewer_rows(model, spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index_prune"))
+    save_index(model, path)
+    loaded = load_index(spark, path)
+    q = np.zeros((1, 64))
+    res = ann_query(loaded, q, k=5, nprobe=2, query_ids=[0])
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the scan must carry a partition filter on partition_id
+    assert "partition_id" in plan
+    assert res.count() == 5
