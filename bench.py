@@ -1,0 +1,94 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The headline set covers every engine surface: vector kernels, exact and
+batch kNN, the deterministic IVF/PQ relational pipeline, the full
+MLlib IVF+PQ build + ANN query lifecycle, and the relational TPC-H-ish
+queries (BASELINE.md: the honest comparables are index-build wall-clock
+and batch kNN throughput)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ann_build_and_query(spark, sf_dir):
+    """Full lifecycle: build seeded IVF+PQ index, batch-query 100 vectors."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cfg = IndexConfig(num_partitions=16, num_divisions=16, num_codes=16, seed=7)
+    model = build_index(emb, cfg)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 100).collect()
+    ]
+    return ann_query(model, qs, k=10, nprobe=5)
+
+
+def main() -> None:
+    from flechasdb_spark.session import get_spark
+    from flechasdb_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="flechasdb_bench")
+    names = [
+        "vector_norms",
+        "flat_knn",
+        "knn_join",
+        "ivf_flat_query",
+        "pq_encode",
+        "pq_adc_topk",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+    ]
+    names = [n for n in names if n in REGISTRY]
+    # warm up the session (JVM, parquet footers) outside the timings
+    spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ann_build_and_query(spark, SF_DIR).collect()
+    timings["ann_build_query"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
