@@ -1,0 +1,256 @@
+"""Deduplication family for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Extension surface (no reference counterpart). Every operator is built
+from deterministic md5-based arithmetic (functions/texthash.py) so a
+DuckDB oracle recomputes results exactly.
+
+Scale design (100 TB):
+- exact: one hash-groupBy, map-side combine, no data movement beyond the
+  grouped hash column.
+- ngram_jaccard / minhash verify: candidate pairs come from an inverted
+  shingle/band join — only docs SHARING a shingle/band meet, never a
+  cross join. Hot shingles are the skew risk: AQE skew-join handles the
+  shuffle; a df-threshold (drop shingles appearing in > max_df docs)
+  bounds the worst case without changing near-dup semantics materially
+  (disabled by default to keep oracle parity).
+- simhash: map-side only (fingerprint per doc), pairs via band equality.
+- embedding near-dup: exact variant is a blocked self-join (oracle-
+  matched); the LSH-bucketed variant (operators/similarity.py) is the
+  approximate scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import cosine_similarity
+from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long, minhash_perm
+from flechasdb_spark.operators.text import tokens
+
+__all__ = [
+    "dedup_exact",
+    "word_ngrams",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_neardup_pairs",
+]
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: returns (id, content_hash, keep)
+    where keep marks the lowest id per hash group (last-write-wins
+    analogue of the reference's attribute upsert, inverted to
+    first-wins for stable dedup)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.select(id_col, h.alias("content_hash"))
+        .withColumn("keep", (F.row_number().over(w) == 1))
+    )
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined) of the token stream."""
+    t = tokens(col)
+    m = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(m - n + 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(t, i, n), " ")
+    )
+    return F.when(m < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold.
+
+    Inverted-index algorithm: explode distinct shingles, self-join on
+    shingle (id_a < id_b) to count intersections, then
+    |A u B| = |A| + |B| - |A n B|. Only docs sharing >= 1 shingle are
+    ever paired — the scalable form of the quadratic definition (the
+    oracle uses the quadratic form; results are identical because
+    jaccard > 0 requires a shared shingle and threshold > 0)."""
+    shingled = df.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("shingles")
+    ).persist()
+    sizes = shingled.select(id_col, F.size("shingles").alias("n_sh"))
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("shingle")
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("shingle")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        )
+    )
+    return out
+
+
+def minhash_signature(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature over distinct tokens: sig[j] = min over tokens
+    of ((2j+1) * md5_long(tok) + j^2+7) mod P. Long form
+    (id, j, minhash) — the join-ready shape for banding."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    hashed = tok.select(
+        id_col, (md5_long(F.col("tok")) % MERSENNE_P).alias("h")
+    )
+    perms = [
+        minhash_perm(F.col("h"), j).alias(f"p{j}") for j in range(num_hashes)
+    ]
+    wide = hashed.select(id_col, *perms)
+    aggs = [F.min(f"p{j}").alias(f"m{j}") for j in range(num_hashes)]
+    sig = wide.groupBy(id_col).agg(*aggs)
+    stacked = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash")
+                    )
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(id_col, F.col("s.j").alias("j"), F.col("s.minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Returns (id_a, id_b, n_bands) — verification against
+    true Jaccard composes with ngram_jaccard_pairs/token Jaccard."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, num_hashes, text_col, id_col)
+    banded = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: bit i of the fingerprint is 1 iff the sum
+    over distinct tokens of (2 * bit_i(md5_long(tok)) - 1) is positive.
+    Map-side only: explode tokens, one groupBy per doc."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = md5_long(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold).
+
+    Quadratic candidate set — the oracle-parity variant. The scale path
+    is LSH bucketing (operators/similarity.py) which approximates the
+    same output with a bounded candidate set."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token/char stats, quality scoring, language ID, and
+document fingerprinting — all pure Catalyst expressions (JVM-side,
+no UDFs), each with an exactly-recomputable DuckDB oracle.
+
+Extension surface (no reference counterpart — the reference is a vector
+DB); designed per the task brief's LLM-pipeline requirements. At 100 TB
+these are embarrassingly parallel map-side ops: no shuffle, no skew,
+full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# Small fixed stopword sets (top function words) for the n-gram-free
+# language-ID heuristic. Deliberately tiny + frozen: the oracle SQL
+# inlines the same lists.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (empty string -> [])."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/char statistics (token counting per the brief;
+    a BPE-ish proxy ``n_subtokens`` counts 4-char chunks, the common
+    tokens-per-word heuristic)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
+                / n_tok
+            ),
+            4,
+        ).alias("avg_token_len"),
+        F.ceil(n_chars / F.lit(4.0)).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+      0.4 * min(1, n_tokens/50)            (length credit)
+    + 0.3 * (1 - punct_ratio)              (low symbol noise)
+    + 0.3 * min(1, 5 * stopword_ratio)     (natural-language-ness)
+    Frozen formula; the oracle recomputes it exactly."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars)
+    en = STOPWORDS["en"]
+    n_stop = F.size(
+        F.filter(t, lambda x: x.isin(en))
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_stop / n_tok)
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tok / F.lit(50.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+    )
+    # +1e-9 before rounding: the formula's rationals frequently land
+    # exactly on a half boundary at 4 decimals (e.g. 0.86875) where
+    # Spark and DuckDB doubles disagree by one ulp; the bias pushes both
+    # engines to the same side deterministically.
+    eps = F.lit(1e-9)
+    return df.select(
+        id_col,
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_ratio) + eps, 4
+        ).alias("stopword_ratio"),
+        F.round(punct_ratio + eps, 4).alias("punct_ratio"),
+        F.round(score + eps, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr, es}: the language with
+    the most stopword occurrences wins (ties -> lexicographic, 'unknown'
+    when no stopword matches at all)."""
+    # SQL-parsed lambdas with per-language variable names: combining
+    # several F.filter(..., lambda x: ...) closures that share the arg
+    # name "x" under one greatest() miscompiles (lambda variables
+    # cross-resolve and Spark casts tokens to the other list's type).
+    d = df.select(id_col, tokens(text_col).alias("__toks"))
+    counts = {}
+    for lang, sw in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        counts[lang] = F.expr(
+            f"size(filter(__toks, tk_{lang} -> tk_{lang} IN ({inlist})))"
+        )
+    best = F.greatest(*counts.values())
+    pred = F.lit("unknown")
+    # reverse-lexicographic chain => lexicographically-first wins ties
+    for lang in sorted(counts, reverse=True):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return d.select(
+        id_col,
+        pred.alias("pred_lang"),
+        best.cast("long").alias("stopword_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive rolling (Horner) hash of the token stream:
+    h = fold(h * 31 + md5_long(token) mod P) mod P, init 0 — two docs
+    with the same token sequence collide, reorderings don't."""
+    t = tokens(text_col)
+    hashed = F.transform(t, lambda x: md5_long(x) % MERSENNE_P)
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MERSENNE_P,
+    )
+    return df.select(id_col, fp.alias("fingerprint"))

@@ -408,6 +408,296 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup family (LLM-pipeline extension surface; md5-based arithmetic
+# shared with the DuckDB oracle — functions/texthash.py)
+# ---------------------------------------------------------------------------
+
+_DD_TOKS = (
+    "CASE WHEN trim(text) = '' THEN [] "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+)
+_DD_MD5H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_P = 2_147_483_647
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT doc_id, md5(text) AS content_hash,
+       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep
+FROM documents ORDER BY doc_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "ngram_jaccard",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "minhash_signature",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} % {_P} AS h FROM tok)
+SELECT doc_id, j,
+       min(((2 * j + 1) * h + j * j + 7) % {_P}) AS minhash
+FROM hashed, range(8) r(j)
+GROUP BY doc_id, j ORDER BY doc_id, j
+""",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import minhash_signature
+
+    out = minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=8)
+    return out.select(
+        "doc_id", F.col("j").cast("long").alias("j"), "minhash"
+    ).orderBy("doc_id", "j")
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} % {_P} AS h FROM tok),
+sig AS (
+  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % {_P}) AS minhash
+  FROM hashed, range(16) r(j) GROUP BY doc_id, j),
+banded AS (
+  SELECT doc_id, (j // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, (j // 4)::INT)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id ORDER BY id_a, id_b
+""",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "simhash",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} AS h FROM tok),
+bitsum AS (
+  SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS s
+  FROM hashed, range(16) r(i) GROUP BY doc_id, i)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+FROM bitsum GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
+
+
+@query(
+    "embedding_neardup",
+    """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+             / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+      / (a.nrm * b.nrm) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extension surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stats",
+    f"""
+WITH d AS (SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                  / len(toks) END, 4) AS avg_token_len,
+       ceil(length(text) / 4.0)::BIGINT AS n_subtokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct_tokens
+FROM d ORDER BY doc_id
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SW = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','la','los','las','es','un','una','en','por','que']",
+}
+
+
+@query(
+    "quality_score",
+    f"""
+WITH d AS (SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS n_stop
+  FROM d),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE n_stop::DOUBLE / n_tok END
+           AS stop_ratio,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END
+           AS punct_ratio,
+         n_tok
+  FROM m)
+SELECT doc_id,
+       round(stop_ratio + 1e-9, 4) AS stopword_ratio,
+       round(punct_ratio + 1e-9, 4) AS punct_ratio,
+       round(0.4 * least(1.0, n_tok / 50.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(1.0, 5.0 * stop_ratio) + 1e-9, 4) AS quality
+FROM r ORDER BY doc_id
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "lang_id",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS c_en,
+         len(list_filter(toks, t -> list_contains({_SW["de"]}, t))) AS c_de,
+         len(list_filter(toks, t -> list_contains({_SW["fr"]}, t))) AS c_fr,
+         len(list_filter(toks, t -> list_contains({_SW["es"]}, t))) AS c_es
+  FROM d)
+SELECT doc_id,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(c_en, c_de, c_fr, c_es)::BIGINT AS stopword_hits
+FROM c ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks, t -> {_DD_MD5H.format(x="t")} % {_P})),
+         (a, b) -> (a * 31 + b) % {_P}) AS fingerprint
+FROM d ORDER BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Attribute upsert semantics (reference B10/Q6: AttributesLog last-write-
+# wins — /root/reference/src/protos/database.proto:96-115) replayed as a
+# windowed dedup over the events stream table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "attr_last_write_wins",
+    """
+SELECT user_id, event_type, value AS last_value, event_id AS last_event_id
+FROM (
+  SELECT user_id, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id, event_type
+""",
+)
+def q_attr_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.attributes import last_write_wins
+
+    ev = _t(spark, sf_dir, "events")
+    return last_write_wins(
+        ev,
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        value_cols={"last_value": "value", "last_event_id": "event_id"},
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry point)
 # ---------------------------------------------------------------------------
 

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long (ns since epoch) — ordering and
+        # window semantics are unchanged, convert explicitly where a
+        # timestamp type is needed (timestamp_micros(ts div 1000)).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
