@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column: brute-force cosine top-k
+(the exact baseline) and a random-hyperplane-LSH bucketed variant (the
+100 TB scale path).
+
+Extension surface (no reference counterpart — the reference's ANN is
+IVF+PQ, operators/build.py + plans/ivf.py; this module is the
+cosine/LSH family the task brief adds for training-data pipelines).
+
+Determinism: hyperplanes are derived from integer arithmetic
+``((p*2654435761 + j*40503) % 1024) / 512 - 1`` — every value is an
+exact binary rational (k/512), so Spark and the DuckDB oracle compute
+bit-identical dot products and identical bucket ids.
+
+Scale design:
+- ``cosine_topk``: per-query brute force — a broadcast nested-loop of
+  Q queries against the corpus; linear scans parallelize perfectly but
+  cost O(Q*M). Baseline + recall oracle only.
+- ``lsh_bucket``: map-side only (``bits`` dot products per row, pure
+  Catalyst expressions under whole-stage codegen, no shuffle).
+- ``ann_lsh_topk`` / ``lsh_neardup_pairs``: candidates meet through an
+  equi-join on the bucket id — shuffle keyed on bucket, never a cross
+  join. Bucket sizes are M/2^bits in expectation; `bits` tunes the
+  recall/fan-in trade-off, and AQE's skew-join split handles hot
+  buckets (near-duplicate clusters) at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import cosine_similarity
+
+__all__ = [
+    "hyperplane",
+    "lsh_bucket",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "lsh_neardup_pairs",
+]
+
+
+def hyperplane(p: int, dim: int) -> list[float]:
+    """The p-th deterministic pseudo-random hyperplane (values in
+    [-1, 1), exact k/512 rationals — cross-engine reproducible)."""
+    return [
+        ((p * 2654435761 + j * 40503) % 1024) / 512.0 - 1.0 for j in range(dim)
+    ]
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    lit = F.array(*[F.lit(h) for h in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(vec: Column | str, dim: int, bits: int = 8) -> Column:
+    """Random-hyperplane (SimHash) bucket id in [0, 2^bits): bit p is
+    set iff dot(v, hyperplane_p) >= 0. Sign-random-projection LSH —
+    collision probability 1 - theta/pi per bit (Charikar, STOC'02)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bucket = F.lit(0).cast("long")
+    for p in range(bits):
+        bit = F.when(_dot_lit(v, hyperplane(p, dim)) >= 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k per query (descending similarity,
+    id tie-break). Broadcast the query side; WindowGroupLimit keeps the
+    per-partition partial top-k before the shuffle."""
+    pairs = df.join(F.broadcast(queries))
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    out_cos = F.round(F.col("__cos"), round_to) if round_to is not None else F.col("__cos")
+    return (
+        pairs.select(query_id_col, id_col, cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            out_cos.alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates are corpus vectors in the
+    SAME LSH bucket as the query; exact cosine + top-k within the
+    candidate set. May return fewer than k rows per query (bucket
+    smaller than k) — the standard ANN truncate semantics."""
+    corpus = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec_col, dim, bits).alias("__bucket"),
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        lsh_bucket(query_vec_col, dim, bits).alias("__bucket"),
+    )
+    pairs = corpus.join(F.broadcast(qs), "__bucket")
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    out_cos = F.round(F.col("__cos"), round_to) if round_to is not None else F.col("__cos")
+    return (
+        pairs.select(query_id_col, id_col, cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            out_cos.alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs (id_a < id_b, cos >= threshold,
+    both ids in the same LSH bucket) — the bounded-candidate scale
+    variant of dedup.embedding_neardup_pairs."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec_col, dim, bits).alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+    )
+    pairs = a.join(b, "__bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    out = pairs.select("id_a", "id_b", cos.alias("cos")).where(
+        F.col("cos") >= threshold
+    )
+    score = F.round(F.col("cos"), round_to) if round_to is not None else F.col("cos")
+    # each vector lives in exactly one bucket, so a pair meets at most once
+    return out.select("id_a", "id_b", score.alias("cos"))

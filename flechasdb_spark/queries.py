@@ -553,6 +553,117 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cosine / LSH similarity family (operators/similarity.py): brute-force
+# baseline + bucketed scale path with deterministic k/512 hyperplanes.
+# ---------------------------------------------------------------------------
+
+_LSH_DIM = 64
+
+_DD_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]*z[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+)
+
+
+def _dd_buckets(bits: int) -> str:
+    return f"""
+hp AS (
+  SELECT p, list_transform(generate_series(1, {_LSH_DIM}),
+    j -> ((p * 2654435761 + (j-1) * 40503) % 1024) / 512.0 - 1.0) AS h
+  FROM range({bits}) t(p)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT v.vec_id,
+         sum(CASE WHEN list_sum(list_transform(list_zip(v.v, hp.h),
+                                               z -> z[1]*z[2])) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM v, hp GROUP BY v.vec_id)
+"""
+
+
+@query(
+    "cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ranked AS (
+  SELECT q.query_id, n.vec_id,
+         {_DD_COS.format(a="n.v", b="q.qv")} AS c,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_DD_COS.format(a="n.v", b="q.qv")} DESC, n.vec_id) AS rank
+  FROM n, q)
+SELECT query_id, vec_id, round(c, 4) AS cos, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    return cosine_topk(emb, qs, k=10, round_to=4).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+WITH {_dd_buckets(6)},
+q AS (SELECT b.vec_id AS query_id, v.v AS qv, b.bucket
+      FROM bk b JOIN v ON v.vec_id = b.vec_id WHERE b.vec_id < 8),
+cand AS (
+  SELECT q.query_id, n.vec_id,
+         {_DD_COS.format(a="nv.v", b="q.qv")} AS c
+  FROM bk n JOIN q ON n.bucket = q.bucket
+  JOIN v nv ON nv.vec_id = n.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank
+  FROM cand)
+SELECT query_id, vec_id, round(c, 4) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    return ann_lsh_topk(
+        emb, qs, k=5, dim=_LSH_DIM, bits=6, round_to=4
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "lsh_neardup_pairs",
+    f"""
+WITH {_dd_buckets(5)},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DD_COS.format(a="va.v", b="vb.v")} AS c
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id)
+SELECT id_a, id_b, round(c, 4) AS cos
+FROM pairs WHERE c >= 0.45 ORDER BY id_a, id_b
+""",
+)
+def q_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, dim=_LSH_DIM, bits=5
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (LLM-pipeline extension surface)
 # ---------------------------------------------------------------------------
 
