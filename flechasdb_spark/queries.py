@@ -778,6 +778,254 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational widening (SURVEY.md §2.3: windows, sessionization, set ops,
+# string/date/json scalar functions — Spark-native surface the reference
+# lacks). events.ts arrives as long nanoseconds in Spark (see session.py);
+# `ts div 1000` (integer division — double division loses precision at
+# 1e18 nanos) converts to the microseconds DuckDB reads natively.
+# ---------------------------------------------------------------------------
+
+_TS_US = "ts div 1000"  # Spark-side: event ts (ns) -> us
+
+
+@query(
+    "tpch_q6",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "events_tumbling_agg",
+    """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+)
+def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.expr(f"timestamp_micros({_TS_US})"))
+    return (
+        ev.groupBy(
+            F.unix_timestamp(hour).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS session_start,
+       floor(epoch(max(ts)))::BIGINT AS session_end
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr(_TS_US))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    brk = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("min(ts_us) div 1000000").alias("session_start"),
+            F.expr("max(ts_us) div 1000000").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_running_sum",
+    """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS event_seq
+FROM events WHERE user_id < 10 ORDER BY user_id, event_seq
+""",
+)
+def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                2,
+            ).alias("running_value"),
+            F.row_number().over(w).cast("long").alias("event_seq"),
+        )
+        .orderBy("user_id", "event_seq")
+    )
+
+
+@query(
+    "json_props_agg",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "part_string_funcs",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_snake,
+       length(p_name)::BIGINT AS name_len,
+       lpad(p_size::VARCHAR, 4, '0') AS size_padded
+FROM part ORDER BY p_partkey
+""",
+)
+def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "orders_date_rollup",
+    """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       quarter(o_orderdate)::BIGINT AS o_quarter,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter
+""",
+)
+def q_orders_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_year", "o_quarter")
+    )
+
+
+@query(
+    "customer_set_ops",
+    """
+SELECT 'building_no_orders' AS op, c_custkey AS key FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'building_with_orders' AS op, c_custkey AS key FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT SELECT o_custkey FROM orders)
+ORDER BY op, key
+""",
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ordered = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = cust.subtract(ordered).select(
+        F.lit("building_no_orders").alias("op"), F.col("c_custkey").alias("key")
+    )
+    with_orders = cust.intersect(ordered).select(
+        F.lit("building_with_orders").alias("op"),
+        F.col("c_custkey").alias("key"),
+    )
+    return no_orders.unionAll(with_orders).orderBy("op", "key")
+
+
+# ---------------------------------------------------------------------------
 # Attribute upsert semantics (reference B10/Q6: AttributesLog last-write-
 # wins — /root/reference/src/protos/database.proto:96-115) replayed as a
 # windowed dedup over the events stream table.
