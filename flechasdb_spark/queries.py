@@ -841,6 +841,50 @@ def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_RUN_COUNTER = [0]
+
+
+@query(
+    "stream_windowed_agg",
+    """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+)
+def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling-window agg drained with
+    availableNow over the bounded events table — must equal the batch
+    events_tumbling_agg (same oracle)."""
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        windowed_event_agg,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"__stream_windowed_agg_{_STREAM_RUN_COUNTER[0]}"
+    tmp = tempfile.mkdtemp(prefix="stream_agg_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    stream = read_event_stream(spark, tmp)
+    q = (
+        windowed_event_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
 @query(
     "events_sessionize",
     """

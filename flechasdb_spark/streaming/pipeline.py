@@ -1,0 +1,203 @@
+"""Structured Streaming surface (SURVEY.md §2.3 streaming, §7 step 6).
+
+The reference has no streaming ("no dedicated server continuously
+running" — /root/reference/README.md:37-38; updates unimplemented,
+README.md:73). This module is the Spark-native extension: continuous
+ingest + incremental index maintenance + continuous queries, built from
+Structured Streaming primitives:
+
+- ``windowed_event_agg``: watermarked tumbling-window aggregation —
+  late rows beyond the watermark are dropped, state is bounded by
+  (watermark / window) windows per key.
+- ``incremental_encode``: ``foreachBatch`` append of newly arriving
+  vectors into an existing IVF+PQ index using the FROZEN build-time
+  models (coarse centroids + codebooks) — the standard online-serving
+  shape: train offline, encode online. Appends go to the same
+  ``partition_id=`` directory layout, so batch queries see new vectors
+  on the next read and partition pruning still applies.
+- ``stream_static_knn``: continuous kNN of a query stream against a
+  static corpus via per-micro-batch brute-force join (foreachBatch —
+  top-k-per-query needs a rank, which plain stream-static join can't
+  express in one streaming agg).
+
+Scale: each micro-batch is an ordinary Spark job — the batch operators'
+scale properties (broadcast, pruning, partial top-k) carry over
+unchanged. State stores only hold window aggregates (bounded), never
+vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flechasdb_spark.operators.build import IndexModel
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_event_stream",
+    "windowed_event_agg",
+    "incremental_encode",
+    "stream_static_knn",
+    "run_available_now",
+]
+
+# events.parquet carries TIMESTAMP(NANOS); with the session's
+# nanosAsLong it arrives as long nanoseconds (see session.py).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory/file."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum per event_type. On a
+    bounded input drained with availableNow + complete output this
+    equals the batch ``events_tumbling_agg`` query (tested)."""
+    with_ts = events.withColumn(
+        "event_time", F.expr("timestamp_micros(ts div 1000)")
+    ).withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def incremental_encode(
+    model: IndexModel,
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+):
+    """Continuously PQ-encode arriving vectors with the frozen model and
+    append them to ``<index_path>/index`` (same partition_id layout the
+    batch loader reads — sources/manifest.py). Returns the streaming
+    query handle."""
+    cfg = model.config
+    centroids = model.centroids
+    codebooks = model.codebooks
+    d, c, w = codebooks.shape
+
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        b_cent = spark.sparkContext.broadcast(centroids)
+        b_cb = spark.sparkContext.broadcast(codebooks)
+
+        @F.pandas_udf("struct<partition_id:int, codes:array<int>>")
+        def encode(vec: pd.Series) -> pd.DataFrame:
+            cent, cb = b_cent.value, b_cb.value
+            x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+            # coarse assign: argmin_p ||x - cent_p||^2
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            pid = np.argmin(d2, axis=1)
+            res = x - cent[pid]
+            m = res.shape[0]
+            codes = np.empty((m, d), dtype=np.int32)
+            for di in range(d):
+                sub = res[:, di * w : (di + 1) * w]
+                cb_d = cb[di]
+                sc = (cb_d**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb_d.T)
+                codes[:, di] = np.argmin(sc, axis=1)
+            return pd.DataFrame(
+                {"partition_id": pid.astype("int32"), "codes": list(codes)}
+            )
+
+        (
+            batch.select(
+                cfg.id_col, encode(F.col(cfg.vec_col)).alias("enc")
+            )
+            .select(cfg.id_col, "enc.partition_id", "enc.codes")
+            .write.mode("append")
+            .partitionBy("partition_id")
+            .parquet(f"{index_path}/index")
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_static_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    output_path: str,
+    checkpoint_path: str,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+):
+    """Continuous batch-kNN: each micro-batch of query vectors is joined
+    against the static corpus with the batch knn_join operator and the
+    results appended to a parquet sink (swap for Kafka/Delta in
+    production). Returns the streaming query handle."""
+    from flechasdb_spark.operators.knn import knn_join
+
+    def knn_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = knn_join(
+            batch,
+            corpus,
+            k=k,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        queries.writeStream.foreachBatch(knn_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(query, timeout_sec: int = 300) -> None:
+    """Drain a bounded stream: wait for the availableNow trigger to
+    process everything, then stop."""
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()

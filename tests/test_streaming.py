@@ -1,0 +1,130 @@
+"""Structured Streaming surface: bounded-input streams drained with
+availableNow must reproduce the batch operators' results exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.streaming.pipeline import (
+    incremental_encode,
+    read_event_stream,
+    run_available_now,
+    stream_static_knn,
+    windowed_event_agg,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _drain_complete(sdf, spark, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    return spark.table(name)
+
+
+def test_windowed_agg_matches_batch(spark, tmp_path):
+    # the file stream source requires a directory
+    import shutil
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    result = _drain_complete(
+        windowed_event_agg(stream), spark, "windowed_agg_out"
+    ).toPandas()
+
+    from flechasdb_spark.queries import REGISTRY
+
+    batch = REGISTRY["events_tumbling_agg"](spark, SF_DIR).toPandas()
+    r = result.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert r[["window_start", "event_type", "n_events", "sum_value"]].equals(
+        b[["window_start", "event_type", "n_events", "sum_value"]]
+    )
+
+
+def test_incremental_encode_appends_to_index(spark, tmp_path):
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 40)
+    arriving = emb.where(F.col("vec_id") >= 40)
+    n_base, n_new = base.count(), arriving.count()
+
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=11)
+    model = build_index(base, cfg)
+    index_path = str(tmp_path / "idx")
+    save_index(model, index_path)
+
+    stream_src = str(tmp_path / "arrivals")
+    arriving.select("vec_id", "embedding").write.parquet(stream_src)
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(stream_src)
+    )
+    q = incremental_encode(
+        model, vec_stream, index_path, str(tmp_path / "ckpt")
+    )
+    run_available_now(q)
+
+    reloaded = load_index(spark, index_path)
+    total = reloaded.encoded.count()
+    assert total == n_base + n_new
+    # appended rows carry valid partition ids and D codes each
+    appended = reloaded.encoded.where(F.col("vec_id") >= 40)
+    assert appended.count() == n_new
+    bad = appended.where(
+        (F.col("partition_id") < 0)
+        | (F.col("partition_id") >= cfg.num_partitions)
+        | (F.size("codes") != cfg.num_divisions)
+    ).count()
+    assert bad == 0
+
+
+def test_stream_static_knn_matches_batch(spark, tmp_path):
+    from flechasdb_spark.operators.knn import knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    qsrc = str(tmp_path / "queries")
+    queries.write.parquet(qsrc)
+    qstream = spark.readStream.schema(
+        "query_id long, qvector array<float>"
+    ).parquet(qsrc)
+
+    out_path = str(tmp_path / "out")
+    q = stream_static_knn(
+        qstream, emb, k=3, output_path=out_path,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_available_now(q)
+
+    got = (
+        spark.read.parquet(out_path)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        knn_join(queries, emb, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "vec_id", "rank"]].equals(
+        want[["query_id", "vec_id", "rank"]]
+    )
+    assert (got["squared_distance"] - want["squared_distance"]).abs().max() < 1e-9
