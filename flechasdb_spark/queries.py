@@ -778,6 +778,85 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py): opaque binary payloads
+# + md5-derived fake decode (the real decoder is the stubbed
+# integration point) — oracle arithmetic is shared md5 hex.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "payload_stats",
+    """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS digest_prefix
+FROM documents ORDER BY doc_id
+""",
+)
+def q_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.multimodal import attach_payload, payload_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return payload_stats(attach_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "image_features",
+    """
+SELECT doc_id,
+       (32 + ('0x' || substr(md5(text), 1, 2))::INT % 224) AS width,
+       (32 + ('0x' || substr(md5(text), 3, 2))::INT % 224) AS height,
+       (j - 1)::BIGINT AS j,
+       round(('0x' || substr(md5(text), 2*j - 1, 2))::INT / 255.0, 4)
+         AS feature
+FROM documents, generate_series(1, 8) t(j)
+ORDER BY doc_id, j
+""",
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.multimodal import attach_payload, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_image(attach_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.posexplode("features").alias("j", "feature"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("j").cast("long").alias("j"),
+        F.round(F.col("feature").cast("double"), 4).alias("feature"),
+    ).orderBy("doc_id", "j")
+
+
+@query(
+    "frame_sample",
+    """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) % 240 AS maxf FROM documents),
+frames AS (SELECT (x * 8)::BIGINT AS f FROM range(0, 30) t(x))
+SELECT doc_id,
+       (1 + maxf)::BIGINT AS n_frames,
+       (f // 8)::BIGINT AS frame_pos,
+       f::BIGINT AS frame_idx
+FROM d JOIN frames ON f <= maxf
+ORDER BY doc_id, frame_idx
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), every_k=8).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational widening (SURVEY.md §2.3: windows, sessionization, set ops,
 # string/date/json scalar functions — Spark-native surface the reference
 # lacks). events.ts arrives as long nanoseconds in Spark (see session.py);
