@@ -3,18 +3,23 @@
 (SURVEY.md §3.1, §7 step 3).
 
 Pipeline (B2-B9 of SURVEY.md §2.1):
-1. Coarse partitioner: distributed MLlib KMeans (k = P) over the full
-   dataset -> ``partition_id`` per vector + P centroids on the driver.
-   (k-means++ seeding and Lloyd's are MLlib's k-means|| — B3-B5.)
-2. PQ codebooks: per division, seeded NumPy k-means (k = C) over a
-   bounded driver-side SAMPLE of residual subvectors. Codebooks are
-   D*C*(N/D) floats — tiny. Training on a sample + encoding the full
-   data distributed is the 100 TB-correct shape (a full-data MLlib fit
-   per division would be D extra full scans for no recall gain).
-3. Encode: ONE distributed Arrow-batched pass computing, per row,
-   residual = v - centroid[partition_id] and codes[d] = argmin_c
-   ||residual_slice_d - codebook[d][c]||^2 (B6-B9 fused: no join, no
-   shuffle; centroids/codebooks ride along as a broadcast).
+1. Model training on a bounded driver-side SAMPLE: seeded NumPy
+   k-means for the coarse partitioner (k = P over full vectors) and for
+   the D PQ codebooks (k = C over residual subvectors). All models
+   together are P*N + D*C*(N/D) = (P+C)*N floats — tiny. Training on a
+   sample + encoding the full data distributed is the 100 TB-correct
+   shape: a full-data iterative fit is P extra full scans (MLlib
+   KMeans = maxIter jobs over every row) for no recall gain once the
+   sample is representative (~100k rows).
+2. Encode: ONE distributed Arrow-batched pass computing, per row,
+   partition_id = argmin_p ||v - centroid_p||^2, residual =
+   v - centroid[pid], and codes[d] = argmin_c ||residual_d -
+   codebook[d][c]||^2 (B6-B9 fused: no join, no shuffle; models ride
+   along as a broadcast).
+
+``coarse="mllib"`` keeps a distributed MLlib KMeans coarse fit for the
+cases where no driver-sized sample represents the data (extreme P or
+adversarial distributions) — the trade: maxIter full scans.
 
 The result keeps every non-vector column as an attribute column — the
 Spark-idiomatic form of the reference's attribute table (SURVEY.md §1.1).
@@ -31,7 +36,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.kmeans_np import kmeans_fit
 
-__all__ = ["IndexConfig", "IndexModel", "build_index"]
+__all__ = ["IndexConfig", "IndexModel", "build_index", "pq_encoder_udf"]
 
 
 @dataclass(frozen=True)
@@ -47,8 +52,11 @@ class IndexConfig:
     tol: float = 1e-6
     id_col: str = "vec_id"
     vec_col: str = "embedding"
-    # max sample rows collected to the driver for PQ codebook training
+    # max sample rows collected to the driver for model training
     train_sample_rows: int = 100_000
+    # "sample" (driver-side seeded NumPy k-means on a bounded sample)
+    # or "mllib" (distributed KMeans over the full data)
+    coarse: str = "sample"
 
 
 @dataclass
@@ -89,10 +97,70 @@ class IndexModel:
         )
 
 
-def _coarse_kmeans(
-    df: DataFrame, cfg: IndexConfig
-) -> tuple[np.ndarray, DataFrame]:
-    """Distributed coarse clustering; returns (centroids, df+partition_id)."""
+def pq_encoder_udf(spark, centroids: np.ndarray, codebooks: np.ndarray):
+    """The fused assign+residualize+encode kernel (B6+B9) as an
+    Arrow-batched pandas UDF: vec -> struct(partition_id, codes).
+    Shared by the batch build and the streaming incremental encode."""
+    b_cent = spark.sparkContext.broadcast(centroids)
+    b_cb = spark.sparkContext.broadcast(codebooks)
+    d, c, w = codebooks.shape
+
+    @F.pandas_udf("struct<partition_id:int, codes:array<int>>")
+    def encode(vec: pd.Series) -> pd.DataFrame:
+        cent, cb = b_cent.value, b_cb.value
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        # coarse assign: argmin_p (||c_p||^2 - 2 x.c_p)  [||x||^2 constant]
+        scores = (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        pid = np.argmin(scores, axis=1)
+        res = x - cent[pid]
+        m = res.shape[0]
+        codes = np.empty((m, d), dtype=np.int32)
+        for di in range(d):
+            sub = res[:, di * w : (di + 1) * w]
+            cb_d = cb[di]
+            sc = (cb_d**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb_d.T)
+            codes[:, di] = np.argmin(sc, axis=1)
+        return pd.DataFrame(
+            {"partition_id": pid.astype("int32"), "codes": list(codes)}
+        )
+
+    return encode
+
+
+def _sample_to_driver(df: DataFrame, cfg: IndexConfig) -> np.ndarray:
+    """Bounded, seeded sample of vectors for model training."""
+    total = df.count()
+    frac = min(1.0, cfg.train_sample_rows / max(total, 1))
+    sample = (
+        df.select(cfg.vec_col).sample(fraction=frac, seed=cfg.seed).toPandas()
+    )
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in sample[cfg.vec_col]]
+    )
+
+
+def _train_sample(vecs: np.ndarray, cfg: IndexConfig, n: int):
+    """Coarse centroids + PQ codebooks from one driver-side sample."""
+    centroids, labels = kmeans_fit(
+        vecs, cfg.num_partitions, seed=cfg.seed,
+        max_iter=cfg.max_iter, tol=cfg.tol,
+    )
+    residuals = vecs - centroids[labels]
+    d, w = cfg.num_divisions, n // cfg.num_divisions
+    codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
+    for di in range(d):
+        sub = residuals[:, di * w : (di + 1) * w]
+        centers, _ = kmeans_fit(
+            sub, cfg.num_codes, seed=cfg.seed + 1000 + di,
+            max_iter=cfg.max_iter, tol=cfg.tol,
+        )
+        codebooks[di] = centers
+    return centroids, codebooks
+
+
+def _train_mllib_coarse(df: DataFrame, cfg: IndexConfig) -> np.ndarray:
+    """Distributed coarse k-means (k-means|| seeding = B3-B5 of the
+    reference, maxIter full scans) for data no sample represents."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -103,77 +171,11 @@ def _coarse_kmeans(
         maxIter=cfg.max_iter,
         tol=cfg.tol,
         featuresCol="__features",
-        predictionCol="partition_id",
+        predictionCol="__pid",
     )
     model = km.fit(feat)
-    centroids = np.array(
+    return np.array(
         [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
-    )
-    assigned = model.transform(feat).drop("__features")
-    return centroids, assigned
-
-
-def _train_codebooks(
-    assigned: DataFrame, centroids: np.ndarray, cfg: IndexConfig, n: int
-) -> np.ndarray:
-    """Seeded per-division k-means over a driver-side sample of residuals."""
-    total = assigned.count()
-    frac = min(1.0, cfg.train_sample_rows / max(total, 1))
-    sample = (
-        assigned.select(cfg.vec_col, "partition_id")
-        .sample(fraction=frac, seed=cfg.seed)
-        .toPandas()
-    )
-    vecs = np.array([np.asarray(v, dtype=np.float64) for v in sample[cfg.vec_col]])
-    pids = sample["partition_id"].to_numpy()
-    residuals = vecs - centroids[pids]
-    d, w = cfg.num_divisions, n // cfg.num_divisions
-    codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
-    for di in range(d):
-        sub = residuals[:, di * w : (di + 1) * w]
-        centers, _ = kmeans_fit(
-            sub, cfg.num_codes, seed=cfg.seed + 1000 + di,
-            max_iter=cfg.max_iter, tol=cfg.tol,
-        )
-        codebooks[di] = centers
-    return codebooks
-
-
-def _encode(
-    assigned: DataFrame,
-    centroids: np.ndarray,
-    codebooks: np.ndarray,
-    cfg: IndexConfig,
-    attr_cols: list[str],
-) -> DataFrame:
-    """One distributed pass: residualize + PQ-encode (B6, B9 fused)."""
-    spark = assigned.sparkSession
-    sc = spark.sparkContext
-    b_cent = sc.broadcast(centroids)
-    b_cb = sc.broadcast(codebooks)
-    d, c, w = codebooks.shape
-
-    @F.pandas_udf("array<int>")
-    def pq_encode(vec: pd.Series, pid: pd.Series) -> pd.Series:
-        cent = b_cent.value
-        cb = b_cb.value  # (D, C, w)
-        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
-        res = x - cent[pid.to_numpy()]
-        m = res.shape[0]
-        codes = np.empty((m, d), dtype=np.int32)
-        # argmin_c ||sub - cb[d,c]||^2 == argmin_c (||cb||^2 - 2 sub.cb)
-        for di in range(d):
-            sub = res[:, di * w : (di + 1) * w]
-            cb_d = cb[di]
-            scores = (cb_d**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb_d.T)
-            codes[:, di] = np.argmin(scores, axis=1)
-        return pd.Series(list(codes))
-
-    return assigned.select(
-        cfg.id_col,
-        "partition_id",
-        pq_encode(F.col(cfg.vec_col), F.col("partition_id")).alias("codes"),
-        *attr_cols,
     )
 
 
@@ -191,17 +193,36 @@ def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
             f"vector_size {n} not divisible by num_divisions {cfg.num_divisions}"
         )
     attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
-    centroids, assigned = _coarse_kmeans(df, cfg)
-    assigned = assigned.persist()
-    try:
-        num_vectors = assigned.count()
-        codebooks = _train_codebooks(assigned, centroids, cfg, n)
-        encoded = _encode(assigned, centroids, codebooks, cfg, attr_cols)
-        # materialize before unpersisting the upstream
-        encoded = encoded.persist()
-        encoded.count()
-    finally:
-        assigned.unpersist()
+
+    sample = _sample_to_driver(df, cfg)
+    if cfg.coarse == "mllib":
+        centroids = _train_mllib_coarse(df, cfg)
+        labels = np.argmin(
+            (centroids**2).sum(axis=1)[None, :] - 2.0 * (sample @ centroids.T),
+            axis=1,
+        )
+        residuals = sample - centroids[labels]
+        d, w = cfg.num_divisions, n // cfg.num_divisions
+        codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
+        for di in range(d):
+            centers, _ = kmeans_fit(
+                residuals[:, di * w : (di + 1) * w],
+                cfg.num_codes,
+                seed=cfg.seed + 1000 + di,
+                max_iter=cfg.max_iter,
+                tol=cfg.tol,
+            )
+            codebooks[di] = centers
+    else:
+        centroids, codebooks = _train_sample(sample, cfg, n)
+
+    encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
+    encoded = (
+        df.select(cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols)
+        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols)
+        .persist()
+    )
+    num_vectors = encoded.count()
     return IndexModel(
         config=cfg,
         vector_size=n,

@@ -52,16 +52,19 @@ def pq_encode(
     """B9: nearest codebook entry per (vector, division).
 
     Returns long-form ``(id_col, division, code)`` — the join-ready shape
-    for ADC scoring; ties in distance break by lowest code."""
+    for ADC scoring; ties in distance break by lowest code.
+
+    argmin is a ``min(struct(dist, code))`` aggregation, not a window:
+    struct ordering gives the same (dist asc, code asc) tie-break, and
+    the partial aggregation combines map-side — the shuffle carries one
+    row per (vector, division), not the C-way blowup a window sort
+    would."""
     pairs = vectors.select(id_col, vec_col).join(F.broadcast(codebooks))
     dist = squared_l2(_sliced(vec_col, width), F.col("center"))
-    w = Window.partitionBy(id_col, "division").orderBy(
-        dist.asc(), F.col("code").asc()
-    )
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "division", "code")
+        pairs.groupBy(id_col, "division")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("code"))).alias("__m"))
+        .select(id_col, "division", F.col("__m.code").alias("code"))
     )
 
 

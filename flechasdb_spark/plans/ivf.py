@@ -40,17 +40,25 @@ def ivf_assign(
     cent_col: str = "centroid",
 ) -> DataFrame:
     """B6 (coarse assignment) as a pure relational op: nearest centroid
-    per vector via broadcast join + per-vector argmin window
-    (WindowGroupLimit: top-1 resolved before any shuffle of the data).
-    Oracle-checkable with any fixed centroid table; the MLlib-trained
-    path in operators/build.py is the production variant."""
+    per vector via broadcast join + per-vector argmin. The argmin is a
+    ``min(struct(dist, pid))`` aggregation — same (dist asc, pid asc)
+    tie-break as a sorted window, but partially aggregable: map-side
+    combine collapses the P-way blowup before the shuffle, so the
+    exchange carries one row per vector. Oracle-checkable with any fixed
+    centroid table; the sample-trained fused path in operators/build.py
+    is the production variant."""
     pairs = vectors.join(F.broadcast(centroids))
     dist = squared_l2(F.col(vec_col), F.col(cent_col))
-    w = Window.partitionBy(id_col).orderBy(dist.asc(), F.col(pid_col).asc())
+    other_cols = [c for c in vectors.columns if c != id_col]
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(vectors["*"], pid_col)
+        pairs.groupBy(id_col)
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col(pid_col).alias("p"))).alias(
+                "__m"
+            ),
+            *[F.first(c).alias(c) for c in other_cols],
+        )
+        .select(id_col, *other_cols, F.col("__m.p").alias(pid_col))
     )
 
 

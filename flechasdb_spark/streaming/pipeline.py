@@ -28,8 +28,6 @@ vectors.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -111,37 +109,16 @@ def incremental_encode(
     append them to ``<index_path>/index`` (same partition_id layout the
     batch loader reads — sources/manifest.py). Returns the streaming
     query handle."""
+    from flechasdb_spark.operators.build import pq_encoder_udf
+
     cfg = model.config
     centroids = model.centroids
     codebooks = model.codebooks
-    d, c, w = codebooks.shape
 
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spark = batch.sparkSession
-        b_cent = spark.sparkContext.broadcast(centroids)
-        b_cb = spark.sparkContext.broadcast(codebooks)
-
-        @F.pandas_udf("struct<partition_id:int, codes:array<int>>")
-        def encode(vec: pd.Series) -> pd.DataFrame:
-            cent, cb = b_cent.value, b_cb.value
-            x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
-            # coarse assign: argmin_p ||x - cent_p||^2
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            pid = np.argmin(d2, axis=1)
-            res = x - cent[pid]
-            m = res.shape[0]
-            codes = np.empty((m, d), dtype=np.int32)
-            for di in range(d):
-                sub = res[:, di * w : (di + 1) * w]
-                cb_d = cb[di]
-                sc = (cb_d**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb_d.T)
-                codes[:, di] = np.argmin(sc, axis=1)
-            return pd.DataFrame(
-                {"partition_id": pid.astype("int32"), "codes": list(codes)}
-            )
-
+        encode = pq_encoder_udf(batch.sparkSession, centroids, codebooks)
         (
             batch.select(
                 cfg.id_col, encode(F.col(cfg.vec_col)).alias("enc")
