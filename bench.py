@@ -59,6 +59,19 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        # extension surfaces (LLM-pipeline operators)
+        "cosine_topk",
+        "ann_lsh_topk",
+        "dedup_exact",
+        "simhash",
+        "minhash_dedup",
+        "token_stats",
+        "quality_score",
+        "lang_id",
+        "payload_stats",
+        "image_features",
+        "events_sessionize",
+        "events_tumbling_agg",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

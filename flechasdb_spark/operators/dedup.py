@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_dedup",
     "simhash",
     "embedding_neardup_pairs",
 ]
@@ -204,6 +205,100 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def _banded(
+    df: DataFrame, num_hashes: int, bands: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, band, band_key) — band_key concatenates the band's minhash
+    rows in j order."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, num_hashes, text_col, id_col)
+    return (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end scalable near-dedup: MinHash+LSH candidates ->
+    true token-Jaccard verification -> greedy keep-lowest-id.
+
+    Returns (id, keep): keep=false iff the doc has a LOWER-id verified
+    duplicate neighbor (Jaccard >= threshold). Greedy min-neighbor, not
+    full transitive closure — the deterministic single-pass policy
+    (full connected components needs iteration; at threshold >= 0.7
+    near-dup clusters are cliques in practice, where both coincide).
+
+    ``max_bucket`` drops LSH buckets larger than the cap before pairing:
+    heavily templated corpora produce identical band keys for thousands
+    of docs, and an uncapped bucket is a quadratic blowup (measured:
+    74 s at sf0.1 without the cap). Docs in dropped buckets still meet
+    in their other, more selective bands."""
+    banded = _banded(df, num_hashes, bands, text_col, id_col)
+    small = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    banded = banded.join(small, ["band", "band_key"])
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    dup_edges = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    dropped = dup_edges.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        df.select(id_col)
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(id_col, F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
     )
 
 

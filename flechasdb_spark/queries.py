@@ -173,6 +173,92 @@ def q_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_attributes",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM embeddings e, q)
+SELECT vec_id, round(d, 4) AS squared_distance, label::BIGINT AS label
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_knn_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 parity (attribute fetch): kNN results joined back to the
+    vectors' attribute columns on vector id — the Spark-idiomatic form
+    of the reference's per-result lazy attribute lookup
+    (/root/reference/src/db/stored.rs:621-639)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    hits = flat_knn(emb, [float(x) for x in qv], k=10, round_to=4)
+    attrs = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return hits.join(attrs, "vec_id").select(
+        "vec_id", "squared_distance", "label"
+    )
+
+
+@query(
+    "reconstruct_roundtrip",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_IVF_P}),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1)
+SELECT a.vec_id, a.partition_id,
+       round(sqrt(list_sum(list_transform(list_zip(a.v, c.cv),
+             z -> (z[1]-z[2])*(z[1]-z[2])))), 4) AS residual_norm,
+       round(list_sum(list_transform(
+             list_zip(list_transform(list_zip(a.v, c.cv), z -> z[1]-z[2]),
+                      c.cv),
+             z -> (z[1]+z[2]) * (z[1]+z[2]))), 4) AS reconstructed_sq_norm
+FROM assigned a JOIN cent c ON a.partition_id = c.partition_id
+ORDER BY a.vec_id
+""",
+)
+def q_reconstruct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 parity (vector reconstruction): residual = v - centroid, then
+    reconstructed = residual + centroid
+    (/root/reference/src/partitions.rs:38-93). Outputs the residual
+    norm and the squared norm of the reconstructed vector."""
+    from flechasdb_spark.functions.linalg import add, subtract
+    from flechasdb_spark.plans.ivf import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < _IVF_P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(
+        emb.select("vec_id", "embedding"), cent
+    ).join(F.broadcast(cent), "partition_id")
+    residual = subtract(
+        F.col("embedding").cast("array<double>"),
+        F.col("centroid").cast("array<double>"),
+    )
+    reconstructed = add(residual, F.col("centroid").cast("array<double>"))
+    return assigned.select(
+        "vec_id",
+        "partition_id",
+        F.round(F.sqrt(F.aggregate(
+            F.transform(residual, lambda x: x * x), F.lit(0.0),
+            lambda a, x: a + x,
+        )), 4).alias("residual_norm"),
+        F.round(F.aggregate(
+            F.transform(reconstructed, lambda x: x * x), F.lit(0.0),
+            lambda a, x: a + x,
+        ), 4).alias("reconstructed_sq_norm"),
+    ).orderBy("vec_id")
+
+
 # PQ with the FIXTURES.md F3 fixed codebooks: D=4 divisions, C=8 codes,
 # width=16 over the 64-dim embeddings; query = embedding of vec_id 7.
 _PQ_D, _PQ_C, _PQ_W, _PQ_QID = 4, 8, 16, 7
@@ -506,6 +592,56 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "minhash_dedup",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, tok, {_DD_MD5H.format(x="tok")} % {_P} AS h FROM tok),
+sig AS (
+  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % {_P}) AS minhash
+  FROM hashed, range(16) r(j) GROUP BY doc_id, j),
+banded AS (
+  SELECT doc_id, (j // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, (j // 4)::INT),
+small AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= 64),
+bd AS (SELECT b.* FROM banded b
+       JOIN small s ON b.band = s.band AND b.band_key = s.band_key),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b),
+dup AS (
+  SELECT i.id_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter::DOUBLE / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.7)
+SELECT doc_id, doc_id NOT IN (SELECT id_b FROM dup) AS keep
+FROM documents ORDER BY doc_id
+""",
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold=0.7,
+        max_bucket=64,
+    ).orderBy("doc_id")
 
 
 @query(
