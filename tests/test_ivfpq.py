@@ -73,6 +73,46 @@ def test_validate_manifest_rejects_bad():
         validate_manifest({"vector_size": 8})
 
 
+def test_partition_pruning_reaches_scan(model, spark, tmp_path_factory):
+    """The IVF probe filter must become a Parquet PartitionFilter on the
+    persisted index — the reference's lazy per-partition load
+    (src/db/stored.rs:262-293) expressed as storage pruning; at scale
+    this is the difference between reading nprobe/P of the index and
+    reading all of it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("prune_index"))
+    save_index(model, path)
+    loaded = load_index(spark, path)
+    pruned = loaded.encoded.where(F.col("partition_id").isin([0, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [partition_id" in plan.replace("#", " #").replace(
+        "partition_id #", "partition_id#"
+    ) or "PartitionFilters" in plan and "IN (0,2)" in plan
+
+
+def test_query_on_loaded_index_matches_in_memory(model, emb, spark, tmp_path_factory):
+    """S2-S4 + Q1-Q5 over the persisted index: querying a loaded index
+    returns exactly what the in-memory model returns (frozen-index
+    determinism, SURVEY.md §2.4)."""
+    path = str(tmp_path_factory.mktemp("saved_index"))
+    save_index(model, path)
+    loaded = load_index(spark, path)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    a = {
+        (r.query_id, r.vector_id, round(r.squared_distance, 6))
+        for r in ann_query(model, qs, k=5, nprobe=4).collect()
+    }
+    b = {
+        (r.query_id, r.vector_id, round(r.squared_distance, 6))
+        for r in ann_query(loaded, qs, k=5, nprobe=4).collect()
+    }
+    assert a == b
+
+
 def test_nprobe_exceeds_partitions_errors(model):
     with pytest.raises(ValueError, match="nprobe"):
         select_probes(model, np.zeros((1, 64)), nprobe=9)
