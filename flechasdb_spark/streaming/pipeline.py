@@ -46,6 +46,7 @@ __all__ = [
     "windowed_event_agg",
     "incremental_encode",
     "stream_static_knn",
+    "stateful_session_count",
     "run_available_now",
 ]
 
@@ -169,6 +170,61 @@ def stream_static_knn(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_session_count(
+    events: DataFrame, gap_sec: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session counting with a gap rule (new session when the gap
+    to the previous event exceeds ``gap_sec``). State per user is three
+    longs (last event time, session count, event count) — bounded, no
+    event buffering; each micro-batch folds its (sorted) events into
+    the state and emits the updated totals.
+
+    Output rows: (user_id, n_sessions, n_events) in update mode — on a
+    bounded input the final emission per user equals the batch
+    sessionizer's totals (tested against events_sessionize)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_ts long, n_sessions long, n_events long"
+    gap_us = gap_sec * 1_000_000
+
+    def fold(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = -1, 0, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ts_us = (pdf["ts"].to_numpy() // 1000).copy()
+            ts_us.sort()
+            prev = ts_us[:-1]
+            gaps_over = (ts_us[1:] - prev) > gap_us
+            first_is_break = last_ts < 0 or (ts_us[0] - last_ts) > gap_us
+            n_sessions += int(first_is_break) + int(gaps_over.sum())
+            n_events += len(ts_us)
+            last_ts = int(ts_us[-1])
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -92,6 +92,51 @@ def test_incremental_encode_appends_to_index(spark, tmp_path):
     assert bad == 0
 
 
+def test_stateful_session_count_matches_batch(spark, tmp_path):
+    import shutil
+
+    from flechasdb_spark.queries import REGISTRY
+    from flechasdb_spark.streaming.pipeline import stateful_session_count
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    q = (
+        stateful_session_count(stream)
+        .writeStream.format("memory")
+        .queryName("session_counts_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    got = (
+        spark.table("session_counts_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        REGISTRY["events_sessionize"](spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
+
+
 def test_stream_static_knn_matches_batch(spark, tmp_path):
     from flechasdb_spark.operators.knn import knn_join
 
