@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the driver-side numeric
+kernels — fast, no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from flechasdb_spark.operators.kmeans_np import kmeans_fit
+
+_finite = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+)
+
+
+@st.composite
+def _matrix(draw, min_rows=8, max_rows=40, min_cols=2, max_cols=8):
+    rows = draw(st.integers(min_rows, max_rows))
+    cols = draw(st.integers(min_cols, max_cols))
+    return draw(
+        arrays(np.float64, (rows, cols), elements=_finite)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(x=_matrix(), k=st.integers(2, 8), seed=st.integers(0, 2**16))
+def test_kmeans_invariants(x, k, seed):
+    if x.shape[0] < k:
+        return
+    centers, labels = kmeans_fit(x, k, seed=seed)
+    # shapes
+    assert centers.shape == (k, x.shape[1])
+    assert labels.shape == (x.shape[0],)
+    # labels in range
+    assert (labels >= 0).all() and (labels < k).all()
+    # every label is the nearest center (fixed point of Lloyd's)
+    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    best = d2[np.arange(len(x)), labels]
+    assert np.all(best <= d2.min(axis=1) + 1e-9)
+    # determinism
+    c2, l2 = kmeans_fit(x, k, seed=seed)
+    assert np.array_equal(centers, c2) and np.array_equal(labels, l2)
+
+
+@settings(max_examples=25, deadline=None)
+@given(x=_matrix(min_rows=10, max_rows=30))
+def test_kmeans_objective_not_worse_than_single_cluster(x):
+    """k>=2 clustering never has higher within-cluster SSE than k=1."""
+    centers, labels = kmeans_fit(x, 2, seed=1)
+    sse_k = ((x - centers[labels]) ** 2).sum()
+    sse_1 = ((x - x.mean(axis=0)) ** 2).sum()
+    assert sse_k <= sse_1 + 1e-6 * max(1.0, abs(sse_1))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    p=st.integers(0, 63),
+    dim=st.integers(1, 128),
+)
+def test_hyperplane_values_exact_rationals(p, dim):
+    """similarity.hyperplane emits k/512 rationals in [-1, 1) — exactly
+    representable in binary, the cross-engine determinism guarantee."""
+    from flechasdb_spark.operators.similarity import hyperplane
+
+    h = hyperplane(p, dim)
+    assert len(h) == dim
+    for v in h:
+        assert -1.0 <= v < 1.0
+        assert v * 512.0 == round(v * 512.0)  # exact k/512
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 2**60), st.integers(0, 31))
+def test_minhash_perm_range(h, j):
+    """The j-th permutation maps into [0, P) and is deterministic."""
+    from flechasdb_spark.functions.texthash import MERSENNE_P
+
+    a, b = 2 * j + 1, j * j + 7
+    v = (a * (h % MERSENNE_P) + b) % MERSENNE_P
+    assert 0 <= v < MERSENNE_P
+    # no BIGINT overflow in the worst case (the documented bound)
+    assert a * (MERSENNE_P - 1) + b < 2**63
+
+
+@settings(max_examples=30, deadline=None)
+@given(_matrix(min_rows=4, max_rows=16, min_cols=4, max_cols=8))
+def test_fake_decode_deterministic(x):
+    """multimodal._fake_decode: same bytes -> same features, dims in
+    the documented [32, 256) range."""
+    from flechasdb_spark.operators.multimodal import FEATURE_DIM, _fake_decode
+
+    payload = x.tobytes()
+    w1, h1, f1 = _fake_decode(payload)
+    w2, h2, f2 = _fake_decode(payload)
+    assert (w1, h1, f1) == (w2, h2, f2)
+    assert 32 <= w1 < 256 and 32 <= h1 < 256
+    assert len(f1) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in f1)
