@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.kmeans_np import kmeans_fit
 
-__all__ = ["IndexConfig", "IndexModel", "build_index", "pq_encoder_udf"]
+__all__ = [
+    "IndexConfig",
+    "IndexModel",
+    "build_index",
+    "pq_encoder_udf",
+    "train_codebooks_distributed",
+]
 
 
 @dataclass(frozen=True)
@@ -156,6 +162,84 @@ def _train_sample(vecs: np.ndarray, cfg: IndexConfig, n: int):
         )
         codebooks[di] = centers
     return centroids, codebooks
+
+
+def train_codebooks_distributed(
+    df: DataFrame, centroids: np.ndarray, cfg: IndexConfig, n: int
+) -> np.ndarray:
+    """D-way parallel PQ codebook training via grouped ``applyInPandas``
+    (SURVEY.md §4's custom piece (c)): residual subvectors explode to
+    ``(division, subvector)`` rows, one seeded k-means per division
+    group runs where that division's data lands. Use when the training
+    set must exceed a driver-sized sample; cost is one full-data
+    explode+shuffle keyed on division (D groups — set
+    ``spark.sql.shuffle.partitions`` >= D for full parallelism).
+
+    Deterministic: group rows are sorted by id inside the UDF before
+    fitting (grouped-map input order is not stable across runs)."""
+    spark = df.sparkSession
+    b_cent = spark.sparkContext.broadcast(centroids)
+    d, w = cfg.num_divisions, n // cfg.num_divisions
+    c = cfg.num_codes
+    seed = cfg.seed
+    id_col, vec_col = cfg.id_col, cfg.vec_col
+
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("division"),
+                F.slice(F.col(vec_col), di * w + 1, w).alias("sub"),
+            )
+            for di in range(d)
+        ]
+    )
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        di = int(pdf["division"].iloc[0])
+        cent = b_cent.value
+        sub = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["sub"]]
+        )
+        # residualize against the coarse centroid's matching slice
+        pid = pdf["__pid"].to_numpy()
+        sub = sub - cent[pid][:, di * w : (di + 1) * w]
+        centers, _ = kmeans_fit(
+            sub, c, seed=seed + 1000 + di,
+            max_iter=cfg.max_iter, tol=cfg.tol,
+        )
+        return pd.DataFrame(
+            {
+                "division": di,
+                "code": np.arange(c, dtype=np.int32),
+                "center": [list(map(float, ctr)) for ctr in centers],
+            }
+        )
+
+    # coarse-assign first (cheap argmin vs broadcast centroids)
+    @F.pandas_udf("int")
+    def assign(vec: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        sc = (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        return pd.Series(np.argmin(sc, axis=1).astype("int32"))
+
+    with_pid = df.withColumn("__pid", assign(F.col(vec_col)))
+    exploded = with_pid.select(
+        F.col(id_col).alias("__id"), "__pid", F.explode(slices).alias("s")
+    ).select(
+        "__id", "__pid",
+        F.col("s.division").alias("division"),
+        F.col("s.sub").alias("sub"),
+    )
+    rows = (
+        exploded.groupBy("division")
+        .applyInPandas(fit, "division int, code int, center array<double>")
+        .collect()
+    )
+    codebooks = np.empty((d, c, w), dtype=np.float64)
+    for r in rows:
+        codebooks[r.division, r.code] = r.center
+    return codebooks
 
 
 def _train_mllib_coarse(df: DataFrame, cfg: IndexConfig) -> np.ndarray:

@@ -19,6 +19,9 @@ from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 __all__ = [
     "tokens",
     "token_stats",
+    "bpe_ish_tokens",
+    "bpe_token_stats",
+    "BPE_ISH_PATTERN",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
@@ -41,6 +44,37 @@ def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     t = F.split(F.lower(F.trim(c)), r"\s+")
     return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+# BPE-ish pre-tokenization pattern (the GPT-2 family's shape, ASCII-only
+# so Java (Spark) and RE2 (DuckDB) agree): letter runs, digit runs, and
+# single non-alphanumeric glyphs each become one token.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex pre-tokenization (BPE-style splitting, before merges)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with the BPE-ish regex tokenizer (the brief's
+    'whitespace + a BPE-ish regex' pair with token_stats)."""
+    t = bpe_ish_tokens(text_col)
+    return df.select(
+        id_col,
+        F.size(t).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_bpe"),
+        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_number_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[^A-Za-z0-9]$")))
+        .cast("long")
+        .alias("n_symbol_tokens"),
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

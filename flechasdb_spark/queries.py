@@ -825,6 +825,30 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@query(
+    "bpe_token_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)
+           AS toks
+  FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_bpe_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct_bpe,
+       len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT
+         AS n_number_tokens,
+       len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$')))::BIGINT
+         AS n_symbol_tokens
+FROM t ORDER BY doc_id
+""",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 _SW = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
@@ -1098,6 +1122,111 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_available_now(q)
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_counts",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+              THEN 1 ELSE 0 END AS brk
+  FROM o)
+SELECT user_id, sum(brk)::BIGINT AS n_sessions, count(*) AS n_events
+FROM f GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (applyInPandasWithState) session counting over
+    the bounded events table — final per-user totals must equal the
+    batch sessionizer's (same oracle arithmetic)."""
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        stateful_session_count,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"__stream_sessions_{_STREAM_RUN_COUNTER[0]}"
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    q = (
+        stateful_session_count(read_event_stream(spark, tmp))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_knn",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM embeddings e, q),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+  FROM pairs)
+SELECT query_id, vec_id, round(d, 4) AS squared_distance, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static kNN drained over the bounded query set — must
+    equal the batch knn_join (same oracle)."""
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_static_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="stream_knn_")
+    emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    ).write.mode("overwrite").parquet(f"{tmp}/queries")
+    qstream = spark.readStream.schema(
+        "query_id long, qvector array<float>"
+    ).parquet(f"{tmp}/queries")
+    q = stream_static_knn(
+        qstream,
+        emb,
+        k=5,
+        output_path=f"{tmp}/out",
+        checkpoint_path=f"{tmp}/ckpt",
+    )
+    run_available_now(q)
+    out = spark.read.parquet(f"{tmp}/out")
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("squared_distance", 4).alias("squared_distance"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
 
 
 @query(

@@ -113,6 +113,24 @@ def test_query_on_loaded_index_matches_in_memory(model, emb, spark, tmp_path_fac
     assert a == b
 
 
+def test_distributed_codebook_training(model, emb):
+    """applyInPandas D-way training: right shapes, deterministic across
+    runs, and codebooks usable for encoding (codes in range)."""
+    from flechasdb_spark.operators.build import (
+        pq_encoder_udf,
+        train_codebooks_distributed,
+    )
+
+    cb1 = train_codebooks_distributed(emb, model.centroids, CFG, 64)
+    cb2 = train_codebooks_distributed(emb, model.centroids, CFG, 64)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)
+    enc = pq_encoder_udf(emb.sparkSession, model.centroids, cb1)
+    row = emb.select(enc(F.col("embedding")).alias("e")).first()
+    assert len(row.e.codes) == 8
+    assert all(0 <= c < 16 for c in row.e.codes)
+
+
 def test_nprobe_exceeds_partitions_errors(model):
     with pytest.raises(ValueError, match="nprobe"):
         select_probes(model, np.zeros((1, 64)), nprobe=9)
