@@ -27,8 +27,10 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def ann_build_and_query(spark, sf_dir):
-    """Full lifecycle: build seeded IVF+PQ index, batch-query 100 vectors."""
+def ann_lifecycle(spark, sf_dir, timings):
+    """Full lifecycle: build seeded IVF+PQ index, batch-query 100
+    vectors cold, then re-query warm (the serving-path comparable to
+    the reference's warm-cache latency — BASELINE.md)."""
     from pyspark.sql import functions as F
 
     from flechasdb_spark.operators.build import IndexConfig, build_index
@@ -36,12 +38,21 @@ def ann_build_and_query(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cfg = IndexConfig(num_partitions=16, num_divisions=16, num_codes=16, seed=7)
+    t0 = time.perf_counter()
     model = build_index(emb, cfg)
+    timings["ann_build"] = round(time.perf_counter() - t0, 3)
     qs = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < 100).collect()
     ]
-    return ann_query(model, qs, k=10, nprobe=5)
+    t0 = time.perf_counter()
+    ann_query(model, qs, k=10, nprobe=5).collect()
+    timings["ann_query_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ann_query(model, qs, k=10, nprobe=5).collect()
+    warm = time.perf_counter() - t0
+    timings["ann_query_warm"] = round(warm, 3)
+    timings["ann_warm_qps"] = round(100 / warm, 1)
 
 
 def main() -> None:
@@ -84,11 +95,11 @@ def main() -> None:
         REGISTRY[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    ann_build_and_query(spark, SF_DIR).collect()
-    timings["ann_build_query"] = round(time.perf_counter() - t0, 3)
+    ann_lifecycle(spark, SF_DIR, timings)
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k != "ann_warm_qps"), 3
+    )
     print(
         json.dumps(
             {

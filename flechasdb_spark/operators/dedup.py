@@ -38,6 +38,7 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "embedding_neardup_pairs",
+    "connected_components",
 ]
 
 
@@ -327,6 +328,63 @@ def simhash(
         term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    component id among itself and its neighbors until a fixpoint.
+
+    Converges in O(diameter) rounds (each a self-join + min-aggregate —
+    both map-side combinable); ``max_iter`` bounds pathological chains.
+    Returns (node, component) where component = min node id reachable.
+
+    This is the full transitive closure the greedy ``minhash_dedup``
+    keep-policy approximates; use it when duplicate clusters are long
+    chains rather than cliques (e.g. chained near-identical crawls)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        # truncate lineage each round (iterative joins otherwise stack
+        # an ever-deeper plan)
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
 
 
 def embedding_neardup_pairs(

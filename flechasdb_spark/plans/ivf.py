@@ -151,11 +151,18 @@ def ann_query(
     nprobe: int,
     query_ids: list[int] | None = None,
     round_to: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Batch IVF+PQ kNN. ``queries``: [(query_id, vector), ...] or an
     (Q, N) array with ``query_ids``. Returns (query_id, vector_id,
     partition_id, squared_distance, rank) — the reference's QueryResult
     shape (/root/reference/src/db/build.rs:577-587) plus batch columns.
+
+    ``where``: optional filtered-search predicate (Column or SQL string)
+    over the index's attribute columns, applied to candidates BEFORE
+    scoring — pre-filtering, so each query still returns up to k rows
+    that all satisfy the predicate (no reference counterpart; free in
+    Spark because attributes live on the encoded rows).
     """
     if isinstance(queries, np.ndarray):
         qarr = queries.astype(np.float64)
@@ -195,12 +202,14 @@ def ann_query(
 
     probed_pids = [int(x) for x in np.unique(probe_pid)]
     id_col = model.config.id_col
-    scored = (
-        model.encoded
+    candidates = model.encoded.where(
         # partition pruning: only probed directories are read (S3)
-        .where(F.col("partition_id").isin(probed_pids))
-        .join(probes_df, "partition_id")
-        .withColumn("__score", adc_score(F.col("probe_idx"), F.col("codes")))
+        F.col("partition_id").isin(probed_pids)
+    )
+    if where is not None:
+        candidates = candidates.where(where)
+    scored = candidates.join(probes_df, "partition_id").withColumn(
+        "__score", adc_score(F.col("probe_idx"), F.col("codes"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").asc(), F.col(id_col).asc()

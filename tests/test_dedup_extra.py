@@ -1,0 +1,99 @@
+"""Connected components vs a union-find oracle; filtered ANN search."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from flechasdb_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> component 1
+        (10, 11), (11, 10),              # pair with dup edge -> 10
+        (20, 21), (22, 21), (23, 22),    # chain joined out of order -> 20
+        (30, 31),                        # pair -> 30
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_connected_components_on_real_neardup_pairs(spark):
+    """Transitive closure over the LSH near-dup pairs at sf0.001 —
+    min-propagation must equal union-find on the same edge set."""
+    from flechasdb_spark.operators.dedup import connected_components
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = lsh_neardup_pairs(emb, threshold=0.4, dim=64, bits=4)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    if not edges:
+        pytest.skip("no near-dup pairs at this threshold")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_filtered_ann_respects_predicate(spark):
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=5)
+    model = build_index(emb, cfg)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    out = ann_query(
+        model, qs, k=5, nprobe=4, where=F.col("label") == 1
+    ).collect()
+    assert out, "filtered search returned nothing"
+    labels = {
+        r.label
+        for r in emb.join(
+            spark.createDataFrame(
+                [(r.vector_id,) for r in out], "vec_id long"
+            ),
+            "vec_id",
+            "left_semi",
+        ).collect()
+    }
+    assert labels == {1}
+    # unfiltered search for the same queries must dominate result count
+    unfiltered = ann_query(model, qs, k=5, nprobe=4).collect()
+    assert len(unfiltered) >= len(out)
