@@ -77,6 +77,8 @@ class IndexModel:
     codebooks: np.ndarray  # (D, C, N/D) float64
     encoded: DataFrame  # (id_col, partition_id int, codes array<int>, attrs...)
     attr_cols: list[str] = field(default_factory=list)
+    # build instrumentation (reference event-callback parity, §2.3)
+    stage_seconds: dict = field(default_factory=dict)
 
     @property
     def subvector_width(self) -> int:
@@ -263,9 +265,30 @@ def _train_mllib_coarse(df: DataFrame, cfg: IndexConfig) -> np.ndarray:
     )
 
 
-def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
+def build_index(
+    df: DataFrame,
+    cfg: IndexConfig | None = None,
+    on_event=None,
+) -> IndexModel:
     """Build an IVF+PQ index over ``df`` (must contain cfg.id_col and
-    cfg.vec_col; every other column becomes an attribute column)."""
+    cfg.vec_col; every other column becomes an attribute column).
+
+    ``on_event(stage: str, seconds: float)`` mirrors the reference's
+    build event callbacks (/root/reference/src/db/build.rs:132-153 —
+    SURVEY.md §2.3 maps them to instrumentation): fired after each of
+    ``sample``, ``train``, ``encode`` with the stage wall-clock; the
+    durations are also recorded on ``model.stage_seconds``."""
+    import time as _time
+
+    stage_seconds: dict[str, float] = {}
+
+    def _mark(stage: str, t0: float) -> float:
+        dt = _time.perf_counter() - t0
+        stage_seconds[stage] = round(dt, 3)
+        if on_event is not None:
+            on_event(stage, dt)
+        return _time.perf_counter()
+
     cfg = cfg or IndexConfig()
     first = df.select(F.size(F.col(cfg.vec_col)).alias("n")).first()
     if first is None:
@@ -278,7 +301,9 @@ def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
         )
     attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
 
+    t0 = _time.perf_counter()
     sample = _sample_to_driver(df, cfg)
+    t0 = _mark("sample", t0)
     if cfg.coarse == "mllib":
         centroids = _train_mllib_coarse(df, cfg)
         labels = np.argmin(
@@ -299,6 +324,7 @@ def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
             codebooks[di] = centers
     else:
         centroids, codebooks = _train_sample(sample, cfg, n)
+    t0 = _mark("train", t0)
 
     encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
     encoded = (
@@ -307,7 +333,8 @@ def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
         .persist()
     )
     num_vectors = encoded.count()
-    return IndexModel(
+    _mark("encode", t0)
+    model = IndexModel(
         config=cfg,
         vector_size=n,
         num_vectors=num_vectors,
@@ -315,4 +342,6 @@ def build_index(df: DataFrame, cfg: IndexConfig | None = None) -> IndexModel:
         codebooks=codebooks,
         encoded=encoded,
         attr_cols=attr_cols,
+        stage_seconds=stage_seconds,
     )
+    return model
