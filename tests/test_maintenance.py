@@ -1,0 +1,102 @@
+"""Upsert/delete on the persisted index: only touched partitions are
+rewritten; queries see the changes; untouched files stay byte-identical."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.build import IndexConfig, build_index
+from flechasdb_spark.operators.maintenance import delete_vectors, upsert_vectors
+from flechasdb_spark.sources.manifest import load_index, save_index
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+CFG = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=13)
+
+
+@pytest.fixture()
+def saved(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = build_index(emb, CFG)
+    path = str(tmp_path / "idx")
+    save_index(model, path)
+    return emb, model, path
+
+
+def _ids(spark, path):
+    return {
+        r.vec_id for r in spark.read.parquet(f"{path}/index").select("vec_id").collect()
+    }
+
+
+def test_delete_removes_only_victims(spark, saved):
+    emb, model, path = saved
+    before = _ids(spark, path)
+    victims = [0, 1, 2]
+    touched = delete_vectors(spark, model, path, victims)
+    assert touched  # victims lived somewhere
+    after = _ids(spark, path)
+    assert after == before - set(victims)
+
+
+def test_delete_rewrites_only_touched_partitions(spark, saved):
+    emb, model, path = saved
+    # victim in exactly one partition
+    enc = spark.read.parquet(f"{path}/index")
+    victim = enc.select("vec_id", "partition_id").first()
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/index/partition_id=*/*.parquet")
+        if f"partition_id={victim.partition_id}/" not in f
+    }
+    touched = delete_vectors(spark, model, path, [victim.vec_id])
+    assert touched == [victim.partition_id]
+    for f, mtime in untouched_files.items():
+        assert os.path.getmtime(f) == mtime, f"untouched file rewritten: {f}"
+
+
+def test_upsert_replaces_and_inserts(spark, saved):
+    emb, model, path = saved
+    n_before = len(_ids(spark, path))
+    # replace vec_id 0 with vec 1's embedding, insert a fresh id
+    v1 = emb.where(F.col("vec_id") == 1).first()
+    incoming = spark.createDataFrame(
+        [
+            (0, list(v1.embedding), 99),
+            (10_000, list(v1.embedding), 98),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    touched = upsert_vectors(spark, model, path, incoming)
+    assert touched
+    enc = spark.read.parquet(f"{path}/index")
+    assert enc.count() == n_before + 1  # one replaced, one inserted
+    replaced = enc.where(F.col("vec_id") == 0).collect()
+    inserted = enc.where(F.col("vec_id") == 10_000).collect()
+    assert len(replaced) == 1 and len(inserted) == 1
+    assert replaced[0].label == 99
+    # replaced row now encodes v1's vector -> identical codes
+    codes_v1 = enc.where(F.col("vec_id") == 1).first().codes
+    assert list(replaced[0].codes) == list(codes_v1)
+
+
+def test_upsert_then_query_sees_new_vectors(spark, saved):
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb, model, path = saved
+    v5 = emb.where(F.col("vec_id") == 5).first()
+    incoming = spark.createDataFrame(
+        [(20_000, list(v5.embedding), 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    upsert_vectors(spark, model, path, incoming)
+    loaded = load_index(spark, path)
+    res = ann_query(
+        loaded, [(5, [float(x) for x in v5.embedding])], k=3, nprobe=4
+    ).collect()
+    got_ids = {r.vector_id for r in res}
+    # the clone has ADC distance identical to vec 5 -> both in top-3
+    assert 20_000 in got_ids and 5 in got_ids
