@@ -7,8 +7,10 @@ Architecture (see SURVEY.md for the full blueprint):
 
 - ``functions/``  — vector + text kernels as Catalyst SQL expressions
   (JVM-side, codegen'd; reference: ``src/linalg.rs``).
-- ``operators/``  — index build (IVF+PQ via MLlib), kNN query paths,
-  dedup family, text analysis, attribute-log replay.
+- ``operators/``  — index build (sample-trained IVF+PQ, fused encode),
+  kNN query paths, index maintenance (upsert/delete), dedup family
+  (incl. connected components), similarity search, text analysis,
+  multimodal plumbing, attribute-log replay.
 - ``sources/``    — index dataset layout: Parquet datasets + JSON manifest
   with load-time invariant validation (reference: ``src/db/stored.rs``).
 - ``plans/``      — two-phase IVF query planning (driver-side nprobe

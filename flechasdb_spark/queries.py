@@ -547,6 +547,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_components",
+    f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node)
+SELECT node, min(comp) AS component
+FROM reach GROUP BY node ORDER BY node
+""",
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: n-gram-Jaccard near-dup pairs ->
+    connected components by iterative min-label propagation (the oracle
+    uses a recursive CTE over the same edge set)."""
+    from flechasdb_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+    return connected_components(pairs).orderBy("node")
+
+
+@query(
     "minhash_signature",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
