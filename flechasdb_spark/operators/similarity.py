@@ -114,21 +114,38 @@ def ann_lsh_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qvector",
     round_to: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates are corpus vectors in the
     SAME LSH bucket as the query; exact cosine + top-k within the
     candidate set. May return fewer than k rows per query (bucket
-    smaller than k) — the standard ANN truncate semantics."""
+    smaller than k) — the standard ANN truncate semantics.
+
+    ``multiprobe=True`` also probes every Hamming-1 neighbor bucket
+    (flip each sign bit once): candidate set grows ~(bits+1)x, recall
+    rises sharply because near-misses sit one flipped hyperplane away —
+    the standard probing/recall dial alongside ``bits``."""
     corpus = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(vec_col, dim, bits).alias("__bucket"),
     )
-    qs = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        lsh_bucket(query_vec_col, dim, bits).alias("__bucket"),
-    )
+    qb = lsh_bucket(query_vec_col, dim, bits)
+    if multiprobe:
+        probes = F.array(
+            qb, *[qb.bitwiseXOR(F.lit(1 << p)) for p in range(bits)]
+        )
+        qs = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(probes).alias("__bucket"),
+        )
+    else:
+        qs = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            qb.alias("__bucket"),
+        )
     pairs = corpus.join(F.broadcast(qs), "__bucket")
     cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
     w = Window.partitionBy(query_id_col).orderBy(

@@ -815,6 +815,101 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_DD_MULTIPROBE_CAND = f"""
+q AS (SELECT b.vec_id AS query_id, v.v AS qv, b.bucket
+      FROM bk b JOIN v ON v.vec_id = b.vec_id WHERE b.vec_id < 8),
+qprobe AS (
+  SELECT query_id, qv, unnest(
+    list_prepend(bucket,
+      list_transform(generate_series(0, 5), p -> xor(bucket, 1::BIGINT << p)))
+  ) AS bucket
+  FROM q),
+cand AS (
+  SELECT DISTINCT qp.query_id, n.vec_id, qp.qv
+  FROM bk n JOIN qprobe qp ON n.bucket = qp.bucket)
+"""
+
+
+@query(
+    "ann_lsh_multiprobe",
+    f"""
+WITH {_dd_buckets(6)},
+{_DD_MULTIPROBE_CAND},
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_DD_COS.format(a="nv.v", b="c.qv")} AS c2
+  FROM cand c JOIN v nv ON nv.vec_id = c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, c2,
+         row_number() OVER (PARTITION BY query_id ORDER BY c2 DESC, vec_id)
+           AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(c2, 4) AS cos, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    return ann_lsh_topk(
+        emb, qs, k=5, dim=_LSH_DIM, bits=6, round_to=4, multiprobe=True
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_lsh_recall",
+    f"""
+WITH {_dd_buckets(6)},
+{_DD_MULTIPROBE_CAND},
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_DD_COS.format(a="nv.v", b="c.qv")} AS c2
+  FROM cand c JOIN v nv ON nv.vec_id = c.vec_id),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c2 DESC, vec_id)
+             AS rank
+    FROM scored) s WHERE rank <= 5),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, n.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DD_COS.format(a="n.v", b="q.qv")} DESC, n.vec_id)
+             AS rank
+    FROM v n, q) s WHERE rank <= 5)
+SELECT e.query_id,
+       count(*) AS n_exact,
+       count(a.vec_id) AS n_hit,
+       round(count(a.vec_id)::DOUBLE / count(*), 4) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id ORDER BY e.query_id
+""",
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of multiprobe-LSH cosine top-k vs the brute-force
+    baseline — the evaluation operator over two deterministic inputs,
+    recomputed end-to-end by the oracle."""
+    from flechasdb_spark.operators.eval import recall_at_k
+    from flechasdb_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    exact = cosine_topk(emb, qs, k=5)
+    approx = ann_lsh_topk(
+        emb, qs, k=5, dim=_LSH_DIM, bits=6, multiprobe=True
+    )
+    return recall_at_k(exact, approx).orderBy("query_id")
+
+
 @query(
     "lsh_neardup_pairs",
     f"""
