@@ -1,0 +1,57 @@
+"""End-to-end training-data curation over the documents table:
+dedup (exact + MinHash near-dup) -> quality/language filter -> token
+accounting — the LLM-pipeline extension surface in one composed job.
+
+Usage:
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.dedup import dedup_exact, minhash_dedup
+from flechasdb_spark.operators.text import lang_id, quality_score, token_stats
+from flechasdb_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="example_curation")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    exact_keep = dedup_exact(docs).where(F.col("keep")).select("doc_id")
+    near_keep = minhash_dedup(docs, threshold=0.8).where(F.col("keep")).select("doc_id")
+    quality = quality_score(docs).select("doc_id", "quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    toks = token_stats(docs).select("doc_id", "n_tokens")
+
+    curated = (
+        docs.select("doc_id", "source")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(near_keep, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    stats = curated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    ).first()
+    print(f"input docs:   {n0}")
+    print(f"curated docs: {stats.n_docs} ({100 * stats.n_docs / n0:.1f}%)")
+    print(f"total tokens: {stats.total_tokens}")
+    print(f"avg quality:  {stats.avg_quality}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1070,6 +1070,71 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@query(
+    "corpus_curation",
+    f"""
+WITH d AS (SELECT doc_id, text, source, {_DD_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, toks,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS n_stop
+  FROM d),
+scored AS (
+  SELECT doc_id, source, n_tok,
+         round(0.4 * least(1.0, n_tok / 50.0)
+               + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+                              ELSE n_punct::DOUBLE / n_chars END)
+               + 0.3 * least(1.0, 5.0 * CASE WHEN n_tok = 0 THEN 0.0
+                              ELSE n_stop::DOUBLE / n_tok END) + 1e-9, 4)
+           AS quality
+  FROM m),
+dups AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+           AS keep
+  FROM documents),
+kept AS (
+  SELECT s.doc_id, s.source, s.n_tok, s.quality
+  FROM scored s JOIN dups u ON u.doc_id = s.doc_id
+  WHERE u.keep AND s.quality >= 0.5)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite: exact dedup (keep-first) ->
+    quality filter (>= 0.5) -> per-source corpus stats. The operators
+    compose as DataFrames; Catalyst fuses the whole pipeline into a
+    handful of stages."""
+    from flechasdb_spark.operators.dedup import dedup_exact
+    from flechasdb_spark.operators.text import quality_score, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = quality_score(docs).select("doc_id", "quality")
+    ntok = token_stats(docs).select("doc_id", "n_tokens")
+    keep = dedup_exact(docs).where(F.col("keep")).select("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .join(ntok, "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): opaque binary payloads
 # + md5-derived fake decode (the real decoder is the stubbed

@@ -92,6 +92,66 @@ def test_incremental_encode_appends_to_index(spark, tmp_path):
     assert bad == 0
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: the watermark commits with a one-batch lag
+    (Spark's documented best-effort dropping), so a late event arriving
+    two batches after the recent data is filtered by the watermark
+    (numRowsDroppedByWatermark) and its window never appears."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    base_us = 1_700_000_000_000_000  # fixed epoch micros
+    hour = 3_600 * 1_000_000
+
+    def _write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"] * 1000  # ns, matching EVENTS_SCHEMA long
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        part = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = src_dir / f"{name}.parquet"
+        shutil.copy(part, dst)
+        # the file source processes oldest-mtime first: pin the order
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    # batch 0: recent events at t0+10h -> next watermark t0+8h
+    _write("a", [(1, base_us + 10 * hour, 1, "x", 1.0, "{}")], now - 180)
+    # batch 1: filler event; the t0+8h watermark becomes committed
+    _write("b", [(2, base_us + 10 * hour + 1000, 1, "x", 1.0, "{}")], now - 120)
+    # batch 2: a LATE event at t0 — 10h below the committed watermark
+    _write("c", [(3, base_us, 1, "x", 1.0, "{}")], now - 60)
+
+    stream = read_event_stream(spark, str(src_dir), max_files_per_trigger=1)
+    out = (
+        windowed_event_agg(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("late_data_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(out)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in out.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, "the late event was not dropped by the watermark"
+    got = spark.table("late_data_out").toPandas()
+    late_window_start = base_us // 1_000_000 // 3600 * 3600
+    assert late_window_start not in set(got["window_start"])
+
+
 def test_stateful_session_count_matches_batch(spark, tmp_path):
     import shutil
 
