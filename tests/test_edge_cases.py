@@ -1,0 +1,83 @@
+"""Edge-case semantics pinned by SURVEY.md §2.4: truncate when k exceeds
+candidates, empty inputs, dimension mismatches, missing attributes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.build import IndexConfig, build_index
+from flechasdb_spark.operators.knn import flat_knn, knn_join
+from flechasdb_spark.plans.ivf import ann_query
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_flat_knn_k_exceeds_m_truncates(spark, emb):
+    """k > M returns M rows (truncate semantics,
+    /root/reference/src/db/build.rs:337)."""
+    small = emb.limit(5)
+    qv = [0.0] * 64
+    assert flat_knn(small, qv, k=100).count() == 5
+
+
+def test_ann_query_k_exceeds_candidates_truncates(spark, emb):
+    cfg = IndexConfig(num_partitions=8, num_divisions=4, num_codes=8, seed=21)
+    model = build_index(emb, cfg)
+    qv = [float(x) for x in emb.first().embedding]
+    # nprobe=1 restricts candidates to one partition; k huge
+    out = ann_query(model, [(0, qv)], k=10_000, nprobe=1).collect()
+    assert 0 < len(out) < 10_000
+    # all results from a single partition
+    assert len({r.partition_id for r in out}) == 1
+
+
+def test_build_empty_dataframe_rejected(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        build_index(empty, IndexConfig(num_partitions=2, num_divisions=2))
+
+
+def test_build_indivisible_dimension_rejected(spark, emb):
+    # vector_size 64 % num_divisions 7 != 0 (src/vector.rs:162-168)
+    with pytest.raises(ValueError, match="divisible"):
+        build_index(emb, IndexConfig(num_partitions=4, num_divisions=7))
+
+
+def test_query_wrong_width_rejected(spark, emb):
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=2)
+    model = build_index(emb.limit(50), cfg)
+    with pytest.raises(ValueError, match="width"):
+        ann_query(model, [(0, [0.0] * 32)], k=5, nprobe=2)
+
+
+def test_knn_join_empty_query_side(spark, emb):
+    qs = spark.createDataFrame([], "query_id long, qvector array<float>")
+    assert knn_join(qs, emb, k=5).count() == 0
+
+
+def test_dedup_empty_text_tokens(spark):
+    """Empty/whitespace-only docs: zero tokens, zero stats, no crash
+    (reference chunk accepts empty input, src/vector.rs:196-203)."""
+    from flechasdb_spark.operators.text import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one token here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert out == {1: 0, 2: 0, 3: 3}
+
+
+def test_lsh_on_single_row_corpus(spark, emb):
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    one = emb.limit(1)
+    assert lsh_neardup_pairs(one, threshold=0.5, dim=64, bits=4).count() == 0
