@@ -28,7 +28,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_conf(spark: SparkSession) -> None:
+    """Make any caller-provided session able to run the registry:
+    events.parquet carries TIMESTAMP(NANOS) (readable only as long via
+    the legacy conf — see session.py), and every time arithmetic /
+    oracle comparison assumes UTC. Both are runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1296,6 +1306,7 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked tumbling-window agg drained with
     availableNow over the bounded events table — must equal the batch
     events_tumbling_agg (same oracle)."""
+    _ensure_conf(spark)
     import shutil
     import tempfile
 
@@ -1342,6 +1353,7 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming (applyInPandasWithState) session counting over
     the bounded events table — final per-user totals must equal the
     batch sessionizer's (same oracle arithmetic)."""
+    _ensure_conf(spark)
     import shutil
     import tempfile
 
