@@ -46,6 +46,7 @@ __all__ = [
     "windowed_event_agg",
     "incremental_encode",
     "stream_static_knn",
+    "stream_dedup",
     "stateful_session_count",
     "run_available_now",
 ]
@@ -171,6 +172,23 @@ def stream_static_knn(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    time_col_ns: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    with state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    — duplicates separated by more than the watermark MAY both survive;
+    that is the bounded-state contract at scale: state holds one row
+    per key per watermark horizon, not forever)."""
+    with_ts = events.withColumn(
+        "__event_time", F.expr(f"timestamp_micros({time_col_ns} div 1000)")
+    ).withWatermark("__event_time", watermark)
+    return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_time")
 
 
 def stateful_session_count(

@@ -233,3 +233,31 @@ def test_stream_static_knn_matches_batch(spark, tmp_path):
         want[["query_id", "vec_id", "rank"]]
     )
     assert (got["squared_distance"] - want["squared_distance"]).abs().max() < 1e-9
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """Duplicated events (same event_id) across micro-batches within the
+    watermark are emitted once."""
+    import shutil
+
+    from flechasdb_spark.streaming.pipeline import stream_dedup
+
+    src_dir = tmp_path / "dup_src"
+    src_dir.mkdir()
+    # two copies of the same file = every event duplicated across batches
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "b.parquet")
+    stream = read_event_stream(spark, str(src_dir), max_files_per_trigger=1)
+    q = (
+        stream_dedup(stream, ["event_id"], watermark="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    got = spark.table("dedup_out")
+    n_unique = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
