@@ -60,6 +60,10 @@ class IndexConfig:
     vec_col: str = "embedding"
     # max sample rows collected to the driver for model training
     train_sample_rows: int = 100_000
+    # per-fit cap: each k-means trains on at most this many points per
+    # centroid (the faiss clustering default) — more adds cost, not
+    # quality; keeps driver-side training O(k) as k grows
+    max_points_per_centroid: int = 256
     # "sample" (driver-side seeded NumPy k-means on a bounded sample)
     # or "mllib" (distributed KMeans over the full data)
     coarse: str = "sample"
@@ -147,17 +151,38 @@ def _sample_to_driver(df: DataFrame, cfg: IndexConfig) -> np.ndarray:
     )
 
 
+def _cap_for_fit(x: np.ndarray, k: int, cfg: IndexConfig, seed: int) -> np.ndarray:
+    """Deterministic subsample to max_points_per_centroid * k rows —
+    beyond that, extra points add Lloyd's cost, not centroid quality."""
+    cap = cfg.max_points_per_centroid * k
+    if cap <= 0 or x.shape[0] <= cap:
+        return x
+    idx = np.random.RandomState(seed).choice(x.shape[0], cap, replace=False)
+    return x[np.sort(idx)]
+
+
 def _train_sample(vecs: np.ndarray, cfg: IndexConfig, n: int):
     """Coarse centroids + PQ codebooks from one driver-side sample."""
-    centroids, labels = kmeans_fit(
-        vecs, cfg.num_partitions, seed=cfg.seed,
+    coarse_x = _cap_for_fit(vecs, cfg.num_partitions, cfg, cfg.seed + 17)
+    centroids, _ = kmeans_fit(
+        coarse_x, cfg.num_partitions, seed=cfg.seed,
         max_iter=cfg.max_iter, tol=cfg.tol,
+    )
+    # residualize the FULL sample against the trained centroids
+    labels = np.argmin(
+        (centroids**2).sum(axis=1)[None, :] - 2.0 * (vecs @ centroids.T),
+        axis=1,
     )
     residuals = vecs - centroids[labels]
     d, w = cfg.num_divisions, n // cfg.num_divisions
     codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
     for di in range(d):
-        sub = residuals[:, di * w : (di + 1) * w]
+        sub = _cap_for_fit(
+            residuals[:, di * w : (di + 1) * w],
+            cfg.num_codes,
+            cfg,
+            cfg.seed + 31 * di,
+        )
         centers, _ = kmeans_fit(
             sub, cfg.num_codes, seed=cfg.seed + 1000 + di,
             max_iter=cfg.max_iter, tol=cfg.tol,
