@@ -1592,6 +1592,119 @@ def q_orders_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_docs_per_source",
+    f"""
+WITH d AS (SELECT doc_id, source, text, {_DD_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tok, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS n_stop
+  FROM d),
+scored AS (
+  SELECT doc_id, source,
+         round(0.4 * least(1.0, n_tok / 50.0)
+               + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+                              ELSE n_punct::DOUBLE / n_chars END)
+               + 0.3 * least(1.0, 5.0 * CASE WHEN n_tok = 0 THEN 0.0
+                              ELSE n_stop::DOUBLE / n_tok END) + 1e-9, 4)
+           AS quality
+  FROM m)
+SELECT source, doc_id, quality, rank FROM (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rank
+  FROM scored) s
+WHERE rank <= 3 ORDER BY source, rank
+""",
+)
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (top-3 quality docs per source) — the rank filter
+    executes as WindowGroupLimit: partial per-partition top-k before
+    the shuffle."""
+    from pyspark.sql import Window
+
+    from flechasdb_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "doc_id", "quality", F.col("rank").cast("long").alias("rank"))
+        .orderBy("source", "rank")
+    )
+
+
+@query(
+    "events_distinct_stats",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(count(*)::DOUBLE / count(DISTINCT user_id), 4)
+         AS events_per_user
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("user_id"), 4
+            ).alias("events_per_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+SELECT coalesce(year(o_orderdate), -1)::BIGINT AS o_year,
+       coalesce(quarter(o_orderdate), -1)::BIGINT AS o_quarter,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate))
+ORDER BY o_year, o_quarter
+""",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (year, quarter) — subtotal and
+    grand-total rows coalesced to -1 so both engines agree on the
+    grouping-null representation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.year("o_orderdate").alias("__y"),
+            F.quarter("o_orderdate").alias("__q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("__y"), F.lit(-1)).cast("long").alias("o_year"),
+            F.coalesce(F.col("__q"), F.lit(-1)).cast("long").alias("o_quarter"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("o_year", "o_quarter")
+    )
+
+
+@query(
     "customer_set_ops",
     """
 SELECT 'building_no_orders' AS op, c_custkey AS key FROM (
