@@ -152,6 +152,7 @@ def ann_query(
     query_ids: list[int] | None = None,
     round_to: int | None = None,
     where=None,
+    scorer: str = "sql",
 ) -> DataFrame:
     """Batch IVF+PQ kNN. ``queries``: [(query_id, vector), ...] or an
     (Q, N) array with ``query_ids``. Returns (query_id, vector_id,
@@ -163,6 +164,13 @@ def ann_query(
     scoring — pre-filtering, so each query still returns up to k rows
     that all satisfy the predicate (no reference counterpart; free in
     Spark because attributes live on the encoded rows).
+
+    ``scorer``: "sql" (default) gathers the ADC table with pure
+    Catalyst expressions — the table travels as a column of the
+    broadcast probe row, keeping the scan inside whole-stage codegen;
+    "pandas" is the Arrow/NumPy gather variant (wins when D*C is large
+    enough that per-row expression evaluation beats Arrow transfer).
+    Identical results (tested).
     """
     if isinstance(queries, np.ndarray):
         qarr = queries.astype(np.float64)
@@ -179,26 +187,60 @@ def ann_query(
     tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
 
     spark = model.encoded.sparkSession
-    sc = spark.sparkContext
-    b_tables = sc.broadcast(tables)
     d = model.config.num_divisions
 
-    probes_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (int(qids[qi]), int(pid), int(i))
-                for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid))
-            ],
-            "query_id long, partition_id int, probe_idx int",
+    if scorer == "sql":
+        # the ADC table rides ON the broadcast probe row as
+        # array<array<double>> (D x C, ~8 KB per probe); the per-vector
+        # gather dist = sum_d tbl[d][codes[d]] is a pure Catalyst
+        # expression -> whole-stage codegen, no Python in the scan.
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (
+                        int(qids[qi]),
+                        int(pid),
+                        [[float(v) for v in row] for row in tables[i]],
+                    )
+                    for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid))
+                ],
+                "query_id long, partition_id int, __tbl array<array<double>>",
+            )
         )
-    )
+        score_expr = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__tbl"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    elif scorer == "pandas":
+        sc = spark.sparkContext
+        b_tables = sc.broadcast(tables)
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(qids[qi]), int(pid), int(i))
+                    for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid))
+                ],
+                "query_id long, partition_id int, probe_idx int",
+            )
+        )
 
-    @F.pandas_udf("double")
-    def adc_score(probe_idx: pd.Series, codes: pd.Series) -> pd.Series:
-        t = b_tables.value  # (QP, D, C)
-        pi = probe_idx.to_numpy()
-        cd = np.stack(codes.to_numpy())  # (batch, D)
-        return pd.Series(t[pi[:, None], np.arange(d)[None, :], cd].sum(axis=1))
+        @F.pandas_udf("double")
+        def adc_score(probe_idx: pd.Series, codes: pd.Series) -> pd.Series:
+            t = b_tables.value  # (QP, D, C)
+            pi = probe_idx.to_numpy()
+            cd = np.stack(codes.to_numpy())  # (batch, D)
+            return pd.Series(
+                t[pi[:, None], np.arange(d)[None, :], cd].sum(axis=1)
+            )
+
+        score_expr = adc_score(F.col("probe_idx"), F.col("codes"))
+    else:
+        raise ValueError(f"unknown scorer: {scorer}")
 
     probed_pids = [int(x) for x in np.unique(probe_pid)]
     id_col = model.config.id_col
@@ -209,7 +251,7 @@ def ann_query(
     if where is not None:
         candidates = candidates.where(where)
     scored = candidates.join(probes_df, "partition_id").withColumn(
-        "__score", adc_score(F.col("probe_idx"), F.col("codes"))
+        "__score", score_expr
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").asc(), F.col(id_col).asc()
