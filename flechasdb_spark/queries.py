@@ -702,7 +702,7 @@ bitsum AS (
   SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS s
   FROM hashed, range(16) r(i) GROUP BY doc_id, i)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
 FROM bitsum GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -1272,9 +1272,9 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l.l_returnflag AS shipmode_group,
        sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1508,22 +1508,23 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
 WITH o AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
   FROM events),
 f AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+  SELECT user_id, event_id, ts, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM o),
 s AS (
-  SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM f)
 SELECT user_id, session_id, count(*) AS n_events,
-       floor(epoch(min(ts)))::BIGINT AS session_start,
-       floor(epoch(max(ts)))::BIGINT AS session_end
+       (min(ts_us) // 1000000)::BIGINT AS session_start,
+       (max(ts_us) // 1000000)::BIGINT AS session_end
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """,
 )
