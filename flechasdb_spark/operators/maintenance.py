@@ -21,6 +21,9 @@ the same layout.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,6 +32,38 @@ from flechasdb_spark.operators.build import IndexModel, pq_encoder_udf
 __all__ = ["upsert_vectors", "delete_vectors"]
 
 _DYN = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+
+
+def _remove_partition_dirs(
+    spark: SparkSession, index_dir: str, pids: list[int]
+) -> None:
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the written data, so a touched partition whose rows all disappeared
+    produces zero output files and its stale directory survives. Remove
+    those directories explicitly (Hadoop FS API, so the same code works
+    on HDFS/S3 as on local paths)."""
+    if not pids:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in pids:
+        path = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/partition_id={p}")
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
+def _bump_manifest_num_vectors(index_path: str, delta: int) -> None:
+    """Keep manifest.json's num_vectors in sync with maintenance ops so
+    load_index reports the post-maintenance count."""
+    mpath = os.path.join(index_path, "manifest.json")
+    if delta == 0 or not os.path.exists(mpath):
+        return
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["num_vectors"] = max(0, int(manifest["num_vectors"]) + delta)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2)
 
 
 def _with_conf(spark: SparkSession, conf: dict):
@@ -75,22 +110,34 @@ def upsert_vectors(
     )
     new_ids = incoming.select(cfg.id_col)
     existing = spark.read.parquet(f"{index_path}/index")
-    # partitions holding replaced ids (pruned scan over id column only)
-    victim_pids = {
-        r.partition_id
+    # per-partition counts of replaced ids (pruned scan over id column)
+    replaced_cnt = {
+        r.partition_id: r["count"]
         for r in existing.join(F.broadcast(new_ids), cfg.id_col, "left_semi")
-        .select("partition_id")
-        .distinct()
+        .groupBy("partition_id")
+        .count()
         .collect()
     }
     incoming_pids = {
         r.partition_id
         for r in incoming.select("partition_id").distinct().collect()
     }
-    touched = sorted(victim_pids | incoming_pids)
+    touched = sorted(set(replaced_cnt) | incoming_pids)
     if not touched:
         incoming.unpersist()
         return []
+    # pre-write per-partition row counts, to detect partitions the
+    # overwrite will leave with zero rows (dynamic overwrite won't touch
+    # their directories — we must remove them ourselves)
+    existing_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(F.col("partition_id").isin(touched))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    n_incoming = incoming.count()
+    n_replaced = sum(replaced_cnt.values())
 
     survivors = existing.where(
         F.col("partition_id").isin(touched)
@@ -106,6 +153,14 @@ def upsert_vectors(
             .partitionBy("partition_id")
             .parquet(f"{index_path}/index")
         )
+    emptied = [
+        p
+        for p in touched
+        if p not in incoming_pids
+        and replaced_cnt.get(p, 0) >= existing_cnt.get(p, 0)
+    ]
+    _remove_partition_dirs(spark, f"{index_path}/index", emptied)
+    _bump_manifest_num_vectors(index_path, n_incoming - n_replaced)
     incoming.unpersist()
     return touched
 
@@ -121,12 +176,20 @@ def delete_vectors(
     cfg = model.config
     existing = spark.read.parquet(f"{index_path}/index")
     victims = existing.where(F.col(cfg.id_col).isin([int(i) for i in ids]))
-    touched = sorted(
-        r.partition_id
-        for r in victims.select("partition_id").distinct().collect()
-    )
+    victim_cnt = {
+        r.partition_id: r["count"]
+        for r in victims.groupBy("partition_id").count().collect()
+    }
+    touched = sorted(victim_cnt)
     if not touched:
         return []
+    existing_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(F.col("partition_id").isin(touched))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
     survivors = existing.where(
         F.col("partition_id").isin(touched)
         & ~F.col(cfg.id_col).isin([int(i) for i in ids])
@@ -140,4 +203,9 @@ def delete_vectors(
             .partitionBy("partition_id")
             .parquet(f"{index_path}/index")
         )
+    emptied = [
+        p for p in touched if victim_cnt[p] >= existing_cnt.get(p, 0)
+    ]
+    _remove_partition_dirs(spark, f"{index_path}/index", emptied)
+    _bump_manifest_num_vectors(index_path, -sum(victim_cnt.values()))
     return touched

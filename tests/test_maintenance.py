@@ -100,3 +100,45 @@ def test_upsert_then_query_sees_new_vectors(spark, saved):
     got_ids = {r.vector_id for r in res}
     # the clone has ADC distance identical to vec 5 -> both in top-3
     assert 20_000 in got_ids and 5 in got_ids
+
+
+def test_delete_entire_partition_removes_directory(spark, saved):
+    """Dynamic overwrite writes nothing for an emptied partition, so the
+    operator must remove the stale directory itself (ADVICE r1)."""
+    emb, model, path = saved
+    enc = spark.read.parquet(f"{path}/index")
+    pid = enc.select("partition_id").first().partition_id
+    victims = [
+        r.vec_id
+        for r in enc.where(F.col("partition_id") == pid)
+        .select("vec_id")
+        .collect()
+    ]
+    n_before = enc.count()
+    touched = delete_vectors(spark, model, path, victims)
+    assert pid in touched
+    assert not os.path.exists(f"{path}/index/partition_id={pid}")
+    after = spark.read.parquet(f"{path}/index")
+    assert after.where(F.col("partition_id") == pid).count() == 0
+    assert after.count() == n_before - len(victims)
+    # deleted ids are really gone
+    assert not (_ids(spark, path) & set(victims))
+
+
+def test_maintenance_updates_manifest_num_vectors(spark, saved):
+    emb, model, path = saved
+    n0 = load_index(spark, path).num_vectors
+    delete_vectors(spark, model, path, [0, 1, 2])
+    assert load_index(spark, path).num_vectors == n0 - 3
+    v1 = emb.where(F.col("vec_id") == 1).first()
+    incoming = spark.createDataFrame(
+        [
+            (3, list(v1.embedding), 7),       # replaces existing id 3
+            (30_000, list(v1.embedding), 8),  # fresh insert
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    upsert_vectors(spark, model, path, incoming)
+    loaded = load_index(spark, path)
+    assert loaded.num_vectors == n0 - 3 + 1
+    assert loaded.num_vectors == spark.read.parquet(f"{path}/index").count()
