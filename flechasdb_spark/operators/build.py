@@ -39,6 +39,7 @@ from flechasdb_spark.operators.kmeans_np import kmeans_fit
 __all__ = [
     "IndexConfig",
     "IndexModel",
+    "assemble_index",
     "build_index",
     "pq_encoder_udf",
     "train_codebooks_distributed",
@@ -290,6 +291,66 @@ def _train_mllib_coarse(df: DataFrame, cfg: IndexConfig) -> np.ndarray:
     )
 
 
+def _vector_size(df: DataFrame, cfg: IndexConfig) -> int:
+    first = df.select(F.size(F.col(cfg.vec_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("cannot build an index over an empty DataFrame")
+    n = int(first["n"])
+    if n % cfg.num_divisions != 0:
+        # invariant of the reference: src/vector.rs:162-168
+        raise ValueError(
+            f"vector_size {n} not divisible by num_divisions {cfg.num_divisions}"
+        )
+    return n
+
+
+def assemble_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    cfg: IndexConfig | None = None,
+) -> IndexModel:
+    """Encode ``df`` against PRE-TRAINED models (B6+B9 only — skips
+    training). The 100 TB shape: train the centroids/codebooks ONCE on a
+    representative sample (or reuse them from an existing index via
+    ``load_index``), then encode any number of shards or later arrivals
+    with the same models — one Arrow-batched map pass per shard, no
+    training scans. Also the determinism hook: with fixed models the
+    whole build→store→query lifecycle is oracle-recomputable
+    (FIXTURES.md F3; reference behavior /root/reference/src/db/stored.rs:331-389).
+    """
+    cfg = cfg or IndexConfig()
+    n = _vector_size(df, cfg)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    p_cfg, d_cfg, c_cfg = cfg.num_partitions, cfg.num_divisions, cfg.num_codes
+    if centroids.shape != (p_cfg, n):
+        raise ValueError(
+            f"centroids shape {centroids.shape} != ({p_cfg}, {n})"
+        )
+    if codebooks.shape != (d_cfg, c_cfg, n // d_cfg):
+        raise ValueError(
+            f"codebooks shape {codebooks.shape} != "
+            f"({d_cfg}, {c_cfg}, {n // d_cfg})"
+        )
+    attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
+    encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
+    encoded = (
+        df.select(cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols)
+        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols)
+        .persist()
+    )
+    return IndexModel(
+        config=cfg,
+        vector_size=n,
+        num_vectors=encoded.count(),
+        centroids=centroids,
+        codebooks=codebooks,
+        encoded=encoded,
+        attr_cols=attr_cols,
+    )
+
+
 def build_index(
     df: DataFrame,
     cfg: IndexConfig | None = None,
@@ -315,15 +376,7 @@ def build_index(
         return _time.perf_counter()
 
     cfg = cfg or IndexConfig()
-    first = df.select(F.size(F.col(cfg.vec_col)).alias("n")).first()
-    if first is None:
-        raise ValueError("cannot build an index over an empty DataFrame")
-    n = int(first["n"])
-    if n % cfg.num_divisions != 0:
-        # invariant of the reference: src/vector.rs:162-168
-        raise ValueError(
-            f"vector_size {n} not divisible by num_divisions {cfg.num_divisions}"
-        )
+    n = _vector_size(df, cfg)
     attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
 
     t0 = _time.perf_counter()

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash",
+    "embedding_neardup",
     "embedding_neardup_pairs",
     "connected_components",
 ]
@@ -76,22 +77,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Inverted-index algorithm: explode distinct shingles, self-join on
     shingle (id_a < id_b) to count intersections, then
     |A u B| = |A| + |B| - |A n B|. Only docs sharing >= 1 shingle are
-    ever paired — the scalable form of the quadratic definition (the
-    oracle uses the quadratic form; results are identical because
-    jaccard > 0 requires a shared shingle and threshold > 0)."""
-    shingled = df.select(
+    ever paired — the scalable form of the quadratic definition.
+
+    ``max_df`` (default 1000): shingles appearing in more than max_df
+    documents are dropped from the inverted index BEFORE the self-join —
+    a shingle shared by k docs emits k^2 candidate rows, so one
+    stopword-like shingle at corpus scale is a job-killer while carrying
+    ~0 Jaccard evidence. Set sizes |A|, |B| still count every shingle;
+    dropping hot ones only lowers the measured intersection (measured
+    jaccard is a lower bound). ``None`` disables the cut (exact
+    small-data form). The driver oracle mirrors the cut.
+
+    No caching: the shingle pipeline is recomputed per use (3 map-only
+    scans) — cheaper at scale than materializing the exploded corpus.
+    """
+    exploded = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("shingles")
-    ).persist()
-    sizes = shingled.select(id_col, F.size("shingles").alias("n_sh"))
-    exploded = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
     )
     if max_df is not None:
         hot = (
@@ -102,33 +114,32 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("shingle")
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("shingle")
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
     )
+    # set sizes ride the exploded rows (constant per doc) — no extra
+    # joins back to a sizes table, one shuffle total on (id_a, id_b)
     inter = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select(
-            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-        )
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return out
 
 
 def minhash_signature(
@@ -387,6 +398,41 @@ def connected_components(
     return labels
 
 
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    DEFAULT path is LSH-bucketed (similarity.lsh_neardup_pairs): random-
+    hyperplane buckets bound the candidate set to same-bucket pairs —
+    the only shape that survives 100 TB. ``exact=True`` opts into the
+    O(M^2) self-join (embedding_neardup_pairs) — complete but quadratic;
+    keep it for oracles and small data. ``dim`` (vector width) is
+    required for the LSH path; ``bits`` trades recall vs bucket size
+    (expected pairs ~= M^2 / 2^bits per hash)."""
+    if exact:
+        return embedding_neardup_pairs(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("n")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dim given")
+        dim = int(first["n"])
+    return lsh_neardup_pairs(
+        df, threshold=threshold, dim=dim, bits=bits,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -395,9 +441,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
-    Quadratic candidate set — the oracle-parity variant. The scale path
-    is LSH bucketing (operators/similarity.py) which approximates the
-    same output with a bounded candidate set."""
+    Quadratic candidate set — the oracle-parity variant behind
+    ``embedding_neardup(..., exact=True)``. The public default is the
+    LSH-bucketed scale path (operators/similarity.py), which
+    approximates the same output with a bounded candidate set."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -153,6 +153,8 @@ def ann_query(
     round_to: int | None = None,
     where=None,
     scorer: str = "sql",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Batch IVF+PQ kNN. ``queries``: [(query_id, vector), ...] or an
     (Q, N) array with ``query_ids``. Returns (query_id, vector_id,
@@ -171,6 +173,16 @@ def ann_query(
     "pandas" is the Arrow/NumPy gather variant (wins when D*C is large
     enough that per-row expression evaluation beats Arrow transfer).
     Identical results (tested).
+
+    ``rerank``: optional DataFrame holding the ORIGINAL vectors
+    (cfg.id_col, cfg.vec_col). When given, the top ``k * rerank_factor``
+    ADC candidates per query are re-scored with the EXACT squared L2
+    against the original vectors and the final top-k is by exact
+    distance — the standard IVF+PQ refinement step that lifts recall
+    from PQ-approximation levels to near-exact. Scale shape: the
+    candidate set is O(Q * k * rerank_factor) rows — broadcast into one
+    hash-join against the vector table (one scan, no shuffle of the big
+    side); ``squared_distance`` then holds the exact distance.
     """
     if isinstance(queries, np.ndarray):
         qarr = queries.astype(np.float64)
@@ -253,22 +265,50 @@ def ann_query(
     scored = candidates.join(probes_df, "partition_id").withColumn(
         "__score", score_expr
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").asc(), F.col(id_col).asc()
+    # With round_to set, RANKING uses the rounded score (ties by id) —
+    # the determinism contract: unrounded ADC sums differ across engines
+    # in the last ulp (summation order), so only the rounded value is a
+    # stable sort key for oracle comparison (SURVEY.md §2.4 tie-breaks).
+    rank_score = (
+        F.round(F.col("__score"), round_to)
+        if round_to is not None
+        else F.col("__score")
     )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_score.asc(), F.col(id_col).asc()
+    )
+    adc_k = k * rerank_factor if rerank is not None else k
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= adc_k
+    )
+    if rerank is not None:
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(int(q), [float(x) for x in v]) for q, v in zip(qids, qarr)],
+                "query_id long, __qv array<float>",
+            )
+        )
+        cand = topk.select("query_id", id_col, "partition_id")
+        exact = (
+            rerank.select(id_col, model.config.vec_col)
+            .join(F.broadcast(cand), id_col)
+            .join(qdf, "query_id")
+            .withColumn(
+                "__score", squared_l2(F.col(model.config.vec_col), F.col("__qv"))
+            )
+        )
+        topk = exact.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
     out_score = (
         F.round(F.col("__score"), round_to)
         if round_to is not None
         else F.col("__score")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("vector_id"),
-            "partition_id",
-            out_score.alias("squared_distance"),
-            "rank",
-        )
+    return topk.select(
+        "query_id",
+        F.col(id_col).alias("vector_id"),
+        "partition_id",
+        out_score.alias("squared_distance"),
+        "rank",
     )

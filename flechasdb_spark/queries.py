@@ -273,11 +273,15 @@ def q_reconstruct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # width=16 over the 64-dim embeddings; query = embedding of vec_id 7.
 _PQ_D, _PQ_C, _PQ_W, _PQ_QID = 4, 8, 16, 7
 
+# center elements are rounded through FLOAT: the Spark side stores
+# codebooks as array<float>, so the oracle must quantize identically
+# (f64-compute -> f32 -> f64 is bit-exact on both engines — tested).
 _DD_CODEBOOKS = f"""
 codebooks AS (
   SELECT d.division::INT AS division, c.code::INT AS code,
          list_transform(generate_series(0, {_PQ_W - 1}),
-           j -> (c.code::DOUBLE - 3.5) * 0.1 + d.division::DOUBLE * 0.01 * j::DOUBLE)
+           j -> ((c.code::DOUBLE - 3.5) * 0.1
+                 + d.division::DOUBLE * 0.01 * j::DOUBLE)::FLOAT::DOUBLE)
            AS center
   FROM range({_PQ_D}) d(division), range({_PQ_C}) c(code))
 """
@@ -371,6 +375,229 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:  # SQL-reproduci
         for r in emb.where(F.col("vec_id") < 8).collect()
     ]
     return ann_query(model, qs, k=5, nprobe=4)
+
+
+# --- Frozen-index end-to-end ANN (FIXTURES.md F3): fixed centroids =
+# embeddings 0..3, fixed F3 codebooks — no k-means randomness, so the
+# FULL lifecycle assemble->save->load->query (B6..B9 + S1..S4 + Q1..Q5,
+# reference /root/reference/src/db/stored.rs:331-389) is DuckDB-
+# recomputable and hash-matched, not rows-only like the trained path.
+
+_FRZ_QLO, _FRZ_QHI, _FRZ_K, _FRZ_NPROBE, _FRZ_RR = 40, 48, 5, 2, 4
+
+
+def _frozen_model(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
+    from flechasdb_spark.operators.build import IndexConfig, assemble_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < _IVF_P).orderBy("vec_id").collect()
+    )
+    centroids = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    # F3 rule, f32-quantized exactly like the stored array<float> form
+    codebooks = np.array(
+        [
+            [
+                [np.float32((c - 3.5) * 0.1 + d * 0.01 * j) for j in range(_PQ_W)]
+                for c in range(_PQ_C)
+            ]
+            for d in range(_PQ_D)
+        ],
+        dtype=np.float64,
+    )
+    cfg = IndexConfig(
+        num_partitions=_IVF_P,
+        num_divisions=_PQ_D,
+        num_codes=_PQ_C,
+        seed=0,
+    )
+    model = assemble_index(
+        emb.select("vec_id", "embedding"), centroids, codebooks, cfg
+    )
+    return model, emb
+
+
+def _frozen_queries(emb) -> list[tuple[int, list[float]]]:
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(
+            (F.col("vec_id") >= _FRZ_QLO) & (F.col("vec_id") < _FRZ_QHI)
+        ).collect()
+    ]
+
+
+# Shared oracle CTE chain recomputing the whole pipeline: coarse assign,
+# residual PQ encode, probe selection, ADC table, ADC scoring, ranking.
+_DD_RESID_SLICE = (
+    "list_slice(list_transform(list_zip({v}, {c}), z -> z[1]-z[2]),"
+    f" cb.division * {_PQ_W} + 1, (cb.division + 1) * {_PQ_W})"
+)
+
+_DD_FROZEN_PREFIX = f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_IVF_P}),
+{_DD_CODEBOOKS},
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id >= {_FRZ_QLO} AND vec_id < {_FRZ_QHI}),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+encoded AS (
+  SELECT vec_id, partition_id, division, code FROM (
+    SELECT a.vec_id, a.partition_id, cb.division, cb.code,
+           row_number() OVER (PARTITION BY a.vec_id, cb.division
+             ORDER BY {_DD_SQL2.format(
+                 a=_DD_RESID_SLICE.format(v="a.v", c="a.cv"), b="cb.center")},
+                      cb.code) AS rn
+    FROM assigned a CROSS JOIN codebooks cb) s WHERE rn = 1),
+probes AS (
+  SELECT query_id, partition_id, cv FROM (
+    SELECT q.query_id, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM q CROSS JOIN cent c) s WHERE rn <= {_FRZ_NPROBE}),
+adc AS (
+  SELECT p.query_id, p.partition_id, cb.division, cb.code,
+         {_DD_SQL2.format(
+             a=_DD_RESID_SLICE.format(v="q.qv", c="p.cv"), b="cb.center")}
+           AS partial
+  FROM probes p JOIN q ON p.query_id = q.query_id CROSS JOIN codebooks cb),
+scoredv AS (
+  SELECT a.query_id, en.vec_id, en.partition_id, sum(a.partial) AS d
+  FROM encoded en JOIN adc a
+    ON en.partition_id = a.partition_id
+   AND en.division = a.division AND en.code = a.code
+  GROUP BY a.query_id, en.vec_id, en.partition_id),
+ranked AS (
+  SELECT query_id, vec_id AS vector_id, partition_id, d,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(d, 4), vec_id) AS rank
+  FROM scoredv)
+"""
+
+
+@query(
+    "ann_ivfpq_frozen",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM ranked WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted lifecycle on the frozen index: assemble with
+    fixed models, save_index, load_index (manifest validation + lazy
+    partitioned scan), ann_query (probe select -> broadcast ADC tables
+    -> pruned scan -> codegen gather -> WindowGroupLimit top-k)."""
+    import tempfile
+
+    from flechasdb_spark.plans.ivf import ann_query
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    model, emb = _frozen_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="flechas_frozen_")
+    save_index(model, path)
+    model.encoded.unpersist()
+    loaded = load_index(spark, path)
+    out = ann_query(
+        loaded, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_ivfpq_rerank",
+    f"""
+{_DD_FROZEN_PREFIX},
+cand AS (
+  SELECT query_id, vector_id, partition_id FROM ranked
+  WHERE rank <= {_FRZ_K * _FRZ_RR}),
+exact AS (
+  SELECT c.query_id, c.vector_id, c.partition_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS ed
+  FROM cand c JOIN embeddings e ON c.vector_id = e.vec_id
+       JOIN q ON c.query_id = q.query_id),
+rr AS (
+  SELECT query_id, vector_id, partition_id, ed,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(ed, 4), vector_id) AS rank
+  FROM exact)
+SELECT query_id, vector_id, partition_id, round(ed, 4) AS squared_distance,
+       rank
+FROM rr WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-index ANN with the exact re-rank refinement: top
+    k*rerank_factor ADC candidates re-scored against the original
+    vectors (broadcast semi-join, one scan), final top-k by exact
+    distance."""
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir)
+    out = ann_query(
+        model,
+        _frozen_queries(emb),
+        k=_FRZ_K,
+        nprobe=_FRZ_NPROBE,
+        round_to=4,
+        rerank=emb,
+        rerank_factor=_FRZ_RR,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_frozen_recall",
+    f"""
+{_DD_FROZEN_PREFIX},
+ann10 AS (SELECT query_id, vector_id FROM ranked WHERE rank <= 10),
+exact_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")},
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q) s WHERE rn <= 10)
+SELECT er.query_id, count(*) AS n_exact,
+       sum(CASE WHEN a.vector_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN a.vector_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM exact_ranked er LEFT JOIN ann10 a
+  ON er.query_id = a.query_id AND er.vec_id = a.vector_id
+GROUP BY er.query_id
+ORDER BY er.query_id
+""",
+)
+def q_ann_frozen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic recall@10 of the frozen-index ANN vs the exact
+    flat baseline (SURVEY.md §5.2 oracle (c)) — the quality row the
+    trained path can't hash-match."""
+    from flechasdb_spark.operators.eval import recall_at_k
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir)
+    approx = ann_query(
+        model, _frozen_queries(emb), k=10, nprobe=_FRZ_NPROBE, round_to=4
+    )
+    qdf = emb.where(
+        (F.col("vec_id") >= _FRZ_QLO) & (F.col("vec_id") < _FRZ_QHI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector"))
+    exact = knn_join(qdf, emb, k=10).select("query_id", "vec_id")
+    return recall_at_k(
+        exact, approx.select("query_id", F.col("vector_id").alias("vec_id"))
+    ).orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------
@@ -532,19 +759,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ngram_jaccard",
+    # Mirrors the operator's inverted-index form INCLUDING the max_df
+    # hot-shingle cut (sizes count all shingles; intersections only
+    # df<=max_df ones), so the oracle semantics track the scale path.
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(
          generate_series(1, greatest(len(toks) - 2, 0)),
          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
-       FROM d)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.g, b.g))::DOUBLE
-             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
-         AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.g, b.g))::DOUBLE
-      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+       FROM d),
+ex AS (SELECT doc_id, len(g) AS n_sh, unnest(g) AS shingle FROM sh),
+flt AS (SELECT * FROM ex WHERE shingle NOT IN (
+          SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (n_a + n_b - n_inter), 4) AS jaccard
+FROM inter
+WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.5
 ORDER BY id_a, id_b
 """,
 )
@@ -729,10 +964,13 @@ ORDER BY id_a, id_b
 """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flechasdb_spark.operators.dedup import embedding_neardup_pairs
+    """Oracle row for the EXACT form (explicit opt-in); the public
+    default embedding_neardup() routes to the LSH-bucketed scale path,
+    which has its own row (lsh_neardup_pairs)."""
+    from flechasdb_spark.operators.dedup import embedding_neardup
 
-    return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    return embedding_neardup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True
     ).orderBy("id_a", "id_b")
 
 
@@ -1505,6 +1743,48 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup",
+    """
+SELECT user_id, event_type FROM events
+GROUP BY user_id, event_type ORDER BY user_id, event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) drained
+    over the bounded events table. WHICH duplicate survives is an
+    arrival-order detail of the stream, so the deterministic
+    projection is the surviving KEY set — exactly one row per
+    (user_id, event_type), equal to batch DISTINCT (the oracle)."""
+    _ensure_conf(spark)
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"__stream_dedup_{_STREAM_RUN_COUNTER[0]}"
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    dd = stream_dedup(
+        read_event_stream(spark, tmp), ["user_id", "event_type"]
+    )
+    q = (
+        dd.select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+@query(
     "events_sessionize",
     """
 WITH o AS (
@@ -1831,6 +2111,48 @@ def q_attr_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
         value_cols={"last_value": "value", "last_event_id": "event_id"},
     ).orderBy("user_id", "event_type")
+
+
+@query(
+    "attr_map_fetch",
+    """
+WITH req AS (
+  SELECT vec_id,
+         CASE vec_id % 3 WHEN 0 THEN 'label'
+                         WHEN 1 THEN 'category'
+                         ELSE 'missing' END AS name
+  FROM embeddings WHERE vec_id < 60)
+SELECT r.vec_id, r.name,
+       CASE WHEN r.name = 'category'
+            THEN 'cat_' || (e.label % 7)::VARCHAR END AS value_str,
+       CASE WHEN r.name = 'label' THEN e.label::BIGINT END AS value_u64
+FROM req r JOIN embeddings e USING (vec_id)
+ORDER BY r.vec_id
+""",
+)
+def q_attr_map_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 map-typed parity: attributes as HashMap<String,String|Uint64>
+    (two monomorphic Spark maps), fetched per (id, name) request with
+    missing-name -> NULL; the unknown-id -> error branch is pytest-
+    covered (it can't appear in a result set)."""
+    from flechasdb_spark.operators.attributes import get_attributes, to_attr_maps
+
+    emb = _t(spark, sf_dir, "embeddings")
+    attrs = to_attr_maps(
+        emb.withColumn(
+            "category", F.concat(F.lit("cat_"), (F.col("label") % 7).cast("string"))
+        ),
+        str_cols=["category"],
+        u64_cols=["label"],
+    )
+    req = emb.where(F.col("vec_id") < 60).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, "label")
+        .when(F.col("vec_id") % 3 == 1, "category")
+        .otherwise("missing")
+        .alias("name"),
+    )
+    return get_attributes(attrs, req).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

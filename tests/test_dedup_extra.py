@@ -97,3 +97,49 @@ def test_filtered_ann_respects_predicate(spark):
     # unfiltered search for the same queries must dominate result count
     unfiltered = ann_query(model, qs, k=5, nprobe=4).collect()
     assert len(unfiltered) >= len(out)
+
+
+def test_default_neardup_paths_have_no_cross_join(spark):
+    """ADVICE r1: the PUBLIC near-dup paths must be bucketed — no
+    quadratic join shape may appear in their physical plans. The exact
+    form stays available behind an explicit opt-in (and IS quadratic)."""
+    from flechasdb_spark.operators.dedup import (
+        embedding_neardup,
+        ngram_jaccard_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    default_plan = plan_of(embedding_neardup(emb, threshold=0.5, dim=64))
+    assert "CartesianProduct" not in default_plan
+    assert "BroadcastNestedLoopJoin" not in default_plan
+
+    jacc_plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.5))
+    assert "CartesianProduct" not in jacc_plan
+    assert "BroadcastNestedLoopJoin" not in jacc_plan
+
+    exact_plan = plan_of(embedding_neardup(emb, threshold=0.5, exact=True))
+    assert (
+        "CartesianProduct" in exact_plan
+        or "BroadcastNestedLoopJoin" in exact_plan
+    )
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """One shingle shared by k docs emits k^2 candidate rows; max_df
+    cuts it from the inverted index (sizes still count it)."""
+    from flechasdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(5)], "doc_id long, text string"
+    )
+    # shingles of doc i: {"a b c", "b c d<i>"}; every pair shares only
+    # the hot "a b c" -> jaccard = 1/3
+    loose = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    assert loose.count() == 10
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=4)
+    assert capped.count() == 0

@@ -81,3 +81,20 @@ def test_lsh_on_single_row_corpus(spark, emb):
 
     one = emb.limit(1)
     assert lsh_neardup_pairs(one, threshold=0.5, dim=64, bits=4).count() == 0
+
+
+def test_get_attributes_unknown_id_errors(spark, emb):
+    """Reference parity: get_attribute on an unknown vector id is an
+    ERROR, not an empty result (src/db/stored.rs:621-639); a known id
+    with a missing attribute name is NULL (covered by the
+    attr_map_fetch oracle row)."""
+    from flechasdb_spark.operators.attributes import get_attributes, to_attr_maps
+
+    attrs = to_attr_maps(emb, u64_cols=["label"])
+    bad = spark.createDataFrame(
+        [(10_000_000, "label")], "vec_id long, name string"
+    )
+    with pytest.raises(KeyError, match="unknown"):
+        get_attributes(attrs, bad)
+    # validate_ids=False skips the check: unknown ids silently drop
+    assert get_attributes(attrs, bad, validate_ids=False).count() == 0

@@ -187,3 +187,57 @@ def test_partition_pruning_reads_fewer_rows(model, spark, tmp_path_factory):
     # the scan must carry a partition filter on partition_id
     assert "partition_id" in plan
     assert res.count() == 5
+
+
+def test_assemble_index_matches_build(model, emb):
+    """assemble_index (pre-trained models -> encode only) produces the
+    exact encoding build_index produces with the same models — the
+    train-once / encode-everywhere contract."""
+    from flechasdb_spark.operators.build import assemble_index
+
+    m2 = assemble_index(emb, model.centroids, model.codebooks, CFG)
+    assert m2.num_vectors == model.num_vectors
+    a = {r.vec_id: (r.partition_id, list(r.codes)) for r in model.encoded.collect()}
+    b = {r.vec_id: (r.partition_id, list(r.codes)) for r in m2.encoded.collect()}
+    assert a == b
+
+
+def test_assemble_index_rejects_bad_shapes(emb):
+    from flechasdb_spark.operators.build import assemble_index
+
+    with pytest.raises(ValueError, match="centroids shape"):
+        assemble_index(emb, np.zeros((3, 64)), np.zeros((8, 16, 8)), CFG)
+    with pytest.raises(ValueError, match="codebooks shape"):
+        assemble_index(emb, np.zeros((8, 64)), np.zeros((4, 16, 8)), CFG)
+
+
+def test_rerank_recall_gate(model, emb):
+    """VERDICT r1: exact re-ranking of the top k*factor ADC candidates
+    against the original vectors lifts recall@10 from PQ-approximation
+    levels (~0.2 here) to >= 0.8 at D=8/C=16."""
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    exact = {(r.query_id, r.vec_id) for r in knn_join(qdf, emb, k=10).collect()}
+    queries = [(r.query_id, list(r.qvector)) for r in qdf.collect()]
+    approx = ann_query(
+        model, queries, k=10, nprobe=8, rerank=emb, rerank_factor=8
+    )
+    got = {(r.query_id, r.vector_id) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"re-ranked recall@10 too low: {recall}"
+
+
+def test_rerank_distances_are_exact(model, emb):
+    """Re-ranked squared_distance must equal the true squared L2 (not
+    the ADC approximation) for every returned row."""
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    out = ann_query(model, qs, k=5, nprobe=8, rerank=emb, rerank_factor=8)
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    qmap = {q: np.asarray(v, dtype=np.float64) for q, v in qs}
+    for r in out.collect():
+        true_d = float(((qmap[r.query_id] - vecs[r.vector_id]) ** 2).sum())
+        assert abs(r.squared_distance - true_d) < 1e-6
