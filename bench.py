@@ -53,6 +53,24 @@ def ann_lifecycle(spark, sf_dir, timings):
     warm = time.perf_counter() - t0
     timings["ann_query_warm"] = round(warm, 3)
     timings["ann_warm_qps"] = round(100 / warm, 1)
+    # the recall-lifting exact re-rank refinement (adds one broadcast
+    # join against the original vectors — measure its marginal cost)
+    t0 = time.perf_counter()
+    ann_query(model, qs, k=10, nprobe=5, rerank=emb, rerank_factor=4).collect()
+    timings["ann_query_rerank"] = round(time.perf_counter() - t0, 3)
+
+
+def fused_encode(spark, sf_dir, timings):
+    """The PRODUCT encode path (fused Arrow assign+residual+encode UDF,
+    one map pass) on the same input the relational pq_encode oracle form
+    times — BENCH tracks both so the baseline comparison uses what
+    ships."""
+    from flechasdb_spark.queries import _frozen_model
+
+    t0 = time.perf_counter()
+    model, _ = _frozen_model(spark, sf_dir)  # assemble_index: encode+count
+    timings["pq_encode_fused"] = round(time.perf_counter() - t0, 3)
+    model.encoded.unpersist()
 
 
 def main() -> None:
@@ -70,6 +88,8 @@ def main() -> None:
         "tpch_q1",
         "tpch_q3",
         "tpch_q5",
+        "tpch_q13",
+        "tpch_q18",
         # extension surfaces (LLM-pipeline operators)
         "cosine_topk",
         "ann_lsh_topk",
@@ -95,6 +115,7 @@ def main() -> None:
         REGISTRY[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    fused_encode(spark, SF_DIR, timings)
     ann_lifecycle(spark, SF_DIR, timings)
 
     total = round(

@@ -413,8 +413,9 @@ def _frozen_model(spark: SparkSession, sf_dir: str):
         num_codes=_PQ_C,
         seed=0,
     )
+    # label rides along as an attribute column (filtered-search rows)
     model = assemble_index(
-        emb.select("vec_id", "embedding"), centroids, codebooks, cfg
+        emb.select("vec_id", "embedding", "label"), centroids, codebooks, cfg
     )
     return model, emb
 
@@ -555,6 +556,89 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=_FRZ_RR,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_frozen_filtered",
+    f"""
+{_DD_FROZEN_PREFIX},
+flt AS (
+  SELECT s.* FROM scoredv s JOIN embeddings e2 ON s.vec_id = e2.vec_id
+  WHERE e2.label = 1),
+rankedf AS (
+  SELECT query_id, vec_id AS vector_id, partition_id, d,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(d, 4), vec_id) AS rank
+  FROM flt)
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM rankedf WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_frozen_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (pre-scoring predicate) ANN on the frozen index: every
+    returned row satisfies the attribute predicate and each query still
+    gets up to k hits — free in Spark because attributes live on the
+    encoded rows (no reference counterpart; SURVEY.md §2.3)."""
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir)
+    out = ann_query(
+        model,
+        _frozen_queries(emb),
+        k=_FRZ_K,
+        nprobe=_FRZ_NPROBE,
+        round_to=4,
+        where=F.col("label") == 1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "stream_incremental_encode",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT vec_id, partition_id, division, code
+FROM encoded ORDER BY vec_id, division
+""",
+)
+def q_stream_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental PQ-encode with the FROZEN models drained
+    over the bounded embeddings table — the online half of the
+    train-offline/encode-online shape. Appended parquet must hold the
+    exact codes the oracle recomputes (same assign+residual+encode
+    arithmetic as the batch path)."""
+    _ensure_conf(spark)
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        incremental_encode,
+        run_available_now,
+    )
+
+    import os
+
+    model, emb = _frozen_model(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_encode_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    shutil.copy(f"{sf_dir}/embeddings.parquet", f"{tmp}/in/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(f"{tmp}/in")
+    q = incremental_encode(
+        model, stream, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    run_available_now(q)
+    enc = spark.read.parquet(f"{tmp}/idx/index")
+    return (
+        enc.select(
+            "vec_id",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.posexplode("codes").alias("division", "code"),
+        )
+        .orderBy("vec_id", "division")
+    )
 
 
 @query(
@@ -1562,6 +1646,299 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q13",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join with a join-side predicate + count
+    distribution (customers with zero orders land in c_count=0 —
+    count(col) skips the NULLs the outer join produces)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q16",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 14, 23, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: anti-join (NOT IN over a never-NULL key set) +
+    count(DISTINCT) per group. lineitem stands in for partsupp (the
+    driver tables have no partsupp); the supplier exclusion side is
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch(o.o_orderdate)::BIGINT AS o_orderdate_epoch,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over an aggregated semi-join (large-volume
+    orders), then re-aggregation over a 3-way join, sorted limit."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q10",
+    """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+         c.c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: 3-way fact join + broadcast dim (nation), grouped
+    revenue, top-20 by rounded revenue (rounded on BOTH sides so the
+    limit boundary is engine-stable)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14",
+    """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount)
+                 ELSE 0.0 END)
+       / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue ratio over a fact-dim join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive range predicates across
+    both join sides (the classic OR-of-ANDs Catalyst must keep above
+    the join while pushing the shared join key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "tpch_q22",
+    """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey ORDER BY cntrycode
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar aggregate subquery (broadcast single-row cross
+    join) + NOT EXISTS anti-join (customers with no RECENT orders —
+    the date filter keeps the anti-join selective on these tables);
+    nationkey stands in for the phone country code."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
 
 
