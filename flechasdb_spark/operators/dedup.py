@@ -40,6 +40,7 @@ __all__ = [
     "embedding_neardup",
     "embedding_neardup_pairs",
     "connected_components",
+    "cross_ngram_overlap",
 ]
 
 
@@ -140,6 +141,53 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def cross_ngram_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Contamination check: for each (left, right) document pair sharing
+    >= min_shared distinct word n-grams, the shared count — the standard
+    train/eval overlap detector (run it between a training corpus and a
+    benchmark set before training).
+
+    Same inverted-index shape as ngram_jaccard_pairs: explode distinct
+    shingles on both sides, equi-join on the shingle, count per pair —
+    never a cross join. ``max_df`` drops shingles present in more than
+    max_df LEFT documents (stopword phrases match everything and carry
+    no contamination signal).
+
+    Returns (id_left, id_right, n_shared) — one shuffle on the pair key.
+    """
+    lx = left.select(
+        F.col(id_col).alias("id_left"),
+        F.explode(word_ngrams(text_col, n)).alias("shingle"),
+    )
+    rx = right.select(
+        F.col(id_col).alias("id_right"),
+        F.explode(word_ngrams(text_col, n)).alias("shingle"),
+    )
+    if max_df is not None:
+        hot = (
+            lx.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        lx = lx.join(F.broadcast(hot), "shingle", "left_anti")
+    pairs = (
+        lx.join(rx, "shingle")
+        .groupBy("id_left", "id_right")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs
 
 
 def minhash_signature(

@@ -48,8 +48,15 @@ def kmeans_fit(
     seed: int,
     max_iter: int = 100,
     tol: float = 1e-6,
+    on_event=None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit k-means; returns (centers [k,dim] float64, labels [m] int32)."""
+    """Fit k-means; returns (centers [k,dim] float64, labels [m] int32).
+
+    ``on_event(event, payload)`` mirrors the reference's cluster event
+    handlers (/root/reference/src/kmeans.rs:71-88): fired with
+    ("init", k) after seeding and ("iteration", {"round", "shift"})
+    after each Lloyd's round — instrumentation only, no behavior
+    change."""
     x = np.asarray(x, dtype=np.float64)
     m = x.shape[0]
     if m < k:
@@ -59,8 +66,10 @@ def kmeans_fit(
         # identity clustering, matching src/kmeans.rs:158-170
         return x.copy(), np.arange(m, dtype=np.int32)
     centers = _plus_plus_init(x, k, rng)
+    if on_event is not None:
+        on_event("init", k)
     labels = np.zeros(m, dtype=np.int32)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # assignment: ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (argmin over c)
         cross = x @ centers.T
         c2 = (centers**2).sum(axis=1)
@@ -81,6 +90,11 @@ def kmeans_fit(
         disp = np.sqrt(((new_centers - centers) ** 2).sum(axis=1)).max()
         scale = np.sqrt((new_centers**2).sum(axis=1)).max()
         centers = new_centers
+        if on_event is not None:
+            on_event(
+                "iteration",
+                {"round": it, "shift": float(disp / scale) if scale else 0.0},
+            )
         if scale == 0 or disp / scale < tol:
             break
     cross = x @ centers.T

@@ -25,6 +25,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "repetition_stats",
     "STOPWORDS",
 ]
 
@@ -98,6 +99,39 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.ceil(n_chars / F.lit(4.0)).cast("long").alias("n_subtokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
     )
+
+
+def _all_ngrams(t: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (repetition_stats needs the
+    multiset; dedup.word_ngrams is the distinct variant)."""
+    m = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(m - n + 1, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    return F.when(m < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals: per-document fraction of
+    DUPLICATE word n-grams (n=2,3) — boilerplate/spam documents repeat
+    phrases, and 'duplicate n-gram fraction' is the standard filter
+    rule. Pure Catalyst, map-only."""
+    t = tokens(text_col)
+    cols = [F.col(id_col)]
+    for n in (2, 3):
+        grams = _all_ngrams(t, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        ratio = F.when(
+            total > 0,
+            F.round(
+                1.0 - distinct.cast("double") / total.cast("double"), 4
+            ),
+        ).otherwise(F.lit(0.0))
+        cols.append(total.cast("long").alias(f"n_{n}grams"))
+        cols.append(ratio.alias(f"dup_{n}gram_ratio"))
+    return df.select(*cols)
 
 
 def quality_score(

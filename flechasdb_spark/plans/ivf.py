@@ -155,6 +155,7 @@ def ann_query(
     scorer: str = "sql",
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    on_event=None,
 ) -> DataFrame:
     """Batch IVF+PQ kNN. ``queries``: [(query_id, vector), ...] or an
     (Q, N) array with ``query_ids``. Returns (query_id, vector_id,
@@ -173,6 +174,12 @@ def ann_query(
     "pandas" is the Arrow/NumPy gather variant (wins when D*C is large
     enough that per-row expression evaluation beats Arrow transfer).
     Identical results (tested).
+
+    ``on_event(stage, seconds)`` mirrors the reference's query event
+    handlers (/root/reference/src/db/stored.rs:513-532): fired after the
+    driver phases ``select_probes`` and ``adc_tables`` and after the
+    distributed ``plan_built`` — instrumentation only (the scan itself
+    is lazy; time it at the action with Spark's UI/listeners).
 
     ``rerank``: optional DataFrame holding the ORIGINAL vectors
     (cfg.id_col, cfg.vec_col). When given, the top ``k * rerank_factor``
@@ -195,8 +202,18 @@ def ann_query(
             f"query width {qarr.shape} != vector_size {model.vector_size}"
         )
 
+    import time as _time
+
+    def _mark(stage: str, t0: float) -> float:
+        if on_event is not None:
+            on_event(stage, _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
+    t0 = _mark("select_probes", t0)
     tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
+    t0 = _mark("adc_tables", t0)
 
     spark = model.encoded.sparkSession
     d = model.config.num_divisions
@@ -305,10 +322,12 @@ def ann_query(
         if round_to is not None
         else F.col("__score")
     )
-    return topk.select(
+    result = topk.select(
         "query_id",
         F.col(id_col).alias("vector_id"),
         "partition_id",
         out_score.alias("squared_distance"),
         "rank",
     )
+    _mark("plan_built", t0)
+    return result

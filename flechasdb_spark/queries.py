@@ -1314,6 +1314,131 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+@query(
+    "repetition_stats",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+  FROM d)
+SELECT doc_id,
+       len(g2)::BIGINT AS n_2grams,
+       CASE WHEN len(g2) > 0
+            THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+            ELSE 0.0 END AS dup_2gram_ratio,
+       len(g3)::BIGINT AS n_3grams,
+       CASE WHEN len(g3) > 0
+            THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4)
+            ELSE 0.0 END AS dup_3gram_ratio
+FROM g ORDER BY doc_id
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_DD_SPLIT_BUCKET = (
+    "(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    " % 10000)"
+)
+
+
+@query(
+    "corpus_split",
+    f"""
+SELECT doc_id,
+       CASE WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 8000 THEN 'train'
+            WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 9000 THEN 'val'
+            WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 10000 THEN 'test'
+       END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment — stable
+    across runs/engines/cluster sizes (randomSplit is not)."""
+    from flechasdb_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(
+            _t(spark, sf_dir, "documents"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_hash_sample",
+    f"""
+SELECT doc_id FROM documents
+WHERE {_DD_SPLIT_BUCKET.format(salt="sample")} < 2000
+ORDER BY doc_id
+""",
+)
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% downsample by id hash."""
+    from flechasdb_spark.operators.sampling import hash_sample
+
+    return (
+        hash_sample(_t(spark, sf_dir, "documents"), 0.2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_contamination",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+sp AS (SELECT doc_id,
+         CASE WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 8000
+              THEN 'train'
+              WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents),
+lx0 AS (SELECT sh.doc_id AS id_left, unnest(g) AS shingle
+        FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE sp.split = 'train'),
+lx AS (SELECT * FROM lx0 WHERE shingle NOT IN (
+         SELECT shingle FROM lx0 GROUP BY shingle HAVING count(*) > 1000)),
+rx AS (SELECT sh.doc_id AS id_right, unnest(g) AS shingle
+       FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE sp.split = 'test')
+SELECT id_left, id_right, count(*) AS n_shared
+FROM lx JOIN rx USING (shingle)
+GROUP BY id_left, id_right HAVING count(*) >= 3
+ORDER BY id_left, id_right
+""",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: test-split documents sharing >= 3
+    distinct 3-grams with a train-split document (the pre-training
+    overlap check, composed from hash_split + the inverted-index
+    overlap operator)."""
+    from flechasdb_spark.operators.dedup import cross_ngram_overlap
+    from flechasdb_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    train = docs.where(F.col("split") == "train").select("doc_id", "text")
+    test = docs.where(F.col("split") == "test").select("doc_id", "text")
+    return cross_ngram_overlap(train, test, n=3, min_shared=3).orderBy(
+        "id_left", "id_right"
+    )
+
+
 _SW = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",

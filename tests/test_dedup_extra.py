@@ -143,3 +143,28 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     assert loose.count() == 10
     capped = ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=4)
     assert capped.count() == 0
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    """Splits are disjoint, exhaustive at fractions summing to 1, and
+    identical across invocations (the reproducibility contract
+    randomSplit lacks)."""
+    from flechasdb_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    pa = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    pb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert pa == pb
+    assert set(pa.values()) <= {"train", "val", "test"}
+    assert None not in pa.values()  # fractions sum to 1 -> exhaustive
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(docs, {"a": 0.9, "b": 0.2})
+    # hash_sample is a subset and deterministic
+    s1 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < docs.count()
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, 1.5)

@@ -241,3 +241,24 @@ def test_rerank_distances_are_exact(model, emb):
     for r in out.collect():
         true_d = float(((qmap[r.query_id] - vecs[r.vector_id]) ** 2).sum())
         assert abs(r.squared_distance - true_d) < 1e-6
+
+
+def test_query_and_cluster_event_callbacks(model, emb):
+    """Reference event-handler parity (src/db/stored.rs:513-532,
+    src/kmeans.rs:71-88): query phases and k-means iterations fire
+    instrumentation callbacks."""
+    from flechasdb_spark.operators.kmeans_np import kmeans_fit
+
+    events = []
+    qs = [(0, [0.0] * 64)]
+    ann_query(model, qs, k=3, nprobe=2, on_event=lambda s, dt: events.append(s))
+    assert events == ["select_probes", "adc_tables", "plan_built"]
+
+    kevents = []
+    kmeans_fit(
+        np.random.RandomState(0).randn(64, 4), 4, seed=1,
+        on_event=lambda e, p: kevents.append((e, p)),
+    )
+    assert kevents[0] == ("init", 4)
+    assert all(e == "iteration" for e, _ in kevents[1:])
+    assert all(p["shift"] >= 0 for _, p in kevents[1:])
