@@ -684,6 +684,70 @@ def q_ann_frozen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+@query(
+    "csv_source_knn",
+    f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT s.vec_id,
+         {_DD_SQL2.format(a="s.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM sub s, q)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_csv_source_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 source coverage through the driver gate: embeddings written
+    to CSV (vector as a delimited string — the common interchange
+    shape), read back via read_vectors_csv, searched. Float -> string
+    -> float round-trips exactly (shortest-repr), so the oracle over
+    the original parquet hash-matches."""
+    import tempfile
+
+    from flechasdb_spark.sources.vectors import read_vectors_csv
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    tmp = tempfile.mkdtemp(prefix="csv_src_")
+    emb.select(
+        "vec_id",
+        F.array_join(F.col("embedding").cast("array<string>"), ";").alias(
+            "embedding"
+        ),
+    ).write.mode("overwrite").option("header", True).csv(tmp)
+    df = read_vectors_csv(spark, tmp, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return flat_knn(df, qv, k=10, round_to=4)
+
+
+@query(
+    "json_source_stats",
+    """
+SELECT count(*) AS n_vectors,
+       round(sum(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+             x -> x*x)))), 2) AS total_norm
+FROM embeddings WHERE vec_id < 100
+""",
+)
+def q_json_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 source coverage: JSON-lines ingest (native array field) via
+    read_vectors_json, aggregated — hash-matched against the parquet
+    originals."""
+    import tempfile
+
+    from flechasdb_spark.functions.linalg import norm2
+    from flechasdb_spark.sources.vectors import read_vectors_json
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    tmp = tempfile.mkdtemp(prefix="json_src_")
+    emb.select("vec_id", "embedding").write.mode("overwrite").json(tmp)
+    df = read_vectors_json(spark, tmp, dim=64)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum(norm2("embedding")), 2).alias("total_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY.md §2.3 — Spark-native; TPC-H-ish over the
 # driver tables, exercising scan/filter/join/agg/window/sort/limit)
@@ -2361,6 +2425,88 @@ def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("event_seq"),
         )
         .orderBy("user_id", "event_seq")
+    )
+
+
+@query(
+    "orders_window_funcs",
+    """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       round(lag(o_totalprice) OVER w, 2) AS prev_price,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+         AS running_avg_price,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+         AS price_rank,
+       ntile(4) OVER w AS quartile
+FROM orders
+WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, seq
+""",
+)
+def q_orders_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function variety on one pass: row_number / lag /
+    running avg / rank / ntile over the same partition (all rank-family
+    funcs share one sort; ntile and rank are WindowGroupLimit-free but
+    single-shuffle). rank orders by the ROUNDED price so engine ulp
+    differences can't reorder ties."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("seq"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(
+                F.avg("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ).alias("running_avg_price"),
+            F.rank().over(wr).cast("long").alias("price_rank"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "seq")
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""",
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the spark.sql surface (the DataFrame API
+    has rollup/cube; arbitrary grouping sets go through SQL — one
+    Expand + one aggregation, partial-aggregable)."""
+    _ensure_conf(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
     )
 
 
