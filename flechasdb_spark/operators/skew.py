@@ -1,0 +1,48 @@
+"""Explicit skew mitigation: salted fact-fact equi-join.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; this operator is the EXPLICIT form for when the skew is known
+up-front and the layout must be deterministic (bucketed writes, stable
+partitioning across stages) or AQE is unavailable (streaming
+micro-batches, stateful stages).
+
+Shape: each left row gets a deterministic salt in [0, salt); the right
+side is replicated salt times (one copy per salt value); the join key
+becomes (key, salt). A key with R left rows now spreads over salt
+shuffle partitions instead of one. The result set is EXACTLY the plain
+join's (every left row still meets every matching right row exactly
+once) — oracle-checkable.
+
+Cost model: right side is duplicated salt× through the shuffle — use for
+a hot FACT side against a MEDIUM dimension (too big to broadcast, small
+enough that salt copies are cheap). A broadcastable right side should
+just broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    row_col: str | None = None,
+) -> DataFrame:
+    """Equi-join ``left`` with ``right`` on column ``on`` with an
+    ``salt``-way spread of hot keys. ``row_col`` (a column unique-ish
+    per left row, e.g. an event id) drives the deterministic salt;
+    defaults to hashing all left columns."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    salt_src = [F.col(row_col)] if row_col else [F.col(c) for c in left.columns]
+    l2 = left.withColumn("__salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt)))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l2.join(r2, [on, "__salt"]).drop("__salt")

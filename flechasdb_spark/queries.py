@@ -642,6 +642,58 @@ def q_stream_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maintenance_upsert_delete",
+    f"""
+{_DD_FROZEN_PREFIX},
+final AS (
+  SELECT vec_id, partition_id, division, code FROM encoded
+  WHERE vec_id NOT IN (0,1,2,3,4,5,6,7,8,9,10)
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, partition_id, division, code
+  FROM encoded WHERE vec_id < 5
+  UNION ALL
+  SELECT 10 AS vec_id, partition_id, division, code
+  FROM encoded WHERE vec_id = 11)
+SELECT vec_id, partition_id, division, code
+FROM final ORDER BY vec_id, division
+""",
+)
+def q_maintenance_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update/delete surface through the driver gate (the reference
+    leaves both unimplemented — README.md:73): save the frozen index,
+    delete ids 0..9, upsert 5 fresh ids (copies of vectors 0..4 at
+    id+100000) and REPLACE id 10 with vector 11's embedding, then read
+    the index back. The oracle recomputes the end state from the
+    deterministic encode (same embedding -> same codes)."""
+    import tempfile
+
+    from flechasdb_spark.operators.maintenance import (
+        delete_vectors,
+        upsert_vectors,
+    )
+    from flechasdb_spark.sources.manifest import save_index
+
+    model, emb = _frozen_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="maint_")
+    save_index(model, path)
+    model.encoded.unpersist()
+    delete_vectors(spark, model, path, list(range(10)))
+    fresh = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    replace10 = emb.where(F.col("vec_id") == 11).select(
+        F.lit(10).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    upsert_vectors(spark, model, path, fresh.unionAll(replace10))
+    enc = spark.read.parquet(f"{path}/index")
+    return enc.select(
+        "vec_id",
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.posexplode("codes").alias("division", "code"),
+    ).orderBy("vec_id", "division")
+
+
+@query(
     "ann_frozen_recall",
     f"""
 {_DD_FROZEN_PREFIX},
@@ -2507,6 +2559,40 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
         """
+    )
+
+
+@query(
+    "salted_join_agg",
+    """
+WITH dim AS (
+  SELECT user_id, round(avg(value), 6) AS user_avg
+  FROM events GROUP BY user_id)
+SELECT e.event_type, count(*) AS n_events,
+       round(sum(e.value * d.user_avg), 2) AS weighted_sum
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join (explicit hot-key spread) — result is
+    EXACTLY the plain join's, which is what the oracle computes."""
+    from flechasdb_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("user_avg")
+    )
+    joined = salted_join(ev, dim, on="user_id", salt=8, row_col="event_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("user_avg")), 2).alias(
+                "weighted_sum"
+            ),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -98,3 +98,30 @@ def test_get_attributes_unknown_id_errors(spark, emb):
         get_attributes(attrs, bad)
     # validate_ids=False skips the check: unknown ids silently drop
     assert get_attributes(attrs, bad, validate_ids=False).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes rows, never changes the result — including
+    a pathological hot key."""
+    from flechasdb_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 1 if i < 90 else i, float(i)) for i in range(100)],
+        "row_id long, k long, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (95, "cold"), (96, "cold2")], "k long, tag string"
+    )
+    plain = {
+        (r.row_id, r.k, r.tag)
+        for r in left.join(right, "k").select("row_id", "k", "tag").collect()
+    }
+    salted = {
+        (r.row_id, r.k, r.tag)
+        for r in salted_join(left, right, on="k", salt=4, row_col="row_id")
+        .select("row_id", "k", "tag")
+        .collect()
+    }
+    assert plain == salted and len(plain) == 92
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(left, right, on="k", salt=0)
