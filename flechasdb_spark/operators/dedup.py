@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash",
+    "simhash_neardup_pairs",
     "embedding_neardup",
     "embedding_neardup_pairs",
     "connected_components",
@@ -387,6 +388,76 @@ def simhash(
         term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banded candidate generation (the Manku/Jain/Sarma web-dedup shape):
+    the fingerprint splits into ``bands`` equal bit-ranges; candidates
+    share at least one band value — an equi-join on (band, value), never
+    a cross join. By pigeonhole, ``max_hamming < bands`` makes the
+    banding EXACT (a pair within distance max_hamming must agree on
+    >= 1 whole band), so results equal the quadratic definition and the
+    oracle can verify with the naive form.
+
+    Returns (id_a, id_b, hamming). Scale: expected band fan-in is
+    M / 2^(bits/bands) per value; duplicate-heavy values are equi-join
+    skew — AQE splits them.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits {bits} not divisible by bands {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= bands {bands}: banding would "
+            "miss pairs (pigeonhole needs max_hamming < bands)"
+        )
+    w = bits // bands
+    sh = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", "bv.band", "bv.val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"),
+        "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()  # a pair can meet in several bands
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def connected_components(

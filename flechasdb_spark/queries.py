@@ -1148,6 +1148,37 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_neardup",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} AS h FROM tok),
+bitsum AS (
+  SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS s
+  FROM hashed, range(16) r(i) GROUP BY doc_id, i),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS fp
+  FROM bitsum GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash Hamming join (exact by pigeonhole at
+    max_hamming < bands) — the oracle verifies with the quadratic
+    definition, which the banding provably equals."""
+    from flechasdb_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "embedding_neardup",
     """
 WITH n AS (

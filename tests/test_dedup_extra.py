@@ -168,3 +168,30 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     assert 0 < len(s1) < docs.count()
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(docs, 1.5)
+
+
+def test_simhash_banding_is_exact(spark):
+    """Pigeonhole: with max_hamming < bands the banded candidate join
+    finds EXACTLY the quadratic-definition pairs."""
+    from flechasdb_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            docs, bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    fp = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    ids = sorted(fp)
+    quad = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert banded == quad and quad
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, bits=16, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_neardup_pairs(docs, bits=16, bands=5)
