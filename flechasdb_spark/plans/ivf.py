@@ -152,7 +152,7 @@ def ann_query(
     query_ids: list[int] | None = None,
     round_to: int | None = None,
     where=None,
-    scorer: str = "sql",
+    scorer: str = "auto",
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
     on_event=None,
@@ -168,12 +168,16 @@ def ann_query(
     that all satisfy the predicate (no reference counterpart; free in
     Spark because attributes live on the encoded rows).
 
-    ``scorer``: "sql" (default) gathers the ADC table with pure
-    Catalyst expressions — the table travels as a column of the
-    broadcast probe row, keeping the scan inside whole-stage codegen;
-    "pandas" is the Arrow/NumPy gather variant (wins when D*C is large
-    enough that per-row expression evaluation beats Arrow transfer).
-    Identical results (tested).
+    ``scorer``: "sql" gathers the ADC table with pure Catalyst
+    expressions — the table travels as a column of the broadcast probe
+    row, keeping the scan inside whole-stage codegen; "pandas" keeps
+    the tables in a Spark broadcast and gathers with NumPy (only
+    probe_idx + codes cross Arrow). "auto" (default) picks by total
+    table size: the sql form copies the D*C array into every joined
+    row, so past ~100k table doubles the Arrow variant wins (measured
+    66 s vs 20 s at 200k vectors, Q=100, D=16, C=64; at bench scale
+    the sql form wins by the reverse margin). Results agree on the
+    rounded-score contract (tested).
 
     ``on_event(stage, seconds)`` mirrors the reference's query event
     handlers (/root/reference/src/db/stored.rs:513-532): fired after the
@@ -218,6 +222,8 @@ def ann_query(
     spark = model.encoded.sparkSession
     d = model.config.num_divisions
 
+    if scorer == "auto":
+        scorer = "pandas" if tables.size > 100_000 else "sql"
     if scorer == "sql":
         # the ADC table rides ON the broadcast probe row as
         # array<array<double>> (D x C, ~8 KB per probe); the per-vector
@@ -279,8 +285,15 @@ def ann_query(
     )
     if where is not None:
         candidates = candidates.where(where)
-    scored = candidates.join(probes_df, "partition_id").withColumn(
-        "__score", score_expr
+    scored = (
+        candidates.join(probes_df, "partition_id")
+        .withColumn("__score", score_expr)
+        # project IMMEDIATELY: the probe row carries the D x C ADC table
+        # (~8 KB) and the candidate row its codes — letting either reach
+        # the top-k window would put them on the rank shuffle (measured
+        # 68 s -> 3.6 s at 200k x 100 queries when this select was
+        # missing). Only 4 small columns may survive the scoring stage.
+        .select("query_id", id_col, "partition_id", "__score")
     )
     # With round_to set, RANKING uses the rounded score (ties by id) —
     # the determinism contract: unrounded ADC sums differ across engines

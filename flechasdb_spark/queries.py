@@ -2434,6 +2434,62 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+WITH l AS (SELECT user_id, event_id, value, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT l.user_id, l.event_id AS left_event_id,
+       r.event_id AS right_event_id,
+       round(l.value, 4) AS left_value
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+ORDER BY l.user_id, left_event_id, right_event_id
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x views within
+    1 hour) drained with availableNow — bounded state on both sides;
+    inner-join output equals the batch interval join (the oracle)."""
+    _ensure_conf(spark)
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    name = f"__stream_ssj_{_STREAM_RUN_COUNTER[0]}"
+    tmp = tempfile.mkdtemp(prefix="stream_ssj_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    clicks = read_event_stream(spark, tmp).where(
+        F.col("event_type") == "click"
+    )
+    views = read_event_stream(spark, tmp).where(F.col("event_type") == "view")
+    q = (
+        stream_stream_join(clicks, views, within="1 hour")
+        .select(
+            "user_id",
+            "left_event_id",
+            "right_event_id",
+            F.round("left_value", 4).alias("left_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    return spark.table(name).orderBy(
+        "user_id", "left_event_id", "right_event_id"
+    )
+
+
+@query(
     "events_sessionize",
     """
 WITH o AS (

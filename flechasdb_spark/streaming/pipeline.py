@@ -47,6 +47,7 @@ __all__ = [
     "incremental_encode",
     "stream_static_knn",
     "stream_dedup",
+    "stream_stream_join",
     "stateful_session_count",
     "run_available_now",
 ]
@@ -189,6 +190,59 @@ def stream_dedup(
         "__event_time", F.expr(f"timestamp_micros({time_col_ns} div 1000)")
     ).withWatermark("__event_time", watermark)
     return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_time")
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col_ns: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the SAME key that occur within ``within``
+    AFTER it. Both sides carry watermarks, so the state store only
+    buffers ``watermark + within`` of data per side — the bounded-state
+    contract that makes stream-stream joins viable at scale (an
+    unwatermarked join buffers both streams forever).
+
+    On a bounded input drained with availableNow the inner-join output
+    equals the batch interval join (tested + oracle row)."""
+    l2 = (
+        left.withColumn(
+            "__lt", F.expr(f"timestamp_micros({time_col_ns} div 1000)")
+        )
+        .withWatermark("__lt", watermark)
+        .select(
+            F.col(key).alias("__lk"),
+            F.col("event_id").alias("left_event_id"),
+            F.col("value").alias("left_value"),
+            "__lt",
+        )
+    )
+    r2 = (
+        right.withColumn(
+            "__rt", F.expr(f"timestamp_micros({time_col_ns} div 1000)")
+        )
+        .withWatermark("__rt", watermark)
+        .select(
+            F.col(key).alias("__rk"),
+            F.col("event_id").alias("right_event_id"),
+            "__rt",
+        )
+    )
+    return l2.join(
+        r2,
+        F.expr(
+            f"__lk = __rk AND __rt > __lt AND __rt <= __lt + interval {within}"
+        ),
+    ).select(
+        F.col("__lk").alias(key),
+        "left_event_id",
+        "right_event_id",
+        "left_value",
+    )
 
 
 def stateful_session_count(

@@ -262,3 +262,21 @@ def test_query_and_cluster_event_callbacks(model, emb):
     assert kevents[0] == ("init", 4)
     assert all(e == "iteration" for e, _ in kevents[1:])
     assert all(p["shift"] >= 0 for _, p in kevents[1:])
+
+
+def test_scorers_agree_on_rounded_contract(model, emb):
+    """sql and pandas ADC scorers return the same rows under the
+    rounded-ranking contract (auto picks between them by table size)."""
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    a = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(model, qs, k=5, nprobe=4, round_to=4, scorer="sql").collect()
+    )
+    b = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(model, qs, k=5, nprobe=4, round_to=4, scorer="pandas").collect()
+    )
+    assert a == b
