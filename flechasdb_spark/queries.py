@@ -2215,6 +2215,78 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pivot",
+    """
+SELECT user_id,
+       round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2)
+         AS click_sum,
+       round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2)
+         AS view_sum,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2)
+         AS purchase_sum,
+       count(*) AS n_events
+FROM events WHERE user_id < 50
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: groupBy().pivot() with an explicit value list
+    (one pass, no per-value scans; the oracle is the equivalent
+    conditional aggregation)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2))
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        pivoted.join(counts, "user_id")
+        .select(
+            "user_id",
+            F.coalesce(F.col("click"), F.lit(0.0)).alias("click_sum"),
+            F.coalesce(F.col("view"), F.lit(0.0)).alias("view_sum"),
+            F.coalesce(F.col("purchase"), F.lit(0.0)).alias("purchase_sum"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "above_avg_lineitems",
+    """
+SELECT l.l_orderkey, l.l_linenumber,
+       round(l.l_quantity, 2) AS l_quantity,
+       round(pa.avg_qty, 4) AS part_avg_qty
+FROM lineitem l
+JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity > 1.5 * pa.avg_qty
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def q_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (rows above their group's average) —
+    decorrelated into a grouped aggregate + equi-join, the plan Catalyst
+    itself produces for the correlated subquery form."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .where(F.col("l_quantity") > 1.5 * F.col("avg_qty"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("l_quantity"),
+            F.round("avg_qty", 4).alias("part_avg_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
     "events_tumbling_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
