@@ -1,0 +1,66 @@
+"""Sketch aggregates with DETERMINISTIC, oracle-checkable arithmetic.
+
+Spark's built-in sketches (approx_count_distinct's HLL++,
+percentile_approx's KLL) give engine-specific answers, so they can't be
+driver-gated against DuckDB. KMV (k-minimum-values) over the shared
+md5-based hash (functions/texthash.py) can: both engines compute the
+same k smallest 60-bit hashes, hence the same estimate, bit for bit —
+a sketch with an exact cross-engine oracle.
+
+Estimator (Bar-Yossef et al.): with h uniform on [0, 2^60) and H_k the
+k-th smallest distinct hash, distinct-count ≈ (k-1) * 2^60 / H_k; when
+fewer than k distinct hashes exist the count is exact. Standard error
+~ 1/sqrt(k-2).
+
+Scale: one distinct + one per-group top-k (WindowGroupLimit — each task
+keeps k hashes per group before the exchange), so the shuffle carries
+O(groups * k) rows regardless of data size — the whole point of a
+sketch at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.texthash import md5_long
+
+__all__ = ["kmv_distinct", "KMV_SPACE"]
+
+KMV_SPACE = float(2**60)  # md5_long is the first 15 hex chars = 60 bits
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group distinct-count estimate of ``value_col`` via KMV.
+
+    Returns (group_cols..., n_kept, kmv_estimate) where n_kept is the
+    number of hashes retained (= exact distinct count when < k)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3 (estimator needs k-2 > 0), got {k}")
+    group_cols = group_cols or []
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashes = df.select(
+        *group_cols, md5_long(c.cast("string")).alias("__h")
+    ).distinct()
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("__h")
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy("__h")
+    kept = hashes.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("__hk"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.col("__hk"))
+    return agg.select(
+        *group_cols, "n_kept", F.round(est, 4).alias("kmv_estimate")
+    )

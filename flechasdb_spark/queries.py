@@ -2287,6 +2287,46 @@ def q_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_users",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         {_DD_MD5H.format(x="user_id::VARCHAR")} AS hh
+  FROM events),
+ranked AS (
+  SELECT event_type, hh,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+  FROM h),
+agg AS (
+  SELECT event_type, count(*) AS n_kept, max(hh) AS hk
+  FROM ranked WHERE rn <= 64 GROUP BY event_type),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type)
+SELECT a.event_type, a.n_kept,
+       round(CASE WHEN a.n_kept < 64 THEN a.n_kept::DOUBLE
+                  ELSE 63.0 * 1152921504606846976.0 / a.hk END, 4)
+         AS kmv_estimate,
+       e.n_exact
+FROM agg a JOIN ex e ON a.event_type = e.event_type
+ORDER BY a.event_type
+""",
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type vs the exact count —
+    the deterministic (md5-ordered) sketch BOTH engines can compute bit
+    for bit, unlike HLL/KLL. Shuffle carries O(groups*k) rows only."""
+    from flechasdb_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "user_id", group_cols=["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+@query(
     "events_tumbling_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,

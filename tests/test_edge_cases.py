@@ -125,3 +125,23 @@ def test_salted_join_equals_plain_join(spark):
     assert plain == salted and len(plain) == 92
     with pytest.raises(ValueError, match="salt"):
         salted_join(left, right, on="k", salt=0)
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """KMV: exact when distinct < k; within ~3/sqrt(k) of truth when
+    sketching; k < 3 rejected."""
+    from flechasdb_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 1500).alias("v")
+    )
+    # g=0: distinct v = 750+ ... both groups have 750 distinct values
+    out = {r.g: r for r in kmv_distinct(df, "v", ["g"], k=128).collect()}
+    for g in (0, 1):
+        est = out[g].kmv_estimate
+        assert abs(est - 750) / 750 < 3 / (128 ** 0.5), (g, est)
+    small = spark.range(50).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    r = kmv_distinct(small, "v", ["g"], k=128).first()
+    assert r.n_kept == 50 and r.kmv_estimate == 50.0
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(small, "v", ["g"], k=2)
