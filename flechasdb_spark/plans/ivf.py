@@ -170,13 +170,17 @@ def ann_query(
 
     ``scorer``: "sql" gathers the ADC table with pure Catalyst
     expressions — the table travels as a column of the broadcast probe
-    row, keeping the scan inside whole-stage codegen; "pandas" keeps
-    the tables in a Spark broadcast and gathers with NumPy (only
-    probe_idx + codes cross Arrow). "auto" (default) picks by total
-    table size: the sql form copies the D*C array into every joined
-    row, so past ~100k table doubles the Arrow variant wins (measured
-    66 s vs 20 s at 200k vectors, Q=100, D=16, C=64; at bench scale
-    the sql form wins by the reverse margin). Results agree on the
+    row, keeping the scan inside whole-stage codegen. "pandas" keeps
+    the tables in a Spark broadcast and gathers with NumPy per row
+    (only probe_idx + codes cross Arrow). "batch" scores whole Arrow
+    batches in NumPy via mapInPandas AND applies a batch-local top-k
+    with the same (rounded score, id) order as the global window, so
+    the rank shuffle sees O(Q * k * batches) rows instead of every
+    scored candidate. "auto" (default) picks by total table size: the
+    sql form copies the D*C array into every joined row, so past ~100k
+    table doubles the batch form wins (measured at 200k vectors,
+    Q=100, D=16, C=64: sql 66 s, pandas 20 s, batch ~6 s; at bench
+    scale sql wins by the reverse margin). All scorers agree under the
     rounded-score contract (tested).
 
     ``on_event(stage, seconds)`` mirrors the reference's query event
@@ -221,9 +225,11 @@ def ann_query(
 
     spark = model.encoded.sparkSession
     d = model.config.num_divisions
+    id_col = model.config.id_col
+    adc_k = k * rerank_factor if rerank is not None else k
 
     if scorer == "auto":
-        scorer = "pandas" if tables.size > 100_000 else "sql"
+        scorer = "batch" if tables.size > 100_000 else "sql"
     if scorer == "sql":
         # the ADC table rides ON the broadcast probe row as
         # array<array<double>> (D x C, ~8 KB per probe); the per-vector
@@ -274,27 +280,85 @@ def ann_query(
             )
 
         score_expr = adc_score(F.col("probe_idx"), F.col("codes"))
-    else:
+    elif scorer != "batch":
         raise ValueError(f"unknown scorer: {scorer}")
 
     probed_pids = [int(x) for x in np.unique(probe_pid)]
-    id_col = model.config.id_col
     candidates = model.encoded.where(
         # partition pruning: only probed directories are read (S3)
         F.col("partition_id").isin(probed_pids)
     )
     if where is not None:
         candidates = candidates.where(where)
-    scored = (
-        candidates.join(probes_df, "partition_id")
-        .withColumn("__score", score_expr)
-        # project IMMEDIATELY: the probe row carries the D x C ADC table
-        # (~8 KB) and the candidate row its codes — letting either reach
-        # the top-k window would put them on the rank shuffle (measured
-        # 68 s -> 3.6 s at 200k x 100 queries when this select was
-        # missing). Only 4 small columns may survive the scoring stage.
-        .select("query_id", id_col, "partition_id", "__score")
-    )
+    if scorer == "batch":
+        # whole-batch NumPy scoring + BATCH-LOCAL top-k inside the UDF:
+        # for each Arrow batch, score every (probing query, row) pair
+        # with one vectorized gather and keep only the adc_k best rows
+        # per query by the same (rounded score, id) order the global
+        # window uses — union of per-batch top-k provably contains the
+        # global top-k, so the window input shrinks from
+        # O(rows * probes/partition) to O(Q * adc_k * batches).
+        sc = spark.sparkContext
+        b_tables = sc.broadcast(tables)
+        by_pid: dict[int, list[tuple[int, int]]] = {}
+        for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid)):
+            by_pid.setdefault(int(pid), []).append((int(qids[qi]), int(i)))
+        b_probes = sc.broadcast(by_pid)
+        id_type = model.encoded.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"query_id long, {id_col} {id_type}, "
+            "partition_id int, __score double"
+        )
+        cut, rt, dd = adc_k, round_to, d
+
+        def score_partition(batches):
+            t = b_tables.value
+            probes = b_probes.value
+            ar = np.arange(dd)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                outs = []
+                for pid, grp in pdf.groupby("partition_id"):
+                    plist = probes.get(int(pid))
+                    if not plist:
+                        continue
+                    cd = np.vstack(grp["codes"].to_numpy())
+                    vids = grp[id_col].to_numpy()
+                    for query_id, pi in plist:
+                        s = t[pi, ar[None, :], cd].sum(axis=1)
+                        rs = np.round(s, rt) if rt is not None else s
+                        sel = (
+                            np.lexsort((vids, rs))[:cut]
+                            if len(s) > cut
+                            else np.arange(len(s))
+                        )
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": query_id,
+                                    id_col: vids[sel],
+                                    "partition_id": int(pid),
+                                    "__score": s[sel],
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        scored = candidates.select(
+            id_col, "partition_id", "codes"
+        ).mapInPandas(score_partition, out_schema)
+    else:
+        scored = (
+            candidates.join(probes_df, "partition_id")
+            .withColumn("__score", score_expr)
+            # project IMMEDIATELY: the probe row carries the D x C ADC
+            # table (~8 KB) and the candidate row its codes — letting
+            # either reach the top-k window would put them on the rank
+            # shuffle. Only 4 small columns may survive scoring.
+            .select("query_id", id_col, "partition_id", "__score")
+        )
     # With round_to set, RANKING uses the rounded score (ties by id) —
     # the determinism contract: unrounded ADC sums differ across engines
     # in the last ulp (summation order), so only the rounded value is a
@@ -307,7 +371,6 @@ def ann_query(
     w = Window.partitionBy("query_id").orderBy(
         rank_score.asc(), F.col(id_col).asc()
     )
-    adc_k = k * rerank_factor if rerank is not None else k
     topk = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= adc_k
     )

@@ -265,18 +265,20 @@ def test_query_and_cluster_event_callbacks(model, emb):
 
 
 def test_scorers_agree_on_rounded_contract(model, emb):
-    """sql and pandas ADC scorers return the same rows under the
-    rounded-ranking contract (auto picks between them by table size)."""
+    """sql, pandas, and batch ADC scorers return the same rows under
+    the rounded-ranking contract (auto picks among them by table
+    size)."""
     qs = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.where(F.col("vec_id") < 5).collect()
     ]
-    a = sorted(
-        (r.query_id, r.vector_id, r.squared_distance)
-        for r in ann_query(model, qs, k=5, nprobe=4, round_to=4, scorer="sql").collect()
-    )
-    b = sorted(
-        (r.query_id, r.vector_id, r.squared_distance)
-        for r in ann_query(model, qs, k=5, nprobe=4, round_to=4, scorer="pandas").collect()
-    )
-    assert a == b
+    results = {
+        scorer: sorted(
+            (r.query_id, r.vector_id, r.squared_distance)
+            for r in ann_query(
+                model, qs, k=5, nprobe=4, round_to=4, scorer=scorer
+            ).collect()
+        )
+        for scorer in ("sql", "pandas", "batch")
+    }
+    assert results["sql"] == results["pandas"] == results["batch"]
