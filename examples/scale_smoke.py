@@ -67,6 +67,21 @@ def main() -> None:
     dt = time.time() - t0
     print(f"warm 100-query batch: {dt:.1f}s ({100 / dt:.0f} qps)")
 
+    # pre-trained encode-only pass (the per-shard number at 100 TB)
+    from flechasdb_spark.operators.build import assemble_index
+
+    t0 = time.time()
+    m2 = assemble_index(big, model.centroids, model.codebooks, cfg)
+    dt = time.time() - t0
+    print(f"assemble_index (encode only): {dt:.1f}s ({n / dt:.0f} vec/s)")
+    m2.encoded.unpersist()
+
+    # exact re-rank refinement: recall and marginal cost
+    t0 = time.time()
+    reranked = ann_query(model, qs, k=10, nprobe=8, rerank=big, rerank_factor=4)
+    reranked.collect()
+    print(f"re-ranked 100-query batch: {time.time() - t0:.1f}s")
+
     qdf = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
     )
@@ -74,6 +89,10 @@ def main() -> None:
     ap = approx.select("query_id", F.col("vector_id").alias("vec_id"))
     r = recall_at_k(exact, ap).agg(F.avg("recall")).first()[0]
     print(f"recall@10 (nprobe=8/64, near-random vectors): {r:.3f}")
+    rr = recall_at_k(
+        exact, reranked.select("query_id", F.col("vector_id").alias("vec_id"))
+    ).agg(F.avg("recall")).first()[0]
+    print(f"recall@10 with exact re-rank x4: {rr:.3f}")
     spark.stop()
 
 
