@@ -68,6 +68,12 @@ class IndexConfig:
     # "sample" (driver-side seeded NumPy k-means on a bounded sample)
     # or "mllib" (distributed KMeans over the full data)
     coarse: str = "sample"
+    # keep the ORIGINAL vector column on the encoded rows (and thus in
+    # the persisted index partitions) alongside the PQ codes — the
+    # IVF+PQ-with-refinement layout: ~4*N bytes/vector extra storage
+    # buys ann_query(rerank="stored") an exact re-rank in the SAME
+    # pruned scan that scores ADC (no second table, no second scan)
+    keep_vectors: bool = False
 
 
 @dataclass
@@ -334,10 +340,13 @@ def assemble_index(
             f"({d_cfg}, {c_cfg}, {n // d_cfg})"
         )
     attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
+    keep = [cfg.vec_col] if cfg.keep_vectors else []
     encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
     encoded = (
-        df.select(cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols)
-        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols)
+        df.select(
+            cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols, *keep
+        )
+        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols, *keep)
         .persist()
     )
     return IndexModel(
@@ -404,10 +413,13 @@ def build_index(
         centroids, codebooks = _train_sample(sample, cfg, n)
     t0 = _mark("train", t0)
 
+    keep = [cfg.vec_col] if cfg.keep_vectors else []
     encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
     encoded = (
-        df.select(cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols)
-        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols)
+        df.select(
+            cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols, *keep
+        )
+        .select(cfg.id_col, "__enc.partition_id", "__enc.codes", *attr_cols, *keep)
         .persist()
     )
     num_vectors = encoded.count()

@@ -198,6 +198,16 @@ def ann_query(
     candidate set is O(Q * k * rerank_factor) rows — broadcast into one
     hash-join against the vector table (one scan, no shuffle of the big
     side); ``squared_distance`` then holds the exact distance.
+
+    ``rerank="stored"``: FUSED refinement for indexes built with
+    ``IndexConfig(keep_vectors=True)`` (original vectors stored on the
+    encoded rows). The batch scorer computes the exact distance for its
+    batch-local ADC top-``k * rerank_factor`` survivors inside the SAME
+    mapInPandas pass over the pruned partitions — no second table, no
+    second scan, no join; the global ADC cut then picks exactly the
+    same candidate set as the join form (both cut by rounded ADC score,
+    id), so results are identical. This is the right shape when the
+    re-rank source would otherwise be a full scan of the vector corpus.
     """
     if isinstance(queries, np.ndarray):
         qarr = queries.astype(np.float64)
@@ -226,8 +236,22 @@ def ann_query(
     spark = model.encoded.sparkSession
     d = model.config.num_divisions
     id_col = model.config.id_col
+    vec_col = model.config.vec_col
     adc_k = k * rerank_factor if rerank is not None else k
 
+    fused = isinstance(rerank, str)
+    if fused:
+        if rerank != "stored":
+            raise ValueError(f"unknown rerank mode: {rerank!r}")
+        if vec_col not in model.encoded.columns:
+            raise ValueError(
+                "rerank='stored' needs the original vectors on the encoded "
+                "rows — build with IndexConfig(keep_vectors=True)"
+            )
+        if scorer == "auto":
+            scorer = "batch"
+        elif scorer != "batch":
+            raise ValueError("rerank='stored' requires scorer='batch'")
     if scorer == "auto":
         scorer = "batch" if tables.size > 100_000 else "sql"
     if scorer == "sql":
@@ -301,19 +325,26 @@ def ann_query(
         sc = spark.sparkContext
         b_tables = sc.broadcast(tables)
         by_pid: dict[int, list[tuple[int, int]]] = {}
+        qpos = {int(q): i for i, q in enumerate(qids)}
         for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid)):
             by_pid.setdefault(int(pid), []).append((int(qids[qi]), int(i)))
         b_probes = sc.broadcast(by_pid)
+        b_queries = sc.broadcast((qarr, qpos)) if fused else None
         id_type = model.encoded.schema[id_col].dataType.simpleString()
         out_schema = (
             f"query_id long, {id_col} {id_type}, "
             "partition_id int, __score double"
-        )
+        ) + (", __exact double" if fused else "")
         cut, rt, dd = adc_k, round_to, d
+        in_cols = [id_col, "partition_id", "codes"] + (
+            [vec_col] if fused else []
+        )
+        vcol = vec_col
 
         def score_partition(batches):
             t = b_tables.value
             probes = b_probes.value
+            qv, qp = b_queries.value if b_queries is not None else (None, None)
             ar = np.arange(dd)
             for pdf in batches:
                 if pdf.empty:
@@ -325,6 +356,11 @@ def ann_query(
                         continue
                     cd = np.vstack(grp["codes"].to_numpy())
                     vids = grp[id_col].to_numpy()
+                    embs = (
+                        np.vstack(grp[vcol].to_numpy()).astype(np.float64)
+                        if qv is not None
+                        else None
+                    )
                     for query_id, pi in plist:
                         s = t[pi, ar[None, :], cd].sum(axis=1)
                         rs = np.round(s, rt) if rt is not None else s
@@ -333,22 +369,27 @@ def ann_query(
                             if len(s) > cut
                             else np.arange(len(s))
                         )
-                        outs.append(
-                            pd.DataFrame(
-                                {
-                                    "query_id": query_id,
-                                    id_col: vids[sel],
-                                    "partition_id": int(pid),
-                                    "__score": s[sel],
-                                }
+                        cols = {
+                            "query_id": query_id,
+                            id_col: vids[sel],
+                            "partition_id": int(pid),
+                            "__score": s[sel],
+                        }
+                        if embs is not None:
+                            # fused refinement: exact squared L2 for the
+                            # batch-local ADC survivors only — O(cut * N)
+                            # per probe, in the same Arrow pass
+                            diff = embs[sel] - qv[qp[query_id]]
+                            cols["__exact"] = np.einsum(
+                                "ij,ij->i", diff, diff
                             )
-                        )
+                        outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        scored = candidates.select(
-            id_col, "partition_id", "codes"
-        ).mapInPandas(score_partition, out_schema)
+        scored = candidates.select(*in_cols).mapInPandas(
+            score_partition, out_schema
+        )
     else:
         scored = (
             candidates.join(probes_df, "partition_id")
@@ -374,7 +415,18 @@ def ann_query(
     topk = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= adc_k
     )
-    if rerank is not None:
+    if fused:
+        # exact scores already computed in-scan for every candidate that
+        # could survive the global ADC cut; swap them in and re-rank.
+        # Both windows hash-partition by query_id, so the second one
+        # reuses the first's exchange (sort-only within partitions).
+        topk = topk.select(
+            "query_id",
+            id_col,
+            "partition_id",
+            F.col("__exact").alias("__score"),
+        ).withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    elif rerank is not None:
         qdf = F.broadcast(
             spark.createDataFrame(
                 [(int(q), [float(x) for x in v]) for q, v in zip(qids, qarr)],

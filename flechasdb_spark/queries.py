@@ -386,7 +386,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:  # SQL-reproduci
 _FRZ_QLO, _FRZ_QHI, _FRZ_K, _FRZ_NPROBE, _FRZ_RR = 40, 48, 5, 2, 4
 
 
-def _frozen_model(spark: SparkSession, sf_dir: str):
+def _frozen_model(spark: SparkSession, sf_dir: str, keep_vectors: bool = False):
     import numpy as np
 
     from flechasdb_spark.operators.build import IndexConfig, assemble_index
@@ -412,6 +412,7 @@ def _frozen_model(spark: SparkSession, sf_dir: str):
         num_divisions=_PQ_D,
         num_codes=_PQ_C,
         seed=0,
+        keep_vectors=keep_vectors,
     )
     # label rides along as an attribute column (filtered-search rows)
     model = assemble_index(
@@ -553,6 +554,50 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_FRZ_NPROBE,
         round_to=4,
         rerank=emb,
+        rerank_factor=_FRZ_RR,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_ivfpq_rerank_fused",
+    f"""
+{_DD_FROZEN_PREFIX},
+cand AS (
+  SELECT query_id, vector_id, partition_id FROM ranked
+  WHERE rank <= {_FRZ_K * _FRZ_RR}),
+exact AS (
+  SELECT c.query_id, c.vector_id, c.partition_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS ed
+  FROM cand c JOIN embeddings e ON c.vector_id = e.vec_id
+       JOIN q ON c.query_id = q.query_id),
+rr AS (
+  SELECT query_id, vector_id, partition_id, ed,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round(ed, 4), vector_id) AS rank
+  FROM exact)
+SELECT query_id, vector_id, partition_id, round(ed, 4) AS squared_distance,
+       rank
+FROM rr WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_ivfpq_rerank_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-index ANN with the FUSED exact re-rank: the index stores
+    the original vectors next to the codes (keep_vectors=True), and the
+    batch scorer computes exact distances for its batch-local ADC
+    survivors inside the same pruned mapInPandas scan — no second scan
+    or join. Same oracle as ann_ivfpq_rerank (the two forms are
+    candidate-set-identical by construction)."""
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir, keep_vectors=True)
+    out = ann_query(
+        model,
+        _frozen_queries(emb),
+        k=_FRZ_K,
+        nprobe=_FRZ_NPROBE,
+        round_to=4,
+        rerank="stored",
         rerank_factor=_FRZ_RR,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))

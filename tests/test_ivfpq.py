@@ -243,6 +243,51 @@ def test_rerank_distances_are_exact(model, emb):
         assert abs(r.squared_distance - true_d) < 1e-6
 
 
+def test_fused_rerank_matches_join_rerank(emb):
+    """rerank='stored' (exact distances computed inside the pruned ADC
+    scan, keep_vectors index) returns the same rows as the join-based
+    rerank under the rounded contract, and errors without stored
+    vectors or with a non-batch scorer."""
+    from flechasdb_spark.operators.build import assemble_index, build_index
+
+    kept = build_index(
+        emb,
+        IndexConfig(
+            num_partitions=CFG.num_partitions,
+            num_divisions=CFG.num_divisions,
+            num_codes=CFG.num_codes,
+            seed=CFG.seed,
+            keep_vectors=True,
+        ),
+    )
+    assert "embedding" in kept.encoded.columns
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    joined = sorted(
+        (r.query_id, r.vector_id, r.squared_distance, r.rank)
+        for r in ann_query(
+            kept, qs, k=5, nprobe=8, round_to=4, rerank=emb, rerank_factor=4
+        ).collect()
+    )
+    fused = sorted(
+        (r.query_id, r.vector_id, r.squared_distance, r.rank)
+        for r in ann_query(
+            kept, qs, k=5, nprobe=8, round_to=4, rerank="stored", rerank_factor=4
+        ).collect()
+    )
+    assert fused == joined
+
+    no_vec = build_index(emb, CFG)
+    with pytest.raises(ValueError, match="keep_vectors"):
+        ann_query(no_vec, qs, k=5, nprobe=8, rerank="stored")
+    with pytest.raises(ValueError, match="scorer"):
+        ann_query(kept, qs, k=5, nprobe=8, rerank="stored", scorer="sql")
+    with pytest.raises(ValueError, match="rerank mode"):
+        ann_query(kept, qs, k=5, nprobe=8, rerank="bogus")
+
+
 def test_query_and_cluster_event_callbacks(model, emb):
     """Reference event-handler parity (src/db/stored.rs:513-532,
     src/kmeans.rs:71-88): query phases and k-means iterations fire
