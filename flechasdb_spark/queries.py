@@ -2260,6 +2260,95 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_join",
+    """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE event_type IN ('click', 'view')),
+r AS (
+  SELECT user_id, epoch_us(ts) AS p_us, max(value) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts))
+SELECT l.event_id, l.user_id, l.ts_us::BIGINT AS ts_us,
+       round(r.p_value, 2) AS last_purchase_value,
+       ((l.ts_us - r.p_us) // 1000000)::BIGINT AS purchase_age_s
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.p_us
+ORDER BY event_id
+""",
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click/view event annotated with the
+    user's most recent purchase AT OR BEFORE that instant (backward
+    inclusive as-of). The union-window form shuffles |L|+|R| rows once
+    on user_id — no range-join blowup (operators/temporal.py); the
+    oracle is DuckDB's native ASOF LEFT JOIN. Purchases are
+    pre-aggregated per (user, instant) so the as-of winner is unique."""
+    from flechasdb_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr(_TS_US).cast("long")
+    )
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_us").alias("p_us"))
+        .agg(F.max("value").alias("p_value"))
+    )
+    out = asof_join(
+        left, right, on="ts_us", by="user_id",
+        right_on="p_us", value_cols=["p_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round("p_value", 2).alias("last_purchase_value"),
+        F.expr("(ts_us - __matched_ts_us) div 1000000")
+        .cast("long")
+        .alias("purchase_age_s"),
+    ).orderBy("event_id")
+
+
+@query(
+    "events_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    p*(n-1) interpolation rule, so values hash-match without any
+    sketch. (The engine-specific approximate path is the KMV sketch in
+    operators/sketch.py; this row is the exact baseline.) Exact
+    percentile sorts within each group — for heavier tails use
+    approx_percentile or the sketch."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pct.alias("__p"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at("__p", 1), 4).alias("p50"),
+            F.round(F.element_at("__p", 2), 4).alias("p90"),
+            F.round(F.element_at("__p", 3), 4).alias("p99"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "tpch_q7",
     """
 SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
