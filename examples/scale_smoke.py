@@ -82,6 +82,22 @@ def main() -> None:
     reranked.collect()
     print(f"re-ranked 100-query batch: {time.time() - t0:.1f}s")
 
+    # fused re-rank: vectors stored on the encoded rows, exact distances
+    # computed inside the same pruned ADC scan (no second scan/join)
+    kept_cfg = IndexConfig(
+        num_partitions=64, num_divisions=16, num_codes=64, seed=7,
+        keep_vectors=True,
+    )
+    kept = assemble_index(big, model.centroids, model.codebooks, kept_cfg)
+    kept.encoded.count()  # materialize cache before timing the query
+    t0 = time.time()
+    fused = ann_query(
+        kept, qs, k=10, nprobe=8, rerank="stored", rerank_factor=4
+    )
+    fused.collect()
+    print(f"FUSED re-ranked 100-query batch: {time.time() - t0:.1f}s")
+    kept.encoded.unpersist()
+
     qdf = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
     )

@@ -23,6 +23,7 @@ __all__ = [
     "dot",
     "squared_l2",
     "norm2",
+    "norm2_scaled",
     "normalize",
     "add",
     "subtract",
@@ -65,6 +66,30 @@ def norm2(a: Column | str) -> Column:
     pre-scales by √max|x| against f32 overflow; double accumulation makes
     that guard unnecessary here — parity-tested in tests/test_linalg.py)."""
     return F.sqrt(dot(a, a))
+
+
+def norm2_scaled(a: Column | str) -> Column:
+    """Overflow-safe Euclidean norm: m·√(Σ (aᵢ/m)²) with m = max|aᵢ| —
+    the reference's pre-scaling form VERBATIM (src/linalg.rs:61-146,
+    where f32 squares overflow near 1e19). In double the plain form
+    already covers every float input the engine stores, so ``norm2`` is
+    the hot-path kernel; this one exists for parity with the
+    reference's guarded semantics and for double inputs beyond ~1e154,
+    where x² overflows to +inf but the scaled form stays finite.
+    Zero/empty vectors return 0."""
+    col = _c(a)
+    m = max_abs(col)
+    scaled = F.aggregate(
+        F.transform(
+            col,
+            lambda x: (x.cast("double") / m) * (x.cast("double") / m),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        m.isNull() | (m == 0.0), F.lit(0.0)
+    ).otherwise(m * F.sqrt(scaled))
 
 
 def normalize(a: Column | str) -> Column:

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flechasdb_spark.functions.linalg import max_abs, norm2, vmin, vsum
+from flechasdb_spark.functions.linalg import (
+    max_abs,
+    norm2,
+    norm2_scaled,
+    vmin,
+    vsum,
+)
 from flechasdb_spark.operators.knn import flat_knn, knn_join
 
 REGISTRY: dict = {}
@@ -104,6 +110,12 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 4)
          AS nrm,
+       round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+             * sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                 x -> (x / list_max(list_transform(embedding::DOUBLE[],
+                        y -> abs(y))))
+                    * (x / list_max(list_transform(embedding::DOUBLE[],
+                        y -> abs(y))))))), 4) AS nrm_scaled,
        round(list_sum(embedding::DOUBLE[]), 4) AS sum_v,
        round(list_min(embedding::DOUBLE[]), 4) AS min_v,
        round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 4)
@@ -117,6 +129,7 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(norm2("embedding"), 4).alias("nrm"),
+        F.round(norm2_scaled("embedding"), 4).alias("nrm_scaled"),
         F.round(vsum("embedding"), 4).alias("sum_v"),
         F.round(vmin("embedding").cast("double"), 4).alias("min_v"),
         F.round(max_abs("embedding").cast("double"), 4).alias("max_abs_v"),

@@ -124,6 +124,36 @@ def test_norm2_overflow_safety(spark):
     assert got == pytest.approx(exp, rel=1e-5)
 
 
+def test_norm2_scaled_parity_and_extreme_range(spark):
+    """The reference's pre-scaled norm (src/linalg.rs:61-146) ported
+    verbatim: agrees with the plain kernel on normal inputs, returns 0
+    for zero/empty vectors, and stays finite where even double x²
+    overflows (1e200) or underflows to 0 (1e-200)."""
+    from flechasdb_spark.functions import norm2_scaled
+
+    normal = _vec(33, seed=5)
+    df = spark.createDataFrame(
+        [(normal,), ([0.0, 0.0],), ([],)], "v array<double>"
+    )
+    rows = df.select(
+        norm2("v").alias("plain"), norm2_scaled("v").alias("scaled")
+    ).collect()
+    assert rows[0].scaled == pytest.approx(rows[0].plain, rel=1e-12)
+    assert rows[1].scaled == 0.0
+    assert rows[2].scaled == 0.0
+
+    extreme = spark.createDataFrame(
+        [([1e200, -1e200, 1e200],), ([1e-200, 1e-200],)], "v array<double>"
+    )
+    got = extreme.select(
+        norm2("v").alias("plain"), norm2_scaled("v").alias("scaled")
+    ).collect()
+    assert math.isinf(got[0].plain)  # plain form overflows...
+    assert got[0].scaled == pytest.approx(math.sqrt(3) * 1e200, rel=1e-12)
+    assert got[1].plain == 0.0  # ...and underflows
+    assert got[1].scaled == pytest.approx(math.sqrt(2) * 1e-200, rel=1e-12)
+
+
 def test_slice_division(spark):
     v = [float(i) for i in range(16)]
     df = spark.createDataFrame([(v,)], "v array<float>")
