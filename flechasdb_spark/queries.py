@@ -2362,6 +2362,48 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_bands",
+    """
+WITH mx AS (SELECT max(value) AS m FROM events),
+bands AS (
+  SELECT i AS band_id, i * m / 20.0 AS lo, (i + 1) * m / 20.0 AS hi
+  FROM range(20) t(i), mx)
+SELECT b.band_id, count(*) AS n_events, round(sum(e.value), 2) AS value_sum
+FROM bands b JOIN events e ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id ORDER BY b.band_id
+""",
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval histogram via the BUCKETED range join
+    (operators/ranges.py): intervals exploded into covered buckets,
+    hash equi-join on bucket + exact residual — never the
+    BroadcastNestedLoopJoin/cartesian Spark gives `BETWEEN` joins.
+    The oracle is the naive range join, so the decomposition is proven
+    pair-for-pair equivalent."""
+    from flechasdb_spark.operators.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    mx = float(ev.agg(F.max("value")).first()[0])
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.lit(mx) / 20.0).alias("lo"),
+        ((F.col("id") + 1) * F.lit(mx) / 20.0).alias("hi"),
+    )
+    joined = range_join(
+        ev.select("value"), bands, point="value", lo="lo", hi="hi",
+        bucket_width=mx / 20.0,
+    )
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@query(
     "tpch_q7",
     """
 SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
