@@ -58,6 +58,21 @@ def ann_lifecycle(spark, sf_dir, timings):
     t0 = time.perf_counter()
     ann_query(model, qs, k=10, nprobe=5, rerank=emb, rerank_factor=4).collect()
     timings["ann_query_rerank"] = round(time.perf_counter() - t0, 3)
+    # fused re-rank (product path at scale): vectors stored on the
+    # encoded rows, exact re-score inside the same pruned ADC scan
+    from flechasdb_spark.operators.build import assemble_index
+
+    kept_cfg = IndexConfig(
+        num_partitions=16, num_divisions=16, num_codes=16, seed=7,
+        keep_vectors=True,
+    )
+    kept = assemble_index(emb, model.centroids, model.codebooks, kept_cfg)
+    t0 = time.perf_counter()
+    ann_query(
+        kept, qs, k=10, nprobe=5, rerank="stored", rerank_factor=4
+    ).collect()
+    timings["ann_query_rerank_fused"] = round(time.perf_counter() - t0, 3)
+    kept.encoded.unpersist()
 
 
 def fused_encode(spark, sf_dir, timings):
@@ -103,6 +118,9 @@ def main() -> None:
         "image_features",
         "events_sessionize",
         "events_tumbling_agg",
+        "events_asof_join",
+        "events_value_bands",
+        "tpch_q8",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

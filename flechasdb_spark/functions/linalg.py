@@ -78,18 +78,28 @@ def norm2_scaled(a: Column | str) -> Column:
     where x² overflows to +inf but the scaled form stays finite.
     Zero/empty vectors return 0."""
     col = _c(a)
-    m = max_abs(col)
-    scaled = F.aggregate(
-        F.transform(
-            col,
-            lambda x: (x.cast("double") / m) * (x.cast("double") / m),
-        ),
+
+    def _with_m(m: Column) -> Column:
+        scaled = F.aggregate(
+            F.transform(
+                col,
+                lambda x: (x.cast("double") / m) * (x.cast("double") / m),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(m.isNull() | (m == 0.0), F.lit(0.0)).otherwise(
+            m * F.sqrt(scaled)
+        )
+
+    # bind max|x| ONCE per row via a single-element aggregate lambda —
+    # referencing the max_abs expression directly inside the transform
+    # lambda would re-evaluate the O(N) array_max per element (O(N²)/row)
+    return F.aggregate(
+        F.array(max_abs(col).cast("double")),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda _, m: _with_m(m),
     )
-    return F.when(
-        m.isNull() | (m == 0.0), F.lit(0.0)
-    ).otherwise(m * F.sqrt(scaled))
 
 
 def normalize(a: Column | str) -> Column:

@@ -315,13 +315,18 @@ def minhash_dedup(
     74 s at sf0.1 without the cap). Docs in dropped buckets still meet
     in their other, more selective bands."""
     banded = _banded(df, num_hashes, bands, text_col, id_col)
-    small = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # bucket-size cap as a window count: ONE pass over the signatures
+    # (the groupBy+join form recomputes the minhash expressions for the
+    # count side — at scale that's the expensive half) and one shuffle
+    # on (band, band_key), which the a×b pairing below needs anyway.
+    from pyspark.sql import Window
+
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    banded = (
+        banded.withColumn("__n", wcnt)
         .where(F.col("__n") <= max_bucket)
-        .select("band", "band_key")
+        .drop("__n")
     )
-    banded = banded.join(small, ["band", "band_key"])
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (

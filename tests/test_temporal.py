@@ -60,6 +60,61 @@ def test_asof_plan_has_no_range_join(spark):
         assert bad not in plan, f"range-join blowup in as-of plan: {bad}"
 
 
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Seeded randomized parity with pandas merge_asof (backward,
+    inclusive, by-key, with and without tolerance) — 600 left x 300
+    right rows across 5 keys, duplicate instants on the left allowed
+    (right instants unique per key, as the contract requires)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    lpdf = pd.DataFrame(
+        {
+            "lid": np.arange(600),
+            "k": rng.randint(0, 5, 600).astype(str),
+            "t": rng.randint(0, 10_000, 600),
+        }
+    )
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 5, 300).astype(str),
+                "rt": rng.randint(0, 10_000, 300),
+                "v": np.round(rng.uniform(0, 100, 300), 2),
+            }
+        )
+        .drop_duplicates(["k", "rt"])
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(lpdf.assign(t=lpdf.t.astype("int64")))
+    right = spark.createDataFrame(rpdf.assign(rt=rpdf.rt.astype("int64")))
+
+    for tol in (None, 500):
+        got = (
+            asof_join(
+                left, right, on="t", by="k", right_on="rt",
+                value_cols=["v"], tolerance=tol,
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lpdf.sort_values("t", kind="mergesort"),
+            rpdf.sort_values("rt", kind="mergesort"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=tol,
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["v"], want["v"], check_names=False
+        )
+
+
 def test_asof_rejects_colliding_value_cols(spark):
     left, right = _fixture(spark)
     import pytest
