@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 
 __all__ = [
+    "chunk_text_udtf",
     "tokens",
     "token_stats",
     "bpe_ish_tokens",
@@ -38,6 +39,43 @@ STOPWORDS: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
     "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por", "que"],
 }
+
+
+def chunk_text_udtf(chunk_size: int = 32, overlap: int = 8):
+    """Context-window chunking as a Python UDTF (one input row ->
+    many chunk rows): sliding token windows of ``chunk_size`` with
+    ``overlap`` tokens of context carry-over — the packing step that
+    turns variable-length documents into model-context-sized training
+    rows. The table-function analogue of the reference's vector
+    chunking (B1, /root/reference/src/vector.rs:24-60: fixed-width
+    chunks over a flat buffer).
+
+    UDTF (not explode-over-array) exercises Spark's user table-function
+    surface; rows stream out per input row, so no document's full chunk
+    list ever materializes as one array value. Use via
+    ``df.lateralJoin(Chunk(F.col("text").outer()))`` or register with
+    ``spark.udtf.register``. Scale shape: map-only, no shuffle; output
+    grows by ~n_tokens/stride rows per doc.
+
+    Returns the decorated UDTF class; columns
+    (chunk_idx int, n_tokens bigint, chunk string), chunk_idx 1-based.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_size - overlap
+
+    class ChunkText:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split(" ") if t]
+            idx = 0
+            for start in range(0, len(toks), stride):
+                piece = toks[start : start + chunk_size]
+                idx += 1
+                yield idx, len(piece), " ".join(piece)
+
+    return udtf(ChunkText, returnType="chunk_idx int, n_tokens bigint, chunk string")
 
 
 def tokens(col: Column | str) -> Column:

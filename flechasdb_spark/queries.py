@@ -2362,6 +2362,41 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT d.doc_id, u.s AS start,
+         list_slice(d.toks, u.s + 1, u.s + 32) AS ctoks
+  FROM d, UNNEST(list_transform(range((len(d.toks) + 23) // 24),
+                                i -> i * 24)) AS u(s))
+SELECT doc_id, (start // 24 + 1)::INT AS chunk_idx,
+       len(ctoks)::BIGINT AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing via the chunk_text UDTF (32-token
+    windows, 8-token overlap): one doc row streams out as many chunk
+    rows through Spark's Python user-table-function surface
+    (lateralJoin) — the UDF/UDTF coverage row alongside pandas_udf /
+    applyInPandas / mapInPandas / applyInPandasWithState."""
+    from flechasdb_spark.operators.text import chunk_text_udtf
+
+    chunk = chunk_text_udtf(chunk_size=32, overlap=8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.lateralJoin(chunk(F.col("text").outer()))
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "events_value_bands",
     """
 WITH mx AS (SELECT max(value) AS m FROM events),

@@ -145,3 +145,31 @@ def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
     assert r.n_kept == 50 and r.kmv_estimate == 50.0
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(small, "v", ["g"], k=2)
+
+
+def test_chunk_text_udtf_windows_and_edges(spark):
+    """Context-window UDTF: overlap carry-over, short-doc single chunk,
+    empty doc -> zero rows, bad config rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.text import chunk_text_udtf
+
+    chunk = chunk_text_udtf(chunk_size=4, overlap=1)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk)
+        for r in docs.lateralJoin(chunk(F.col("text").outer())).collect()
+    )
+    # stride = 3: windows [a..d], [d..g], [g]
+    assert rows == [
+        (1, 1, "a b c d"),
+        (1, 2, "d e f g"),
+        (1, 3, "g"),
+        (2, 1, "x y"),
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text_udtf(chunk_size=4, overlap=4)
