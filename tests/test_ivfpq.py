@@ -288,6 +288,45 @@ def test_fused_rerank_matches_join_rerank(emb):
         ann_query(kept, qs, k=5, nprobe=8, rerank="bogus")
 
 
+def test_fused_rerank_survives_save_load(emb, spark, tmp_path_factory):
+    """keep_vectors indexes persist the raw vectors in the partition
+    files; after save_index -> load_index the fused rerank path still
+    works and matches the in-memory result."""
+    from flechasdb_spark.operators.build import build_index
+
+    kept = build_index(
+        emb,
+        IndexConfig(
+            num_partitions=CFG.num_partitions,
+            num_divisions=CFG.num_divisions,
+            num_codes=CFG.num_codes,
+            seed=CFG.seed,
+            keep_vectors=True,
+        ),
+    )
+    path = str(tmp_path_factory.mktemp("kept_idx"))
+    save_index(kept, path)
+    loaded = load_index(spark, path)
+    assert "embedding" in loaded.encoded.columns
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    mem = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(
+            kept, qs, k=5, nprobe=8, round_to=4, rerank="stored"
+        ).collect()
+    )
+    disk = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(
+            loaded, qs, k=5, nprobe=8, round_to=4, rerank="stored"
+        ).collect()
+    )
+    assert mem == disk
+
+
 def test_query_and_cluster_event_callbacks(model, emb):
     """Reference event-handler parity (src/db/stored.rs:513-532,
     src/kmeans.rs:71-88): query phases and k-means iterations fire
