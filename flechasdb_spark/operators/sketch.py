@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["kmv_distinct", "KMV_SPACE"]
+__all__ = ["kmv_distinct", "histogram_quantiles", "KMV_SPACE"]
 
 KMV_SPACE = float(2**60)  # md5_long is the first 15 hex chars = 60 bits
 
@@ -63,4 +63,78 @@ def kmv_distinct(
     ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.col("__hk"))
     return agg.select(
         *group_cols, "n_kept", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    num_buckets: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group approximate quantiles from a FIXED-GRID histogram —
+    the deterministic, mergeable scale path for percentiles (the exact
+    `percentile` sorts every group; Spark's approx_percentile KLL is
+    engine-specific and can't be oracle-gated).
+
+    One pass: bucket = clamp(floor((v-lo)/w), 0, B-1) -> per-(group,
+    bucket) counts (map-side combinable, shuffle carries <= groups * B
+    rows regardless of data size) -> cumulative counts -> for each
+    p in ``probs`` (0 < p <= 1) the quantile is linearly interpolated
+    inside the first bucket whose cumulative count reaches p*n:
+
+        q(p) = lo + w * (b + (p*n - cum_before) / cnt_b)
+
+    Every step is plain double arithmetic on integer counts — DuckDB
+    recomputes it bit-identically. Error is bounded by the bucket width
+    (hi-lo)/B; values outside [lo, hi) clamp into the edge buckets.
+
+    Returns (group_cols..., prob, n_rows, q_est).
+    """
+    if not probs or any(p <= 0 or p > 1 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    group_cols = group_cols or []
+    width = (hi - lo) / num_buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(num_buckets - 1),
+    ).cast("long")
+    counts = df.groupBy(*group_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt")
+    )
+    part = group_cols if group_cols else [F.lit(1)]
+    w_cum = Window.partitionBy(*part).orderBy("__b")
+    w_all = Window.partitionBy(*part)
+    cum = counts.select(
+        *group_cols,
+        "__b",
+        "__cnt",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    pdf = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(float(p),) for p in probs], "prob double"
+        )
+    )
+    t = F.col("prob") * F.col("__n")
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("__b") + (t - (F.col("__cum") - F.col("__cnt"))) / F.col("__cnt")
+    )
+    return (
+        cum.join(pdf)
+        .where((F.col("__cum") >= t) & ((F.col("__cum") - F.col("__cnt")) < t))
+        .select(
+            *group_cols,
+            "prob",
+            F.col("__n").cast("long").alias("n_rows"),
+            F.round(est, 4).alias("q_est"),
+        )
     )

@@ -2362,6 +2362,51 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_quantile_sketch",
+    """
+WITH mx AS (SELECT max(value) AS m FROM events),
+c AS (
+  SELECT event_type,
+         LEAST(GREATEST(floor(value / (m / 256.0)), 0), 255)::BIGINT AS b,
+         count(*)::DOUBLE AS cnt
+  FROM events, mx GROUP BY event_type, b),
+cum AS (
+  SELECT event_type, b, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c),
+p AS (SELECT unnest([0.5, 0.9, 0.99]) AS prob)
+SELECT c2.event_type, p.prob, c2.n::BIGINT AS n_rows,
+       round((SELECT m FROM mx) / 256.0
+             * (c2.b + (p.prob * c2.n - (c2.cum - c2.cnt)) / c2.cnt), 4)
+         AS q_est
+FROM cum c2, p
+WHERE c2.cum >= p.prob * c2.n AND (c2.cum - c2.cnt) < p.prob * c2.n
+ORDER BY event_type, prob
+""",
+)
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (operators/sketch.py): the mergeable
+    one-pass scale path whose shuffle carries <= groups * 256 rows at
+    any data size — with an exact cross-engine oracle, unlike
+    approx_percentile's KLL. Sibling of the exact events_percentiles
+    row (which sorts every group)."""
+    from flechasdb_spark.operators.sketch import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    mx = float(ev.agg(F.max("value")).first()[0])
+    return histogram_quantiles(
+        ev,
+        "value",
+        probs=[0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=mx,
+        num_buckets=256,
+        group_cols=["event_type"],
+    ).orderBy("event_type", "prob")
+
+
+@query(
     "doc_chunks",
     """
 WITH d AS (

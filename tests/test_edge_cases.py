@@ -173,3 +173,41 @@ def test_chunk_text_udtf_windows_and_edges(spark):
     ]
     with pytest.raises(ValueError, match="overlap"):
         chunk_text_udtf(chunk_size=4, overlap=4)
+
+
+def test_histogram_quantiles_accuracy_and_validation(spark):
+    """Sketch quantiles land within one bucket width of the exact
+    percentile; invalid probs/bounds rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.sketch import histogram_quantiles
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    lo, hi, buckets = 0.0, 1000.0, 200
+    width = (hi - lo) / buckets
+    got = {
+        (r.g, r.prob): r.q_est
+        for r in histogram_quantiles(
+            df, "v", probs=[0.5, 0.9], lo=lo, hi=hi,
+            num_buckets=buckets, group_cols=["g"],
+        ).collect()
+    }
+    exact = {
+        (r.g, p): r[f"p{int(p*100)}"]
+        for r in df.groupBy("g").agg(
+            F.expr("percentile(v, 0.5D)").alias("p50"),
+            F.expr("percentile(v, 0.9D)").alias("p90"),
+        ).collect()
+        for p in (0.5, 0.9)
+    }
+    assert len(got) == 14
+    for key, est in got.items():
+        assert abs(est - exact[key]) <= width + 1e-9, (key, est, exact[key])
+
+    with pytest.raises(ValueError, match="probs"):
+        histogram_quantiles(df, "v", probs=[0.0], lo=lo, hi=hi)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_quantiles(df, "v", probs=[0.5], lo=1.0, hi=1.0)
