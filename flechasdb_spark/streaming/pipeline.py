@@ -46,6 +46,7 @@ __all__ = [
     "windowed_event_agg",
     "incremental_encode",
     "stream_static_knn",
+    "stream_asof_enrich",
     "stream_dedup",
     "stream_stream_join",
     "stateful_session_count",
@@ -169,6 +170,50 @@ def stream_static_knn(
 
     return (
         queries.writeStream.foreachBatch(knn_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_asof_enrich(
+    stream: DataFrame,
+    static_right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    output_path: str,
+    checkpoint_path: str,
+    right_on: str | None = None,
+    value_cols: list[str] | None = None,
+):
+    """Continuous point-in-time enrichment: each micro-batch of events
+    is as-of joined (backward inclusive — operators/temporal.py)
+    against a STATIC feature/state table and appended to the sink. The
+    feature-store serving shape: per batch, the union-window as-of join
+    shuffles only |batch| + |right| rows on the ``by`` keys; the static
+    side's scan is cached executor-side across batches. Returns the
+    streaming query handle.
+
+    For a right side that itself updates, snapshot it per batch
+    (foreachBatch re-reads lazily) or move to Delta and time-travel —
+    the join semantics here are point-in-time within the ROW time
+    columns, not table versions."""
+    from flechasdb_spark.operators.temporal import asof_join
+
+    def enrich(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        asof_join(
+            batch,
+            static_right,
+            on=on,
+            by=by,
+            right_on=right_on,
+            value_cols=value_cols,
+        ).write.mode("append").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(enrich)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

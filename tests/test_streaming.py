@@ -261,3 +261,58 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     n_unique = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Drained stream-side as-of enrichment equals the batch as-of join
+    over the same events."""
+    import shutil
+
+    from flechasdb_spark.operators.temporal import asof_join
+    from flechasdb_spark.streaming.pipeline import stream_asof_enrich
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_us").alias("p_us"))
+        .agg(F.max("value").alias("p_value"))
+    )
+    left_batch = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+
+    src_dir = tmp_path / "asof_src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    left_stream = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+
+    out_path = str(tmp_path / "enriched")
+    q = stream_asof_enrich(
+        left_stream, right, on="ts_us", by="user_id",
+        right_on="p_us", value_cols=["p_value"],
+        output_path=out_path, checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_available_now(q)
+
+    got = (
+        spark.read.parquet(out_path)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            left_batch, right, on="ts_us", by="user_id",
+            right_on="p_us", value_cols=["p_value"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["p_value"].fillna(-1).equals(want["p_value"].fillna(-1))
