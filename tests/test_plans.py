@@ -1,0 +1,87 @@
+"""Plan-shape regression gates: the physical-plan properties the
+100 TB design depends on, asserted so a refactor can't silently lose
+them. Each assertion names the scale property it protects:
+
+- PushedFilters / ReadSchema pruning  -> scans read only what's needed
+- BroadcastHashJoin on dim sides      -> no shuffle of the fact table
+  per dim join
+- WindowGroupLimit / TakeOrderedAndProject -> partial top-k before the
+  exchange (shuffle O(Q*k*tasks), not O(candidates))
+- no CartesianProduct / BroadcastNestedLoopJoin outside the deliberate
+  broadcast similarity joins
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        REGISTRY[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_tpch_q1_filter_pushed_and_schema_pruned(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    ), "shipdate filter must reach the parquet scan"
+    scan = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in scan, (
+        "ReadSchema must prune unused lineitem columns (column pruning)"
+    )
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q8", "tpch_q14"])
+def test_tpch_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dim joins must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_joins(spark):
+    plan = _plan(spark, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flat_knn_partial_topk(spark):
+    plan = _plan(spark, "flat_knn")
+    assert "TakeOrderedAndProject" in plan, (
+        "flat top-k must run as TakeOrderedAndProject (partial top-k "
+        "per partition, P*k merge on the driver)"
+    )
+
+
+def test_knn_join_window_group_limit(spark):
+    plan = _plan(spark, "knn_join")
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k must execute as WindowGroupLimit so each task keeps "
+        "k rows per query BEFORE the exchange"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["events_asof_join", "events_value_bands", "minhash_dedup"]
+)
+def test_extension_ops_have_no_quadratic_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_running_sum_single_shuffle(spark):
+    plan = _plan(spark, "events_running_sum")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, (
+        f"running-sum window needs ONE hash exchange, found {n_exchanges}"
+    )
