@@ -376,23 +376,43 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint: bit i of the fingerprint is 1 iff the sum
     over distinct tokens of (2 * bit_i(md5_long(tok)) - 1) is positive.
-    Map-side only: explode tokens, one groupBy per doc."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+
+    PURE map-side — per doc, one pass over the distinct-token hash
+    array folding a ``bits``-wide counter vector (array-aggregate +
+    zip_with), then the sign pattern packs into the fingerprint. No
+    explode, no groupBy, NO SHUFFLE: at 100 TB this is a narrow
+    map stage, where the explode+groupBy form shuffles one row per
+    (doc, token). Integer ±1 sums are order-exact, so the fingerprints
+    are bit-identical to the relational form the oracle recomputes.
+    Docs with zero tokens produce no row (matching the oracle's unnest
+    semantics)."""
+    hashed = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: md5_long(t)
     )
-    h = md5_long(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    bitvecs = F.transform(
+        hashed,
+        lambda h: F.array(
+            *[
+                (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for i in range(bits)
+            ]
+        ),
+    )
+    sums = F.aggregate(
+        bitvecs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        term = F.when(F.element_at(sums, i + 1) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
         fp = term if fp is None else fp + term
-    return agg.select(id_col, fp.cast("long").alias("simhash"))
+    return (
+        df.where(F.size(F.array_distinct(tokens(text_col))) > 0)
+        .select(F.col(id_col), fp.cast("long").alias("simhash"))
+    )
 
 
 def simhash_neardup_pairs(
