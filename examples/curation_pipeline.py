@@ -1,6 +1,7 @@
 """End-to-end training-data curation over the documents table:
 dedup (exact + MinHash near-dup) -> quality/language filter -> token
-accounting — the LLM-pipeline extension surface in one composed job.
+accounting -> context-window chunking — the LLM-pipeline extension
+surface in one composed job.
 
 Usage:
     python examples/curation_pipeline.py [sf_dir]
@@ -50,6 +51,21 @@ def main() -> None:
     print(f"curated docs: {stats.n_docs} ({100 * stats.n_docs / n0:.1f}%)")
     print(f"total tokens: {stats.total_tokens}")
     print(f"avg quality:  {stats.avg_quality}")
+
+    # pack the surviving docs into model-context-sized training rows
+    from flechasdb_spark.operators.text import chunk_text_udtf
+
+    chunk = chunk_text_udtf(chunk_size=32, overlap=8)
+    chunks = (
+        docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .lateralJoin(chunk(F.col("text").outer()))
+    )
+    cstats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_chunk_tokens"),
+    ).first()
+    print(f"chunks:       {cstats.n_chunks} (avg {cstats.avg_chunk_tokens} tokens)")
     spark.stop()
 
 
