@@ -375,6 +375,106 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Scalar quantization (SQ8, extension — SURVEY.md §2.5): the same
+# per-dim min/max + floor-quantize arithmetic on both engines is
+# bit-deterministic (floor dodges round() tie-break divergence).
+
+_DD_SQ_BOUNDS = """
+sqd AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sqe AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM sqd),
+sqb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM sqe GROUP BY j),
+sqba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM sqb),
+sqcodes AS (
+  SELECT vec_id, v,
+         list_transform(v, (x, i) ->
+           CASE WHEN sqba.hi[i] = sqba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - sqba.lo[i]) * 255.0 / (sqba.hi[i] - sqba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM sqd, sqba)
+"""
+
+
+@query(
+    "sq_roundtrip",
+    f"""
+WITH {_DD_SQ_BOUNDS},
+stats AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(c.cs, (x, i) -> x * i))::BIGINT AS checksum,
+         list_min(c.cs)::BIGINT AS min_code,
+         list_max(c.cs)::BIGINT AS max_code,
+         list_max(list_transform(c.v, (x, i) ->
+           abs(x - (sqba.lo[i] + c.cs[i] * (sqba.hi[i] - sqba.lo[i]) / 255.0)))) AS e
+  FROM sqcodes c, sqba)
+SELECT vec_id, checksum, min_code, max_code, round(e, 6) AS max_err
+FROM stats ORDER BY vec_id
+""",
+)
+def q_sq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.sq import sq_bounds, sq_decode, sq_encode_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = sq_bounds(emb)
+    # codes computed alongside the source column — the whole roundtrip
+    # is one map-only projection, no join back to the encoded output
+    codes = sq_encode_expr("embedding", lo, hi)
+    with_err = emb.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            sq_decode(codes, lo, hi),
+            lambda x, d: F.abs(x - d),
+        ).alias("errs"),
+    )
+    return (
+        with_err.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(1), F.size("codes")),
+                    lambda c, i: (c.cast("long") * i.cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("checksum"),
+            F.array_min("codes").cast("long").alias("min_code"),
+            F.array_max("codes").cast("long").alias("max_code"),
+            F.round(F.array_max("errs"), 6).alias("max_err"),
+        )
+    ).orderBy("vec_id")
+
+
+@query(
+    "sq_knn",
+    f"""
+WITH {_DD_SQ_BOUNDS},
+q AS (SELECT v AS qv FROM sqd WHERE vec_id = 0),
+dec AS (
+  SELECT c.vec_id,
+         list_transform(c.cs, (x, i) ->
+           sqba.lo[i] + x * (sqba.hi[i] - sqba.lo[i]) / 255.0) AS dv
+  FROM sqcodes c, sqba),
+scored AS (
+  SELECT dec.vec_id,
+         {_DD_SQL2.format(a="q.qv", b="dec.dv")} AS d
+  FROM dec, q)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.sq import sq_bounds, sq_encode, sq_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = sq_bounds(emb)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    enc = sq_encode(emb, lo, hi)
+    return sq_knn(enc, lo, hi, qv, k=10, round_to=4)
+
+
 @query("ann_ivfpq")  # rows-only: MLlib k-means training is seeded but not
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:  # SQL-reproducible
     from flechasdb_spark.operators.build import IndexConfig, build_index
