@@ -42,6 +42,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "connected_components",
     "cross_ngram_overlap",
+    "segment_dedup",
 ]
 
 
@@ -597,4 +598,75 @@ def embedding_neardup_pairs(
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup at fixed segment granularity (the
+    train-set shape of Lee et al. "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, with the suffix-array
+    replaced by deterministic ``seg_words``-word segmentation): every
+    segment is kept only at its first global occurrence (ordered by
+    (doc, position)); later copies anywhere in the corpus are removed
+    and the surviving segments are stitched back per document.
+
+    Returns ``(id_col, n_segs, n_kept, clean_text)`` — one row per input
+    document; a fully-duplicated document survives with ``n_kept = 0``
+    and empty ``clean_text``.
+
+    Scale (100 TB): segmentation is map-only; first-occurrence is a
+    partial-aggregable ``min`` keyed on the segment; the kept-filter is
+    an equi-join on the same key, so data moves only by segment hash —
+    never a pairwise/cross join. Reassembly shuffles once by document.
+    The order key packs (doc, pos) into one BIGINT so the min combines
+    map-side as a single long.
+    """
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    ).withColumn("okey", F.col(id_col) * 100000 + F.col("pos"))
+    firsts = (
+        segs.groupBy("seg")
+        .agg(F.min("okey").alias("mk"))
+        .select(F.col("seg").alias("f_seg"), "mk")
+    )
+    kept = segs.join(
+        firsts,
+        (F.col("seg") == F.col("f_seg")) & (F.col("okey") == F.col("mk")),
+    ).select(id_col, "pos", "seg")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        docs.select(id_col)
+        .join(tot, id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
     )

@@ -18,6 +18,9 @@ from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 
 __all__ = [
     "chunk_text_udtf",
+    "scrub_pii",
+    "pii_counts",
+    "PII_PATTERNS",
     "tokens",
     "token_stats",
     "bpe_ish_tokens",
@@ -254,3 +257,33 @@ def doc_fingerprint(
         lambda acc, x: (acc * 31 + x) % MERSENNE_P,
     )
     return df.select(id_col, fp.alias("fingerprint"))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no backreferences, no lookaround. Application order
+# matters — URLs first so an address inside a URL never half-matches.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact URLs, emails, and phone numbers to typed placeholders —
+    the standard pre-training scrub pass. Map-only regexp_replace chain
+    (JVM regex under whole-stage codegen, no UDF)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """Per-kind match counts (``n_urls``, ``n_emails``, ``n_phones``) —
+    audit columns for scrub coverage reports."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}s")
+        for kind, pat, _ in PII_PATTERNS
+    ]

@@ -1116,6 +1116,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_dedup",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*20+1 : i*20+20], ' ') AS seg,
+         doc_id*100000 + i AS okey
+  FROM w, UNNEST(range(((len(ws) + 19) // 20))) AS t(i)),
+firsts AS (SELECT seg, min(okey) AS mk FROM segs GROUP BY seg),
+kept AS (SELECT s.doc_id, s.pos, s.seg FROM segs s
+         JOIN firsts f ON s.seg = f.seg AND s.okey = f.mk),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(seg, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_segs FROM segs GROUP BY doc_id)
+SELECT d.doc_id, t.n_segs, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d JOIN tot t USING(doc_id) LEFT JOIN agg a USING(doc_id)
+ORDER BY doc_id
+""",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.dedup import segment_dedup
+
+    return (
+        segment_dedup(_t(spark, sf_dir, "documents"), seg_words=20)
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("long").alias("n_segs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ngram_jaccard",
     # Mirrors the operator's inverted-index form INCLUDING the max_df
     # hot-shingle cut (sizes count all shingles; intersections only
@@ -1750,6 +1787,56 @@ _SW = {
     "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
     "es": "['el','la','los','las','es','un','una','en','por','que']",
 }
+
+
+@query(
+    "pii_scrub",
+    # documents carry no organic PII (word-soup corpus), so the query
+    # plants deterministic URLs/emails/phones per doc_id, then audits
+    # and redacts them — the operator is exercised on every row and the
+    # oracle recomputes the exact scrubbed strings.
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+              || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' see https://ex' || (doc_id % 7)::VARCHAR
+              || '.example.com/p/' || doc_id::VARCHAR
+              || repeat(' cc backup@ex.org', (doc_id % 3)::INT) AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, 'https?://[^ ]+'))::BIGINT AS n_urls,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '\+\d{1,2}-\d{3}-\d{4}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         'https?://[^ ]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+FROM aug ORDER BY doc_id
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import pii_counts, scrub_pii
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail.example.com call +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" see https://ex"),
+            (d % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            d.cast("string"),
+            F.repeat(F.lit(" cc backup@ex.org"), (d % 3).cast("int")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id", *pii_counts("t"), scrub_pii("t").alias("scrubbed")
+    ).orderBy("doc_id")
 
 
 @query(

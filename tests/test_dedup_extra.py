@@ -195,3 +195,55 @@ def test_simhash_banding_is_exact(spark):
         simhash_neardup_pairs(docs, bits=16, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="divisible"):
         simhash_neardup_pairs(docs, bits=16, bands=5)
+
+
+def test_segment_dedup_removes_repeated_segments(spark):
+    """A document that is an exact copy of an earlier one loses ALL its
+    segments; a half-overlapping document keeps only the novel half."""
+    from flechasdb_spark.operators.dedup import segment_dedup
+
+    a = " ".join(f"w{i}" for i in range(40))          # 2 segments
+    b = a                                             # full duplicate
+    c = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"x{i}" for i in range(20)
+    )                                                 # seg1 dup, seg2 new
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, seg_words=20).collect()}
+    assert (out[0].n_segs, out[0].n_kept) == (2, 2)
+    assert (out[1].n_segs, out[1].n_kept) == (2, 0)
+    assert out[1].clean_text == ""
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert out[2].clean_text.startswith("x0 ")
+    plan = (
+        segment_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@x-y.org or visit https://e.com/p?q=1 now"),
+            (1, "call +1-555-0100 and +44-123-4567 plain text"),
+            (2, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *pii_counts("t"), scrub_pii("t").alias("s")
+        ).collect()
+    }
+    assert rows[0].n_emails == 1 and rows[0].n_urls == 1
+    assert "<EMAIL>" in rows[0].s and "<URL>" in rows[0].s
+    assert "a.b+c@x-y.org" not in rows[0].s
+    assert rows[1].n_phones == 2
+    assert rows[1].s.count("<PHONE>") == 2
+    assert rows[2].s == "no pii here"
