@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["hash_split", "hash_sample", "SPLIT_BUCKETS"]
+__all__ = ["hash_split", "hash_sample", "temperature_sample", "SPLIT_BUCKETS"]
 
 SPLIT_BUCKETS = 10_000  # hash resolution: fractions quantize to 0.01 %
 
@@ -66,3 +66,60 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
     return df.where(_bucket(id_col, salt) < int(round(fraction * SPLIT_BUCKETS)))
+
+
+def temperature_sample(
+    df: DataFrame,
+    total: int,
+    alpha: float = 0.5,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: draw ~``total`` rows with
+    per-group targets proportional to ``count^alpha`` — the standard
+    multilingual/multi-source rebalancing rule (alpha < 1 upsamples
+    small groups relative to their share; alpha = 1 is proportional).
+
+    Deterministic end to end: targets use integer arithmetic on weights
+    quantized to 1e-6 (``alpha = 0.5`` routes through IEEE-exact
+    ``sqrt``, so the quantized weights are engine-identical; other
+    alphas go through ``pow``, which is <= 1 ulp on either engine —
+    fine in practice, but 0.5 is the oracle-gated setting), and row
+    selection ranks on the md5 of (salt, id) — same inputs, same
+    sample, on any engine or cluster size.
+
+    Returns the kept rows as ``(by, id_col)``.
+
+    Scale (100 TB): group stats are one partial-agg pass over O(groups)
+    rows; the per-group exact-count cut is a rank window partitioned by
+    group — fine while every group's rows fit a sort spill, which holds
+    for corpus-mixing groups (sources/languages). If a group is a skew
+    monster, swap the exact cut for a hash-threshold cut
+    (``hash_sample`` with fraction target/count): approximate counts,
+    zero sort.
+    """
+    w = F.col("n").cast("double")
+    w = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(float(alpha)))
+    stats = (
+        df.groupBy(by)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(by, "n", F.round(w * 1e6).cast("long").alias("wq"))
+    )
+    wtot = stats.agg(F.sum("wq").alias("wtot"))
+    targets = stats.crossJoin(F.broadcast(wtot)).select(
+        by,
+        F.expr(f"CAST({int(total)} * wq AS BIGINT) DIV wtot").alias("target"),
+    )
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    ranked = df.select(by, id_col).withColumn("rk", rk)
+    return (
+        ranked.join(F.broadcast(targets), by)
+        .where(F.col("rk") <= F.col("target"))
+        .select(by, id_col)
+    )

@@ -1737,6 +1737,32 @@ def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_sample",
+    """
+WITH stats AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, round(sqrt(n::DOUBLE) * 1e6)::BIGINT AS wq FROM stats),
+t AS (SELECT source, ((200 * wq) // (SELECT sum(wq) FROM w))::BIGINT AS target FROM w),
+r AS (SELECT source, doc_id,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5('temp:' || doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+SELECT r.source, r.doc_id FROM r JOIN t USING(source)
+WHERE rk <= target ORDER BY source, doc_id
+""",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count^0.5 temperature rebalancing drawing ~200 docs across
+    sources — integer-quantized weights + md5 ranking keep the exact
+    sample engine-reproducible."""
+    from flechasdb_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), total=200, alpha=0.5
+    ).orderBy("source", "doc_id")
+
+
+@query(
     "split_contamination",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
