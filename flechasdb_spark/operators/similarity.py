@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flechasdb_spark.functions.linalg import cosine_similarity
+from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
 
 __all__ = [
     "hyperplane",
@@ -37,6 +37,7 @@ __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
     "lsh_neardup_pairs",
+    "cluster_neardup_pairs",
 ]
 
 
@@ -196,3 +197,67 @@ def lsh_neardup_pairs(
     score = F.round(F.col("cos"), round_to) if round_to is not None else F.col("cos")
     # each vector lives in exactly one bucket, so a pair meets at most once
     return out.select("id_a", "id_b", score.alias("cos"))
+
+
+
+def cluster_neardup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_col: str = "center",
+) -> DataFrame:
+    """Cluster-bucketed semantic near-dup — the SemDeDup shape
+    (Abbas et al., arXiv:2303.09540): assign every embedding to its
+    nearest centroid, then compare pairs only WITHIN a cluster and keep
+    cosine >= threshold. The global O(M^2) collapses to
+    sum_c |cluster_c|^2 — with balanced k-means centroids that is
+    ~M^2/P, and every candidate pair meets through an equi-join on the
+    cluster id, never a cross join.
+
+    Returns ``(id_a, id_b, cluster, cos)`` with id_a < id_b.
+
+    Scale (100 TB): assignment is a broadcast of P centroids + a
+    partial-aggregable argmin (shuffle carries one row per vector);
+    the within-cluster self-join shuffles by cluster id (AQE skew split
+    covers hot clusters). P tunes the recall/cost trade-off exactly
+    like SemDeDup's k; duplicates that straddle a cluster boundary are
+    the (documented) misses, same as the paper.
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col(cent_id_col).alias("__cid"), F.col(cent_col).alias("__cv")
+        )
+    )
+    d = squared_l2(F.col(vec_col), F.col("__cv"))
+    assign = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(cents)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(d.alias("d"), F.col("__cid"))).alias("__m"),
+            F.first(vec_col).alias("__v"),
+        )
+        .select(F.col(id_col), F.col("__m.__cid").alias("cluster"), "__v")
+    )
+    a = assign.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("__clb"),
+        F.col("__v").alias("__vb"),
+    )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, (F.col("cluster") == F.col("__clb")) & (F.col("id_a") < F.col("id_b")))
+        .where(cos >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )

@@ -1407,6 +1407,45 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_DIM = 64
 
+
+@query(
+    "semantic_neardup",
+    """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+dist AS (
+  SELECT n.vec_id, c.cid,
+         list_sum(list_transform(list_zip(n.v, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+  FROM n CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dist) s WHERE rn = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cid AS cluster
+      FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+j AS (SELECT p.id_a, p.id_b, p.cluster,
+             list_sum(list_transform(list_zip(va.v, vb.v), z -> z[1]*z[2]))
+             / (sqrt(list_sum(list_transform(va.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(vb.v, x -> x*x)))) AS cos
+      FROM p JOIN n va ON p.id_a = va.vec_id JOIN n vb ON p.id_b = vb.vec_id)
+SELECT id_a, id_b, cluster::BIGINT AS cluster, round(cos, 4) AS cos
+FROM j WHERE cos >= 0.3 ORDER BY id_a, id_b
+""",
+)
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped cluster-bucketed near-dup with 8 frozen
+    centroids (embeddings 0..7) — deterministic, so the full
+    assign -> within-cluster-pairs pipeline is oracle-checked."""
+    from flechasdb_spark.operators.similarity import cluster_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
+    )
+    return cluster_neardup_pairs(emb, cents, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
 _DD_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]*z[2]))"
     " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"

@@ -247,3 +247,38 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert rows[1].n_phones == 2
     assert rows[1].s.count("<PHONE>") == 2
     assert rows[2].s == "no pii here"
+
+
+def test_cluster_neardup_subset_of_exact_and_bucketed(spark, sf_dir):
+    """Cluster-bucketed pairs are a subset of the exact pairs (misses
+    are only cross-cluster), and the pair join is an equi-join on the
+    cluster id — no cartesian between the two full sides."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.similarity import cluster_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
+    )
+    out = cluster_neardup_pairs(emb, cents, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    exact = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.3 - 1e-9
+    }
+    assert got <= exact
+    assert len(got) > 0
