@@ -121,6 +121,12 @@ def main() -> None:
         "events_asof_join",
         "events_value_bands",
         "tpch_q8",
+        "sq_knn",
+        "segment_dedup",
+        "semantic_neardup",
+        "temperature_sample",
+        "pii_scrub",
+        "sequence_pack",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -1,0 +1,92 @@
+"""Sequence packing — assign documents to fixed-size context windows by
+concatenating the token stream in a deterministic order and splitting
+every ``ctx_tokens`` (the "concat-then-split" sample packing used to
+build LLM training batches).
+
+Extension surface (no reference counterpart; task-brief LLM-pipeline
+requirement). A document's pack is decided by its global token START
+offset: pack_id = start_offset DIV ctx_tokens — documents that straddle
+a boundary count toward the pack they start in, which keeps the
+assignment a pure function of the prefix sum (no sequential splitting
+state).
+
+Scale (100 TB): the naive formulation is a global ordered window —
+``sum() OVER (ORDER BY ...)`` with no partition key, which Spark
+executes in ONE task (the whole corpus through a single sort — a
+non-starter). This implementation is the classic distributed prefix
+sum instead:
+
+1. bucket every row by a deterministic hash range (``n_buckets``),
+2. cumulative-sum WITHIN each bucket (parallel windows, one shuffle
+   keyed on the bucket),
+3. collect only the per-bucket totals (O(n_buckets) rows) to the
+   driver, turn them into exclusive bucket offsets, broadcast back.
+
+global_start = bucket_offset + within_bucket_cumsum - own_tokens. The
+order is (bucket, md5(salt:id), id) — deterministic on any engine and
+any cluster size, and recomputable by the DuckDB oracle as one ordered
+window over the same keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.texthash import md5_long
+
+__all__ = ["sequence_pack", "pack_summary"]
+
+
+def sequence_pack(
+    df: DataFrame,
+    ctx_tokens: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Returns ``(id_col, n_tokens, start_offset, pack_id)`` — one row
+    per input document. ``n_tokens_col`` must already hold the
+    document's token count (compose with ``token_stats``)."""
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    rows = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.md5(key).alias("__h"),
+        (md5_long(key) % n_buckets).alias("__b"),
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn("__cum", F.sum("n_tokens").over(w))
+    totals = {
+        r["__b"]: r["t"]
+        for r in rows.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += int(totals.get(b, 0))
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__b long, __off long")
+    )
+    start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    # floor-div via double is exact while total tokens < 2^53 — far past
+    # 100 TB of text; avoids a detour through F.expr for integer DIV
+    return rows.join(off_df, "__b").select(
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(float(ctx_tokens))).cast("long").alias("pack_id"),
+    )
+
+
+def pack_summary(packed: DataFrame) -> DataFrame:
+    """Per-pack (pack_id, n_docs, n_tokens) — the batch-shape audit."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
+from flechasdb_spark.functions.linalg import (
+    cosine_similarity,
+    dot,
+    norm2,
+    squared_l2,
+)
 
 __all__ = [
     "hyperplane",
@@ -232,6 +237,10 @@ def cluster_neardup_pairs(
         )
     )
     d = squared_l2(F.col(vec_col), F.col("__cv"))
+    # norm is computed ONCE per row here, not per pair: higher-order
+    # aggregates run interpreted (outside codegen), so the pair stage —
+    # the |cluster|^2 hot loop — must cost exactly one dot product,
+    # with the norms riding along as plain doubles.
     assign = (
         vectors.select(id_col, vec_col)
         .crossJoin(cents)
@@ -240,17 +249,26 @@ def cluster_neardup_pairs(
             F.min(F.struct(d.alias("d"), F.col("__cid"))).alias("__m"),
             F.first(vec_col).alias("__v"),
         )
-        .select(F.col(id_col), F.col("__m.__cid").alias("cluster"), "__v")
+        .select(
+            F.col(id_col),
+            F.col("__m.__cid").alias("cluster"),
+            F.col("__v"),
+            norm2(F.col("__v")).alias("__n"),
+        )
     )
     a = assign.select(
-        F.col(id_col).alias("id_a"), F.col("cluster"), F.col("__v").alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = assign.select(
         F.col(id_col).alias("id_b"),
         F.col("cluster").alias("__clb"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, (F.col("cluster") == F.col("__clb")) & (F.col("id_a") < F.col("id_b")))
         .where(cos >= threshold)

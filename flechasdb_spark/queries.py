@@ -1412,7 +1412,7 @@ _LSH_DIM = 64
     "semantic_neardup",
     """
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 8),
+c AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < 16),
 dist AS (
   SELECT n.vec_id, c.cid,
          list_sum(list_transform(list_zip(n.v, c.cv), z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
@@ -1433,13 +1433,13 @@ FROM j WHERE cos >= 0.3 ORDER BY id_a, id_b
 """,
 )
 def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped cluster-bucketed near-dup with 8 frozen
-    centroids (embeddings 0..7) — deterministic, so the full
+    """SemDeDup-shaped cluster-bucketed near-dup with 16 frozen
+    centroids (embeddings 0..15) — deterministic, so the full
     assign -> within-cluster-pairs pipeline is oracle-checked."""
     from flechasdb_spark.operators.similarity import cluster_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") < 8).select(
+    cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
     )
     return cluster_neardup_pairs(emb, cents, threshold=0.3).orderBy(
@@ -1799,6 +1799,44 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         _t(spark, sf_dir, "documents"), total=200, alpha=0.5
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "sequence_pack",
+    f"""
+WITH d AS (SELECT doc_id, len({_DD_TOKS}) AS n FROM documents),
+k AS (SELECT doc_id, n, md5('pack:' || doc_id::VARCHAR) AS h,
+        (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 32) AS b
+      FROM d),
+c AS (SELECT doc_id, n,
+        sum(n) OVER (ORDER BY b, h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k),
+p AS (SELECT doc_id, n, ((cum - n) // 256)::BIGINT AS pack_id FROM c)
+SELECT pack_id, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+FROM p GROUP BY pack_id ORDER BY pack_id
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sample packing into 256-token contexts; the
+    oracle recomputes the distributed prefix sum as one ordered window
+    over the same (bucket, hash, id) order."""
+    from flechasdb_spark.operators.packing import pack_summary, sequence_pack
+    from flechasdb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    packed = sequence_pack(docs, ctx_tokens=256)
+    return (
+        pack_summary(packed)
+        .select(
+            "pack_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("pack_id")
+    )
 
 
 @query(
