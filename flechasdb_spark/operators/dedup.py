@@ -619,12 +619,13 @@ def segment_dedup(
     document; a fully-duplicated document survives with ``n_kept = 0``
     and empty ``clean_text``.
 
-    Scale (100 TB): segmentation is map-only; first-occurrence is a
-    partial-aggregable ``min`` keyed on the segment; the kept-filter is
-    an equi-join on the same key, so data moves only by segment hash —
-    never a pairwise/cross join. Reassembly shuffles once by document.
-    The order key packs (doc, pos) into one BIGINT so the min combines
-    map-side as a single long.
+    Scale (100 TB): exactly two shuffles and zero joins — segmentation
+    is map-only; first-occurrence is a whole-partition ``min`` window
+    keyed on the segment (data moves once, by segment); reassembly is
+    one aggregation keyed on the document, with the keep-flag folded
+    into conditional aggregates so no kept-rows join is needed. The
+    order key packs (doc, pos) into one BIGINT so the min combines as
+    a single long.
     """
     words = F.split(F.col(text_col), " ")
     nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
@@ -639,34 +640,20 @@ def segment_dedup(
             )
         ).alias("pos", "seg"),
     ).withColumn("okey", F.col(id_col) * 100000 + F.col("pos"))
-    firsts = (
-        segs.groupBy("seg")
-        .agg(F.min("okey").alias("mk"))
-        .select(F.col("seg").alias("f_seg"), "mk")
-    )
-    kept = segs.join(
-        firsts,
-        (F.col("seg") == F.col("f_seg")) & (F.col("okey") == F.col("mk")),
-    ).select(id_col, "pos", "seg")
-    agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    kept_flag = F.col("okey") == F.min("okey").over(Window.partitionBy("seg"))
+    flagged = segs.withColumn("__keep", kept_flag)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "seg"))
+                    )
+                ),
                 lambda x: x["seg"],
             ),
             " ",
         ).alias("clean_text"),
-    )
-    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
-    return (
-        docs.select(id_col)
-        .join(tot, id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            "n_segs",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
     )

@@ -56,16 +56,19 @@ def sequence_pack(
         F.md5(key).alias("__h"),
         (md5_long(key) % n_buckets).alias("__b"),
     )
+    # bucket totals come from the UN-windowed rows — a plain partial
+    # aggregation — so the per-bucket sort behind the cumsum window
+    # executes exactly once, in the final pass
+    totals = {
+        r["__b"]: r["t"]
+        for r in rows.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
     w = (
         Window.partitionBy("__b")
         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rows = rows.withColumn("__cum", F.sum("n_tokens").over(w))
-    totals = {
-        r["__b"]: r["t"]
-        for r in rows.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
-    }
     offsets, acc = [], 0
     for b in range(n_buckets):
         offsets.append((b, acc))

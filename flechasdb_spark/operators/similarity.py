@@ -213,6 +213,7 @@ def cluster_neardup_pairs(
     vec_col: str = "embedding",
     cent_id_col: str = "cent_id",
     cent_col: str = "center",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Cluster-bucketed semantic near-dup — the SemDeDup shape
     (Abbas et al., arXiv:2303.09540): assign every embedding to its
@@ -224,13 +225,76 @@ def cluster_neardup_pairs(
 
     Returns ``(id_a, id_b, cluster, cos)`` with id_a < id_b.
 
+    ``impl="pandas"`` (default, the product path): one
+    ``applyInPandas`` per cluster — the pairwise block is a single
+    vectorized BLAS matmul over the cluster's normalized matrix,
+    exactly how SemDeDup computes it per cluster. ``impl="catalyst"``
+    is the pure-relational form (one interpreted dot per pair) kept as
+    the DuckDB-oracle ground truth; both agree to 4 decimals (tested),
+    differing only in float summation order.
+
     Scale (100 TB): assignment is a broadcast of P centroids + a
     partial-aggregable argmin (shuffle carries one row per vector);
-    the within-cluster self-join shuffles by cluster id (AQE skew split
-    covers hot clusters). P tunes the recall/cost trade-off exactly
-    like SemDeDup's k; duplicates that straddle a cluster boundary are
-    the (documented) misses, same as the paper.
+    the pair stage shuffles by cluster id (AQE skew split covers hot
+    clusters). P must grow with M so a cluster's |c| x dim block fits
+    an executor (SemDeDup's k ~ 100k at web scale); measured at 80k
+    vectors x 64 dims, P=64: catalyst 171 s -> pandas 9 s on the same
+    plan shape. Boundary-straddling duplicates are the (documented)
+    misses, same as the paper.
     """
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+        # vectorized coarse assign (same argmin-by-(dist, cid) rule as
+        # the relational form, one BLAS matmul per Arrow batch) — the
+        # P-way interpreted distance expansion is the slow half once
+        # the pair stage is vectorized (measured 58 s -> 9 s at 80k)
+        crows = sorted(
+            centroids.select(cent_id_col, cent_col).collect(),
+            key=lambda r: r[cent_id_col],
+        )
+        cids = np.array([int(r[cent_id_col]) for r in crows], dtype=np.int64)
+        C = np.array([list(r[cent_col]) for r in crows], dtype=np.float64)
+        c_sq = (C**2).sum(axis=1)
+
+        @F.pandas_udf("long", F.PandasUDFType.SCALAR)
+        def _assign(vec):
+            V = np.stack(vec.to_numpy()).astype(np.float64)
+            sc = c_sq[None, :] - 2.0 * (V @ C.T)  # ||v||^2 constant per row
+            return pd.Series(cids[np.argmin(sc, axis=1)])
+
+        assign = vectors.select(
+            F.col(id_col).cast("long").alias("__pid"),
+            F.col(vec_col).alias("__v"),
+            _assign(F.col(vec_col)).alias("cluster"),
+        )
+
+        def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["__pid"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+            N = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = N @ N.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= thr
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cluster": np.int64(pdf["cluster"].iloc[0]),
+                    "cos": np.round(S[iu[keep], ju[keep]], 4),
+                }
+            )
+
+        return assign.groupBy("cluster").applyInPandas(
+            _cluster_pairs,
+            "id_a long, id_b long, cluster long, cos double",
+        )
+    if impl != "catalyst":
+        raise ValueError(f"unknown impl: {impl!r}")
     cents = F.broadcast(
         centroids.select(
             F.col(cent_id_col).alias("__cid"), F.col(cent_col).alias("__cv")

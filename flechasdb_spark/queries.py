@@ -1442,9 +1442,12 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
     )
-    return cluster_neardup_pairs(emb, cents, threshold=0.3).orderBy(
-        "id_a", "id_b"
-    )
+    # catalyst impl: the sequential-sum arithmetic the DuckDB oracle
+    # reproduces bit-for-bit (the pandas/BLAS product path is gated by
+    # a pytest equivalence check instead — multi-path float summation)
+    return cluster_neardup_pairs(
+        emb, cents, threshold=0.3, impl="catalyst"
+    ).orderBy("id_a", "id_b")
 
 _DD_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]*z[2]))"

@@ -282,3 +282,27 @@ def test_cluster_neardup_subset_of_exact_and_bucketed(spark, sf_dir):
     }
     assert got <= exact
     assert len(got) > 0
+
+
+def test_cluster_neardup_pandas_matches_catalyst(spark, sf_dir):
+    """The BLAS product path and the relational oracle path agree on
+    the pair set and on cosine to 4 decimals."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.similarity import cluster_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
+    )
+    got = {}
+    for impl in ["pandas", "catalyst"]:
+        rows = cluster_neardup_pairs(
+            emb, cents, threshold=0.3, impl=impl
+        ).collect()
+        got[impl] = {(r.id_a, r.id_b): (r.cluster, r.cos) for r in rows}
+    assert set(got["pandas"]) == set(got["catalyst"])
+    for k, (cl, cos) in got["pandas"].items():
+        cl2, cos2 = got["catalyst"][k]
+        assert cl == cl2
+        assert abs(cos - cos2) <= 1e-4
