@@ -27,11 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return Q.REGISTRY
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    the leading entries span the full §2 surface (core lifecycle, dedup,
+    text, multimodal, SQL, streaming); tests/test_oracle.py gates every
+    entry regardless of position."""
+    return Q.registry_ordered()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each query (omissions are recorded
     by the driver as weaker rows-only checks)."""
-    return Q.ORACLES
+    return Q.oracles_ordered()

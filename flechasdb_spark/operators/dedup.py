@@ -624,8 +624,10 @@ def segment_dedup(
     keyed on the segment (data moves once, by segment); reassembly is
     one aggregation keyed on the document, with the keep-flag folded
     into conditional aggregates so no kept-rows join is needed. The
-    order key packs (doc, pos) into one BIGINT so the min combines as
-    a single long.
+    order key is ``min(struct(doc, pos))`` — lexicographic struct min,
+    partially aggregable like a plain long, and safe at any segment
+    count or doc_id magnitude (a packed ``doc*K + pos`` BIGINT key
+    breaks once a document exceeds K segments or ids approach 2^63/K).
     """
     words = F.split(F.col(text_col), " ")
     nseg = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
@@ -639,7 +641,7 @@ def segment_dedup(
                 ),
             )
         ).alias("pos", "seg"),
-    ).withColumn("okey", F.col(id_col) * 100000 + F.col("pos"))
+    ).withColumn("okey", F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
     kept_flag = F.col("okey") == F.min("okey").over(Window.partitionBy("seg"))
     flagged = segs.withColumn("__keep", kept_flag)
     return flagged.groupBy(id_col).agg(

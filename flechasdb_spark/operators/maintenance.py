@@ -21,7 +21,6 @@ the same layout.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,17 +52,26 @@ def _remove_partition_dirs(
             fs.delete(path, True)
 
 
-def _bump_manifest_num_vectors(index_path: str, delta: int) -> None:
+def _bump_manifest_num_vectors(
+    spark: SparkSession, index_path: str, delta: int
+) -> None:
     """Keep manifest.json's num_vectors in sync with maintenance ops so
-    load_index reports the post-maintenance count."""
+    load_index reports the post-maintenance count. Goes through the
+    Hadoop FS API (like _remove_partition_dirs) so the update also
+    happens on HDFS/S3 index paths, not only local filesystems."""
+    from flechasdb_spark.sources.manifest import (
+        read_manifest_json,
+        write_manifest_json,
+    )
+
     mpath = os.path.join(index_path, "manifest.json")
-    if delta == 0 or not os.path.exists(mpath):
+    if delta == 0:
         return
-    with open(mpath) as f:
-        manifest = json.load(f)
+    manifest = read_manifest_json(spark, mpath)
+    if manifest is None:
+        return
     manifest["num_vectors"] = max(0, int(manifest["num_vectors"]) + delta)
-    with open(mpath, "w") as f:
-        json.dump(manifest, f, indent=2)
+    write_manifest_json(spark, mpath, manifest)
 
 
 def _with_conf(spark: SparkSession, conf: dict):
@@ -160,7 +168,7 @@ def upsert_vectors(
         and replaced_cnt.get(p, 0) >= existing_cnt.get(p, 0)
     ]
     _remove_partition_dirs(spark, f"{index_path}/index", emptied)
-    _bump_manifest_num_vectors(index_path, n_incoming - n_replaced)
+    _bump_manifest_num_vectors(spark, index_path, n_incoming - n_replaced)
     incoming.unpersist()
     return touched
 
@@ -207,5 +215,5 @@ def delete_vectors(
         p for p in touched if victim_cnt[p] >= existing_cnt.get(p, 0)
     ]
     _remove_partition_dirs(spark, f"{index_path}/index", emptied)
-    _bump_manifest_num_vectors(index_path, -sum(victim_cnt.values()))
+    _bump_manifest_num_vectors(spark, index_path, -sum(victim_cnt.values()))
     return touched

@@ -231,7 +231,12 @@ def cluster_neardup_pairs(
     exactly how SemDeDup computes it per cluster. ``impl="catalyst"``
     is the pure-relational form (one interpreted dot per pair) kept as
     the DuckDB-oracle ground truth; both agree to 4 decimals (tested),
-    differing only in float summation order.
+    differing only in float summation order. Both impls score
+    assignment as the full ``||v||^2 + ||c||^2 - 2<v,c>`` with
+    lowest-cid tie-breaks, but BLAS vs sequential summation can still
+    differ in the final ulps, so a vector ulp-equidistant between two
+    centroids may land differently across impls (pair sets then differ
+    by exactly those boundary vectors).
 
     Scale (100 TB): assignment is a broadcast of P centroids + a
     partial-aggregable argmin (shuffle carries one row per vector);
@@ -262,7 +267,16 @@ def cluster_neardup_pairs(
         @F.pandas_udf("long", F.PandasUDFType.SCALAR)
         def _assign(vec):
             V = np.stack(vec.to_numpy()).astype(np.float64)
-            sc = c_sq[None, :] - 2.0 * (V @ C.T)  # ||v||^2 constant per row
+            # full ||v||^2 + ||c||^2 - 2<v,c> so both impls score the
+            # same mathematical quantity; BLAS vs sequential summation
+            # can still differ in the last ulps, so assignment on a
+            # near-exact centroid-distance tie may differ between impls
+            # (argmin ties themselves break to the lowest cid in both)
+            sc = (
+                (V**2).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (V @ C.T)
+            )
             return pd.Series(cids[np.argmin(sc, axis=1)])
 
         assign = vectors.select(

@@ -71,16 +71,23 @@ def asof_join(
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
 
     matched_on = f"__matched_{on}"
+    # Pack (matched time, *values) into ONE struct per right row and
+    # carry the struct with a single last(ignorenulls=True): all output
+    # columns then come from the same matched right row, so a NULL value
+    # in the matched row stays NULL instead of leaking an older row's
+    # non-NULL value (DuckDB ASOF JOIN / pandas merge_asof semantics).
     r = right.select(
         *by,
         F.col(right_on).alias(on),
-        F.col(right_on).alias(matched_on),
-        *value_cols,
+        F.struct(
+            F.col(right_on).alias(matched_on),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__asof"),
         F.lit(0).alias("__side"),
     )
     l = left.select(
         "*",
-        F.lit(None).cast(r.schema[matched_on].dataType).alias(matched_on),
+        F.lit(None).cast(r.schema["__asof"].dataType).alias("__asof"),
         F.lit(1).alias("__side"),
     )
     both = l.unionByName(r, allowMissingColumns=True)
@@ -92,10 +99,12 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    pack = F.last("__asof", ignorenulls=True).over(w)
     carried = both.select(
         *left.columns,
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in (matched_on, *value_cols)],
+        pack[matched_on].alias(matched_on),
+        *[pack[c].alias(c) for c in value_cols],
     ).where(F.col("__side") == 1)
 
     if tolerance is not None:

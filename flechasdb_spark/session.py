@@ -52,3 +52,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def normalize_event_ts(df, col: str = "ts"):
+    """Return ``df`` with ``col`` as BIGINT nanoseconds since epoch.
+
+    The driver-generated events table has carried the event time as
+    parquet TIMESTAMP(NANOS) in some rounds (read as long ns via the
+    legacy nanosAsLong conf) and TIMESTAMP(MICROS) in others (read as
+    timestamp_ntz). Every downstream operator/oracle assumes long ns,
+    so normalize here: timestamps are interpreted in the session's UTC
+    timezone, matching DuckDB's epoch_us(ts) on the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return df
+    return df.withColumn(
+        col, F.expr(f"unix_micros(cast({col} as timestamp)) * 1000")
+    )

@@ -29,10 +29,50 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.build import IndexConfig, IndexModel
 
-__all__ = ["save_index", "load_index", "validate_manifest"]
+__all__ = [
+    "save_index",
+    "load_index",
+    "validate_manifest",
+    "read_manifest_json",
+    "write_manifest_json",
+]
 
 MANIFEST_NAME = "manifest.json"
 FORMAT_VERSION = 1
+
+
+def _fs_path(spark: SparkSession, path: str):
+    """(Path, FileSystem) via the Hadoop FS API, so manifest IO behaves
+    identically on local, HDFS, and S3 paths — the same route the
+    partition-directory maintenance already takes."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def read_manifest_json(spark: SparkSession, path: str) -> dict | None:
+    """Read a JSON file through the Hadoop FS API; None if absent."""
+    p, fs = _fs_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def write_manifest_json(spark: SparkSession, path: str, obj: dict) -> None:
+    """Write a JSON file through the Hadoop FS API (overwrite)."""
+    p, fs = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj, indent=2).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def save_index(model: IndexModel, path: str) -> None:
@@ -61,8 +101,7 @@ def save_index(model: IndexModel, path: str) -> None:
         "vec_col": model.config.vec_col,
         "attr_cols": model.attr_cols,
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=2)
+    write_manifest_json(spark, os.path.join(path, MANIFEST_NAME), manifest)
 
 
 def validate_manifest(m: dict) -> None:
@@ -91,8 +130,9 @@ def validate_manifest(m: dict) -> None:
 
 def load_index(spark: SparkSession, path: str) -> IndexModel:
     """Load manifest + small models eagerly (S4), index lazily (S3)."""
-    with open(os.path.join(path, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = read_manifest_json(spark, os.path.join(path, MANIFEST_NAME))
+    if manifest is None:
+        raise FileNotFoundError(os.path.join(path, MANIFEST_NAME))
     validate_manifest(manifest)
     p, d, c = (
         manifest["num_partitions"],

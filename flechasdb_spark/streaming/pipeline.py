@@ -53,8 +53,12 @@ __all__ = [
     "run_available_now",
 ]
 
-# events.parquet carries TIMESTAMP(NANOS); with the session's
-# nanosAsLong it arrives as long nanoseconds (see session.py).
+# Downstream operators assume ts as long nanoseconds; the driver's
+# events.parquet has carried TIMESTAMP(NANOS) (-> long ns via the
+# legacy nanosAsLong conf) or TIMESTAMP(MICROS) depending on round, so
+# the stream reader takes the file's actual schema and normalizes
+# (session.normalize_event_ts). EVENTS_SCHEMA documents the canonical
+# post-normalization shape.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -70,11 +74,17 @@ EVENTS_SCHEMA = StructType(
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over an events parquet directory/file."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    """File-source stream over an events parquet directory/file,
+    with ts normalized to long nanoseconds (EVENTS_SCHEMA)."""
+    from flechasdb_spark.session import normalize_event_ts
+
+    # file streams need an explicit schema: take the files' own (cheap
+    # footer-only static read), then normalize the time encoding
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    return normalize_event_ts(reader.parquet(path))
 
 
 def windowed_event_agg(

@@ -306,3 +306,28 @@ def test_cluster_neardup_pandas_matches_catalyst(spark, sf_dir):
         cl2, cos2 = got["catalyst"][k]
         assert cl == cl2
         assert abs(cos - cos2) <= 1e-4
+
+
+def test_segment_dedup_wide_ids_and_long_docs(spark):
+    """The first-occurrence order key must be exact for doc_ids near the
+    BIGINT range and for documents with many segments (regression for
+    the packed doc_id*100000+pos key, which overflowed / collided)."""
+    from flechasdb_spark.operators.dedup import segment_dedup
+
+    big = 1 << 60
+    # doc big and big+1 share their (only) segment; seg_words=2 keeps
+    # the fixture tiny while exercising multi-segment position ordering
+    df = spark.createDataFrame(
+        [
+            (big, "dup seg"),
+            (big + 1, "dup seg"),
+            (big + 2, "a b c d dup seg"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, seg_words=2).collect()}
+    assert out[big].n_kept == 1  # first global occurrence survives
+    assert out[big + 1].n_kept == 0
+    assert out[big + 1].clean_text == ""
+    assert out[big + 2].n_kept == 2  # "a b","c d" novel; "dup seg" removed
+    assert out[big + 2].clean_text == "a b c d"

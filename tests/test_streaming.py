@@ -271,9 +271,11 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     from flechasdb_spark.operators.temporal import asof_join
     from flechasdb_spark.streaming.pipeline import stream_asof_enrich
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    )
+    from flechasdb_spark.session import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).withColumn("ts_us", F.expr("ts div 1000"))
     right = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id", F.col("ts_us").alias("p_us"))

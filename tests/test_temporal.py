@@ -124,3 +124,27 @@ def test_asof_rejects_colliding_value_cols(spark):
             left.withColumn("v", F.lit(0.0)), right,
             on="t", by="k", right_on="rt", value_cols=["v"],
         )
+
+
+def test_asof_matched_row_nulls_are_preserved(spark):
+    """A NULL value column in the MATCHED right row must come through as
+    NULL — not be papered over by an older right row's non-NULL value
+    (DuckDB ASOF JOIN / pandas merge_asof both return the matched row
+    verbatim). Regression test for the independent-last() carry bug."""
+    left = spark.createDataFrame(
+        [(1, 20, "a"), (2, 12, "a")], "event_id long, t long, k string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", 1.0, "old"), (15, "a", None, "new")],
+        "rt long, k string, v double, tag string",
+    )
+    out = {
+        r.event_id: (r.v, r.tag, r["__matched_t"])
+        for r in asof_join(
+            left, right, on="t", by="k", right_on="rt",
+            value_cols=["v", "tag"],
+        ).collect()
+    }
+    # matched row rt=15 holds (NULL, "new"): both columns must come from it
+    assert out[1] == (None, "new", 15)
+    assert out[2] == (1.0, "old", 10)
