@@ -88,6 +88,24 @@ def fused_encode(spark, sf_dir, timings):
     model.encoded.unpersist()
 
 
+def fused_semantic(spark, sf_dir, timings):
+    """The PRODUCT semantic near-dup path (per-cluster BLAS blocks via
+    applyInPandas) on the same frozen centroids the relational oracle
+    form times — BENCH tracks both so the baseline comparison uses what
+    ships."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.similarity import cluster_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
+    )
+    t0 = time.perf_counter()
+    cluster_neardup_pairs(emb, cents, threshold=0.3, impl="pandas").count()
+    timings["semantic_neardup_fused"] = round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from flechasdb_spark.session import get_spark
     from flechasdb_spark.queries import REGISTRY
@@ -105,6 +123,8 @@ def main() -> None:
         "tpch_q5",
         "tpch_q13",
         "tpch_q18",
+        "tpch_q2",
+        "tpch_q9",
         # extension surfaces (LLM-pipeline operators)
         "cosine_topk",
         "ann_lsh_topk",
@@ -140,6 +160,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     fused_encode(spark, SF_DIR, timings)
+    fused_semantic(spark, SF_DIR, timings)
     ann_lifecycle(spark, SF_DIR, timings)
 
     total = round(

@@ -41,6 +41,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet splits are sized on COMPRESSED bytes; our post-scan
+        # stages are CPU-dense (hashing, PQ encode, norms) over text /
+        # arrays that expand 5-10x in memory, so the 128 MB default
+        # yields single-task scans on small corpora and ~1 GB of
+        # in-memory work per task at scale. 16 MB compressed ~= 100-150
+        # MB expanded — the classic task-size target — and AQE coalesces
+        # away any resulting small shuffle outputs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # ... and never scan with fewer splits than there are cores:
+        # a sub-16MB file is otherwise ONE task, serializing CPU-dense
+        # stages (hashing, norms) behind a single core. At cluster
+        # scale file counts dwarf this minimum, so it's a no-op there.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long (ns since epoch) — ordering and
         # window semantics are unchanged, convert explicitly where a
