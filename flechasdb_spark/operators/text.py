@@ -11,12 +11,14 @@ full whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 
 __all__ = [
+    "build_vocab",
+    "length_bucket_batches",
     "chunk_text_udtf",
     "scrub_pii",
     "pii_counts",
@@ -287,3 +289,78 @@ def pii_counts(col: Column | str) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}s")
         for kind, pat, _ in PII_PATTERNS
     ]
+
+
+def build_vocab(
+    df: DataFrame,
+    top_n: int = 1000,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked token vocabulary (the wordcount shape every
+    tokenizer-training pipeline starts from): explode tokens, count,
+    drop rare tokens, keep the ``top_n`` by (count desc, token asc),
+    and assign dense ``token_id`` in that order.
+
+    Scale (100 TB): one shuffle with full map-side combine (counts
+    partially aggregate), a TakeOrderedAndProject global top-N (each
+    task forwards at most top_n rows), and the row_number window runs
+    over the ALREADY-truncated top_n rows — the only single-partition
+    stage is O(top_n), never O(corpus).
+
+    Returns (token_id, token, n_docs_is_not_tracked -> count).
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), "token")
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("count").desc(), "token")
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        "count",
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-stratified micro-batching: bucket documents by
+    power-of-two token count, then number ``batch_size`` docs at a time
+    within each bucket (deterministic doc_id order). Training loaders
+    batch this way so sequences in a batch have similar lengths and
+    padding waste stays bounded by ~2x, instead of pad-to-global-max.
+
+    Scale (100 TB): token counting is map-only; the per-bucket
+    row_number is ONE window partitioned by bucket — with ~30 buckets
+    this is the one genuinely bucket-parallel-only stage, so for
+    corpora where even one bucket exceeds a partition, swap the window
+    for the same salted two-level numbering sequence_pack uses. Output
+    (doc_id, n_tokens, bucket, batch_id) with batch_id globally unique
+    via (bucket << 32 | seq).
+    """
+    with_len = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    bucket = F.ceil(F.log2(F.col("n_tokens"))).cast("long")
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return (
+        with_len.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            (
+                F.shiftleft(F.col("bucket"), 32)
+                + ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast(
+                    "long"
+                )
+            ).cast("long"),
+        )
+    )

@@ -4260,3 +4260,63 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocab + length-stratified batching (training-loader surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "build_vocab",
+    f"""
+WITH toks AS (
+  SELECT unnest({_DD_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token, count(*)::BIGINT AS count FROM toks GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY count DESC, token LIMIT 500)
+SELECT (row_number() OVER (ORDER BY count DESC, token) - 1)::BIGINT
+         AS token_id,
+       token, count
+FROM counts
+ORDER BY token_id
+""",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary build: wordcount -> min_count cut -> global
+    top-N with dense ids (operators/text.py build_vocab). The top-N is
+    TakeOrderedAndProject; the id-assigning window runs over the
+    truncated N rows only."""
+    from flechasdb_spark.operators.text import build_vocab
+
+    return build_vocab(
+        _t(spark, sf_dir, "documents"), top_n=500, min_count=2
+    ).orderBy("token_id")
+
+
+@query(
+    "length_bucket_batches",
+    f"""
+WITH lens AS (
+  SELECT doc_id, len({_DD_TOKS})::BIGINT AS n_tokens FROM documents
+  WHERE len({_DD_TOKS}) > 0),
+bucketed AS (
+  SELECT doc_id, n_tokens, ceil(log2(n_tokens))::BIGINT AS bucket
+  FROM lens)
+SELECT doc_id, n_tokens, bucket,
+       ((bucket << 32) + ((row_number() OVER
+          (PARTITION BY bucket ORDER BY doc_id) - 1) // 8))::BIGINT
+         AS batch_id
+FROM bucketed ORDER BY doc_id
+""",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-stratified batching: docs bucketed by power-of-two token
+    count, numbered batch_size at a time per bucket (padding waste
+    bounded ~2x vs pad-to-global-max)."""
+    from flechasdb_spark.operators.text import length_bucket_batches
+
+    return length_bucket_batches(
+        _t(spark, sf_dir, "documents"), batch_size=8
+    ).orderBy("doc_id")

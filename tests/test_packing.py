@@ -42,3 +42,31 @@ def test_sequence_pack_prefix_sum_integrity(spark, sf_dir):
         map(tuple, sequence_pack(docs, ctx_tokens=CTX).collect())
     )
     assert again == sorted(map(tuple, rows))  # deterministic re-run
+
+
+def test_build_vocab_rank_and_mincount(spark):
+    from flechasdb_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    out = build_vocab(df, top_n=2, min_count=2).collect()
+    assert [(r.token_id, r.token, r["count"]) for r in out] == [
+        (0, "a", 4),
+        (1, "b", 3),
+    ]  # c,d cut by min_count / top_n
+
+
+def test_length_bucket_batches_groups_similar_lengths(spark):
+    from flechasdb_spark.operators.text import length_bucket_batches
+
+    rows = [(i, "w " * n) for i, n in enumerate([1, 2, 2, 3, 4, 9, 16, 17])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in length_bucket_batches(df, batch_size=2).collect()}
+    # doc 0 (1 token) -> bucket 0; docs 1,2 (2) -> bucket 1; 3,4 -> 2;
+    # 5,6 (9,16) -> 4; 7 (17) -> 5
+    assert out[1].bucket == 1 and out[2].bucket == 1
+    assert out[1].batch_id == out[2].batch_id  # same bucket, same pair
+    assert out[3].bucket == 2 and out[4].bucket == 2
+    assert out[5].bucket == 4 and out[6].bucket == 4
+    assert out[0].batch_id != out[1].batch_id  # bucket-disjoint ids
