@@ -153,8 +153,17 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Per-query timing is the WARM second execution: the reference
+    # baseline's comparables (BASELINE.md) are warm-cache numbers, and
+    # the first run's Catalyst compile + codegen cost is fixed overhead
+    # that vanishes at any real data scale. Cold (first-run) times are
+    # reported alongside under queries_cold.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name](spark, SF_DIR).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         REGISTRY[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -173,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": _sf_label(SF_DIR),
             }
         )
