@@ -4080,8 +4080,13 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated into a per-part min aggregation joined back on
     equality. supplycost = min unit price is an order-insensitive exact
     double (no summation), so the equality compare is deterministic
-    cross-engine. supplier/nation/region are broadcast dims; the only
-    shuffle is the per-(part,supp) aggregation of lineitem."""
+    cross-engine. supplier/nation/region are broadcast dims; the
+    per-part min is a WINDOW over the already-aggregated (part,supp)
+    rows, keeping ONE plan branch — the agg+self-join decorrelation
+    evaluates the lineitem aggregation subtree twice (measured 2.4 s
+    vs 1.5 s warm at sf0.1)."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -4096,9 +4101,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
     )
-    best = eu.groupBy("l_partkey").agg(F.min("supplycost").alias("__best"))
+    w = Window.partitionBy("l_partkey")
     return (
-        eu.join(best, "l_partkey")
+        eu.withColumn("__best", F.min("supplycost").over(w))
         .where(F.col("supplycost") == F.col("__best"))
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
