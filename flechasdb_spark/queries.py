@@ -3259,12 +3259,13 @@ def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_counts",
     """
 WITH o AS (
-  SELECT user_id, event_id, ts,
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
   FROM events),
 f AS (
   SELECT user_id,
-         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM o)
 SELECT user_id, sum(brk)::BIGINT AS n_sessions, count(*) AS n_events
