@@ -76,12 +76,14 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
             "t": rng.randint(0, 10_000, 600),
         }
     )
+    v = np.round(rng.uniform(0, 100, 300), 2)
+    v[rng.uniform(size=300) < 0.2] = np.nan  # matched-row NULLs must carry
     rpdf = (
         pd.DataFrame(
             {
                 "k": rng.randint(0, 5, 300).astype(str),
                 "rt": rng.randint(0, 10_000, 300),
-                "v": np.round(rng.uniform(0, 100, 300), 2),
+                "v": v,
             }
         )
         .drop_duplicates(["k", "rt"])
