@@ -413,7 +413,7 @@ def simhash(
 
 def simhash_neardup_pairs(
     df: DataFrame,
-    bits: int = 16,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
     text_col: str = "text",
@@ -430,8 +430,16 @@ def simhash_neardup_pairs(
     oracle can verify with the naive form.
 
     Returns (id_a, id_b, hamming). Scale: expected band fan-in is
-    M / 2^(bits/bands) per value; duplicate-heavy values are equi-join
-    skew — AQE splits them.
+    M / 2^(bits/bands) per value — the BAND WIDTH is the scale knob.
+    The default is bits=60 (the full md5_long hash width) / bands=4 =
+    15-bit bands, 32768 values per band: measured at 100k docs the
+    16-bit default's 4-bit bands (16 values!) made every bucket hold
+    M/16 docs and the candidate join go quadratic (~1.2B pairs, job
+    death); 15-bit bands keep expected buckets at M/32768. True
+    duplicate clusters still meet pairwise — that output is inherently
+    quadratic in cluster size, so run exact dedup_exact first on
+    corpora with heavy exact replication. Remaining hot buckets are
+    equi-join skew — AQE splits them.
     """
     if bits % bands != 0:
         raise ValueError(f"bits {bits} not divisible by bands {bands}")
