@@ -63,16 +63,20 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     )
 
 
-def lsh_bucket(vec: Column | str, dim: int, bits: int = 8) -> Column:
+def lsh_bucket(
+    vec: Column | str, dim: int, bits: int = 8, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane (SimHash) bucket id in [0, 2^bits): bit p is
-    set iff dot(v, hyperplane_p) >= 0. Sign-random-projection LSH —
-    collision probability 1 - theta/pi per bit (Charikar, STOC'02)."""
+    set iff dot(v, hyperplane_{plane_offset+p}) >= 0. Sign-random-
+    projection LSH — collision probability 1 - theta/pi per bit
+    (Charikar, STOC'02). ``plane_offset`` selects a disjoint hyperplane
+    range, giving independent hash tables."""
     v = F.col(vec) if isinstance(vec, str) else vec
     bucket = F.lit(0).cast("long")
     for p in range(bits):
-        bit = F.when(_dot_lit(v, hyperplane(p, dim)) >= 0, F.lit(2**p)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(
+            _dot_lit(v, hyperplane(plane_offset + p, dim)) >= 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
@@ -179,28 +183,60 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs (id_a < id_b, cos >= threshold,
     both ids in the same LSH bucket) — the bounded-candidate scale
-    variant of dedup.embedding_neardup_pairs."""
+    variant of dedup.embedding_neardup_pairs.
+
+    Scale knobs: ``bits`` bounds bucket size (expected M/2^bits — it
+    must GROW with corpus size or buckets go quadratic) but each extra
+    bit multiplies pair recall by the per-bit collision probability
+    (1 - theta/pi, ~0.86 at cos 0.9), so one table can't be both
+    selective and high-recall. ``tables`` is the standard fix: L
+    independent hyperplane sets, candidates = union over tables
+    (recall 1-(1-p^bits)^L for ~L× the join cost). Each table uses a
+    disjoint hyperplane range, pairs are deduped by min-table
+    attribution. For very large M, prefer cluster_neardup_pairs
+    (SemDeDup): cluster count scales freely without the per-bit recall
+    penalty."""
+    if tables < 1:
+        raise ValueError(f"tables must be >= 1, got {tables}")
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(vec_col, dim, bits).alias("__bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(
+                            vec_col, dim, bits, plane_offset=t * bits
+                        ).alias("b"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(id_col, vec_col, "__tb.t", "__tb.b")
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "b"
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "b"
     )
-    pairs = a.join(b, "__bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["t", "b"]).where(F.col("id_a") < F.col("id_b"))
     cos = cosine_similarity(F.col("va"), F.col("vb"))
-    out = pairs.select("id_a", "id_b", cos.alias("cos")).where(
+    out = pairs.select("t", "id_a", "id_b", cos.alias("cos")).where(
         F.col("cos") >= threshold
     )
+    if tables > 1:
+        # a pair can meet in several tables: keep one row (min t) —
+        # partial-aggregable, no window
+        out = out.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
+        # (cos is identical across tables for the same pair; min is a
+        # deterministic combiner)
     score = F.round(F.col("cos"), round_to) if round_to is not None else F.col("cos")
-    # each vector lives in exactly one bucket, so a pair meets at most once
     return out.select("id_a", "id_b", score.alias("cos"))
 
 

@@ -331,3 +331,34 @@ def test_segment_dedup_wide_ids_and_long_docs(spark):
     assert out[big + 1].clean_text == ""
     assert out[big + 2].n_kept == 2  # "a b","c d" novel; "dup seg" removed
     assert out[big + 2].clean_text == "a b c d"
+
+
+def test_lsh_neardup_tables_lift_recall(spark):
+    """Multi-table LSH must (a) strictly contain the single-table pair
+    set and (b) close most of the gap to the exact O(M^2) answer."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.dedup import embedding_neardup_pairs
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    dim = len(emb.select("embedding").first()[0])
+    thr = 0.25
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=thr).collect()
+    }
+    assert exact, "fixture yields no exact pairs; lower thr"
+    one = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(emb, thr, dim, bits=6, tables=1).collect()
+    }
+    four = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(emb, thr, dim, bits=6, tables=4).collect()
+    }
+    assert one <= four <= exact
+    assert len(four) > len(one)  # more tables -> strictly more recall here
+    # union-bound theory: recall_L = 1-(1-p^bits)^L ~= L * recall_1 for
+    # small p^bits, so 4 tables should come close to 4x (allow overlap)
+    assert len(four) / len(one) >= 2.0
