@@ -4326,3 +4326,47 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batches(
         _t(spark, sf_dir, "documents"), batch_size=8
     ).orderBy("doc_id")
+
+
+@query(
+    "lsh_neardup_multitable",
+    f"""
+WITH hp AS (
+  SELECT p, list_transform(generate_series(1, {_LSH_DIM}),
+    j -> ((p * 2654435761 + (j-1) * 40503) % 1024) / 512.0 - 1.0) AS h
+  FROM range(10) t(p)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT v.vec_id, (p // 5)::BIGINT AS tbl,
+         sum(CASE WHEN list_sum(list_transform(list_zip(v.v, hp.h),
+                                               z -> z[1]*z[2])) >= 0
+             THEN (1::BIGINT << (p % 5)) ELSE 0 END)::BIGINT AS bucket
+  FROM v, hp GROUP BY v.vec_id, p // 5),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DD_COS.format(a="va.v", b="vb.v")} AS c
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+kept AS (
+  SELECT id_a, id_b, min(c) AS c FROM pairs
+  WHERE c >= 0.45 GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(c, 4) AS cos
+FROM kept ORDER BY id_a, id_b
+""",
+)
+def q_lsh_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table LSH near-dup: candidates = union over 2 disjoint
+    5-bit hyperplane tables, pair-deduped with a partial-aggregable
+    groupBy — the recall-vs-selectivity scale shape
+    (operators/similarity.py lsh_neardup_pairs tables=2)."""
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        dim=_LSH_DIM,
+        bits=5,
+        tables=2,
+    ).orderBy("id_a", "id_b")
