@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "write_bucketed"]
 
 
 def salted_join(
@@ -46,3 +46,37 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l2.join(r2, [on, "__salt"]).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``key``.
+
+    Bucketing is the pre-shuffle-at-write-time technique for repeated
+    fact-fact joins at 100 TB: two tables bucketed by the same key into
+    the same bucket count join with ZERO Exchange on either side (and
+    with ``sort=True``, zero Sort too — the SortMergeJoin reads the
+    bucket files directly). One shuffle is paid once at write; every
+    subsequent join/groupBy on the key is shuffle-free, which is the
+    right trade for dimension-stable layouts like (orderkey, lineitem)
+    or (doc_id, embeddings).
+
+    Uses ``saveAsTable`` (bucket metadata lives in the catalog;
+    plain ``.parquet()`` cannot record it). ``path`` pins an external
+    location; with the default in-memory catalog + warehouse dir the
+    table survives the session's filesystem, not the catalog.
+    """
+    w = df.write.format("parquet").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w = w.bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

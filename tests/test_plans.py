@@ -85,3 +85,35 @@ def test_events_running_sum_single_shuffle(spark):
     assert n_exchanges <= 1, (
         f"running-sum window needs ONE hash exchange, found {n_exchanges}"
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key/count must SortMergeJoin with
+    no Exchange (and no Sort, since sortBy matches the join key) —
+    bucketing pays the shuffle once at write time."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.skew import write_bucketed
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "bkt_l", "k", buckets=8, path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_r", "k", buckets=8, path=str(tmp_path / "r"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_l")
+        spark.sql("DROP TABLE IF EXISTS bkt_r")
