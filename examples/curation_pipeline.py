@@ -66,6 +66,23 @@ def main() -> None:
         F.round(F.avg("n_tokens"), 2).alias("avg_chunk_tokens"),
     ).first()
     print(f"chunks:       {cstats.n_chunks} (avg {cstats.avg_chunk_tokens} tokens)")
+
+    # loader-side artifacts: frequency vocabulary + length-bucketed
+    # batches over the curated docs
+    from flechasdb_spark.operators.text import build_vocab, length_bucket_batches
+
+    curated_docs = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    vocab = build_vocab(curated_docs, top_n=1000, min_count=2)
+    batches = length_bucket_batches(curated_docs, batch_size=16)
+    vstats = vocab.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("count").alias("covered")
+    ).first()
+    bstats = batches.agg(
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.countDistinct("bucket").alias("n_buckets"),
+    ).first()
+    print(f"vocab:        {vstats.n} tokens covering {vstats.covered} occurrences")
+    print(f"batches:      {bstats.n_batches} across {bstats.n_buckets} length buckets")
     spark.stop()
 
 
