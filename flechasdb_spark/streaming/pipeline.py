@@ -301,7 +301,7 @@ def stream_stream_join(
 
 
 def stateful_session_count(
-    events: DataFrame, gap_sec: int = 1800
+    events: DataFrame, gap_sec: int = 1800, idle_ttl_sec: int | None = None
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user session counting with a gap rule (new session when the gap
@@ -309,6 +309,14 @@ def stateful_session_count(
     longs (last event time, session count, event count) — bounded, no
     event buffering; each micro-batch folds its (sorted) events into
     the state and emits the updated totals.
+
+    ``idle_ttl_sec``: state TTL. O(three longs) per user is small but
+    still O(distinct users) over an unbounded stream; with a TTL, a
+    user idle for that long has their state dropped (their counts were
+    already emitted in update mode — a later return starts fresh, which
+    is also what the gap rule would conclude whenever
+    idle_ttl_sec >= gap_sec). Default None keeps state forever —
+    only appropriate for bounded replays like the oracle drain.
 
     Output rows: (user_id, n_sessions, n_events) in update mode — on a
     bounded input the final emission per user equals the batch
@@ -322,6 +330,9 @@ def stateful_session_count(
 
     def fold(key, pdfs, state):
         (user_id,) = key
+        if idle_ttl_sec is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last_ts, n_sessions, n_events = state.get
         else:
@@ -338,6 +349,8 @@ def stateful_session_count(
             n_events += len(ts_us)
             last_ts = int(ts_us[-1])
         state.update((last_ts, n_sessions, n_events))
+        if idle_ttl_sec is not None:
+            state.setTimeoutDuration(idle_ttl_sec * 1000)
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -346,12 +359,17 @@ def stateful_session_count(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_sec is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         fold,
         output_schema,
         state_schema,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

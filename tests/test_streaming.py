@@ -318,3 +318,60 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got["p_value"].fillna(-1).equals(want["p_value"].fillna(-1))
+
+
+def test_stateful_sessions_with_idle_ttl(spark, tmp_path):
+    """The TTL variant must produce the same final totals on a bounded
+    drain (no state times out mid-replay) while registering a
+    ProcessingTimeTimeout so idle users' state is dropped at scale."""
+    import shutil
+
+    from flechasdb_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        stateful_session_count,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    out = stateful_session_count(stream, idle_ttl_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    import pyspark.sql.functions as F
+
+    got = (
+        spark.table("ttl_sessions")
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"))
+    )
+    from flechasdb_spark.session import normalize_event_ts
+
+    normalize_event_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ).createOrReplaceTempView("ttl_base_events")
+    want = {
+        r.user_id: r.n_sessions
+        for r in spark.sql(
+            """
+            WITH o AS (
+              SELECT user_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev, ts
+              FROM ttl_base_events)
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL
+                            OR ts - prev > 1800000000000 THEN 1
+                       ELSE 0 END) AS n_sessions
+            FROM o GROUP BY user_id
+            """
+        ).collect()
+    }
+    assert {r.user_id: r.n_sessions for r in got.collect()} == want
