@@ -147,6 +147,11 @@ def main() -> None:
         "temperature_sample",
         "pii_scrub",
         "sequence_pack",
+        "build_vocab",
+        "length_bucket_batches",
+        "lsh_neardup_multitable",
+        "tpch_q11",
+        "tpch_q20",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings
