@@ -4370,3 +4370,51 @@ def q_lsh_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=5,
         tables=2,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "bucketed_join_agg",
+    """
+SELECT o.o_orderstatus,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join via co-located bucketed layouts: both sides are
+    written bucketed+sorted by the join key (operators/skew.py
+    write_bucketed), so the SortMergeJoin runs with ZERO Exchange/Sort
+    (asserted in test_bucketed_join_has_no_exchange) — the shuffle was
+    paid once at write. Results are identical to the plain join, which
+    is what the oracle recomputes."""
+    import tempfile
+
+    from flechasdb_spark.operators.skew import write_bucketed
+
+    _ensure_conf(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    write_bucketed(li, "__bkt_lineitem", "l_orderkey", buckets=8,
+                   path=f"{tmp}/l")
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "__bkt_orders", "l_orderkey", buckets=8, path=f"{tmp}/o",
+    )
+    joined = spark.table("__bkt_lineitem").join(
+        spark.table("__bkt_orders"), "l_orderkey"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )
