@@ -98,3 +98,62 @@ def test_fake_decode_deterministic(x):
     assert 32 <= w1 < 256 and 32 <= h1 < 256
     assert len(f1) == FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in f1)
+
+
+def test_build_vocab_matches_pandas_reference(spark):
+    """Randomized (seeded) corpora: vocab must equal the pandas
+    groupby/count/sort reference for rank, id, and counts."""
+    import numpy as np
+    import pandas as pd
+
+    from flechasdb_spark.operators.text import build_vocab
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(words, size=rng.randint(0, 30))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = build_vocab(df, top_n=25, min_count=2).toPandas()
+
+    toks = pd.Series(
+        [t for _, text in docs for t in text.lower().split() if t]
+    )
+    counts = toks.value_counts()
+    counts = counts[counts >= 2]
+    ref = (
+        counts.rename_axis("token")
+        .reset_index(name="count")
+        .sort_values(["count", "token"], ascending=[False, True],
+                     kind="mergesort")
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert list(got["token"]) == list(ref["token"])
+    assert list(got["count"]) == list(ref["count"])
+    assert list(got["token_id"]) == list(range(len(ref)))
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Every batch holds <= batch_size docs, all of one bucket, and ids
+    within a bucket are numbered in doc_id order."""
+    import numpy as np
+
+    from flechasdb_spark.operators.text import length_bucket_batches
+
+    rng = np.random.RandomState(5)
+    docs = [
+        (i, " ".join("x" for _ in range(rng.randint(1, 200))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = length_bucket_batches(df, batch_size=7).toPandas()
+    assert len(out) == 300  # every doc with tokens appears once
+    for bid, grp in out.groupby("batch_id"):
+        assert len(grp) <= 7
+        assert grp["bucket"].nunique() == 1
+    # batch numbering follows doc_id order inside each bucket
+    for b, grp in out.groupby("bucket"):
+        grp = grp.sort_values("doc_id")
+        assert list(grp["batch_id"]) == sorted(grp["batch_id"])
