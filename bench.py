@@ -149,7 +149,6 @@ def main() -> None:
         "sequence_pack",
         "build_vocab",
         "length_bucket_batches",
-        "lsh_neardup_multitable",
         "tpch_q11",
         "tpch_q20",
     ]
