@@ -34,6 +34,7 @@ __all__ = [
     "word_ngrams",
     "ngram_jaccard_pairs",
     "minhash_signature",
+    "minhash_band_keys",
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash",
@@ -229,19 +230,20 @@ def minhash_signature(
     return stacked.select(id_col, F.col("s.j").alias("j"), F.col("s.minhash"))
 
 
-def minhash_lsh_pairs(
+def minhash_band_keys(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become a
-    candidate pair. Returns (id_a, id_b, n_bands) — verification against
-    true Jaccard composes with ngram_jaccard_pairs/token Jaccard."""
+    """(id, band, band_key) — one LSH band key per (doc, band); docs
+    agreeing on a whole band share the key. The join-ready shape for
+    both pair generation (minhash_lsh_pairs) and the online/streaming
+    novelty filter (streaming.pipeline.stream_minhash_dedup)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, num_hashes, text_col, id_col)
-    banded = (
+    return (
         sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
@@ -256,6 +258,19 @@ def minhash_lsh_pairs(
             ).alias("band_key")
         )
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become a
+    candidate pair. Returns (id_a, id_b, n_bands) — verification against
+    true Jaccard composes with ngram_jaccard_pairs/token Jaccard."""
+    banded = minhash_band_keys(df, num_hashes, bands, text_col, id_col)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
     )

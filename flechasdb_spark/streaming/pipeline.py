@@ -48,6 +48,7 @@ __all__ = [
     "stream_static_knn",
     "stream_asof_enrich",
     "stream_dedup",
+    "stream_minhash_dedup",
     "stream_stream_join",
     "stateful_session_count",
     "run_available_now",
@@ -379,3 +380,98 @@ def run_available_now(query, timeout_sec: int = 300) -> None:
     query.awaitTermination(timeout_sec)
     if query.isActive:
         query.stop()
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    band_store_path: str,
+    output_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Online near-dup filtering: each micro-batch keeps only documents
+    that are NOVEL — no LSH band key in common with any previously-kept
+    document (band store) nor with a lower-id novel doc of the same
+    batch — then appends the survivors to ``output_path`` and their
+    band keys to the store. The foreachBatch composition of the batch
+    MinHash banding (operators/dedup.py minhash_band_keys), i.e. the
+    ingest-time dedup a crawl pipeline runs so duplicates never reach
+    the corpus.
+
+    Candidate-level (conservative): a band collision drops the doc
+    without a Jaccard verify — the standard online trade, since the
+    kept docs' tokens are no longer at hand. Intra-batch semantics
+    match the repo's batch clustering policy (neardup_components):
+    store-novel docs are clustered by transitive band collisions and
+    the LOWEST id of each cluster survives.
+
+    Scale: per batch, one equi-join of the batch's band keys against
+    the store (shuffle keyed on band_key — the store side prunes to
+    matching keys; at rest the store is just parquet, O(bands) rows per
+    kept doc) plus the intra-batch component pass (O(cluster diameter)
+    rounds over only the batch's colliding docs).
+    Returns the streaming query handle (caller drains/stops).
+    """
+    from flechasdb_spark.operators.dedup import (
+        connected_components,
+        minhash_band_keys,
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        keys = minhash_band_keys(
+            batch, num_hashes, bands, text_col, id_col
+        ).persist()
+        try:
+            try:
+                store = spark.read.parquet(band_store_path)
+                has_store = True
+            except Exception:
+                has_store = False
+            fresh = keys
+            if has_store:
+                dup_ids = (
+                    keys.join(store, ["band", "band_key"], "left_semi")
+                    .select(id_col)
+                    .distinct()
+                )
+                fresh = keys.join(dup_ids, id_col, "left_anti")
+            # intra-batch: cluster transitive band collisions, keep the
+            # lowest id per component (isolated docs have no edges and
+            # survive untouched)
+            a = fresh.select(F.col(id_col).alias("id_a"), "band", "band_key")
+            b = fresh.select(F.col(id_col).alias("id_b"), "band", "band_key")
+            edges = (
+                a.join(b, ["band", "band_key"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            comp = connected_components(edges)
+            beaten = comp.where(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
+            kept_keys = fresh.join(beaten, id_col, "left_anti").persist()
+            kept_ids = kept_keys.select(id_col).distinct()
+            (
+                batch.join(kept_ids, id_col, "left_semi")
+                .write.mode("append")
+                .parquet(output_path)
+            )
+            kept_keys.select(id_col, "band", "band_key").write.mode(
+                "append"
+            ).parquet(band_store_path)
+            kept_keys.unpersist()
+        finally:
+            keys.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -375,3 +375,82 @@ def test_stateful_sessions_with_idle_ttl(spark, tmp_path):
         ).collect()
     }
     assert {r.user_id: r.n_sessions for r in got.collect()} == want
+
+
+def test_stream_minhash_dedup_matches_component_reference(spark, tmp_path):
+    """Drained multi-batch stream must keep exactly what the batch-
+    sequential reference keeps: per batch, drop store-collisions,
+    cluster transitive band collisions, keep each cluster's lowest id
+    (arrival order == id order by construction: two files of ascending
+    doc_id ranges)."""
+    import pyspark.sql.functions as F
+
+    from flechasdb_spark.operators.dedup import minhash_band_keys
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_minhash_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .cache()
+    )
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        str(src / "f0.parquet")
+    )
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_path = str(tmp_path / "kept")
+    store_path = str(tmp_path / "bands")
+    q = stream_minhash_dedup(stream, store_path, out_path)
+    run_available_now(q)
+    kept = {
+        r.doc_id for r in spark.read.parquet(out_path).select("doc_id").collect()
+    }
+
+    # reference: batch-sequential — per batch, drop docs colliding with
+    # the store, cluster the rest by transitive band collisions (union-
+    # find), keep each cluster's lowest id, then add kept keys to store
+    rows = minhash_band_keys(docs).collect()
+    per_doc: dict[int, set] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add((r.band, r.band_key))
+    store: set = set()
+    want: set = set()
+    for batch_ids in ([d for d in sorted(per_doc) if d < 100],
+                      [d for d in sorted(per_doc) if d >= 100]):
+        novel = [d for d in batch_ids if not (per_doc[d] & store)]
+        parent = {d: d for d in novel}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_key: dict = {}
+        for d in novel:
+            for k in per_doc[d]:
+                by_key.setdefault(k, []).append(d)
+        for ds in by_key.values():
+            for other in ds[1:]:
+                ra, rb = find(ds[0]), find(other)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for d in novel:
+            if find(d) == d:
+                want.add(d)
+                store |= per_doc[d]
+    assert kept == want
+    assert 0 < len(kept) < 200  # fixture must exercise both outcomes
