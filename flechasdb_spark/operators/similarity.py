@@ -43,6 +43,7 @@ __all__ = [
     "ann_lsh_topk",
     "lsh_neardup_pairs",
     "cluster_neardup_pairs",
+    "maxsim_doc_topk",
 ]
 
 
@@ -392,4 +393,52 @@ def cluster_neardup_pairs(
             F.col("cluster").cast("long").alias("cluster"),
             F.round(cos, 4).alias("cos"),
         )
+    )
+
+
+def maxsim_doc_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    doc_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Late-interaction document retrieval (the ColBERT MaxSim shape):
+    a document is a BAG of vectors (passages/token blocks, grouped by
+    ``doc_col``); its score against the query is the MAX cosine over
+    its members, and the top-k documents win.
+
+    Plan: one map-only cosine per vector, a partially-aggregable
+    max(struct(score, best_vec)) per document (map-side combine — the
+    shuffle carries one row per doc), then TakeOrderedAndProject for
+    the global top-k. No joins, no windows; scales as a single pass
+    over the vector table. Returns (doc, score, best_vec_id).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cos = cosine_similarity(F.col(vec_col), q)
+    scored = vectors.select(
+        F.col(doc_col).alias("doc"),
+        F.col(id_col).alias("vid"),
+        cos.alias("c"),
+    )
+    best = scored.groupBy("doc").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"), (-F.col("vid")).alias("negid")
+            )
+        ).alias("b")
+    )
+    score = F.col("b.c")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        best.select(
+            "doc",
+            score.alias("score"),
+            (-F.col("b.negid")).cast("long").alias("best_vec_id"),
+        )
+        .orderBy(F.col("score").desc(), "doc")
+        .limit(k)
     )

@@ -4418,3 +4418,35 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "maxsim_doc_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT e.label AS doc, e.vec_id,
+         {_DD_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS c
+  FROM embeddings e, q),
+best AS (
+  SELECT doc, max(c) AS score FROM scored GROUP BY doc),
+pick AS (
+  SELECT b.doc, b.score, min(s.vec_id) AS best_vec_id
+  FROM best b JOIN scored s ON s.doc = b.doc AND s.c = b.score
+  GROUP BY b.doc, b.score)
+SELECT doc::BIGINT AS doc, round(score, 4) AS score, best_vec_id
+FROM pick ORDER BY score DESC, doc LIMIT 5
+""",
+)
+def q_maxsim_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim) retrieval: documents = vector
+    bags grouped by label; doc score = max member cosine vs the query;
+    top-5 docs. One map pass + a partially-aggregable max(struct) per
+    doc + TakeOrderedAndProject — no joins, no windows."""
+    from flechasdb_spark.operators.similarity import maxsim_doc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    return maxsim_doc_topk(
+        emb.withColumn("label", F.col("label").cast("long")), qv, k=5
+    )

@@ -117,3 +117,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_l")
         spark.sql("DROP TABLE IF EXISTS bkt_r")
+
+
+def test_maxsim_plan_single_pass(spark):
+    """MaxSim doc retrieval must be one scan: no join, no window —
+    partial max(struct) + TakeOrderedAndProject only."""
+    from flechasdb_spark.operators.similarity import maxsim_doc_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    plan = (
+        maxsim_doc_topk(emb, [0.1] * dim, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Join", "Window"):
+        assert bad not in plan, f"unexpected {bad} in MaxSim plan"
+    assert "TakeOrderedAndProject" in plan
