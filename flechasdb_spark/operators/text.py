@@ -331,36 +331,89 @@ def length_bucket_batches(
     batch_size: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt: str = "lenbatch",
+    hash_prefix_len: int = 2,
 ) -> DataFrame:
     """Length-stratified micro-batching: bucket documents by
     power-of-two token count, then number ``batch_size`` docs at a time
-    within each bucket (deterministic doc_id order). Training loaders
-    batch this way so sequences in a batch have similar lengths and
-    padding waste stays bounded by ~2x, instead of pad-to-global-max.
+    within each bucket. Training loaders batch this way so sequences in
+    a batch have similar lengths and padding waste stays bounded by ~2x,
+    instead of pad-to-global-max.
 
-    Scale (100 TB): token counting is map-only; the per-bucket
-    row_number is ONE window partitioned by bucket — with ~30 buckets
-    this is the one genuinely bucket-parallel-only stage, so for
-    corpora where even one bucket exceeds a partition, swap the window
-    for the same salted two-level numbering sequence_pack uses. Output
-    (doc_id, n_tokens, bucket, batch_id) with batch_id globally unique
-    via (bucket << 32 | seq).
+    Intra-bucket order is the deterministic salted-hash order
+    ``(md5(salt:id), id)`` — the same order contract ``sequence_pack``
+    uses. A hash order (rather than raw id order) is what makes the
+    numbering distributable AND doubles as the shuffle training loaders
+    want anyway: batches draw uniformly from the bucket instead of
+    clustering by ingest order.
+
+    Scale (100 TB): token counting is map-only. Per-bucket numbering is
+    the salted two-level scheme (r3 VERDICT item — previously one
+    window task per bucket, a single-task sort of the largest bucket):
+
+    1. each row gets a sub-bucket ``__s`` = first ``hash_prefix_len``
+       hex chars of its md5 — an ORDER-PRESERVING prefix of the sort
+       key, so (``__s`` asc, hash asc) == global hash order;
+    2. exact counts per (bucket, sub-bucket) — a partial aggregation,
+       O(buckets * 16^prefix) rows to the driver — become exclusive
+       within-bucket offsets, broadcast back;
+    3. row_number runs per (bucket, sub-bucket): parallelism is
+       buckets * 16^prefix tasks (~30 * 256 by default), each sorting
+       ~1/256th of a bucket; offset + local rank = exact global rank.
+
+    Output (doc_id, n_tokens, bucket, batch_id) with batch_id globally
+    unique via (bucket << 32 | seq DIV batch_size).
     """
-    with_len = df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
-    bucket = F.ceil(F.log2(F.col("n_tokens"))).cast("long")
-    w = Window.partitionBy("bucket").orderBy(id_col)
-    return (
-        with_len.withColumn("bucket", bucket)
+    spark = df.sparkSession
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    with_len = (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+            F.md5(key).alias("__h"),
+        )
+        .where(F.col("n_tokens") > 0)
         .withColumn(
-            "batch_id",
+            "bucket", F.ceil(F.log2(F.col("n_tokens"))).cast("long")
+        )
+        .withColumn(
+            "__s",
+            F.conv(F.substring("__h", 1, hash_prefix_len), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    # exact exclusive offsets per (bucket, sub-bucket): counts are a
+    # plain partial agg; only O(buckets * 16^prefix) rows hit the driver
+    counts: dict[int, dict[int, int]] = {}
+    for r in (
+        with_len.groupBy("bucket", "__s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        counts.setdefault(r["bucket"], {})[r["__s"]] = r["c"]
+    offsets = []
+    for b, subs in counts.items():
+        acc = 0
+        for s in sorted(subs):
+            offsets.append((b, s, acc))
+            acc += subs[s]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "bucket long, __s long, __off long")
+    )
+    w = Window.partitionBy("bucket", "__s").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    seq = F.col("__off") + F.row_number().over(w) - 1
+    return (
+        with_len.join(off_df, ["bucket", "__s"])
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
             (
                 F.shiftleft(F.col("bucket"), 32)
-                + ((F.row_number().over(w) - 1) / F.lit(batch_size)).cast(
-                    "long"
-                )
-            ).cast("long"),
+                + F.floor(seq / F.lit(float(batch_size))).cast("long")
+            ).cast("long").alias("batch_id"),
         )
     )

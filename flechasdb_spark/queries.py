@@ -4359,19 +4359,23 @@ WITH lens AS (
   SELECT doc_id, len({_DD_TOKS})::BIGINT AS n_tokens FROM documents
   WHERE len({_DD_TOKS}) > 0),
 bucketed AS (
-  SELECT doc_id, n_tokens, ceil(log2(n_tokens))::BIGINT AS bucket
+  SELECT doc_id, n_tokens, ceil(log2(n_tokens))::BIGINT AS bucket,
+         md5('lenbatch:' || CAST(doc_id AS VARCHAR)) AS h
   FROM lens)
 SELECT doc_id, n_tokens, bucket,
        ((bucket << 32) + ((row_number() OVER
-          (PARTITION BY bucket ORDER BY doc_id) - 1) // 8))::BIGINT
+          (PARTITION BY bucket ORDER BY h, doc_id) - 1) // 8))::BIGINT
          AS batch_id
 FROM bucketed ORDER BY doc_id
 """,
 )
 def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-stratified batching: docs bucketed by power-of-two token
-    count, numbered batch_size at a time per bucket (padding waste
-    bounded ~2x vs pad-to-global-max)."""
+    count, numbered batch_size at a time per bucket in salted-hash
+    order (padding waste bounded ~2x vs pad-to-global-max). The oracle
+    reproduces the two-level distributed numbering as ONE window per
+    bucket — valid because the sub-bucket key is an order-preserving
+    prefix of the hash sort key."""
     from flechasdb_spark.operators.text import length_bucket_batches
 
     return length_bucket_batches(
