@@ -3448,6 +3448,110 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "event_type")
 
 
+# Sequential two-phase oracle for the online near-dup ingest filter:
+# batch 1 = doc_id < 100, batch 2 = doc_id in [100, 200). Each phase
+# clusters transitive band collisions (recursive min-label CTE — the
+# same machinery as the neardup_components oracle) and keeps each
+# cluster's lowest id; phase 2 first drops docs colliding with phase-1
+# survivors' band keys (the store). Mirrors streaming/pipeline.py
+# stream_minhash_dedup exactly for this fixed arrival order.
+_SMH_EDGE = """
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM {src} a JOIN {src} b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id"""
+
+
+@query(
+    "stream_minhash_dedup",
+    f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, {{toks}} AS toks FROM documents WHERE doc_id < 200),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, tok, {{md5h}} % {{p}} AS h FROM tok),
+sig AS (
+  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % {{p}}) AS minhash
+  FROM hashed, range(16) r(j) GROUP BY doc_id, j),
+banded AS (
+  SELECT doc_id, (j // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, (j // 4)::INT),
+b1 AS (SELECT * FROM banded WHERE doc_id < 100),
+e1 AS ({_SMH_EDGE.format(src="b1")}),
+s1 AS (SELECT ia AS a, ib AS b FROM e1 UNION SELECT ib, ia FROM e1),
+r1(node, comp) AS (
+  SELECT a, a FROM s1
+  UNION
+  SELECT s.a, r.comp FROM s1 s JOIN r1 r ON s.b = r.node),
+lose1 AS (SELECT node FROM r1 GROUP BY node HAVING min(comp) <> node),
+kept1 AS (SELECT DISTINCT doc_id FROM b1
+          WHERE doc_id NOT IN (SELECT node FROM lose1)),
+store AS (SELECT DISTINCT band, band_key FROM b1
+          WHERE doc_id IN (SELECT doc_id FROM kept1)),
+b2a AS (SELECT * FROM banded WHERE doc_id >= 100),
+hit2 AS (SELECT DISTINCT a.doc_id FROM b2a a
+         JOIN store s ON a.band = s.band AND a.band_key = s.band_key),
+b2 AS (SELECT * FROM b2a
+       WHERE doc_id NOT IN (SELECT doc_id FROM hit2)),
+e2 AS ({_SMH_EDGE.format(src="b2")}),
+s2 AS (SELECT ia AS a, ib AS b FROM e2 UNION SELECT ib, ia FROM e2),
+r2(node, comp) AS (
+  SELECT a, a FROM s2
+  UNION
+  SELECT s.a, r.comp FROM s2 s JOIN r2 r ON s.b = r.node),
+lose2 AS (SELECT node FROM r2 GROUP BY node HAVING min(comp) <> node),
+kept2 AS (SELECT DISTINCT doc_id FROM b2
+          WHERE doc_id NOT IN (SELECT node FROM lose2))
+SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2
+ORDER BY doc_id
+""".format(toks=_DD_TOKS, md5h=_DD_MD5H.format(x="tok"), p=_P),
+)
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online MinHash near-dup ingest filter drained over a bounded
+    two-batch replay (docs 0-99 arrive, then 100-199; arrival order
+    pinned via file modification times). The surviving doc_id set is
+    deterministic for a fixed arrival order, so the oracle replays the
+    same two phases sequentially in SQL. First-arrival-wins across
+    batches; lowest-id-wins within a batch (see
+    streaming/pipeline.py stream_minhash_dedup)."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_minhash_dedup,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_mhd_")
+    src = f"{tmp}/src"
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/b0")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/b1")
+    # the file source processes oldest-first: pin arrival order even if
+    # both writes land in the same mtime tick
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_minhash_dedup(stream, f"{tmp}/bands", f"{tmp}/kept")
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/kept").select("doc_id").orderBy("doc_id")
+    )
+
+
 @query(
     "stream_stream_join",
     """

@@ -77,11 +77,19 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet directory/file,
     with ts normalized to long nanoseconds (EVENTS_SCHEMA)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from flechasdb_spark.session import normalize_event_ts
 
     # file streams need an explicit schema: take the files' own (cheap
-    # footer-only static read), then normalize the time encoding
-    file_schema = spark.read.parquet(path).schema
+    # footer-only static read), then normalize the time encoding. A
+    # source directory that is empty / not yet created at stream start
+    # (a real file-stream deployment shape) falls back to the canonical
+    # EVENTS_SCHEMA (long-ns ts) instead of failing the probe.
+    try:
+        file_schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        file_schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(file_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -405,7 +413,27 @@ def stream_minhash_dedup(
     kept docs' tokens are no longer at hand. Intra-batch semantics
     match the repo's batch clustering policy (neardup_components):
     store-novel docs are clustered by transitive band collisions and
-    the LOWEST id of each cluster survives.
+    the LOWEST id of each cluster survives. ACROSS micro-batches the
+    policy is FIRST-ARRIVAL-WINS: a doc colliding with an
+    earlier-batch survivor is dropped regardless of id, so an
+    out-of-order arrival can flip WHICH member of a duplicate cluster
+    survives (for clique-shaped clusters — mutual near-dups, the
+    common case — exactly one member survives under any arrival
+    order; only chain-shaped collision graphs can change the kept
+    COUNT). This matches the reference-free online contract: the
+    corpus never holds two docs that collided at ingest time.
+
+    Delivery: foreachBatch is at-least-once, so each batch writes
+    under an ``ingest_batch=<id>`` subdirectory of both sinks, in
+    overwrite mode, and the batch is skipped wholesale when its band
+    store subdirectory is already committed (_SUCCESS) — a replay
+    therefore rewrites the identical rows instead of appending
+    duplicates. Readers of ``output_path`` see one extra
+    ``ingest_batch`` partition column (drop it to recover the input
+    schema). Store absence is distinguished from read FAILURE via a
+    Hadoop-FS existence check: a transient FS error propagates and
+    fails the batch (and the retry re-runs it) instead of silently
+    disabling the duplicate check.
 
     Scale: per batch, one equi-join of the batch's band keys against
     the store (shuffle keyed on band_key — the store side prunes to
@@ -418,22 +446,39 @@ def stream_minhash_dedup(
         connected_components,
         minhash_band_keys,
     )
+    from flechasdb_spark.sources.manifest import _fs_path
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        store_batch_dir = f"{band_store_path}/ingest_batch={batch_id}"
+        marker, fs = _fs_path(spark, f"{store_batch_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a fully committed batch: exact no-op
         keys = minhash_band_keys(
             batch, num_hashes, bands, text_col, id_col
         ).persist()
         try:
-            try:
-                store = spark.read.parquet(band_store_path)
-                has_store = True
-            except Exception:
-                has_store = False
+            # absence vs failure: a genuinely missing store (or a root
+            # left schema-less by a crashed first write — only
+            # _temporary inside) skips the check; any OTHER read error
+            # (transient FS/S3 fault, corrupt files) propagates and
+            # fails the batch so the retry re-runs it, instead of
+            # silently disabling the duplicate check
+            from pyspark.errors.exceptions.captured import (
+                AnalysisException,
+            )
+
+            root, rfs = _fs_path(spark, band_store_path)
+            store = None
+            if rfs.exists(root):
+                try:
+                    store = spark.read.parquet(band_store_path)
+                except AnalysisException:
+                    store = None  # exists but holds no committed data
             fresh = keys
-            if has_store:
+            if store is not None:
                 dup_ids = (
                     keys.join(store, ["band", "band_key"], "left_semi")
                     .select(id_col)
@@ -457,14 +502,17 @@ def stream_minhash_dedup(
             )
             kept_keys = fresh.join(beaten, id_col, "left_anti").persist()
             kept_ids = kept_keys.select(id_col).distinct()
+            # survivors first, band keys (the commit marker) last:
+            # a crash between the two leaves no marker, so the retry
+            # overwrites both subdirectories with identical content
             (
                 batch.join(kept_ids, id_col, "left_semi")
-                .write.mode("append")
-                .parquet(output_path)
+                .write.mode("overwrite")
+                .parquet(f"{output_path}/ingest_batch={batch_id}")
             )
             kept_keys.select(id_col, "band", "band_key").write.mode(
-                "append"
-            ).parquet(band_store_path)
+                "overwrite"
+            ).parquet(store_batch_dir)
             kept_keys.unpersist()
         finally:
             keys.unpersist()

@@ -454,3 +454,135 @@ def test_stream_minhash_dedup_matches_component_reference(spark, tmp_path):
                 store |= per_doc[d]
     assert kept == want
     assert 0 < len(kept) < 200  # fixture must exercise both outcomes
+
+
+def test_stream_minhash_dedup_arrival_permutations(spark, tmp_path):
+    """Cross-batch policy pin (r3 VERDICT #8): survivors are
+    FIRST-ARRIVAL-WINS across micro-batches. For clique-shaped
+    duplicate clusters (exact copies — every member shares all band
+    keys) the kept COUNT is invariant under arrival order: exactly one
+    member per cluster plus every unique doc; WHICH member survives is
+    the one in the earliest-arriving batch."""
+    import itertools
+    import os as _os
+    import random
+    import time as _time
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_minhash_dedup,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(5000)]
+    # 5 clusters x 3 exact copies (ids i, 100+i, 200+i -> one per file)
+    # + 15 unique long random docs (5 per file)
+    rows = []
+    for c in range(5):
+        text = " ".join(rng.choice(vocab) for _ in range(120))
+        for f in range(3):
+            rows.append((100 * f + c, text, f))
+    for u in range(15):
+        rows.append(
+            (100 * (u % 3) + 50 + u, " ".join(rng.choice(vocab) for _ in range(120)), u % 3)
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    ).cache()
+    by_file = {f: [i for i, _, ff in rows if ff == f] for f in range(3)}
+
+    src = tmp_path / "perm_src"
+    src.mkdir()
+    for f in range(3):
+        df.where(F.col("doc_id").isin(by_file[f])).coalesce(1).write.parquet(
+            str(src / f"f{f}")
+        )
+
+    kept_counts = []
+    for run, perm in enumerate(
+        [(0, 1, 2), (2, 1, 0), (1, 2, 0)]
+    ):
+        now = _time.time()
+        for pos, f in enumerate(perm):
+            for pf in (src / f"f{f}").glob("*.parquet"):
+                _os.utime(pf, (now + 10 * pos, now + 10 * pos))
+        out = str(tmp_path / f"kept{run}")
+        store = str(tmp_path / f"bands{run}")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_minhash_dedup(stream, store, out)
+        run_available_now(q)
+        kept = {
+            r.doc_id
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        kept_counts.append(len(kept))
+        # every unique doc survives; exactly one member per cluster,
+        # and it is the member from the earliest-arriving file
+        assert all(u in kept for i, _, f in rows for u in [i] if i % 100 >= 50)
+        first_file = perm[0]
+        for c in range(5):
+            members = {100 * f + c for f in range(3)}
+            assert len(kept & members) == 1
+            assert (100 * first_file + c) in kept
+    assert kept_counts == [20, 20, 20]
+
+
+def test_stream_minhash_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same batches (same
+    source, fresh checkpoint, same sinks) must rewrite identical
+    ingest_batch subdirectories, not append duplicates — the committed
+    band-store marker skips completed batches wholesale."""
+    import shutil
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_minhash_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+        .cache()
+    )
+    src = tmp_path / "re_src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "f0"))
+    out = str(tmp_path / "re_kept")
+    store = str(tmp_path / "re_bands")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_minhash_dedup(stream, store, out)
+        run_available_now(q)
+        return sorted(
+            r.doc_id
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+
+    first = drain()
+    assert first  # fixture keeps something
+    shutil.rmtree(f"{out}__checkpoint")  # simulate a replay from zero
+    second = drain()
+    assert second == first  # no appended duplicates, bit-identical set
+
+
+def test_read_event_stream_empty_source_falls_back_to_schema(spark, tmp_path):
+    """A source directory that is empty at stream start must not fail
+    the static schema probe: the reader falls back to EVENTS_SCHEMA
+    (long-ns ts) so a stream can start before data arrives."""
+    from flechasdb_spark.streaming.pipeline import EVENTS_SCHEMA, read_event_stream
+
+    empty = tmp_path / "not_yet"
+    empty.mkdir()
+    df = read_event_stream(spark, str(empty))
+    assert df.isStreaming
+    assert df.schema == EVENTS_SCHEMA
