@@ -88,6 +88,21 @@ def fused_encode(spark, sf_dir, timings):
     model.encoded.unpersist()
 
 
+def fused_lsh_multitable(spark, sf_dir, timings):
+    """The PRODUCT multi-table LSH path (per-bucket BLAS blocks via
+    applyInPandas, tables=3) on the same input/planes the relational
+    lsh_neardup_multitable oracle form times."""
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32)
+    dim = len(emb.select("embedding").first()[0])
+    t0 = time.perf_counter()
+    lsh_neardup_pairs(
+        emb, threshold=0.45, dim=dim, bits=5, tables=3, impl="pandas"
+    ).count()
+    timings["lsh_multitable_fused"] = round(time.perf_counter() - t0, 3)
+
+
 def fused_semantic(spark, sf_dir, timings):
     """The PRODUCT semantic near-dup path (per-cluster BLAS blocks via
     applyInPandas) on the same frozen centroids the relational oracle
@@ -104,6 +119,101 @@ def fused_semantic(spark, sf_dir, timings):
     t0 = time.perf_counter()
     cluster_neardup_pairs(emb, cents, threshold=0.3, impl="pandas").count()
     timings["semantic_neardup_fused"] = round(time.perf_counter() - t0, 3)
+
+
+def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:
+    """The examples/scale_smoke.py lifecycle as machine-readable bench
+    metrics (r3 VERDICT #7): replicate embeddings ``reps``x, build a
+    production-shaped index (P=64/D=16/C=64), measure build, batch
+    query (cold/warm), encode-only, fused re-rank, and recall — so
+    round-over-round scale tracking is mechanical, not SCALING.md
+    prose. Enabled with SPARK_GRAFT_SMOKE=1 (adds ~1 min).
+
+    Quality metric: ``replica_recall_at_10`` = fraction of returned
+    neighbors that are true replicas of the query (the fixture's
+    ground-truth relevants). Exact-rank recall@10 is NOT meaningful
+    here: every replica quantizes to the same PQ codes (the 1e-3
+    jitter is far below cell size), so ADC ties across all ``reps``
+    copies while the "exact" top-10 among equidistant copies is jitter
+    noise — their overlap measures nothing (verified: ADC returns
+    100% replicas at 40k and 200k while exact-rank overlap collapses
+    from 0.4 to 0.002 purely by reps growing 20 -> 100)."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.build import (
+        IndexConfig,
+        assemble_index,
+        build_index,
+    )
+    from flechasdb_spark.plans.ivf import ann_query
+
+    out: dict = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rep = spark.range(reps).select(F.col("id").alias("rep"))
+    big = (
+        emb.crossJoin(rep)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.hash(F.col("rep"), i) % 1000).cast("float") / 1e6,
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .persist()
+    )
+    out["n_vectors"] = big.count()
+    cfg = IndexConfig(num_partitions=64, num_divisions=16, num_codes=64, seed=7)
+    t0 = time.perf_counter()
+    model = build_index(big, cfg)
+    dt = time.perf_counter() - t0
+    out["build_sec"] = round(dt, 3)
+    out["build_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 100).collect()
+    ]
+    t0 = time.perf_counter()
+    ann_query(model, qs, k=10, nprobe=8).collect()
+    out["query100_cold_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    approx = ann_query(model, qs, k=10, nprobe=8)
+    approx_rows = approx.collect()
+    dt = time.perf_counter() - t0
+    out["query100_warm_sec"] = round(dt, 3)
+    out["warm_qps"] = round(100 / dt, 1)
+    t0 = time.perf_counter()
+    m2 = assemble_index(big, model.centroids, model.codebooks, cfg)
+    dt = time.perf_counter() - t0
+    out["encode_only_sec"] = round(dt, 3)
+    out["encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
+    m2.encoded.unpersist()
+    kept_cfg = IndexConfig(
+        num_partitions=64, num_divisions=16, num_codes=64, seed=7,
+        keep_vectors=True,
+    )
+    kept = assemble_index(big, model.centroids, model.codebooks, kept_cfg)
+    kept.encoded.count()
+    t0 = time.perf_counter()
+    fused_rows = ann_query(
+        kept, qs, k=10, nprobe=8, rerank="stored", rerank_factor=4
+    ).collect()
+    out["query100_rerank_fused_sec"] = round(time.perf_counter() - t0, 3)
+    kept.encoded.unpersist()
+    out["replica_recall_at_10"] = round(
+        sum(r.vector_id % 10_000_000 == r.query_id for r in approx_rows)
+        / len(approx_rows),
+        3,
+    )
+    out["replica_recall_rerank_fused"] = round(
+        sum(r.vector_id % 10_000_000 == r.query_id for r in fused_rows)
+        / len(fused_rows),
+        3,
+    )
+    big.unpersist()
+    return out
 
 
 def main() -> None:
@@ -128,6 +238,7 @@ def main() -> None:
         # extension surfaces (LLM-pipeline operators)
         "cosine_topk",
         "ann_lsh_topk",
+        "lsh_neardup_multitable",
         "dedup_exact",
         "simhash",
         "minhash_dedup",
@@ -157,40 +268,51 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Per-query timing is the WARM second execution: the reference
-    # baseline's comparables (BASELINE.md) are warm-cache numbers, and
-    # the first run's Catalyst compile + codegen cost is fixed overhead
-    # that vanishes at any real data scale. Cold (first-run) times are
-    # reported alongside under queries_cold.
+    # Per-query timing is the WARM execution (min of two repeats): the
+    # reference baseline's comparables (BASELINE.md) are warm-cache
+    # numbers, and the first run's Catalyst compile + codegen cost is
+    # fixed overhead that vanishes at any real data scale. The min
+    # absorbs shared-host scheduling noise (r4: single warm samples
+    # swung 2-3x under neighbor load while min-of-N was stable). Cold
+    # (first-run) times stay single-shot under queries_cold for
+    # round-over-round comparability.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         REGISTRY[name](spark, SF_DIR).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        REGISTRY[name](spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name](spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     fused_encode(spark, SF_DIR, timings)
+    fused_lsh_multitable(spark, SF_DIR, timings)
     fused_semantic(spark, SF_DIR, timings)
     ann_lifecycle(spark, SF_DIR, timings)
 
-    total = round(
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "sf": _sf_label(SF_DIR),
+    }
+    # 200k-vector production-shape lifecycle (examples/scale_smoke.py
+    # promoted to metrics, r3 VERDICT #7); on by default so the
+    # driver-recorded BENCH includes it (~40 s); disable with
+    # SPARK_GRAFT_SMOKE=0
+    if os.environ.get("SPARK_GRAFT_SMOKE", "1") == "1":
+        reps = int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "100"))
+        result["smoke"] = scale_smoke_metrics(spark, SF_DIR, reps)
+    result["value"] = round(
         sum(v for k, v in timings.items() if k != "ann_warm_qps"), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": _sf_label(SF_DIR),
-            }
-        )
-    )
+    print(json.dumps(result))
     spark.stop()
 
 

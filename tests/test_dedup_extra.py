@@ -362,3 +362,59 @@ def test_lsh_neardup_tables_lift_recall(spark):
     # union-bound theory: recall_L = 1-(1-p^bits)^L ~= L * recall_1 for
     # small p^bits, so 4 tables should come close to 4x (allow overlap)
     assert len(four) / len(one) >= 2.0
+    # quantitative 1-(1-p^bits)^L gate (r3 VERDICT #5): per exact pair
+    # the per-bit collision probability is q = 1 - theta/pi (Charikar),
+    # so predicted recall_L = mean over pairs of 1-(1-q^bits)^L. The
+    # deterministic hyperplanes measured 0.046/0.151/0.178 vs predicted
+    # 0.045/0.129/0.168 at L=1/3/4 — gate at +-60% relative so the
+    # analytic lift shape is pinned without flaking on plane choice.
+    import math
+
+    exact_cos = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(emb, threshold=thr).collect()
+    }
+    for L, got in ((1, one), (4, four)):
+        pred = sum(
+            1
+            - (1 - (1 - math.acos(max(-1.0, min(1.0, c))) / math.pi) ** 6)
+            ** L
+            for c in exact_cos.values()
+        ) / len(exact_cos)
+        measured = len(got & exact) / len(exact)
+        assert 0.4 * pred <= measured <= 1.6 * pred, (L, measured, pred)
+    three = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(emb, thr, dim, bits=6, tables=3).collect()
+    }
+    assert one <= three <= four  # union over tables is monotone in L
+
+
+def test_lsh_neardup_pandas_matches_catalyst(spark):
+    """The BLAS per-bucket product path must produce the same pair set
+    and 4-decimal cosines as the relational oracle form, for both
+    single- and multi-table configurations."""
+    from flechasdb_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    dim = len(emb.select("embedding").first()[0])
+    for tables in (1, 3):
+        cat = {
+            (r.id_a, r.id_b): r.cos
+            for r in lsh_neardup_pairs(
+                emb, 0.25, dim, bits=5, tables=tables, impl="catalyst"
+            ).collect()
+        }
+        pan = {
+            (r.id_a, r.id_b): r.cos
+            for r in lsh_neardup_pairs(
+                emb, 0.25, dim, bits=5, tables=tables, impl="pandas"
+            ).collect()
+        }
+        assert cat.keys() == pan.keys(), (
+            tables,
+            cat.keys() ^ pan.keys(),
+        )
+        assert cat, "fixture yields no pairs; lower threshold"
+        for k in cat:
+            assert abs(cat[k] - pan[k]) <= 1e-4, (tables, k, cat[k], pan[k])
