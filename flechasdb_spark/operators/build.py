@@ -74,6 +74,16 @@ class IndexConfig:
     # buys ann_query(rerank="stored") an exact re-rank in the SAME
     # pruned scan that scores ADC (no second table, no second scan)
     keep_vectors: bool = False
+    # OPQ-style dimension reordering before the subvector split: train a
+    # variance-balanced permutation of the residual dimensions so each
+    # PQ subspace carries ~equal energy (the non-parametric baseline of
+    # Ge et al., "Optimized Product Quantization", CVPR 2013 — natural
+    # vs structured dimension order). The reference splits in natural
+    # order only (/root/reference/src/vector.rs:154-174); embeddings
+    # whose variance concentrates in a few dims waste codebook entropy
+    # there. Permutation is trained on the build sample, frozen into
+    # the manifest, and applied identically at encode and query time.
+    balance_dims: bool = False
 
 
 @dataclass
@@ -84,18 +94,35 @@ class IndexModel:
     config: IndexConfig
     vector_size: int
     num_vectors: int
-    centroids: np.ndarray  # (P, N) float64
+    # None when the index was loaded with collect_centroids=False (the
+    # huge-P serving mode: P ~ sqrt(M) reaches ~3e5 x 1536 floats at
+    # M=1e11 — too large to materialize per driver); probe selection
+    # then runs as a distributed job over ``centroids_source`` and only
+    # the O(Q * nprobe) probed centroids ever reach the driver.
+    centroids: np.ndarray | None  # (P, N) float64
     codebooks: np.ndarray  # (D, C, N/D) float64
     encoded: DataFrame  # (id_col, partition_id int, codes array<int>, attrs...)
     attr_cols: list[str] = field(default_factory=list)
     # build instrumentation (reference event-callback parity, §2.3)
     stage_seconds: dict = field(default_factory=dict)
+    # lazy centroid table (partition_id int, centroid array<float>);
+    # set by load_index(collect_centroids=False)
+    centroids_source: DataFrame | None = None
+    # OPQ-style dimension permutation applied to residuals before the
+    # subvector split (None = natural order). codes[d] quantizes
+    # residual[perm[d*w : (d+1)*w]]; queries permute the localized
+    # vector the same way before building ADC tables.
+    dim_perm: tuple[int, ...] | None = None
 
     @property
     def subvector_width(self) -> int:
         return self.vector_size // self.config.num_divisions
 
     def centroids_df(self, spark) -> DataFrame:
+        if self.centroids is None:
+            if self.centroids_source is None:
+                raise ValueError("index has neither centroids nor a source")
+            return self.centroids_source
         return spark.createDataFrame(
             [
                 (int(i), [float(x) for x in c])
@@ -103,6 +130,15 @@ class IndexModel:
             ],
             "partition_id int, centroid array<float>",
         )
+
+    def centroids_np(self) -> np.ndarray:
+        """Materialized (P, N) centroids — collects the lazy source when
+        the index was loaded with collect_centroids=False. Maintenance
+        (upsert encode) needs this; the query path does not."""
+        if self.centroids is not None:
+            return self.centroids
+        rows = self.centroids_source.orderBy("partition_id").collect()
+        return np.array([r.centroid for r in rows], dtype=np.float64)
 
     def codebooks_df(self, spark) -> DataFrame:
         rows = []
@@ -116,12 +152,48 @@ class IndexModel:
         )
 
 
-def pq_encoder_udf(spark, centroids: np.ndarray, codebooks: np.ndarray):
+def variance_balanced_permutation(residuals: np.ndarray, d: int) -> np.ndarray:
+    """Greedy variance-balanced assignment of dimensions to the D PQ
+    subspaces (the non-parametric OPQ baseline): dimensions sorted by
+    residual variance descending, each assigned to the unfilled
+    subspace with the lowest variance sum so far; within a subspace,
+    dimensions keep ascending order. Deterministic given the sample.
+    Returns perm with new_vec = vec[perm], subspace d owning
+    perm[d*w : (d+1)*w]."""
+    n = residuals.shape[1]
+    if n % d != 0:
+        raise ValueError(f"vector_size {n} not divisible by {d}")
+    w = n // d
+    var = residuals.var(axis=0)
+    order = np.argsort(-var, kind="stable")
+    sums = np.zeros(d)
+    slots = [w] * d
+    groups: list[list[int]] = [[] for _ in range(d)]
+    for dim in order:
+        open_ds = [i for i in range(d) if slots[i] > 0]
+        tgt = min(open_ds, key=lambda i: (sums[i], i))
+        groups[tgt].append(int(dim))
+        sums[tgt] += var[dim]
+        slots[tgt] -= 1
+    return np.array([dim for g in groups for dim in sorted(g)], dtype=int)
+
+
+def pq_encoder_udf(
+    spark,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    dim_perm=None,
+):
     """The fused assign+residualize+encode kernel (B6+B9) as an
     Arrow-batched pandas UDF: vec -> struct(partition_id, codes).
-    Shared by the batch build and the streaming incremental encode."""
+    Shared by the batch build and the streaming incremental encode.
+    ``dim_perm``: optional OPQ-style dimension permutation applied to
+    the residual before the subvector split (coarse assignment stays in
+    the original space — permutation is distance-preserving, so IVF is
+    unaffected; only the split changes)."""
     b_cent = spark.sparkContext.broadcast(centroids)
     b_cb = spark.sparkContext.broadcast(codebooks)
+    perm = None if dim_perm is None else np.asarray(dim_perm, dtype=int)
     d, c, w = codebooks.shape
 
     @F.pandas_udf("struct<partition_id:int, codes:array<int>>")
@@ -132,6 +204,8 @@ def pq_encoder_udf(spark, centroids: np.ndarray, codebooks: np.ndarray):
         scores = (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
         pid = np.argmin(scores, axis=1)
         res = x - cent[pid]
+        if perm is not None:
+            res = res[:, perm]
         m = res.shape[0]
         codes = np.empty((m, d), dtype=np.int32)
         for di in range(d):
@@ -182,6 +256,10 @@ def _train_sample(vecs: np.ndarray, cfg: IndexConfig, n: int):
     )
     residuals = vecs - centroids[labels]
     d, w = cfg.num_divisions, n // cfg.num_divisions
+    perm = None
+    if cfg.balance_dims:
+        perm = variance_balanced_permutation(residuals, d)
+        residuals = residuals[:, perm]
     codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
     for di in range(d):
         sub = _cap_for_fit(
@@ -195,11 +273,15 @@ def _train_sample(vecs: np.ndarray, cfg: IndexConfig, n: int):
             max_iter=cfg.max_iter, tol=cfg.tol,
         )
         codebooks[di] = centers
-    return centroids, codebooks
+    return centroids, codebooks, perm
 
 
 def train_codebooks_distributed(
-    df: DataFrame, centroids: np.ndarray, cfg: IndexConfig, n: int
+    df: DataFrame,
+    centroids: np.ndarray,
+    cfg: IndexConfig,
+    n: int,
+    dim_perm=None,
 ) -> np.ndarray:
     """D-way parallel PQ codebook training via grouped ``applyInPandas``
     (SURVEY.md §4's custom piece (c)): residual subvectors explode to
@@ -217,20 +299,42 @@ def train_codebooks_distributed(
     c = cfg.num_codes
     seed = cfg.seed
     id_col, vec_col = cfg.id_col, cfg.vec_col
-
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(di).alias("division"),
-                F.slice(F.col(vec_col), di * w + 1, w).alias("sub"),
-            )
-            for di in range(d)
-        ]
+    perm = None if dim_perm is None else np.asarray(dim_perm, dtype=int)
+    # centroids in split order (permuted when balance_dims reordered the
+    # dimensions) — the fit residualizes in the same order it slices
+    b_cent_split = spark.sparkContext.broadcast(
+        centroids if perm is None else centroids[:, perm]
     )
+
+    if perm is None:
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(di).alias("division"),
+                    F.slice(F.col(vec_col), di * w + 1, w).alias("sub"),
+                )
+                for di in range(d)
+            ]
+        )
+    else:
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(di).alias("division"),
+                    F.array(
+                        *[
+                            F.element_at(F.col(vec_col), int(p) + 1)
+                            for p in perm[di * w : (di + 1) * w]
+                        ]
+                    ).alias("sub"),
+                )
+                for di in range(d)
+            ]
+        )
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id")
         di = int(pdf["division"].iloc[0])
-        cent = b_cent.value
+        cent = b_cent_split.value
         sub = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf["sub"]]
         )
@@ -315,6 +419,7 @@ def assemble_index(
     centroids: np.ndarray,
     codebooks: np.ndarray,
     cfg: IndexConfig | None = None,
+    dim_perm=None,
 ) -> IndexModel:
     """Encode ``df`` against PRE-TRAINED models (B6+B9 only — skips
     training). The 100 TB shape: train the centroids/codebooks ONCE on a
@@ -339,9 +444,15 @@ def assemble_index(
             f"codebooks shape {codebooks.shape} != "
             f"({d_cfg}, {c_cfg}, {n // d_cfg})"
         )
+    if dim_perm is not None:
+        perm = np.asarray(dim_perm, dtype=int)
+        if sorted(perm.tolist()) != list(range(n)):
+            raise ValueError(f"dim_perm is not a permutation of 0..{n - 1}")
     attr_cols = [c for c in df.columns if c not in (cfg.id_col, cfg.vec_col)]
     keep = [cfg.vec_col] if cfg.keep_vectors else []
-    encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
+    encode = pq_encoder_udf(
+        df.sparkSession, centroids, codebooks, dim_perm=dim_perm
+    )
     encoded = (
         df.select(
             cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols, *keep
@@ -357,6 +468,9 @@ def assemble_index(
         codebooks=codebooks,
         encoded=encoded,
         attr_cols=attr_cols,
+        dim_perm=None
+        if dim_perm is None
+        else tuple(int(x) for x in dim_perm),
     )
 
 
@@ -399,6 +513,10 @@ def build_index(
         )
         residuals = sample - centroids[labels]
         d, w = cfg.num_divisions, n // cfg.num_divisions
+        perm = None
+        if cfg.balance_dims:
+            perm = variance_balanced_permutation(residuals, d)
+            residuals = residuals[:, perm]
         codebooks = np.empty((d, cfg.num_codes, w), dtype=np.float64)
         for di in range(d):
             centers, _ = kmeans_fit(
@@ -410,11 +528,11 @@ def build_index(
             )
             codebooks[di] = centers
     else:
-        centroids, codebooks = _train_sample(sample, cfg, n)
+        centroids, codebooks, perm = _train_sample(sample, cfg, n)
     t0 = _mark("train", t0)
 
     keep = [cfg.vec_col] if cfg.keep_vectors else []
-    encode = pq_encoder_udf(df.sparkSession, centroids, codebooks)
+    encode = pq_encoder_udf(df.sparkSession, centroids, codebooks, dim_perm=perm)
     encoded = (
         df.select(
             cfg.id_col, encode(F.col(cfg.vec_col)).alias("__enc"), *attr_cols, *keep
@@ -433,5 +551,6 @@ def build_index(
         encoded=encoded,
         attr_cols=attr_cols,
         stage_seconds=stage_seconds,
+        dim_perm=None if perm is None else tuple(int(x) for x in perm),
     )
     return model

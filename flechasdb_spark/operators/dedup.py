@@ -43,6 +43,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "connected_components",
     "cross_ngram_overlap",
+    "doc_novelty",
     "segment_dedup",
 ]
 
@@ -191,6 +192,59 @@ def cross_ngram_overlap(
         .where(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def doc_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the doc's DISTINCT word n-grams absent from the reference's n-gram
+    set. The curation dual of ``cross_ngram_overlap``: overlap finds
+    contaminated PAIRS, novelty scores each doc for filtering/boosting
+    (keep high-novelty docs when growing a training corpus; flag
+    near-zero novelty as redundant with what's already ingested).
+
+    Shape: reference shingles -> distinct (one shuffle on the shingle
+    key, duplicates combined map-side); doc shingles explode -> LEFT
+    equi-join against that distinct set (1:1 fan-out per doc-shingle
+    row, so no max_df cut is needed — the pair operators' k^2 blowup is
+    on the PAIR key, which never materializes here) -> per-doc counts.
+    At 100 TB both sides shuffle on the shingle hash; no driver state.
+
+    Returns (doc_id, n_grams, n_seen, novelty); docs too short for a
+    full n-gram score novelty 1.0 by convention.
+    """
+    grams = docs.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("__g")
+    )
+    ref_set = (
+        reference.select(F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = grams.select(F.col(id_col), F.explode("__g").alias("shingle"))
+    agg = (
+        ex.join(ref_set, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    return grams.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+        F.round(
+            F.when(F.coalesce(F.col("n_grams"), F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(1.0 - F.col("n_seen") / F.col("n_grams")),
+            4,
+        ).alias("novelty"),
+    )
 
 
 def minhash_signature(

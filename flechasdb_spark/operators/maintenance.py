@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.build import IndexModel, pq_encoder_udf
 
-__all__ = ["upsert_vectors", "delete_vectors"]
+__all__ = [
+    "upsert_vectors",
+    "delete_vectors",
+    "merge_indexes",
+    "compact_index",
+]
 
 _DYN = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
 
@@ -104,7 +109,9 @@ def upsert_vectors(
     replaced ids disappear, new ids appear. Returns the rewritten
     partition ids."""
     cfg = model.config
-    encode = pq_encoder_udf(spark, model.centroids, model.codebooks)
+    encode = pq_encoder_udf(
+        spark, model.centroids_np(), model.codebooks, dim_perm=model.dim_perm
+    )
     incoming = (
         vectors.select(
             cfg.id_col,
@@ -217,3 +224,154 @@ def delete_vectors(
     _remove_partition_dirs(spark, f"{index_path}/index", emptied)
     _bump_manifest_num_vectors(spark, index_path, -sum(victim_cnt.values()))
     return touched
+
+
+def merge_indexes(
+    base: IndexModel,
+    other: IndexModel,
+    prefer: str = "other",
+    assume_disjoint: bool = False,
+) -> IndexModel:
+    """Merge two indexes ENCODED WITH THE SAME FROZEN MODELS into one
+    logical index (the shard-build pattern: train models once on a
+    sample, ``assemble_index`` each corpus shard independently —
+    embarrassingly parallel across shards — then merge). The reference
+    has no counterpart (one single-threaded build per database); on
+    Spark the merge is a union of the encoded DataFrames, because rows
+    encoded with identical centroids/codebooks are directly comparable.
+
+    ``prefer``: which side wins when an id appears in both ("other" =
+    last-write-wins, matching upsert semantics; "base"). The conflict
+    check is one equi-anti-join on the id — skip it with
+    ``assume_disjoint=True`` when shards are disjoint by construction
+    (the common case: corpus splits), which makes the merge a pure
+    metadata union with NO shuffle and no scan.
+
+    Scale: union is free; the optional anti-join shuffles on the id
+    key only (hash join, no vector data movement). num_vectors is the
+    sum when disjoint, else counted once from the merged plan.
+    """
+    if prefer not in ("base", "other"):
+        raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
+    cfg_b, cfg_o = base.config, other.config
+    same = (
+        base.vector_size == other.vector_size
+        and cfg_b.num_partitions == cfg_o.num_partitions
+        and cfg_b.num_divisions == cfg_o.num_divisions
+        and cfg_b.num_codes == cfg_o.num_codes
+        and cfg_b.id_col == cfg_o.id_col
+    )
+    if not same:
+        raise ValueError(
+            "indexes disagree on vector_size / P / D / C / id_col — "
+            "merge requires identical frozen models"
+        )
+    import numpy as np
+
+    if not np.allclose(
+        base.centroids_np(), other.centroids_np(), atol=1e-6
+    ) or not np.allclose(base.codebooks, other.codebooks, atol=1e-6):
+        raise ValueError(
+            "indexes were encoded with different centroids/codebooks — "
+            "codes are not comparable; re-encode one side first"
+        )
+    if base.dim_perm != other.dim_perm:
+        raise ValueError(
+            "indexes disagree on dim_perm — codes are not comparable"
+        )
+    if set(base.encoded.columns) != set(other.encoded.columns):
+        raise ValueError(
+            f"encoded column mismatch: {sorted(base.encoded.columns)} vs "
+            f"{sorted(other.encoded.columns)}"
+        )
+    id_col = cfg_b.id_col
+    winner, loser = (
+        (other, base) if prefer == "other" else (base, other)
+    )
+    if assume_disjoint:
+        kept_loser = loser.encoded
+        num = base.num_vectors + other.num_vectors
+    else:
+        kept_loser = loser.encoded.join(
+            winner.encoded.select(id_col), id_col, "left_anti"
+        )
+        num = None
+    merged = winner.encoded.unionByName(kept_loser)
+    if num is None:
+        num = merged.count()
+    return IndexModel(
+        config=cfg_b,
+        vector_size=base.vector_size,
+        num_vectors=num,
+        centroids=base.centroids,
+        codebooks=base.codebooks,
+        encoded=merged,
+        attr_cols=base.attr_cols,
+        centroids_source=base.centroids_source,
+        dim_perm=base.dim_perm,
+    )
+
+
+def _count_data_files(spark: SparkSession, dir_path: str) -> int:
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 0
+    it = fs.listFiles(path, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Rewrite ``<index_path>/index`` coalescing the small files that
+    incremental upserts / streaming appends accumulate (every
+    micro-batch append adds >=1 file per touched partition; thousands
+    of tiny files destroy scan throughput at 100 TB — each costs a
+    task + a footer read). One hash repartition on partition_id puts
+    each partition's rows in a single writer task (one output file per
+    partition directory; cap file size with ``max_records_per_file``,
+    which Spark splits via spark.sql.files.maxRecordsPerFile
+    semantics). Rewrites into a staging dir then atomically renames —
+    readers opening mid-compaction see the old layout; single-writer
+    assumed (layer Delta/Iceberg over the same layout for multi-writer
+    transactions, as with upsert/delete above).
+
+    Returns {"files_before", "files_after", "partitions"}.
+    """
+    index_dir = f"{index_path}/index"
+    staging = f"{index_path}/index.compact.tmp"
+    files_before = _count_data_files(spark, index_dir)
+    df = spark.read.parquet(index_dir)
+    # count partitions BEFORE the swap — the scan's file listing is
+    # pinned at plan time, so executing it after the rename would read
+    # deleted paths
+    parts = df.select("partition_id").distinct().count()
+    writer = df.repartition("partition_id").write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy("partition_id").parquet(staging)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    dst = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = dst.getFileSystem(hconf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {staging} -> {index_dir} failed")
+    files_after = _count_data_files(spark, index_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "partitions": parts,
+    }

@@ -37,9 +37,28 @@ def fixed_codebooks(spark, num_divisions: int, num_codes: int, width: int) -> Da
     return spark.createDataFrame(rows, "division int, code int, center array<float>")
 
 
-def _sliced(vec_col: str, width: int) -> Column:
+def _sliced(vec_col: str, width: int, dim_perm=None) -> Column:
     # per-division subvector view (B7): elements [division*w, (division+1)*w)
-    return F.expr(f"slice({vec_col}, division * {width} + 1, {width})")
+    if dim_perm is None:
+        return F.expr(f"slice({vec_col}, division * {width} + 1, {width})")
+    # OPQ-style permuted split: division d gathers elements
+    # dim_perm[d*w : (d+1)*w] — a 2-D literal index array rides the
+    # expression (D*N ints, tiny) and the gather is a pure Catalyst
+    # transform, still codegen'd
+    d = len(dim_perm) // width
+    permarr = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(int(p))
+                    for p in dim_perm[di * width : (di + 1) * width]
+                ]
+            )
+            for di in range(d)
+        ]
+    )
+    idxs = F.element_at(permarr, F.col("division") + 1)
+    return F.transform(idxs, lambda i: F.element_at(F.col(vec_col), i + 1))
 
 
 def pq_encode(
@@ -48,6 +67,7 @@ def pq_encode(
     width: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim_perm=None,
 ) -> DataFrame:
     """B9: nearest codebook entry per (vector, division).
 
@@ -58,9 +78,13 @@ def pq_encode(
     struct ordering gives the same (dist asc, code asc) tie-break, and
     the partial aggregation combines map-side — the shuffle carries one
     row per (vector, division), not the C-way blowup a window sort
-    would."""
+    would.
+
+    ``dim_perm``: optional OPQ-style dimension permutation — division d
+    quantizes elements dim_perm[d*w : (d+1)*w] instead of the natural
+    contiguous slice (codebooks must be trained in the same order)."""
     pairs = vectors.select(id_col, vec_col).join(F.broadcast(codebooks))
-    dist = squared_l2(_sliced(vec_col, width), F.col("center"))
+    dist = squared_l2(_sliced(vec_col, width, dim_perm), F.col("center"))
     return (
         pairs.groupBy(id_col, "division")
         .agg(F.min(F.struct(dist.alias("d"), F.col("code"))).alias("__m"))
@@ -72,13 +96,22 @@ def adc_table(
     codebooks: DataFrame,
     query_vector: list[float],
     width: int,
+    dim_perm=None,
 ) -> DataFrame:
     """Q2: the D x C partial-distance table for one query —
-    table[division, code] = ||query_slice_division - center||^2."""
-    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
-    part = squared_l2(
-        F.slice(qv, F.col("division") * width + 1, width), F.col("center")
-    )
+    table[division, code] = ||query_slice_division - center||^2.
+    ``dim_perm`` must match the permutation the codes were encoded
+    with (see pq_encode)."""
+    if dim_perm is None:
+        qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
+            "array<float>"
+        )
+        sliced = F.slice(qv, F.col("division") * width + 1, width)
+    else:
+        pv = [float(query_vector[int(p)]) for p in dim_perm]
+        qv = F.array(*[F.lit(x) for x in pv]).cast("array<float>")
+        sliced = F.slice(qv, F.col("division") * width + 1, width)
+    part = squared_l2(sliced, F.col("center"))
     return codebooks.select("division", "code", part.alias("partial"))
 
 

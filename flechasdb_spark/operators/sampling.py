@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["hash_split", "hash_sample", "temperature_sample", "SPLIT_BUCKETS"]
+__all__ = [
+    "hash_split",
+    "hash_sample",
+    "temperature_sample",
+    "quality_stratified_sample",
+    "SPLIT_BUCKETS",
+]
 
 SPLIT_BUCKETS = 10_000  # hash resolution: fractions quantize to 0.01 %
 
@@ -122,4 +128,48 @@ def temperature_sample(
         ranked.join(F.broadcast(targets), by)
         .where(F.col("rk") <= F.col("target"))
         .select(by, id_col)
+    )
+
+
+def quality_stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    score_col: str,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "qs",
+) -> DataFrame:
+    """Keep the top ``fraction`` of EACH group ranked by a quality
+    score — the per-source curation cut (a global score threshold would
+    let one high-scoring source crowd out the rest; stratifying keeps
+    every source's best). Ties break on md5(salt, id) then id, so the
+    cut is deterministic and unbiased when scores are coarse (many docs
+    share a score).
+
+    Scale: group sizes are one partial-agg pass; the cut is a rank
+    window partitioned by group — one sort task per group, fine for
+    curation groups (sources/languages number in the thousands and
+    each fits a spillable sort). For skew-monster groups, pre-filter
+    with an approximate per-group score quantile (percentile_approx)
+    and rank only the surviving sliver.
+
+    Returns the kept rows as (by, id_col, score_col).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    rk = F.row_number().over(
+        Window.partitionBy(by).orderBy(
+            F.col(score_col).desc(), h.asc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        df.select(by, id_col, score_col)
+        .withColumn("__rk", rk)
+        .join(F.broadcast(counts), by)
+        .where(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
+        .select(by, id_col, score_col)
     )

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from flechasdb_spark.functions.linalg import squared_l2
 from flechasdb_spark.operators.build import IndexModel
 
-__all__ = ["ann_query", "select_probes", "ivf_assign", "ivf_flat_query"]
+__all__ = [
+    "ann_query",
+    "select_probes",
+    "select_probes_df",
+    "ivf_assign",
+    "ivf_flat_query",
+]
 
 
 def ivf_assign(
@@ -129,15 +135,82 @@ def select_probes(
     return q_idx, probed.ravel()
 
 
+def select_probes_df(
+    centroids_df: DataFrame,
+    queries: np.ndarray,
+    nprobe: int,
+    query_ids: list[int] | None = None,
+) -> DataFrame:
+    """Q1 as a DISTRIBUTED job, for indexes whose centroid table is too
+    large to collect (P ~ sqrt(M) reaches ~3e5 x 1536 floats ≈ 2 GB at
+    M = 1e11 — SCALING.md's one driver-side Phase-1 assumption).
+
+    The Q queries (always the small side) are broadcast against the
+    centroid table; per-(query, centroid) exact squared L2, then
+    per-query top-nprobe via ``row_number`` — Spark executes the window
+    with WindowGroupLimit, so each scan task forwards at most nprobe
+    rows per query to the exchange: the shuffle carries O(Q * nprobe *
+    tasks), never O(Q * P). Tie-break (distance asc, partition_id asc)
+    matches ``select_probes``'s stable argsort.
+
+    Returns (query_id, partition_id, probe_rank, centroid): O(Q*nprobe)
+    rows — the only part of the centroid table Phase 2 ever needs,
+    because the ADC tables are built from probed centroids only.
+    Reference Q1: /root/reference/src/db/stored.rs:394-442.
+    """
+    spark = centroids_df.sparkSession
+    qids = (
+        list(query_ids)
+        if query_ids is not None
+        else list(range(queries.shape[0]))
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(q), [float(x) for x in v])
+            for q, v in zip(qids, np.asarray(queries, dtype=np.float64))
+        ],
+        "query_id long, __qv array<double>",
+    )
+    cent = cent_col_name(centroids_df)
+    dist = squared_l2(F.col(cent).cast("array<double>"), F.col("__qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("partition_id").asc()
+    )
+    return (
+        centroids_df.join(F.broadcast(qdf))
+        .select("query_id", "partition_id", F.col(cent), dist.alias("__d"))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(
+            "query_id",
+            "partition_id",
+            "probe_rank",
+            F.col(cent).alias("centroid"),
+        )
+    )
+
+
 def _adc_tables(
     model: IndexModel,
     queries: np.ndarray,
     probe_qidx: np.ndarray,
     probe_pid: np.ndarray,
+    probe_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Q2: T[i, d, c] for each probe i = (query, partition) pair."""
+    """Q2: T[i, d, c] for each probe i = (query, partition) pair.
+    ``probe_centroids`` (QP, N) supplies the probed centroids directly
+    when the full (P, N) table is not on the driver (lazy mode)."""
     d, c, w = model.codebooks.shape
-    localized = queries[probe_qidx] - model.centroids[probe_pid]  # (QP, N)
+    cent = (
+        probe_centroids
+        if probe_centroids is not None
+        else model.centroids[probe_pid]
+    )
+    localized = queries[probe_qidx] - cent  # (QP, N)
+    if model.dim_perm is not None:
+        # OPQ-style split: codes quantize the PERMUTED residual, so the
+        # ADC table must be built from the same reordering
+        localized = localized[:, np.asarray(model.dim_perm, dtype=int)]
     sub = localized.reshape(-1, d, w)  # (QP, D, w)
     # (QP, D, C): sum over w of (sub - cb)^2
     diff = sub[:, :, None, :] - model.codebooks[None, :, :, :]
@@ -227,13 +300,33 @@ def ann_query(
             on_event(stage, _time.perf_counter() - t0)
         return _time.perf_counter()
 
+    spark = model.encoded.sparkSession
     t0 = _time.perf_counter()
-    probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
-    t0 = _mark("select_probes", t0)
-    tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
+    if model.centroids is None:
+        # lazy-centroid serving mode (huge P): Phase 1 is a Spark job;
+        # only the O(Q * nprobe) probed (query, partition, centroid)
+        # rows are collected, never the full (P, N) table.
+        p = model.config.num_partitions
+        if nprobe > p:
+            raise ValueError(f"nprobe {nprobe} exceeds num_partitions {p}")
+        rows = select_probes_df(
+            model.centroids_df(spark), qarr, nprobe, query_ids=qids
+        ).collect()
+        qpos_map = {int(q): i for i, q in enumerate(qids)}
+        rows.sort(key=lambda r: (qpos_map[r.query_id], r.probe_rank))
+        probe_qidx = np.array([qpos_map[r.query_id] for r in rows], dtype=int)
+        probe_pid = np.array([r.partition_id for r in rows], dtype=int)
+        probe_cent = np.array([r.centroid for r in rows], dtype=np.float64)
+        t0 = _mark("select_probes", t0)
+        tables = _adc_tables(
+            model, qarr, probe_qidx, probe_pid, probe_centroids=probe_cent
+        )
+    else:
+        probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
+        t0 = _mark("select_probes", t0)
+        tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
     t0 = _mark("adc_tables", t0)
 
-    spark = model.encoded.sparkSession
     d = model.config.num_divisions
     id_col = model.config.id_col
     vec_col = model.config.vec_col

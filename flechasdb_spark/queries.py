@@ -381,6 +381,47 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_permuted_encode",
+    f"""
+WITH {_DD_CODEBOOKS},
+scored AS (
+  SELECT e.vec_id, cb.division, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.division
+           ORDER BY {_DD_SQL2.format(
+               a=f"list_transform(generate_series(0, {_PQ_W - 1}), "
+                 f"j -> e.embedding[j * {_PQ_D} + cb.division + 1]::DOUBLE)",
+               b="cb.center")},
+                    cb.code) AS rn
+  FROM embeddings e CROSS JOIN codebooks cb)
+SELECT vec_id, division::BIGINT AS division, code::BIGINT AS code
+FROM scored WHERE rn = 1 ORDER BY vec_id, division
+""",
+)
+def q_pq_permuted_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style PERMUTED subvector split (Ge et al. CVPR'13's
+    structured-order baseline; the reference splits only in natural
+    order, /root/reference/src/vector.rs:154-174): division d gathers
+    the interleaved dimensions {{d, d+D, d+2D, ...}} instead of a
+    contiguous slice. Frozen interleave permutation + F3 codebooks keep
+    the whole encode DuckDB-recomputable; the data-derived
+    variance-balanced permutation (IndexConfig(balance_dims=True)) is
+    pytest-gated for determinism and distortion improvement."""
+    from flechasdb_spark.operators.pq import fixed_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(spark, _PQ_D, _PQ_C, _PQ_W)
+    # interleave: subspace d owns dims d, d+D, d+2D, ... (ascending)
+    perm = [d + j * _PQ_D for d in range(_PQ_D) for j in range(_PQ_W)]
+    out = pq_encode(emb, cb, width=_PQ_W, dim_perm=perm)
+    return out.select(
+        "vec_id",
+        F.col("division").cast("long").alias("division"),
+        F.col("code").cast("long").alias("code"),
+    ).orderBy("vec_id", "division")
+
+
+@query(
     "pq_adc_topk",
     f"""
 WITH {_DD_CODEBOOKS},
@@ -717,6 +758,80 @@ def q_ann_ivfpq_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = load_index(spark, path)
     out = ann_query(
         loaded, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "ann_frozen_distprobe",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM ranked WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_frozen_distprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same frozen lifecycle as ``ann_ivfpq_frozen`` but served in the
+    huge-P mode: ``load_index(collect_centroids=False)`` keeps the
+    centroid table distributed, probe selection (Q1,
+    /root/reference/src/db/stored.rs:394-442) runs as a Spark job
+    (broadcast queries x centroid scan -> WindowGroupLimit top-nprobe),
+    and only the O(Q * nprobe) probed centroids reach the driver for
+    the ADC tables. At P ~ sqrt(M) = 3e5 (M = 1e11 vectors), the full
+    (P, 1536) centroid table is ~2 GB — this mode removes SCALING.md's
+    one driver-side Phase-1 size assumption. Results are identical to
+    the driver-side path, so the same oracle applies."""
+    import tempfile
+
+    from flechasdb_spark.plans.ivf import ann_query
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    model, emb = _frozen_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="flechas_distprobe_")
+    save_index(model, path)
+    model.encoded.unpersist()
+    loaded = load_index(spark, path, collect_centroids=False)
+    out = ann_query(
+        loaded, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "index_merge_query",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM ranked WHERE rank <= {_FRZ_K}
+""",
+)
+def q_index_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-build + merge lifecycle: the corpus is split into two
+    disjoint shards, each encoded INDEPENDENTLY with the same frozen
+    models (assemble_index — the embarrassingly-parallel 100 TB build
+    shape: train once on a sample, encode shards anywhere), then
+    ``merge_indexes(assume_disjoint=True)`` unions them with no shuffle
+    and no scan. Querying the merged index must equal querying one
+    index built over the whole corpus, so the oracle is the same
+    whole-corpus frozen-ANN recomputation as ``ann_ivfpq_frozen``.
+    No reference counterpart (one single-threaded build per DB,
+    /root/reference/src/db/build.rs:44-129); this is the Spark-native
+    scale-out of that build."""
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.maintenance import merge_indexes
+    from flechasdb_spark.plans.ivf import ann_query
+
+    whole, emb = _frozen_model(spark, sf_dir)
+    cent, cb, cfg = whole.centroids, whole.codebooks, whole.config
+    sel = emb.select("vec_id", "embedding", "label")
+    shard_a = assemble_index(sel.where(F.col("vec_id") % 2 == 0), cent, cb, cfg)
+    shard_b = assemble_index(sel.where(F.col("vec_id") % 2 == 1), cent, cb, cfg)
+    merged = merge_indexes(shard_a, shard_b, assume_disjoint=True)
+    whole.encoded.unpersist()
+    out = ann_query(
+        merged, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1276,6 +1391,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_novelty",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+ref AS (SELECT DISTINCT unnest(g) AS shingle FROM sh WHERE doc_id % 2 = 0),
+ex AS (SELECT doc_id, unnest(g) AS shingle FROM sh WHERE doc_id % 2 = 1),
+agg AS (SELECT ex.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN r.shingle IS NULL THEN 0 ELSE 1 END) AS n_seen
+        FROM ex LEFT JOIN ref r ON ex.shingle = r.shingle
+        GROUP BY ex.doc_id)
+SELECT s.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_seen, 0)::BIGINT AS n_seen,
+       round(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 1.0
+             ELSE 1.0 - a.n_seen::DOUBLE / a.n_grams END, 4) AS novelty
+FROM sh s LEFT JOIN agg a USING (doc_id)
+WHERE s.doc_id % 2 = 1
+ORDER BY doc_id
+""",
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty of each odd-id document against the even-id half as the
+    reference corpus: fraction of the doc's distinct 3-gram shingles
+    unseen in the reference — the per-doc curation score dual to the
+    pairwise contamination check (cross_ngram_overlap)."""
+    from flechasdb_spark.operators.dedup import doc_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_novelty(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        n=3,
+    ).orderBy("doc_id")
 
 
 @query(
@@ -1893,6 +2046,40 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return temperature_sample(
         _t(spark, sf_dir, "documents"), total=200, alpha=0.5
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "quality_stratified_sample",
+    f"""
+WITH d AS (SELECT source, doc_id, len({_DD_TOKS}) AS score FROM documents),
+c AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source),
+r AS (SELECT source, doc_id, score,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY score DESC, md5('qs:' || doc_id::VARCHAR), doc_id) AS rk
+      FROM d)
+SELECT r.source, r.doc_id, r.score
+FROM r JOIN c USING (source)
+WHERE rk <= ceil(0.5 * n) ORDER BY source, doc_id
+""",
+)
+def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality cut: keep each source's top half by token
+    count (the generic op takes any score column — token count keeps
+    the oracle exactly recomputable), md5 tie-break so coarse scores
+    don't bias the cut."""
+    from flechasdb_spark.operators.sampling import quality_stratified_sample
+
+    from flechasdb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("score"),
+    )
+    return quality_stratified_sample(
+        docs, fraction=0.5, score_col="score"
     ).orderBy("source", "doc_id")
 
 

@@ -100,6 +100,9 @@ def save_index(model: IndexModel, path: str) -> None:
         "id_col": model.config.id_col,
         "vec_col": model.config.vec_col,
         "attr_cols": model.attr_cols,
+        "dim_perm": None
+        if model.dim_perm is None
+        else [int(x) for x in model.dim_perm],
     }
     write_manifest_json(spark, os.path.join(path, MANIFEST_NAME), manifest)
 
@@ -128,8 +131,20 @@ def validate_manifest(m: dict) -> None:
         raise ValueError("num_partitions must be > 0")
 
 
-def load_index(spark: SparkSession, path: str) -> IndexModel:
-    """Load manifest + small models eagerly (S4), index lazily (S3)."""
+def load_index(
+    spark: SparkSession, path: str, collect_centroids: bool = True
+) -> IndexModel:
+    """Load manifest + small models eagerly (S4), index lazily (S3).
+
+    ``collect_centroids=False`` is the huge-P serving mode: the centroid
+    table stays a DataFrame (``IndexModel.centroids_source``) and probe
+    selection runs as a distributed job (``plans.ivf.select_probes_df``)
+    that collects only the O(Q * nprobe) probed centroids — the driver
+    never holds the (P, N) table. P ~ sqrt(M) puts that table at ~2 GB
+    for M = 1e11 x 1536-dim, past the comfortable per-driver budget.
+    Validation of the centroid COUNT moves to a one-row count() job;
+    width validation happens naturally at query time (probed centroids
+    are checked by the ADC arithmetic shapes)."""
     manifest = read_manifest_json(spark, os.path.join(path, MANIFEST_NAME))
     if manifest is None:
         raise FileNotFoundError(os.path.join(path, MANIFEST_NAME))
@@ -142,18 +157,25 @@ def load_index(spark: SparkSession, path: str) -> IndexModel:
     n = manifest["vector_size"]
     w = n // d
 
-    cent_rows = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("partition_id")
-        .collect()
-    )
-    if len(cent_rows) != p:
-        raise ValueError(f"expected {p} centroids, found {len(cent_rows)}")
-    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
-    if centroids.shape[1] != n:
-        raise ValueError(
-            f"centroid width {centroids.shape[1]} != vector_size {n}"
+    cent_src = spark.read.parquet(os.path.join(path, "centroids"))
+    if collect_centroids:
+        cent_rows = cent_src.orderBy("partition_id").collect()
+        if len(cent_rows) != p:
+            raise ValueError(
+                f"expected {p} centroids, found {len(cent_rows)}"
+            )
+        centroids = np.array(
+            [r.centroid for r in cent_rows], dtype=np.float64
         )
+        if centroids.shape[1] != n:
+            raise ValueError(
+                f"centroid width {centroids.shape[1]} != vector_size {n}"
+            )
+    else:
+        cent_count = cent_src.count()
+        if cent_count != p:
+            raise ValueError(f"expected {p} centroids, found {cent_count}")
+        centroids = None
 
     cb_rows = (
         spark.read.parquet(os.path.join(path, "codebooks"))
@@ -185,4 +207,8 @@ def load_index(spark: SparkSession, path: str) -> IndexModel:
         codebooks=codebooks,
         encoded=encoded,
         attr_cols=manifest.get("attr_cols", []),
+        centroids_source=None if collect_centroids else cent_src,
+        dim_perm=None
+        if manifest.get("dim_perm") is None
+        else tuple(int(x) for x in manifest["dim_perm"]),
     )

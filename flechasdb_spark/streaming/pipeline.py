@@ -135,13 +135,16 @@ def incremental_encode(
     from flechasdb_spark.operators.build import pq_encoder_udf
 
     cfg = model.config
-    centroids = model.centroids
+    centroids = model.centroids_np()
     codebooks = model.codebooks
+    dim_perm = model.dim_perm
 
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        encode = pq_encoder_udf(batch.sparkSession, centroids, codebooks)
+        encode = pq_encoder_udf(
+            batch.sparkSession, centroids, codebooks, dim_perm=dim_perm
+        )
         (
             batch.select(
                 cfg.id_col, encode(F.col(cfg.vec_col)).alias("enc")

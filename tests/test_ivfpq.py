@@ -366,3 +366,160 @@ def test_scorers_agree_on_rounded_contract(model, emb):
         for scorer in ("sql", "pandas", "batch")
     }
     assert results["sql"] == results["pandas"] == results["batch"]
+
+
+def test_lazy_centroids_distributed_probes(model, emb, spark, tmp_path_factory):
+    """collect_centroids=False serving mode (huge-P indexes): Phase 1
+    runs as a Spark job over the centroid table (select_probes_df) and
+    only the O(Q * nprobe) probed centroids reach the driver. Results
+    must equal the driver-side Phase 1 under the rounded-score
+    contract; nprobe > P must still error; and the distributed probe
+    plan must keep the per-query top-k pre-shuffle (WindowGroupLimit),
+    or at huge P every scan task would forward all its centroids."""
+    from flechasdb_spark.plans.ivf import select_probes_df
+
+    path = str(tmp_path_factory.mktemp("lazy_index"))
+    save_index(model, path)
+    eager = load_index(spark, path)
+    lazy = load_index(spark, path, collect_centroids=False)
+    assert lazy.centroids is None and lazy.centroids_source is not None
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+
+    def key(rows):
+        return sorted(
+            (r.query_id, r.rank, r.vector_id, r.squared_distance)
+            for r in rows
+        )
+
+    a = key(ann_query(eager, qs, k=5, nprobe=4, round_to=4).collect())
+    b = key(ann_query(lazy, qs, k=5, nprobe=4, round_to=4).collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="nprobe"):
+        ann_query(lazy, qs, k=5, nprobe=99)
+
+    qarr = np.array([v for _, v in qs], dtype=np.float64)
+    pr = select_probes_df(
+        lazy.centroids_df(spark), qarr, 4, query_ids=[q for q, _ in qs]
+    )
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # centroids_np() still materializes for maintenance paths
+    assert np.allclose(lazy.centroids_np(), eager.centroids, atol=1e-6)
+
+
+def _distortion(model, x):
+    """Mean PQ quantization error of x under the model's frozen params."""
+    cent, cb = model.centroids, model.codebooks
+    d, c, w = cb.shape
+    pid = np.argmin(
+        (cent**2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T), axis=1
+    )
+    res = x - cent[pid]
+    if model.dim_perm is not None:
+        res = res[:, np.asarray(model.dim_perm, dtype=int)]
+    tot = 0.0
+    for di in range(d):
+        sub = res[:, di * w : (di + 1) * w]
+        dist = ((sub[:, None, :] - cb[di][None, :, :]) ** 2).sum(axis=2)
+        tot += dist.min(axis=1).sum()
+    return tot / x.shape[0]
+
+
+def test_balance_dims_lifecycle(spark, tmp_path_factory):
+    """IndexConfig(balance_dims=True) trains an OPQ-style
+    variance-balanced dimension permutation: deterministic across
+    rebuilds, lower quantization distortion than the natural split on
+    a variance-skewed corpus (where one contiguous slice would hog the
+    energy), preserved through save/load, and query results from the
+    loaded index match the in-memory model."""
+    import dataclasses
+
+    rng = np.random.RandomState(5)
+    n, dims = 1200, 64
+    scale = np.ones(dims)
+    scale[:8] = 10.0  # natural split puts ALL the energy in division 0
+    x = rng.randn(n, dims) * scale
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    x32 = x.astype(np.float32).astype(np.float64)
+    cfg = IndexConfig(num_partitions=4, num_divisions=8, num_codes=16, seed=3)
+    nat = build_index(df, cfg)
+    bal = build_index(df, dataclasses.replace(cfg, balance_dims=True))
+    assert nat.dim_perm is None
+    assert bal.dim_perm is not None
+    assert sorted(bal.dim_perm) == list(range(dims))
+    # high-variance dims spread across divisions, not bunched in one
+    w = dims // 8
+    first_div = set(bal.dim_perm[:w])
+    assert len(first_div & set(range(8))) <= 2
+    assert _distortion(bal, x32) < _distortion(nat, x32)
+
+    bal2 = build_index(df, dataclasses.replace(cfg, balance_dims=True))
+    assert bal2.dim_perm == bal.dim_perm
+
+    path = str(tmp_path_factory.mktemp("bal_index"))
+    save_index(bal, path)
+    loaded = load_index(spark, path)
+    assert loaded.dim_perm == bal.dim_perm
+    qs = [(int(i), [float(v) for v in x[i]]) for i in range(5)]
+
+    def key(rows):
+        return sorted(
+            (r.query_id, r.rank, r.vector_id, r.squared_distance)
+            for r in rows
+        )
+
+    assert key(ann_query(loaded, qs, k=5, nprobe=3, round_to=4).collect()) == key(
+        ann_query(bal, qs, k=5, nprobe=3, round_to=4).collect()
+    )
+
+
+def test_relational_permuted_encode_matches_fused(spark):
+    """The relational pq_encode(dim_perm=...) and the fused encoder UDF
+    agree code-for-code under the same frozen codebooks + permutation
+    (centroid fixed at zero so residual == vector)."""
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.pq import fixed_codebooks, pq_encode
+
+    rng = np.random.RandomState(11)
+    dims, d, c = 16, 4, 8
+    w = dims // d
+    x = rng.randn(200, dims).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    perm = [dd + j * d for dd in range(d) for j in range(w)]  # interleave
+    cb_df = fixed_codebooks(spark, d, c, w)
+    cb = np.array(
+        [
+            [
+                [np.float32((ci - 3.5) * 0.1 + di * 0.01 * j) for j in range(w)]
+                for ci in range(c)
+            ]
+            for di in range(d)
+        ],
+        dtype=np.float64,
+    )
+    cfg = IndexConfig(num_partitions=1, num_divisions=d, num_codes=c, seed=0)
+    fused = assemble_index(
+        df, np.zeros((1, dims)), cb, cfg, dim_perm=perm
+    )
+    got = {
+        (r.vec_id, r.division): r.code
+        for r in fused.encoded.select(
+            "vec_id", F.posexplode("codes").alias("division", "code")
+        ).collect()
+    }
+    want = {
+        (r.vec_id, r.division): r.code
+        for r in pq_encode(df, cb_df, width=w, dim_perm=perm).collect()
+    }
+    assert got == want

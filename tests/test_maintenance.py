@@ -142,3 +142,125 @@ def test_maintenance_updates_manifest_num_vectors(spark, saved):
     loaded = load_index(spark, path)
     assert loaded.num_vectors == n0 - 3 + 1
     assert loaded.num_vectors == spark.read.parquet(f"{path}/index").count()
+
+
+def test_merge_indexes_disjoint_shards(spark):
+    """Shard-build pattern: encode two disjoint corpus halves with the
+    SAME frozen models, merge, query — results equal querying one
+    index built over the whole corpus (merge is a pure union when
+    shards are disjoint: no shuffle, no scan)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.maintenance import merge_indexes
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    whole = build_index(emb, CFG)
+    cent, cb = whole.centroids, whole.codebooks
+    half = emb.count() // 2
+    a = assemble_index(
+        emb.where(F.col("vec_id") < half), cent, cb, CFG
+    )
+    b = assemble_index(
+        emb.where(F.col("vec_id") >= half), cent, cb, CFG
+    )
+    merged = merge_indexes(a, b, assume_disjoint=True)
+    assert merged.num_vectors == whole.num_vectors
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+
+    def key(rows):
+        return sorted(
+            (r.query_id, r.rank, r.vector_id, r.squared_distance)
+            for r in rows
+        )
+
+    got = key(ann_query(merged, qs, k=5, nprobe=3, round_to=4).collect())
+    want = key(ann_query(whole, qs, k=5, nprobe=3, round_to=4).collect())
+    assert got == want
+
+
+def test_merge_indexes_overlap_prefers_other(spark):
+    """Overlapping ids: prefer='other' keeps the second index's row
+    (last-write-wins, matching upsert); prefer='base' the first's."""
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.maintenance import merge_indexes
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    whole = build_index(emb, CFG)
+    cent, cb = whole.centroids, whole.codebooks
+    base = assemble_index(emb.where(F.col("vec_id") < 20), cent, cb, CFG)
+    # other re-encodes ids [10, 30) with a DIFFERENT label attribute
+    other = assemble_index(
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 30))
+        .withColumn("label", F.lit(-999).cast("int")),
+        cent,
+        cb,
+        CFG,
+    )
+    m = merge_indexes(base, other, prefer="other")
+    assert m.num_vectors == 30
+    rows = {r.vec_id: r.label for r in m.encoded.collect()}
+    assert rows[15] == -999 and rows[5] != -999
+    m2 = merge_indexes(base, other, prefer="base")
+    rows2 = {r.vec_id: r.label for r in m2.encoded.collect()}
+    assert rows2[15] != -999 and rows2[25] == -999
+
+
+def test_merge_indexes_rejects_incompatible(spark):
+    import numpy as np
+
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.maintenance import merge_indexes
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    whole = build_index(emb, CFG)
+    cent, cb = whole.centroids, whole.codebooks
+    a = assemble_index(emb.where(F.col("vec_id") < 10), cent, cb, CFG)
+    b = assemble_index(
+        emb.where(F.col("vec_id") >= 10), cent + 0.5, cb, CFG
+    )
+    with pytest.raises(ValueError, match="different centroids"):
+        merge_indexes(a, b)
+
+
+def test_compact_index_coalesces_files_preserves_results(spark, saved):
+    """After several small upserts the partition dirs accumulate files;
+    compact_index rewrites each partition into one file and queries
+    return exactly the same rows."""
+    from flechasdb_spark.operators.maintenance import compact_index
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb, model, path = saved
+    # three append-mode micro-batches (the streaming-ingest pattern:
+    # stream_incremental_encode appends per batch) -> extra files per
+    # touched partition
+    enc = spark.read.parquet(f"{path}/index").limit(24).cache()
+    enc.count()
+    for i in (1, 2, 3):
+        (
+            enc.withColumn("vec_id", F.col("vec_id") + 100000 * i)
+            .write.mode("append")
+            .partitionBy("partition_id")
+            .parquet(f"{path}/index")
+        )
+    enc.unpersist()
+    before_rows = sorted(
+        (r.vec_id, r.partition_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/index").collect()
+    )
+    n_files_before = len(glob.glob(f"{path}/index/partition_id=*/*.parquet"))
+    stats = compact_index(spark, path)
+    n_files_after = len(glob.glob(f"{path}/index/partition_id=*/*.parquet"))
+    assert stats["files_before"] == n_files_before
+    assert stats["files_after"] == n_files_after
+    assert n_files_after < n_files_before
+    assert n_files_after == stats["partitions"]  # one file per partition
+    after_rows = sorted(
+        (r.vec_id, r.partition_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/index").collect()
+    )
+    assert after_rows == before_rows
