@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k"]
+__all__ = ["recall_at_k", "index_partition_stats"]
 
 
 def recall_at_k(
@@ -37,4 +37,35 @@ def recall_at_k(
                 F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
             ).alias("recall"),
         )
+    )
+
+
+def index_partition_stats(
+    encoded: DataFrame, pid_col: str = "partition_id"
+) -> DataFrame:
+    """Partition-balance report for an IVF index: per-partition vector
+    count and corpus share, plus the imbalance factor P * max / total
+    (1.0 = perfectly uniform) repeated on every row. The 100 TB
+    operational question this answers: is one IVF cell hot? A skewed
+    cell means probe-time stragglers (a probed partition is one scan
+    unit) and argues for re-training the coarse quantizer or splitting
+    the cell.
+
+    One partial-agg pass over (pid) + a broadcast 1-row summary — no
+    data shuffle beyond the P-row count table."""
+    counts = encoded.groupBy(pid_col).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    summary = counts.agg(
+        F.sum("n_vectors").alias("__tot"),
+        F.max("n_vectors").alias("__mx"),
+        F.count(F.lit(1)).alias("__p"),
+    )
+    return counts.crossJoin(F.broadcast(summary)).select(
+        pid_col,
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(F.col("n_vectors") / F.col("__tot"), 6).alias("share"),
+        F.round(F.col("__p") * F.col("__mx") / F.col("__tot"), 4).alias(
+            "imbalance"
+        ),
     )

@@ -67,8 +67,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # them empty — so the split COUNT cannot detect this.)
         cpus = spark.sparkContext.defaultParallelism
         if _parquet_splittable_units(f"{sf_dir}/{name}.parquet") < cpus:
-            df = df.repartition(cpus)
+            # persist the repartitioned table per session: multi-pass
+            # operators (minhash/ngram recompute the doc scan 2-3x by
+            # design) would otherwise pay the corrective exchange on
+            # EVERY recompute — measured 4.9 s -> 2.x s on
+            # minhash_dedup at sf0.1. Keyed by applicationId so a
+            # stopped session's entries can never be returned to a new
+            # one; tables are bench-scale tiny (MBs), eviction not
+            # needed.
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            cached = _T_CACHE.get(key)
+            if cached is not None:
+                return cached
+            df = df.repartition(cpus).persist()
+            _T_CACHE[key] = df
     return df
+
+
+_T_CACHE: dict = {}
 
 
 def _parquet_splittable_units(path: str) -> int:
@@ -796,6 +812,33 @@ def q_ann_frozen_distprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         loaded, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "index_partition_stats",
+    f"""
+{_DD_FROZEN_PREFIX},
+counts AS (
+  SELECT partition_id, count(*)::BIGINT AS n FROM assigned
+  GROUP BY partition_id),
+tot AS (SELECT sum(n) AS t, max(n) AS mx, count(*) AS p FROM counts)
+SELECT partition_id, n AS n_vectors,
+       round(n::DOUBLE / t, 6) AS share,
+       round(p::DOUBLE * mx / t, 4) AS imbalance
+FROM counts, tot ORDER BY partition_id
+""",
+)
+def q_index_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance report over the frozen index (the oracle
+    recomputes the coarse assignment from the frozen centroids): per
+    partition count + share, plus the global imbalance factor
+    P*max/total. Operational answer to the 100 TB skew question — a hot
+    cell is a probe-time straggler (one partition = one scan unit)."""
+    from flechasdb_spark.operators.eval import index_partition_stats
+
+    model, _ = _frozen_model(spark, sf_dir)
+    out = index_partition_stats(model.encoded).orderBy("partition_id")
+    return out
 
 
 @query(
@@ -4352,19 +4395,27 @@ DRIVER_ORDER = [
     # window stay fully oracle-gated in pytest (tests/test_oracle.py
     # runs ALL registry entries, not just these 50).
     # reference core: kNN / IVF / PQ / SQ / attributes / maintenance / IO
+    # (r4 swaps, keeping every family >= 1 row: ann_frozen_recall ->
+    # ann_frozen_distprobe [ann_ivfpq is itself a recall row since r4],
+    # sq_roundtrip -> index_merge_query [sq_knn keeps SQ],
+    # tpch_q18 -> pq_permuted_encode, tpch_q13 ->
+    # quality_stratified_sample [4 TPC-H rows remain],
+    # split_contamination -> doc_novelty [same cross-corpus n-gram
+    # family, novelty is the per-doc score form])
     "flat_knn",
     "knn_join",
     "vector_norms",
     "pq_encode",
+    "pq_permuted_encode",
     "ann_ivfpq",
     "ann_ivfpq_frozen",
     "ann_ivfpq_rerank_fused",
     "ann_frozen_filtered",
-    "ann_frozen_recall",
+    "ann_frozen_distprobe",
     "sq_knn",
-    "sq_roundtrip",
     "attr_map_fetch",
     "maintenance_upsert_delete",
+    "index_merge_query",
     "csv_source_knn",
     "json_source_stats",
     # dedup / similarity
@@ -4378,6 +4429,7 @@ DRIVER_ORDER = [
     "cosine_topk",
     "ann_lsh_topk",
     "maxsim_doc_topk",
+    "doc_novelty",
     # text / training-data pipeline
     "token_stats",
     "quality_score",
@@ -4387,7 +4439,7 @@ DRIVER_ORDER = [
     "build_vocab",
     "length_bucket_batches",
     "sequence_pack",
-    "split_contamination",
+    "quality_stratified_sample",
     # multimodal
     "image_features",
     # relational SQL surface
@@ -4395,8 +4447,6 @@ DRIVER_ORDER = [
     "tpch_q2",
     "tpch_q5",
     "tpch_q9",
-    "tpch_q13",
-    "tpch_q18",
     "events_sessionize",
     "events_asof_join",
     "events_percentiles",
