@@ -127,17 +127,31 @@ def incremental_encode(
     vectors: DataFrame,
     index_path: str,
     checkpoint_path: str,
+    compact_every: int | None = None,
 ):
     """Continuously PQ-encode arriving vectors with the frozen model and
     append them to ``<index_path>/index`` (same partition_id layout the
     batch loader reads — sources/manifest.py). Returns the streaming
-    query handle."""
+    query handle.
+
+    ``compact_every``: rewrite the index with
+    ``maintenance.compact_index`` after every N non-empty batches —
+    each append adds >= 1 file per touched partition, and at streaming
+    cadence the small files otherwise accumulate until query-time scan
+    throughput collapses (one task + footer read per file). Compaction
+    runs inside foreachBatch, i.e. between batches of the single
+    writer, so no concurrent-writer hazard; it is a full index rewrite,
+    so pick N to amortize (e.g. hundreds of batches). Idempotent under
+    foreachBatch's at-least-once replay (re-compacting is a no-op
+    rewrite)."""
     from flechasdb_spark.operators.build import pq_encoder_udf
+    from flechasdb_spark.operators.maintenance import compact_index
 
     cfg = model.config
     centroids = model.centroids_np()
     codebooks = model.codebooks
     dim_perm = model.dim_perm
+    state = {"appends": 0}
 
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -154,6 +168,9 @@ def incremental_encode(
             .partitionBy("partition_id")
             .parquet(f"{index_path}/index")
         )
+        state["appends"] += 1
+        if compact_every and state["appends"] % compact_every == 0:
+            compact_index(batch.sparkSession, index_path)
 
     return (
         vectors.writeStream.foreachBatch(encode_batch)

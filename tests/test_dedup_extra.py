@@ -418,3 +418,54 @@ def test_lsh_neardup_pandas_matches_catalyst(spark):
         assert cat, "fixture yields no pairs; lower threshold"
         for k in cat:
             assert abs(cat[k] - pan[k]) <= 1e-4, (tables, k, cat[k], pan[k])
+
+
+def test_doc_novelty_bounds_and_extremes(spark):
+    """novelty in [0, 1]; a doc whose n-grams all appear in the
+    reference scores 0; a doc sharing nothing scores 1; a doc too
+    short for any n-gram scores 1 by convention, with zero counts."""
+    from flechasdb_spark.operators.dedup import doc_novelty
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps over"),  # fully contained
+            (11, "completely different words here entirely"),  # disjoint
+            (12, "quick brown fox and then something new here"),  # mixed
+            (13, "too short"),  # < n tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in doc_novelty(docs, ref, n=3).collect()}
+    assert set(rows) == {10, 11, 12, 13}
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert 0 <= r.n_seen <= r.n_grams or r.n_grams == 0
+    assert rows[10].novelty == 0.0
+    assert rows[11].novelty == 1.0
+    assert 0.0 < rows[12].novelty < 1.0
+    assert rows[13].n_grams == 0 and rows[13].novelty == 1.0
+
+
+def test_quality_stratified_sample_per_group_cut(spark):
+    """Each group keeps ceil(fraction * n) rows and they are the
+    top-scored ones; fraction edges 0 and 1 behave."""
+    from flechasdb_spark.operators.sampling import quality_stratified_sample
+
+    rows = [(f"s{g}", g * 100 + i, float(i)) for g in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, score double")
+    kept = quality_stratified_sample(
+        df, fraction=0.3, score_col="score"
+    ).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.score)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for scores in by_src.values():
+        assert len(scores) == 3  # ceil(0.3 * 10)
+        assert sorted(scores) == [7.0, 8.0, 9.0]  # the top scores
+    assert quality_stratified_sample(df, 0.0, "score").count() == 0
+    assert quality_stratified_sample(df, 1.0, "score").count() == 30

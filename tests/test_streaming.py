@@ -586,3 +586,47 @@ def test_read_event_stream_empty_source_falls_back_to_schema(spark, tmp_path):
     df = read_event_stream(spark, str(empty))
     assert df.isStreaming
     assert df.schema == EVENTS_SCHEMA
+
+
+def test_incremental_encode_auto_compaction(spark, tmp_path):
+    """compact_every=1: after draining a multi-file stream (one batch
+    per file via maxFilesPerTrigger), the index holds one file per
+    partition dir instead of one per (batch, partition), and the
+    encoded rows are exactly the append-only result."""
+    import glob
+
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 40)
+    arriving = emb.where(F.col("vec_id") >= 40).select("vec_id", "embedding")
+    n_total = base.count() + arriving.count()
+
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=11)
+    model = build_index(base, cfg)
+    index_path = str(tmp_path / "idx")
+    save_index(model, index_path)
+
+    stream_src = str(tmp_path / "arrivals")
+    arriving.repartition(4).write.parquet(stream_src)  # >= 4 data files
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    q = incremental_encode(
+        model,
+        vec_stream,
+        index_path,
+        str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    run_available_now(q)
+
+    files = glob.glob(f"{index_path}/index/partition_id=*/*.parquet")
+    pids = {f.split("partition_id=")[1].split("/")[0] for f in files}
+    assert len(files) == len(pids)  # exactly one file per partition dir
+    reloaded = load_index(spark, index_path)
+    assert reloaded.encoded.count() == n_total
+    assert reloaded.encoded.select("vec_id").distinct().count() == n_total
