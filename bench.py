@@ -262,11 +262,13 @@ def main() -> None:
         "length_bucket_batches",
         "tpch_q11",
         "tpch_q20",
-        # r4 additions: curation scores, shard merge, huge-P probe path
+        # r4 additions: curation scores, shard merge, huge-P probe
+        # path, residual quantization
         "doc_novelty",
         "quality_stratified_sample",
         "index_merge_query",
         "ann_frozen_distprobe",
+        "rq_knn",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

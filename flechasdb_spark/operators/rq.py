@@ -1,0 +1,254 @@
+"""Residual (additive) quantization — the third quantizer family next
+to PQ (operators/pq.py) and SQ8 (operators/sq.py), mirroring the shape
+of FAISS's ResidualQuantizer: L codebook LEVELS over the FULL vector,
+each level quantizing the residual the previous levels left behind.
+Reconstruction = sum of the L chosen centers; approximation error falls
+with every level (tested). Where PQ splits dimensions, RQ splits
+magnitude — better for vectors whose energy is not separable by
+coordinate blocks.
+
+The reference implements PQ only (/root/reference/src/db/build.rs:85-129);
+RQ is extension surface. Everything here is relational (broadcast joins
++ ``min(struct(...))`` argmins, no UDFs) so a frozen-codebook pipeline
+is DuckDB-oracle recomputable end to end.
+
+Scale: codebooks are L*C rows — always broadcast. Encoding is L
+sequential broadcast-join + partial-agg rounds; the shuffle per round
+carries ONE row per vector (map-side combined argmin), never the C-way
+blowup. L is small (2-4 in practice). Decode+score for kNN is map-only
++ the standard TakeOrderedAndProject top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import squared_l2
+
+__all__ = [
+    "rq_fixed_codebooks",
+    "rq_train",
+    "rq_codebooks_df",
+    "rq_encode",
+    "rq_reconstruct",
+    "rq_knn",
+]
+
+
+def rq_train(
+    sample,
+    levels: int,
+    num_codes: int,
+    seed: int = 42,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """Train RQ codebooks on a driver-side sample (the same
+    bounded-sample shape as the IVF+PQ build): level l's k-means fits
+    the residuals levels 0..l-1 left behind. Returns an (L, C, N)
+    float64 array for ``spark.createDataFrame``-ing into the codebook
+    table (or feed to rq_codebooks_df below via the caller).
+
+    100 TB shape: training is O(sample); encoding any corpus with the
+    frozen result is the L-round relational pipeline (rq_encode)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.kmeans_np import kmeans_fit
+
+    x = np.asarray(sample, dtype=np.float64)
+    cbs = np.empty((levels, num_codes, x.shape[1]), dtype=np.float64)
+    r = x.copy()
+    for lv in range(levels):
+        centers, _ = kmeans_fit(
+            r, num_codes, seed=seed + 97 * lv, max_iter=max_iter, tol=tol
+        )
+        cbs[lv] = centers
+        d = ((r[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        r = r - centers[np.argmin(d, axis=1)]
+    return cbs
+
+
+def rq_codebooks_df(spark, cbs) -> DataFrame:
+    """(L, C, N) array -> the (level, code, center) codebook table,
+    f32-quantized like every stored center in this repo."""
+    import numpy as np
+
+    rows = []
+    for lv in range(cbs.shape[0]):
+        for c in range(cbs.shape[1]):
+            rows.append(
+                (
+                    int(lv),
+                    int(c),
+                    [float(np.float32(v)) for v in cbs[lv, c]],
+                )
+            )
+    return spark.createDataFrame(
+        rows, "level int, code int, center array<float>"
+    )
+
+
+def rq_fixed_codebooks(
+    spark, levels: int, num_codes: int, dim: int
+) -> DataFrame:
+    """Deterministic RQ codebooks (the F3-style fixture rule, scaled
+    down per level because residual magnitude shrinks):
+    center[level, code][j] = f32((code - (C-1)/2) * 0.2 / (level+1)
+                                  + 0.01 * level * j).
+    Pins the arithmetic without k-means randomness, f32-quantized like
+    the stored ``array<float>`` form."""
+    import numpy as np
+
+    rows = []
+    for lv in range(levels):
+        for c in range(num_codes):
+            center = [
+                float(
+                    np.float32(
+                        (c - (num_codes - 1) / 2.0) * 0.2 / (lv + 1)
+                        + 0.01 * lv * j
+                    )
+                )
+                for j in range(dim)
+            ]
+            rows.append((lv, c, center))
+    return spark.createDataFrame(
+        rows, "level int, code int, center array<float>"
+    )
+
+
+def _level_argmin(
+    residual: DataFrame,
+    codebooks: DataFrame,
+    level: int,
+    id_col: str,
+) -> DataFrame:
+    """One RQ round: nearest level-``level`` center per vector.
+    Returns (id, code, center) — the center rides along so the caller
+    can subtract it without a second join. Ties break by lowest code
+    (struct ordering d asc, code asc), matching the PQ convention."""
+    cb = codebooks.where(F.col("level") == level).select("code", "center")
+    pairs = residual.join(F.broadcast(cb))
+    dist = squared_l2(F.col("__r"), F.col("center"))
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    dist.alias("d"), F.col("code"), F.col("center")
+                )
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.col("__m.code").alias("code"),
+            F.col("__m.center").alias("center"),
+        )
+    )
+
+
+def rq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    levels: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as L additive codes: r_0 = v; per level,
+    code_l = argmin_c ||r_l - center[l][c]||^2 and
+    r_{l+1} = r_l - center[l][code_l].
+
+    Returns long-form (id, level, code) — the join-ready shape for
+    reconstruction. L sequential rounds; each is a broadcast join +
+    map-side-combined argmin (one shuffled row per vector per round)."""
+    cur = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__r")
+    )
+    outs = []
+    for lv in range(levels):
+        chosen = _level_argmin(cur, codebooks, lv, id_col)
+        outs.append(
+            chosen.select(
+                id_col, F.lit(lv).alias("level"), F.col("code")
+            )
+        )
+        if lv < levels - 1:
+            cur = cur.join(chosen.select(id_col, "center"), id_col).select(
+                F.col(id_col),
+                F.zip_with(
+                    "__r", "center", lambda a, b: a - b
+                ).alias("__r"),
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def rq_reconstruct(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Decode: reconstruction = elementwise sum of the chosen centers
+    across levels. One broadcast join + one groupBy(id) whose
+    elementwise array-sum is a pure Catalyst aggregate over the
+    collected L rows (L small by construction).
+
+    Returns (id, reconstruction array<double>)."""
+    joined = encoded.join(F.broadcast(codebooks), ["level", "code"])
+    # collect_list order is shuffle-arrival order — sort by level so the
+    # float summation order is deterministic (and matches the oracle's
+    # ascending-level sum; fp addition is order-sensitive in the ulp)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("level"),
+                        F.col("center").cast("array<double>").alias("center"),
+                    )
+                )
+            ).alias("__ls")
+        )
+        .select(
+            id_col,
+            F.aggregate(
+                F.transform(F.col("__ls"), lambda s: s["center"]),
+                F.transform(
+                    F.element_at("__ls", 1)["center"],
+                    lambda v: v * F.lit(0.0),
+                ),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("reconstruction"),
+        )
+    )
+
+
+def rq_knn(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    query_vector: list[float],
+    k: int,
+    levels: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate kNN through the RQ codes: encode, reconstruct, score
+    the query against reconstructions, global top-k (ties by id). The
+    decode+score pass is map-only; top-k is TakeOrderedAndProject."""
+    enc = rq_encode(vectors, codebooks, levels, id_col, vec_col)
+    rec = rq_reconstruct(enc, codebooks, id_col)
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
+        "array<double>"
+    )
+    dist = squared_l2(F.col("reconstruction"), qv)
+    scored = rec.select(F.col(id_col), dist.alias("__d"))
+    out = scored.orderBy(F.col("__d").asc(), F.col(id_col).asc()).limit(k)
+    score = (
+        F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
+    )
+    return out.select(id_col, score.alias("squared_distance"))

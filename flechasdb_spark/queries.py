@@ -580,6 +580,113 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_knn(enc, lo, hi, qv, k=10, round_to=4)
 
 
+# --- Residual (additive) quantization (operators/rq.py — third
+# quantizer family, FAISS ResidualQuantizer shape; frozen codebooks so
+# the whole encode/decode/score chain is DuckDB-recomputable).
+
+_RQ_L, _RQ_C, _RQ_DIM = 3, 8, 64
+
+_DD_RQ_CB = f"""
+rqcb AS (
+  SELECT l.level::INT AS level, c.code::INT AS code,
+         list_transform(generate_series(0, {_RQ_DIM - 1}),
+           j -> ((c.code::DOUBLE - {(_RQ_C - 1) / 2.0}) * 0.2
+                   / (l.level::DOUBLE + 1)
+                 + 0.01 * l.level::DOUBLE * j::DOUBLE)::FLOAT::DOUBLE)
+           AS center
+  FROM range({_RQ_L}) l(level), range({_RQ_C}) c(code))
+"""
+
+_DD_RQ_LEVELS = f"""
+r0 AS (SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+e0 AS (SELECT vec_id, code, center FROM (
+  SELECT r0.vec_id, cb.code, cb.center,
+         row_number() OVER (PARTITION BY r0.vec_id
+           ORDER BY {_DD_SQL2.format(a="r0.r", b="cb.center")}, cb.code) AS rn
+  FROM r0 JOIN rqcb cb ON cb.level = 0) s WHERE rn = 1),
+r1 AS (SELECT r0.vec_id,
+              list_transform(list_zip(r0.r, e0.center), z -> z[1]-z[2]) AS r
+       FROM r0 JOIN e0 USING (vec_id)),
+e1 AS (SELECT vec_id, code, center FROM (
+  SELECT r1.vec_id, cb.code, cb.center,
+         row_number() OVER (PARTITION BY r1.vec_id
+           ORDER BY {_DD_SQL2.format(a="r1.r", b="cb.center")}, cb.code) AS rn
+  FROM r1 JOIN rqcb cb ON cb.level = 1) s WHERE rn = 1),
+r2 AS (SELECT r1.vec_id,
+              list_transform(list_zip(r1.r, e1.center), z -> z[1]-z[2]) AS r
+       FROM r1 JOIN e1 USING (vec_id)),
+e2 AS (SELECT vec_id, code, center FROM (
+  SELECT r2.vec_id, cb.code, cb.center,
+         row_number() OVER (PARTITION BY r2.vec_id
+           ORDER BY {_DD_SQL2.format(a="r2.r", b="cb.center")}, cb.code) AS rn
+  FROM r2 JOIN rqcb cb ON cb.level = 2) s WHERE rn = 1)
+"""
+
+
+@query(
+    "rq_encode",
+    f"""
+WITH {_DD_RQ_CB},
+{_DD_RQ_LEVELS}
+SELECT vec_id, 0::BIGINT AS level, code::BIGINT AS code FROM e0
+UNION ALL SELECT vec_id, 1::BIGINT, code::BIGINT FROM e1
+UNION ALL SELECT vec_id, 2::BIGINT, code::BIGINT FROM e2
+ORDER BY vec_id, level
+""",
+)
+def q_rq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization encode (L=3 additive levels over the full
+    vector, frozen codebooks): each level argmins the residual the
+    previous levels left. The oracle chains the three rounds as CTEs —
+    bit-identical distance folds, code-ascending tie-break."""
+    from flechasdb_spark.operators.rq import rq_encode, rq_fixed_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = rq_fixed_codebooks(spark, _RQ_L, _RQ_C, _RQ_DIM)
+    return (
+        rq_encode(emb, cb, levels=_RQ_L)
+        .select(
+            "vec_id",
+            F.col("level").cast("long").alias("level"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .orderBy("vec_id", "level")
+    )
+
+
+@query(
+    "rq_knn",
+    f"""
+WITH {_DD_RQ_CB},
+{_DD_RQ_LEVELS},
+rec AS (
+  SELECT e0.vec_id,
+         list_transform(list_zip(e0.center, e1.center, e2.center),
+                        z -> (z[1] + z[2]) + z[3]) AS rv
+  FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_PQ_QID}),
+scored AS (
+  SELECT rec.vec_id, {_DD_SQL2.format(a="rec.rv", b="q.qv")} AS d
+  FROM rec, q)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_rq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN through the RQ codes: encode -> reconstruct
+    (level-ordered float sum, so both engines add in the same order)
+    -> exact distance to the reconstruction -> top-10."""
+    from flechasdb_spark.operators.rq import rq_fixed_codebooks, rq_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = rq_fixed_codebooks(spark, _RQ_L, _RQ_C, _RQ_DIM)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    ]
+    return rq_knn(emb, cb, qv, k=10, levels=_RQ_L, round_to=4)
+
+
 @query(
     "ann_ivfpq",
     """

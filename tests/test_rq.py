@@ -1,0 +1,124 @@
+"""Residual quantization (operators/rq.py): NumPy parity of the
+encode/decode chain and the defining property — approximation error
+falls with every added level."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.rq import (
+    rq_encode,
+    rq_fixed_codebooks,
+    rq_knn,
+    rq_reconstruct,
+)
+
+L, C, DIM = 3, 8, 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cb_np() -> np.ndarray:
+    return np.array(
+        [
+            [
+                [
+                    np.float32((c - (C - 1) / 2.0) * 0.2 / (lv + 1) + 0.01 * lv * j)
+                    for j in range(DIM)
+                ]
+                for c in range(C)
+            ]
+            for lv in range(L)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _np_encode(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    codes = np.empty((x.shape[0], L), dtype=int)
+    r = x.copy()
+    for lv in range(L):
+        d = ((r[:, None, :] - cb[lv][None, :, :]) ** 2).sum(axis=2)
+        codes[:, lv] = np.argmin(d, axis=1)
+        r = r - cb[lv][codes[:, lv]]
+    return codes
+
+
+def test_rq_encode_matches_numpy(spark, emb):
+    cb_df = rq_fixed_codebooks(spark, L, C, DIM)
+    sub = emb.where(F.col("vec_id") < 64)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    want = _np_encode(x, _cb_np())
+    got = np.full_like(want, -1)
+    for r in rq_encode(sub, cb_df, levels=L).collect():
+        got[r.vec_id, r.level] = r.code
+    assert (got == want).all()
+
+
+def test_rq_reconstruction_is_center_sum(spark, emb):
+    """reconstruction == ordered sum of chosen centers (NumPy parity)
+    under the frozen fixture codebooks."""
+    cb_df = rq_fixed_codebooks(spark, L, C, DIM)
+    sub = emb.where(F.col("vec_id") < 64)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    cb = _cb_np()
+    codes = _np_encode(x, cb)
+    enc = rq_encode(sub, cb_df, levels=L)
+    rec = {
+        r.vec_id: np.array(r.reconstruction)
+        for r in rq_reconstruct(enc, cb_df).collect()
+    }
+    for i in range(x.shape[0]):
+        want = sum(cb[lv][codes[i, lv]] for lv in range(L))
+        assert np.allclose(rec[i], want, atol=1e-9)
+
+
+def test_rq_trained_error_falls_per_level(spark, emb):
+    """The additive-quantizer contract with TRAINED codebooks: mean
+    ||v - reconstruction||^2 strictly falls with each added level
+    (arbitrary frozen codebooks need not have this property — each
+    trained level fits the previous levels\' residual, so it does).
+    Spark encode/reconstruct agree with the NumPy chain on the
+    f32-quantized trained centers."""
+    from flechasdb_spark.operators.rq import rq_codebooks_df, rq_train
+
+    sub = emb.where(F.col("vec_id") < 256)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    cbs = rq_train(x, levels=L, num_codes=C, seed=5)
+    cb32 = cbs.astype(np.float32).astype(np.float64)
+
+    errs = []
+    r = x.copy()
+    for lv in range(L):
+        d = ((r[:, None, :] - cb32[lv][None, :, :]) ** 2).sum(axis=2)
+        pick = np.argmin(d, axis=1)
+        r = r - cb32[lv][pick]
+        errs.append((r**2).sum(axis=1).mean())
+    assert errs[0] > errs[1] > errs[2]
+
+    cb_df = rq_codebooks_df(spark, cbs)
+    codes = _np_encode(x, cb32)
+    got = np.full_like(codes, -1)
+    for row in rq_encode(sub, cb_df, levels=L).collect():
+        got[row.vec_id, row.level] = row.code
+    assert (got == codes).all()
+
+
+def test_rq_knn_orders_by_reconstruction_distance(spark, emb):
+    cb_df = rq_fixed_codebooks(spark, L, C, DIM)
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    out = rq_knn(emb, cb_df, qv, k=10, levels=L, round_to=4).collect()
+    assert len(out) == 10
+    dists = [r.squared_distance for r in out]
+    assert dists == sorted(dists)
