@@ -269,6 +269,9 @@ def main() -> None:
         "index_merge_query",
         "ann_frozen_distprobe",
         "rq_knn",
+        "bq_hamming_knn",
+        "bm25_topk",
+        "hybrid_rrf",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -1,0 +1,130 @@
+"""Binary quantization — sign bits packed into 32-bit words + Hamming
+distance kNN. The fourth quantizer family (PQ = dimension split,
+SQ8 = per-dim affine, RQ = additive levels, BQ = 1 bit/dim), the
+classic binary-hashing baseline: 32x compression over f32 and distance
+= popcount(xor), pure integer arithmetic — the ONLY quantizer here
+whose whole pipeline is bit-exact across engines with no rounding
+contract at all.
+
+No reference counterpart; extension surface. Everything is Catalyst
+expressions (no UDFs): packing is a fold over a 32-element sequence,
+distance is xor + bit_count per word — whole-stage codegen'd.
+
+Scale: encode is map-only (no shuffle); kNN is a map-only scan +
+TakeOrderedAndProject. 32 bits per word (not 64) so the packed words
+stay comfortably inside signed BIGINT on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bq_encode", "bq_thresholds", "hamming_knn", "pack_bits_py"]
+
+WORD_BITS = 32
+
+
+def bq_thresholds(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension mean — the standard data-dependent bit threshold
+    (bit = value > mean). One partial-agg pass. NOTE: float mean is
+    summation-order-dependent in the last ulp, so a mean-thresholded
+    encode is deterministic per run but not oracle-bit-exact; the
+    fixed-zero threshold (bq_encode default) is."""
+    n = vectors.select(F.size(F.col(vec_col)).alias("n")).first()["n"]
+    row = vectors.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"m{j}")
+            for j in range(n)
+        ]
+    ).first()
+    return [float(row[f"m{j}"]) for j in range(n)]
+
+
+def _packed_words(
+    vec_col: str, dim: int, thresholds: list[float] | None
+) -> Column:
+    """array<bigint> of ceil(dim/32) words; word w bit j (LSB-first) =
+    1 iff vec[w*32 + j] > threshold[w*32 + j]."""
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    words = []
+    for w in range(n_words):
+        bits = []
+        for j in range(WORD_BITS):
+            pos = w * WORD_BITS + j
+            if pos >= dim:
+                break
+            thr = (
+                F.lit(0.0)
+                if thresholds is None
+                else F.lit(float(thresholds[pos]))
+            )
+            bits.append(
+                F.when(
+                    F.element_at(F.col(vec_col), pos + 1) > thr,
+                    F.lit(1 << j).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return F.array(*words)
+
+
+def bq_encode(
+    vectors: DataFrame,
+    dim: int,
+    thresholds: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, words array<bigint>): sign bits vs ``thresholds`` (default:
+    fixed 0.0 — bit-exact cross-engine; pass ``bq_thresholds(df)`` for
+    the mean-centered variant), packed LSB-first into 32-bit words.
+    Map-only, codegen'd."""
+    return vectors.select(
+        F.col(id_col),
+        _packed_words(vec_col, dim, thresholds).alias("words"),
+    )
+
+
+def pack_bits_py(vec, thresholds=None) -> list[int]:
+    """Driver-side packing of one query vector (same rule as
+    bq_encode)."""
+    words = []
+    for w in range(0, len(vec), WORD_BITS):
+        word = 0
+        for j, v in enumerate(vec[w : w + WORD_BITS]):
+            thr = 0.0 if thresholds is None else float(thresholds[w + j])
+            if float(v) > thr:
+                word |= 1 << j
+        words.append(word)
+    return words
+
+
+def hamming_knn(
+    encoded: DataFrame,
+    query_words: list[int],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by Hamming distance to a packed query: distance =
+    sum over words of bit_count(xor(word, qword)) — integer-exact, no
+    rounding contract needed. Map-only scan + TakeOrderedAndProject;
+    ties break by id ascending."""
+    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(F.col(id_col), dist.alias("hamming_distance"))
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

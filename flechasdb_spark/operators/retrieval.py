@@ -1,0 +1,154 @@
+"""Keyword retrieval (BM25) and rank fusion (RRF) — the lexical half
+of the hybrid-search stack (BM25 candidates + vector kNN candidates →
+reciprocal-rank fusion), which is the standard retrieval layout around
+a vector index like the reference's. No reference counterpart (vectors
+only); extension surface.
+
+Scale shape: BM25 is an inverted-index equi-join on the term key —
+per-term document postings meet the query terms in one hash join; term
+statistics (df, idf) are a small broadcast table; scoring is a partial
+aggregation per (query, doc); per-query top-k runs as WindowGroupLimit.
+Nothing is quadratic and nothing leaves the executors except the final
+k rows per query. RRF is a union + partial-agg sum over O(Q * k * lists)
+rows — negligible.
+
+Determinism: scores use ln/double arithmetic that can differ in the
+last ulp across engines, so (as everywhere in this repo) the RANKING
+key is the score rounded to 4 decimals with id tie-break, and outputs
+expose the rounded score.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.text import tokens
+
+__all__ = ["bm25_topk", "rrf_fuse"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Batch BM25 top-k: ``queries`` is long-form (query_id, term);
+    returns (query_id, doc_id, score, rank) with Okapi BM25 scoring
+
+        score(q, d) = sum_t idf(t) * tf * (k1+1) /
+                      (tf + k1 * (1 - b + b * |d| / avgdl))
+        idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    over whitespace-lowercase tokens (the repo's shared tokenizer, so
+    the DuckDB oracle reproduces it). Duplicate query terms contribute
+    once (terms are distinct-ed) — the common bag-of-words=set choice.
+
+    Plan: one pass builds (doc, term, tf, doclen); the query join is an
+    equi-join on term (inverted index — only posting rows for query
+    terms survive, pushed before any aggregation); df/idf and avgdl are
+    tiny broadcast aggregates; per-(query, doc) sum is partial-agged;
+    top-k per query is a row_number window Spark runs as
+    WindowGroupLimit."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias(term_col)
+    )
+    tf = toks.groupBy(id_col, term_col).agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n")
+    ).crossJoin(doclen.agg(F.avg("__dl").alias("__avgdl")))
+
+    qterms = queries.select(query_id_col, term_col).distinct()
+    # inverted-index join FIRST: only postings of query terms survive
+    hits = tf.join(qterms, term_col)
+    df_counts = (
+        hits.select(term_col, id_col)
+        .distinct()
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    scored = (
+        hits.join(F.broadcast(df_counts), term_col)
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (1.0 + k1))
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__s"), 4).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of any number of (query_id, id, rank)
+    result lists: fused(q, d) = sum over lists of 1 / (c + rank). The
+    standard score-free combiner for hybrid lexical+vector retrieval
+    (c=60 per the original RRF paper's recommendation).
+
+    The fused score of L small top-k lists is a union + partial-agg
+    sum; ranking ties break by id. Scores are rounded to 6 decimals for
+    cross-engine rank stability (1/(c+rank) values are well separated
+    at top ranks)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (1.0 / (F.lit(float(c)) + F.col(rank_col))).alias("__rr"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    fused = allr.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("__rr"), 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -580,6 +580,79 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_knn(enc, lo, hi, qv, k=10, round_to=4)
 
 
+# --- Binary quantization (operators/bq.py — sign bits + Hamming kNN;
+# pure integer pipeline, the only quantizer with NO rounding contract).
+
+_DD_BQ_WORDS = """
+bqv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bqw AS (
+  SELECT vec_id, w.w AS word_idx,
+         list_sum(list_transform(generate_series(0, 31),
+           j -> CASE WHEN v[w.w * 32 + j + 1] > 0
+                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS word
+  FROM bqv, range(2) w(w))
+"""
+
+
+@query(
+    "bq_encode",
+    f"""
+WITH {_DD_BQ_WORDS}
+SELECT vec_id, word_idx::BIGINT AS word_idx, word::BIGINT AS word
+FROM bqw ORDER BY vec_id, word_idx
+""",
+)
+def q_bq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization: 64 dims -> two 32-bit words packed
+    LSB-first (bit = value > 0). 32x compression; integer-exact on any
+    engine — no rounding contract anywhere in the pipeline."""
+    from flechasdb_spark.operators.bq import bq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        bq_encode(emb, dim=64)
+        .select("vec_id", F.posexplode("words").alias("word_idx", "word"))
+        .select(
+            "vec_id",
+            F.col("word_idx").cast("long").alias("word_idx"),
+            F.col("word").cast("long").alias("word"),
+        )
+        .orderBy("vec_id", "word_idx")
+    )
+
+
+@query(
+    "bq_hamming_knn",
+    f"""
+WITH {_DD_BQ_WORDS},
+q AS (SELECT word_idx, word AS qword FROM bqw WHERE vec_id = {_PQ_QID}),
+scored AS (
+  SELECT a.vec_id,
+         sum(bit_count(xor(a.word, q.qword)))::BIGINT AS hamming_distance
+  FROM bqw a JOIN q USING (word_idx)
+  GROUP BY a.vec_id)
+SELECT vec_id, hamming_distance
+FROM scored ORDER BY hamming_distance, vec_id LIMIT 10
+""",
+)
+def q_bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-10 over the packed sign bits: distance =
+    popcount(xor) per word, summed — map-only scan +
+    TakeOrderedAndProject, integer arithmetic end to end."""
+    from flechasdb_spark.operators.bq import bq_encode, hamming_knn, pack_bits_py
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    ]
+    enc = bq_encode(emb, dim=64)
+    out = hamming_knn(enc, pack_bits_py(qv), k=10)
+    return out.select(
+        "vec_id", F.col("hamming_distance").cast("long").alias("hamming_distance")
+    )
+
+
 # --- Residual (additive) quantization (operators/rq.py — third
 # quantizer family, FAISS ResidualQuantizer shape; frozen codebooks so
 # the whole encode/decode/score chain is DuckDB-recomputable).
@@ -1579,6 +1652,165 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         n=3,
     ).orderBy("doc_id")
+
+
+# --- Keyword retrieval + hybrid fusion (operators/retrieval.py) ---
+
+_BM25_QUERIES = [
+    (0, "vector"), (0, "hash"), (0, "merge"),
+    (1, "customer"), (1, "order"), (1, "join"),
+    (2, "stream"), (2, "window"), (2, "filter"),
+]
+_DD_BM25_Q = "(VALUES " + ", ".join(
+    f"({q}, '{t}')" for q, t in _BM25_QUERIES
+) + ") AS qv(query_id, term)"
+
+_DD_BM25 = f"""
+toks AS (SELECT doc_id, unnest({_DD_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+q AS (SELECT DISTINCT query_id, term FROM {_DD_BM25_Q}),
+hits AS (SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+         FROM tf JOIN q USING (term)),
+dfc AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM hits GROUP BY term),
+bm AS (
+  SELECT h.query_id, h.doc_id,
+         round(sum(
+           ln(1 + (st.n - dfc.df + 0.5) / (dfc.df + 0.5))
+           * (h.tf * 2.2)
+           / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 4)
+           AS score
+  FROM hits h JOIN dfc USING (term) JOIN dl USING (doc_id), st
+  GROUP BY h.query_id, h.doc_id),
+bmr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bm)
+"""
+
+
+def _bm25_queries_df(spark: SparkSession):
+    return spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, term string"
+    )
+
+
+@query(
+    "bm25_topk",
+    f"""
+WITH {_DD_BM25}
+SELECT query_id, doc_id, score, rank::BIGINT AS rank
+FROM bmr WHERE rank <= 10 ORDER BY query_id, rank
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for three fixed keyword queries — the lexical
+    half of hybrid retrieval. Inverted-index equi-join on the term key,
+    broadcast df/idf stats, WindowGroupLimit per-query top-k; ranking
+    on the rounded score (id tie-break) for cross-engine stability."""
+    from flechasdb_spark.operators.retrieval import bm25_topk
+
+    out = bm25_topk(
+        _t(spark, sf_dir, "documents"), _bm25_queries_df(spark), k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "hybrid_rrf",
+    f"""
+WITH {_DD_BM25},
+bmtop AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10),
+emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+qv AS (SELECT 0::BIGINT AS query_id, v AS qvec FROM emb WHERE doc_id = 7
+       UNION ALL SELECT 1, v FROM emb WHERE doc_id = 11
+       UNION ALL SELECT 2, v FROM emb WHERE doc_id = 23),
+cos AS (
+  SELECT qv.query_id, emb.doc_id,
+         round(1 - (
+           list_sum(list_transform(list_zip(emb.v, qv.qvec),
+                                   z -> z[1]*z[2]))
+           / (sqrt(list_sum(list_transform(emb.v, x -> x*x)))
+              * sqrt(list_sum(list_transform(qv.qvec, x -> x*x))))), 4)
+           AS d
+  FROM emb, qv),
+costop AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, doc_id)
+           AS rank
+  FROM cos QUALIFY rank <= 10),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + rank)), 6) AS score
+  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM costop)
+  GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-10 fused with cosine-distance
+    vector top-10 (vec_id treated as doc_id on the synthetic tables) by
+    reciprocal-rank fusion, c=60 — the standard lexical+vector
+    combiner. Both input rankings and the fusion are recomputed by the
+    oracle end to end."""
+    from pyspark.sql import Window
+
+    from flechasdb_spark.functions.linalg import cosine_similarity
+    from flechasdb_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, _bm25_queries_df(spark), k=10)
+    qvecs = [
+        (
+            qid,
+            [
+                float(x)
+                for x in emb.where(F.col("vec_id") == vid).first()[
+                    "embedding"
+                ]
+            ],
+        )
+        for qid, vid in [(0, 7), (1, 11), (2, 23)]
+    ]
+    qdf = F.broadcast(
+        spark.createDataFrame(qvecs, "query_id long, __qvec array<double>")
+    )
+    d = F.round(
+        1
+        - cosine_similarity(
+            F.col("embedding").cast("array<double>"), F.col("__qvec")
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("doc_id").asc()
+    )
+    cos = (
+        emb.join(qdf)
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), d.alias("__d")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = rrf_fuse([bm.select("query_id", "doc_id", "rank"), cos], k=10)
+    return fused.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query(

@@ -1,0 +1,81 @@
+"""Binary quantization (operators/bq.py): NumPy parity, mean-threshold
+variant, Hamming arithmetic, pure-codegen plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.bq import (
+    bq_encode,
+    bq_thresholds,
+    hamming_knn,
+    pack_bits_py,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _np_words(x: np.ndarray, thr: np.ndarray) -> np.ndarray:
+    bits = (x > thr[None, :]).astype(np.int64)
+    out = np.zeros((x.shape[0], (x.shape[1] + 31) // 32), dtype=np.int64)
+    for pos in range(x.shape[1]):
+        out[:, pos // 32] |= bits[:, pos] << (pos % 32)
+    return out
+
+
+def test_bq_encode_matches_numpy_zero_and_mean(spark, emb):
+    sub = emb.where(F.col("vec_id") < 128)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    got0 = {
+        r.vec_id: list(r.words) for r in bq_encode(sub, dim=64).collect()
+    }
+    want0 = _np_words(x, np.zeros(64))
+    for i in range(x.shape[0]):
+        assert got0[i] == list(want0[i])
+
+    thr = bq_thresholds(sub)
+    gotm = {
+        r.vec_id: list(r.words)
+        for r in bq_encode(sub, dim=64, thresholds=thr).collect()
+    }
+    wantm = _np_words(x, np.array(thr))
+    for i in range(x.shape[0]):
+        assert gotm[i] == list(wantm[i])
+    # mean-centered bits should differ from zero-threshold for some doc
+    assert any(gotm[i] != got0[i] for i in range(x.shape[0]))
+
+
+def test_hamming_knn_exact_and_self_nearest(spark, emb):
+    sub = emb.where(F.col("vec_id") < 256)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    qv = [float(v) for v in x[7]]
+    enc = bq_encode(sub, dim=64)
+    out = hamming_knn(enc, pack_bits_py(qv), k=5).collect()
+    assert out[0].vec_id == 7 and out[0].hamming_distance == 0
+    # distances match NumPy popcount
+    words = _np_words(x, np.zeros(64))
+    qw = np.array(pack_bits_py(qv))
+    dist = np.array(
+        [sum(bin(int(w ^ q)).count("1") for w, q in zip(row, qw)) for row in words]
+    )
+    for r in out:
+        assert r.hamming_distance == dist[r.vec_id]
+
+
+def test_bq_plan_is_pure_codegen(spark, emb):
+    plan = (
+        bq_encode(emb, dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,84 @@
+"""BM25 + RRF (operators/retrieval.py): scoring semantics on a
+hand-computable fixture, plan shape, and fusion arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+
+@pytest.fixture()
+def tiny(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "apple cherry cherry cherry"),
+            (2, "banana banana banana durian"),
+            (3, "cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(0, "apple"), (1, "banana")], "query_id long, term string")
+    return docs, qs
+
+
+def test_bm25_matches_hand_formula(spark, tiny):
+    docs, qs = tiny
+    out = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, qs, k=10).collect()
+    }
+    # corpus stats: N=4, doclens 3,4,4,2 -> avgdl=3.25
+    n, avgdl, k1, b = 4, 3.25, 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # 'apple': df=2 (docs 0,1); 'banana': df=2 (docs 0,2)
+    assert out[(0, 0)] == pytest.approx(round(bm25(2, 2, 3), 4), abs=1e-9)
+    assert out[(0, 1)] == pytest.approx(round(bm25(1, 2, 4), 4), abs=1e-9)
+    assert out[(1, 2)] == pytest.approx(round(bm25(3, 2, 4), 4), abs=1e-9)
+    assert out[(1, 0)] == pytest.approx(round(bm25(1, 2, 3), 4), abs=1e-9)
+    # docs without the term never appear
+    assert (0, 2) not in out and (0, 3) not in out
+    # higher-tf doc outranks lower-tf doc of similar length
+    ranks = {
+        (r.query_id, r.doc_id): r.rank
+        for r in bm25_topk(docs, qs, k=10).collect()
+    }
+    assert ranks[(1, 2)] < ranks[(1, 0)]
+
+
+def test_bm25_plan_uses_window_group_limit(spark, sf_dir, tiny):
+    _, qs = tiny
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        bm25_topk(docs, qs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_arithmetic(spark):
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = {r.doc_id: (r.score, r.rank) for r in rrf_fuse([r1, r2], k=10).collect()}
+    # doc 11 appears in both lists -> highest fused score
+    assert out[11][0] == pytest.approx(round(1 / 62 + 1 / 61, 6))
+    assert out[10][0] == pytest.approx(round(1 / 61, 6))
+    assert out[12][0] == pytest.approx(round(1 / 62, 6))
+    assert out[11][1] == 1
+    with pytest.raises(ValueError):
+        rrf_fuse([])
