@@ -272,6 +272,7 @@ def main() -> None:
         "bq_hamming_knn",
         "bm25_topk",
         "hybrid_rrf",
+        "zorder_key_events",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

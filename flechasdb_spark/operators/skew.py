@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "write_bucketed"]
+__all__ = ["salted_join", "write_bucketed", "zorder_key", "zorder_write"]
 
 
 def salted_join(
@@ -80,3 +80,72 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def zorder_key(bucket_cols, bits: int = 8):
+    """Morton (Z-order) key: bit-interleave of pre-bucketed INTEGER
+    columns (each in [0, 2^bits)). Bit b of column i lands at position
+    b * n_cols + i, so a range predicate on ANY of the interleaved
+    columns maps to a bounded set of key ranges — the multi-column
+    clustering trick behind Delta/Iceberg OPTIMIZE ZORDER. Pure integer
+    shift/mask Catalyst expressions, codegen'd, engine-exact."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in bucket_cols]
+    n = len(cols)
+    acc = None
+    for i, c in enumerate(cols):
+        cl = c.cast("long")
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(cl, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 8,
+    num_files: int = 32,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``: each column is
+    linearly bucketed to 2^bits by its min/max (one tiny agg), rows are
+    range-partitioned and sorted by the interleaved key, and the files
+    land so that every file covers a NARROW range of EVERY interleaved
+    column — parquet min/max row-group stats then prune scans filtered
+    on any of them. A single-column sort gives perfect pruning on one
+    column and none on the others; Z-order trades a little of the first
+    for useful pruning on all (the right layout when a 100 TB table is
+    filtered sometimes by user, sometimes by time, sometimes by key).
+
+    One range exchange + in-partition sort — the same cost as any
+    clustered write; no extra passes."""
+    stats = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            )
+        ]
+    ).first()
+    top = (1 << bits) - 1
+    bcols = []
+    for c in cols:
+        lo = float(stats[f"__lo_{c}"])
+        hi = float(stats[f"__hi_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.floor((F.col(c) - F.lit(lo)) / F.lit(span) * F.lit(1 << bits))
+        bcols.append(
+            F.greatest(F.lit(0), F.least(F.lit(top), b.cast("long")))
+        )
+    (
+        df.withColumn("__z", zorder_key(bcols, bits))
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -580,6 +580,33 @@ def q_sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_knn(enc, lo, hi, qv, k=10, round_to=4)
 
 
+@query(
+    "zorder_key_events",
+    """
+SELECT event_id,
+       (SELECT sum((((user_id % 256) >> b.b) & 1)::BIGINT * (1::BIGINT << (b.b * 2))
+                 + (((event_id % 256) >> b.b) & 1)::BIGINT * (1::BIGINT << (b.b * 2 + 1)))
+        FROM range(8) b(b))::BIGINT AS zkey
+FROM events ORDER BY event_id
+""",
+)
+def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key arithmetic pinned cross-engine: interleave
+    of two 8-bit integer buckets (user_id % 256, event_id % 256) — the
+    clustering key zorder_write sorts by. Pure integer shifts, no
+    rounding contract; the layout/pruning effect itself is pytest-gated
+    (per-file min/max narrowing on BOTH interleaved columns)."""
+    from flechasdb_spark.operators.skew import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            [F.col("user_id") % 256, F.col("event_id") % 256], bits=8
+        ).alias("zkey"),
+    ).orderBy("event_id")
+
+
 # --- Binary quantization (operators/bq.py — sign bits + Hamming kNN;
 # pure integer pipeline, the only quantizer with NO rounding contract).
 

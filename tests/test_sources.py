@@ -86,3 +86,49 @@ def test_uuid_ids_are_random(spark, emb):
     b = {r.vid for r in assign_vector_ids(vecs, id_col="vid", mode="uuid").collect()}
     assert len(a) == 10
     assert a != b  # two builds differ (SURVEY.md §2.4)
+
+
+def test_zorder_write_narrows_file_ranges_on_both_columns(spark, tmp_path):
+    """Z-order clustering: after zorder_write on two independent
+    columns, each output file covers a narrow slice of BOTH (parquet
+    min/max stats then prune scans filtered on either) — a single-col
+    sort would narrow only one. Also: round-trip preserves rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.skew import zorder_write
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), 10_000)).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 10_000)).alias("y"),
+    )
+    path = str(tmp_path / "zo")
+    zorder_write(df, ["x", "y"], path, bits=8, num_files=16)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert {r.id for r in back.select("id").collect()} == set(range(n))
+
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for col in ("x", "y"):
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans[col].append((hi - lo) / 10_000)
+    # 16 files over an 8-bit x 8-bit grid -> each file ~1/4 of each
+    # dimension; assert comfortably below the no-clustering span of ~1.0
+    for col in ("x", "y"):
+        avg = sum(spans[col]) / len(spans[col])
+        assert avg < 0.6, f"{col}: avg file span {avg} not clustered"
