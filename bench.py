@@ -58,6 +58,21 @@ def ann_lifecycle(spark, sf_dir, timings):
     t0 = time.perf_counter()
     ann_query(model, qs, k=10, nprobe=5, rerank=emb, rerank_factor=4).collect()
     timings["ann_query_rerank"] = round(time.perf_counter() - t0, 3)
+    # huge-P serving mode: probe selection as a Spark job over a lazy
+    # centroid table (save/load once outside the timing; the number is
+    # comparable to ann_query_warm — the delta is the distributed
+    # Phase-1 job)
+    import tempfile
+
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    dp_path = tempfile.mkdtemp(prefix="flechas_bench_dp_")
+    save_index(model, dp_path)
+    lazy = load_index(spark, dp_path, collect_centroids=False)
+    ann_query(lazy, qs, k=10, nprobe=5).collect()  # warm-up
+    t0 = time.perf_counter()
+    ann_query(lazy, qs, k=10, nprobe=5).collect()
+    timings["ann_query_distprobe"] = round(time.perf_counter() - t0, 3)
     # fused re-rank (product path at scale): vectors stored on the
     # encoded rows, exact re-score inside the same pruned ADC scan
     from flechasdb_spark.operators.build import assemble_index
@@ -264,10 +279,12 @@ def main() -> None:
         "tpch_q20",
         # r4 additions: curation scores, shard merge, huge-P probe
         # path, residual quantization
+        # (ann_frozen_distprobe / index_merge_query are driver rows
+        # only: their bench time is dominated by the save/load fixture
+        # lifecycle, not the operator — the distributed-probe query
+        # cost is measured directly as ann_query_distprobe below)
         "doc_novelty",
         "quality_stratified_sample",
-        "index_merge_query",
-        "ann_frozen_distprobe",
         "rq_knn",
         "bq_hamming_knn",
         "bm25_topk",

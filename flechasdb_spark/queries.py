@@ -4767,7 +4767,13 @@ DRIVER_ORDER = [
     # tpch_q18 -> pq_permuted_encode, tpch_q13 ->
     # quality_stratified_sample [4 TPC-H rows remain],
     # split_contamination -> doc_novelty [same cross-corpus n-gram
-    # family, novelty is the per-doc score form])
+    # family, novelty is the per-doc score form];
+    # late-r4 swaps for the new operator families: json_source_stats ->
+    # bm25_topk [csv_source_knn keeps the non-parquet-source row],
+    # events_percentiles -> rq_knn [kmv keeps sketches, percentile
+    # arithmetic stays pytest-oracle-gated], lang_id -> bq_hamming_knn
+    # [token_stats/quality_score keep text analysis], tpch_q9 ->
+    # hybrid_rrf [q1/q2/q5 keep the TPC-H shapes])
     "flat_knn",
     "knn_join",
     "vector_norms",
@@ -4779,11 +4785,13 @@ DRIVER_ORDER = [
     "ann_frozen_filtered",
     "ann_frozen_distprobe",
     "sq_knn",
+    "rq_knn",
+    "bq_hamming_knn",
     "attr_map_fetch",
     "maintenance_upsert_delete",
     "index_merge_query",
     "csv_source_knn",
-    "json_source_stats",
+    "bm25_topk",
     # dedup / similarity
     "dedup_exact",
     "segment_dedup",
@@ -4799,7 +4807,6 @@ DRIVER_ORDER = [
     # text / training-data pipeline
     "token_stats",
     "quality_score",
-    "lang_id",
     "pii_scrub",
     "doc_chunks",
     "build_vocab",
@@ -4812,10 +4819,9 @@ DRIVER_ORDER = [
     "tpch_q1",
     "tpch_q2",
     "tpch_q5",
-    "tpch_q9",
+    "hybrid_rrf",
     "events_sessionize",
     "events_asof_join",
-    "events_percentiles",
     "events_value_bands",
     "kmv_distinct_users",
     # streaming
