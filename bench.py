@@ -103,6 +103,35 @@ def fused_encode(spark, sf_dir, timings):
     model.encoded.unpersist()
 
 
+def fused_rq_encode(spark, sf_dir, timings):
+    """The PRODUCT residual-quantization encode (one Arrow pass, all
+    levels) next to the relational rq_knn oracle form's per-level
+    joins."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.rq import rq_encode_fused
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32)
+    import numpy as np
+
+    cbs = np.array(
+        [
+            [
+                [
+                    np.float32((c - 3.5) * 0.2 / (lv + 1) + 0.01 * lv * j)
+                    for j in range(64)
+                ]
+                for c in range(8)
+            ]
+            for lv in range(3)
+        ],
+        dtype=np.float64,
+    )
+    t0 = time.perf_counter()
+    rq_encode_fused(emb, cbs).select(F.sum(F.element_at("codes", 1))).collect()
+    timings["rq_encode_fused"] = round(time.perf_counter() - t0, 3)
+
+
 def fused_lsh_multitable(spark, sf_dir, timings):
     """The PRODUCT multi-table LSH path (per-bucket BLAS blocks via
     applyInPandas, tables=3) on the same input/planes the relational
@@ -318,6 +347,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     fused_encode(spark, SF_DIR, timings)
+    fused_rq_encode(spark, SF_DIR, timings)
     fused_lsh_multitable(spark, SF_DIR, timings)
     fused_semantic(spark, SF_DIR, timings)
     ann_lifecycle(spark, SF_DIR, timings)

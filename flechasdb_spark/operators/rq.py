@@ -21,6 +21,8 @@ blowup. L is small (2-4 in practice). Decode+score for kNN is map-only
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,7 @@ __all__ = [
     "rq_train",
     "rq_codebooks_df",
     "rq_encode",
+    "rq_encode_fused",
     "rq_reconstruct",
     "rq_knn",
 ]
@@ -184,6 +187,44 @@ def rq_encode(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def rq_encode_fused(
+    vectors: DataFrame,
+    codebooks_np,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PRODUCT encode path: all L levels in one Arrow-batched pass
+    (broadcast (L, C, N) codebook array, vectorized NumPy argmin +
+    residual update per batch) — no per-level joins, one map-only scan.
+    Same codes as the relational ``rq_encode`` (equivalence-tested);
+    use the relational form as the oracle/ground-truth and this for
+    bulk encoding. Returns (id, codes array<int>) wide form."""
+    spark = vectors.sparkSession
+    cbs = np.asarray(codebooks_np, dtype=np.float64)
+    b_cbs = spark.sparkContext.broadcast(cbs)
+    levels = cbs.shape[0]
+
+    @F.pandas_udf("array<int>")
+    def encode(vec: pd.Series) -> pd.Series:
+        cb = b_cbs.value
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        m = x.shape[0]
+        codes = np.empty((m, levels), dtype=np.int32)
+        r = x
+        for lv in range(levels):
+            cl = cb[lv]
+            # argmin_c (||c||^2 - 2 r.c)  [||r||^2 constant per row]
+            sc = (cl**2).sum(axis=1)[None, :] - 2.0 * (r @ cl.T)
+            pick = np.argmin(sc, axis=1)
+            codes[:, lv] = pick
+            r = r - cl[pick]
+        return pd.Series(list(codes))
+
+    return vectors.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
 
 
 def rq_reconstruct(

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["kmv_distinct", "histogram_quantiles", "KMV_SPACE"]
+__all__ = [
+    "kmv_distinct",
+    "histogram_quantiles",
+    "cms_build",
+    "cms_estimate",
+    "KMV_SPACE",
+]
 
 KMV_SPACE = float(2**60)  # md5_long is the first 15 hex chars = 60 bits
 
@@ -137,4 +143,91 @@ def histogram_quantiles(
             F.col("__n").cast("long").alias("n_rows"),
             F.round(est, 4).alias("q_est"),
         )
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str | Column,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of ``value_col``\'s frequency distribution:
+    depth hash rows x width buckets, cell[j][b] = count of rows whose
+    j-th hash lands in bucket b. Hashes are the repo\'s shared md5-based
+    arithmetic (salt "<salt><j>:"), so both engines compute identical
+    cells — a frequency sketch with an exact cross-engine oracle, the
+    companion to KMV\'s distinct-count.
+
+    Returns (row, bucket, cnt) — depth * width cells max. One explode
+    (depth rows per input row) + one partial-agged groupBy; the shuffle
+    carries O(depth * width) cells regardless of data size."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_long(
+                                F.concat(
+                                    F.lit(f"{salt}{j}:"), c.cast("string")
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            ).alias("__cells")
+        ).alias("cell")
+    ).select("cell.row", "cell.bucket")
+    return rows.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``values``: estimate =
+    min over hash rows of the matching cell (>= true count always;
+    = true count in expectation error N/width per row). ``cells`` is
+    broadcast (depth * width rows); the lookup is a small equi-join —
+    no rescan of the sketched data.
+
+    Returns (value_col, est)."""
+    c = F.col(value_col)
+    keyed = values.select(
+        c,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            md5_long(
+                                F.concat(
+                                    F.lit(f"{salt}{j}:"), c.cast("string")
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(value_col, "cell.row", "cell.bucket")
+    return (
+        keyed.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -3865,6 +3865,57 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_user_counts",
+    f"""
+WITH cells AS (
+  SELECT j.j AS row,
+         {_DD_MD5H.format(x="'cms' || j.j::VARCHAR || ':' || user_id::VARCHAR")}
+           % 256 AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, range(4) j(j) GROUP BY 1, 2),
+v AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+k AS (
+  SELECT v.user_id, j.j AS row,
+         {_DD_MD5H.format(x="'cms' || j.j::VARCHAR || ':' || v.user_id::VARCHAR")}
+           % 256 AS bucket
+  FROM v, range(4) j(j)),
+ex AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events
+       WHERE user_id < 20 GROUP BY user_id)
+SELECT k.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est,
+       any_value(ex.n_exact) AS n_exact
+FROM k LEFT JOIN cells c USING (row, bucket) JOIN ex USING (user_id)
+GROUP BY k.user_id ORDER BY user_id
+""",
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 x 256 cells, shared-md5 hashes) point
+    queries for 20 users next to their exact counts — the frequency
+    sketch companion to KMV's distinct-count, cell-for-cell
+    recomputable by the oracle. est >= n_exact always (one-sided CMS
+    error), equality at this width since collisions add visibly."""
+    from flechasdb_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cells = cms_build(ev, "user_id", width=256, depth=4)
+    vals = ev.select("user_id").where(F.col("user_id") < 20).distinct()
+    est = cms_estimate(cells, vals, "user_id", width=256, depth=4)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est").cast("long").alias("est"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "events_tumbling_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,

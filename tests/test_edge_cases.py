@@ -211,3 +211,29 @@ def test_histogram_quantiles_accuracy_and_validation(spark):
         histogram_quantiles(df, "v", probs=[0.0], lo=lo, hi=hi)
     with pytest.raises(ValueError, match="hi > lo"):
         histogram_quantiles(df, "v", probs=[0.5], lo=1.0, hi=1.0)
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-min property: est >= exact for every queried value; exact
+    when the sketch is wide enough that no collisions occur."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(700)] + [(99,)] * 3, "v long"
+    )
+    exact = {r.v: r.c for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    vals = df.select("v").distinct()
+    # narrow sketch: collisions likely, but never an underestimate
+    narrow = cms_build(df, "v", width=4, depth=2)
+    for r in cms_estimate(narrow, vals, "v", width=4, depth=2).collect():
+        assert r.est >= exact[r.v]
+    # wide sketch: 8 distinct values vs 4096 buckets -> exact w.h.p.
+    wide = cms_build(df, "v", width=4096, depth=4)
+    for r in cms_estimate(wide, vals, "v", width=4096, depth=4).collect():
+        assert r.est == exact[r.v]
+    # unseen value estimates 0 on the wide sketch
+    unseen = spark.createDataFrame([(123456,)], "v long")
+    r = cms_estimate(wide, unseen, "v", width=4096, depth=4).first()
+    assert r.est == 0

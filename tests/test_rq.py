@@ -122,3 +122,32 @@ def test_rq_knn_orders_by_reconstruction_distance(spark, emb):
     assert len(out) == 10
     dists = [r.squared_distance for r in out]
     assert dists == sorted(dists)
+
+
+def test_rq_fused_matches_relational(spark, emb):
+    """The one-pass Arrow encoder (product path) emits exactly the
+    relational form's codes, on both the frozen fixture and trained
+    codebooks."""
+    from flechasdb_spark.operators.rq import (
+        rq_codebooks_df,
+        rq_encode_fused,
+        rq_train,
+    )
+
+    sub = emb.where(F.col("vec_id") < 256)
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in sub.orderBy("vec_id").collect()]
+    )
+    for cbs in (_cb_np(), rq_train(x, levels=L, num_codes=C, seed=9)):
+        cb32 = cbs.astype(np.float32).astype(np.float64)
+        cb_df = rq_codebooks_df(spark, cbs)
+        rel = {
+            (r.vec_id, r.level): r.code
+            for r in rq_encode(sub, cb_df, levels=L).collect()
+        }
+        fused = {
+            (r.vec_id, lv): int(c)
+            for r in rq_encode_fused(sub, cb32).collect()
+            for lv, c in enumerate(r.codes)
+        }
+        assert fused == rel
