@@ -18,6 +18,7 @@ from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 
 __all__ = [
     "build_vocab",
+    "encode_token_ids",
     "length_bucket_batches",
     "chunk_text_udtf",
     "scrub_pii",
@@ -422,4 +423,62 @@ def length_bucket_batches(
                 + F.floor(seq / F.lit(float(batch_size))).cast("long")
             ).cast("long").alias("batch_id"),
         )
+    )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = -1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a ``build_vocab`` vocabulary to the corpus: each document
+    becomes its token-id sequence (OOV tokens -> ``unk_id``), the step
+    between vocabulary training and sequence packing in a training-data
+    loader.
+
+    Shape: explode tokens WITH their position, broadcast-join the
+    vocabulary (top_n rows — always broadcastable), regroup per doc and
+    rebuild the sequence in position order (array_sort on (pos, id)
+    structs, so the order is deterministic regardless of shuffle
+    arrival). One shuffle on the doc id; empty docs yield empty arrays.
+
+    Returns (id_col, n_tokens, n_unk, token_ids array<bigint>).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(text_col)).alias("__pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "__pos",
+        F.coalesce(F.col("token_id"), F.lit(int(unk_id))).alias("__tid"),
+        F.col("token_id").isNull().cast("int").alias("__unk"),
+    )
+    agg = mapped.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__pos").isNotNull(), 1).otherwise(0)).alias(
+            "n_tokens"
+        ),
+        F.sum(
+            F.when(F.col("__pos").isNotNull(), F.col("__unk")).otherwise(0)
+        ).alias("n_unk"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__pos").isNotNull(),
+                    F.struct(F.col("__pos"), F.col("__tid")),
+                )
+            )
+        ).alias("__ps"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+        F.transform(F.col("__ps"), lambda s: s["__tid"].cast("bigint")).alias(
+            "token_ids"
+        ),
     )

@@ -5162,6 +5162,53 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_id_encode",
+    f"""
+WITH toks0 AS (
+  SELECT unnest({_DD_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token, count(*)::BIGINT AS count FROM toks0 GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY count DESC, token LIMIT 500),
+vocab AS (
+  SELECT (row_number() OVER (ORDER BY count DESC, token) - 1)::BIGINT
+           AS token_id, token
+  FROM counts),
+dt AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents WHERE doc_id < 200),
+pos AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS token
+  FROM dt),
+mapped AS (
+  SELECT pos.doc_id, pos.p,
+         coalesce(v.token_id, -1) AS tid,
+         CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS unk
+  FROM pos LEFT JOIN vocab v USING (token))
+SELECT dt.doc_id,
+       coalesce(m.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(m.n_unk, 0)::BIGINT AS n_unk,
+       coalesce(m.ids, []) AS token_ids
+FROM dt LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(unk)::BIGINT AS n_unk,
+         list(tid ORDER BY p) AS ids
+  FROM mapped GROUP BY doc_id) m USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader step between vocabulary training and sequence
+    packing: docs -> token-id sequences against the build_vocab
+    vocabulary (OOV -> -1), order rebuilt deterministically from
+    positions. Broadcast vocab join + one doc-keyed shuffle."""
+    from flechasdb_spark.operators.text import build_vocab, encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=500, min_count=2)
+    return encode_token_ids(
+        docs.where(F.col("doc_id") < 200), vocab
+    ).orderBy("doc_id")
+
+
+@query(
     "length_bucket_batches",
     f"""
 WITH lens AS (

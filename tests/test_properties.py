@@ -208,3 +208,31 @@ def test_length_bucket_batches_skewed_bucket_parallel(spark):
     assert list(big["batch_id"]) == [
         (5 << 32) + (i // 8) for i in range(len(big))
     ]
+
+
+def test_encode_token_ids_roundtrip_and_oov(spark):
+    """Token-id encoding: in-vocab tokens map to their vocab ids in
+    position order, OOV tokens become unk_id and are counted, and an
+    empty doc yields an empty sequence with zero counts."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.text import build_vocab, encode_token_ids
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc"),
+            (1, "bb zz bb"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, top_n=10, min_count=2)
+    vmap = {r.token: r.token_id for r in vocab.collect()}
+    # 'cc' and 'zz' appear once -> below min_count, OOV
+    assert set(vmap) == {"aa", "bb"}
+    out = {r.doc_id: r for r in encode_token_ids(docs, vocab).collect()}
+    assert list(out[0].token_ids) == [vmap["aa"], vmap["bb"], vmap["aa"], -1]
+    assert out[0].n_tokens == 4 and out[0].n_unk == 1
+    assert list(out[1].token_ids) == [vmap["bb"], -1, vmap["bb"]]
+    assert out[1].n_unk == 1
+    assert out[2].n_tokens == 0 and list(out[2].token_ids) == []
