@@ -83,6 +83,34 @@ def main() -> None:
     ).first()
     print(f"vocab:        {vstats.n} tokens covering {vstats.covered} occurrences")
     print(f"batches:      {bstats.n_batches} across {bstats.n_buckets} length buckets")
+
+    # r4 stages: keep each source's best half by quality, score novelty
+    # of the survivors against the already-ingested half, and emit the
+    # final token-id sequences the trainer consumes
+    from flechasdb_spark.operators.dedup import doc_novelty
+    from flechasdb_spark.operators.sampling import quality_stratified_sample
+    from flechasdb_spark.operators.text import encode_token_ids
+
+    scored = curated.select("source", "doc_id", "quality")
+    kept = quality_stratified_sample(
+        scored, fraction=0.5, score_col="quality"
+    ).select("doc_id")
+    kept_docs = docs.join(kept, "doc_id", "left_semi")
+    nov = doc_novelty(
+        kept_docs.where(F.col("doc_id") % 2 == 1),
+        kept_docs.where(F.col("doc_id") % 2 == 0),
+    )
+    nstats = nov.agg(F.round(F.avg("novelty"), 4).alias("avg_novelty")).first()
+    ids = encode_token_ids(kept_docs, vocab)
+    istats = ids.agg(
+        F.sum("n_tokens").alias("toks"), F.sum("n_unk").alias("unk")
+    ).first()
+    print(f"stratified:   {kept_docs.count()} docs (top half per source)")
+    print(f"novelty:      avg {nstats.avg_novelty} vs ingested half")
+    print(
+        f"token ids:    {istats.toks} tokens, "
+        f"{100 * istats.unk / max(istats.toks, 1):.1f}% OOV"
+    )
     spark.stop()
 
 
