@@ -232,6 +232,33 @@ def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:
     m2 = assemble_index(big, model.centroids, model.codebooks, cfg)
     dt = time.perf_counter() - t0
     out["encode_only_sec"] = round(dt, 3)
+    # residual-quantization fused encode over the same 200k corpus
+    # (one Arrow pass, 3 levels) — quantizer-family throughput next to
+    # the PQ encode_only number
+    import numpy as np
+
+    from flechasdb_spark.operators.rq import rq_encode_fused
+
+    rq_cbs = np.array(
+        [
+            [
+                [
+                    np.float32((c - 3.5) * 0.2 / (lv + 1) + 0.01 * lv * j)
+                    for j in range(64)
+                ]
+                for c in range(8)
+            ]
+            for lv in range(3)
+        ],
+        dtype=np.float64,
+    )
+    t0 = time.perf_counter()
+    rq_encode_fused(big, rq_cbs).select(
+        F.sum(F.element_at("codes", 1))
+    ).collect()
+    dt = time.perf_counter() - t0
+    out["rq_encode_200k_sec"] = round(dt, 3)
+    out["rq_encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
     out["encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
     m2.encoded.unpersist()
     kept_cfg = IndexConfig(

@@ -788,6 +788,134 @@ def q_rq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantizer_report",
+    f"""
+WITH {_DD_CODEBOOKS},
+pqe AS (
+  SELECT vec_id, division, err FROM (
+    SELECT e.vec_id, cb.division,
+           {_DD_SQL2.format(a=_DD_SLICE.format(w=_PQ_W), b="cb.center")}
+             AS err,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.division
+             ORDER BY {_DD_SQL2.format(a=_DD_SLICE.format(w=_PQ_W), b="cb.center")},
+                      cb.code) AS rn
+    FROM embeddings e CROSS JOIN codebooks cb) s WHERE rn = 1),
+pqm AS (
+  SELECT sum(err) / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+  FROM pqe),
+{_DD_SQ_BOUNDS.strip().rstrip(',')},
+sqm AS (
+  SELECT sum({_DD_SQL2.format(
+      a="c.v",
+      b="list_transform(c.cs, (x, i) -> "
+        "sqba.lo[i] + x * (sqba.hi[i] - sqba.lo[i]) / 255.0)")})
+           / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+  FROM sqcodes c, sqba),
+{_DD_RQ_CB.strip().rstrip(',')},
+{_DD_RQ_LEVELS.strip()},
+rqrec AS (
+  SELECT e0.vec_id,
+         list_transform(list_zip(e0.center, e1.center, e2.center),
+                        z -> (z[1] + z[2]) + z[3]) AS rv
+  FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)),
+rqm AS (
+  SELECT sum({_DD_SQL2.format(a="r0.r", b="rqrec.rv")})
+           / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+  FROM r0 JOIN rqrec USING (vec_id))
+SELECT 'pq' AS quantizer, 0.1875 AS bits_per_dim, round(mse, 4) AS mse
+FROM pqm
+UNION ALL SELECT 'rq', 0.140625, round(mse, 4) FROM rqm
+UNION ALL SELECT 'sq8', 8.0, round(mse, 4) FROM sqm
+ORDER BY quantizer
+""",
+)
+def q_quantizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer family comparison on the same corpus: per-dimension
+    reconstruction MSE and storage bits/dim for PQ (frozen F3
+    codebooks), RQ (frozen 3-level codebooks), and SQ8 (trained
+    min/max bounds) — the capacity/fidelity trade every compression
+    choice starts from (BQ has no reconstruction; its Hamming-space
+    fidelity is gated via bq_hamming_knn). All three pipelines reuse
+    the same frozen/trained parameters as their standalone rows, so
+    the whole report is oracle-recomputable. (Frozen-fixture codebooks
+    pin the ARITHMETIC, not quality — RQ's trained-codebook fidelity is
+    gated separately by test_rq_trained_error_falls_per_level.)"""
+    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.operators.pq import fixed_codebooks, pq_encode
+    from flechasdb_spark.operators.rq import (
+        rq_encode,
+        rq_fixed_codebooks,
+        rq_reconstruct,
+    )
+    from flechasdb_spark.operators.sq import (
+        sq_bounds,
+        sq_decode,
+        sq_encode_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    dim = 64
+
+    # PQ: per-(vec, division) error of the chosen center, summed
+    cb = fixed_codebooks(spark, _PQ_D, _PQ_C, _PQ_W)
+    enc = pq_encode(emb, cb, width=_PQ_W)
+    pq_err = (
+        enc.join(F.broadcast(cb), ["division", "code"])
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            squared_l2(
+                F.expr(
+                    f"slice(cast(embedding as array<double>), "
+                    f"division * {_PQ_W} + 1, {_PQ_W})"
+                ),
+                F.col("center"),
+            ).alias("err")
+        )
+        .agg((F.sum("err") / (float(dim) * n)).alias("mse"))
+    )
+
+    # SQ8: decode(encode(v)) in one map pass
+    lo, hi = sq_bounds(emb)
+    sq_err = emb.select(
+        squared_l2(
+            F.col("embedding").cast("array<double>"),
+            sq_decode(sq_encode_expr("embedding", lo, hi), lo, hi),
+        ).alias("err")
+    ).agg((F.sum("err") / (float(dim) * n)).alias("mse"))
+
+    # RQ: reconstruction = level-ordered center sum
+    rcb = rq_fixed_codebooks(spark, _RQ_L, _RQ_C, _RQ_DIM)
+    rec = rq_reconstruct(rq_encode(emb, rcb, levels=_RQ_L), rcb)
+    rq_err = (
+        emb.select("vec_id", "embedding")
+        .join(rec, "vec_id")
+        .select(
+            squared_l2(
+                F.col("embedding").cast("array<double>"),
+                F.col("reconstruction"),
+            ).alias("err")
+        )
+        .agg((F.sum("err") / (float(dim) * n)).alias("mse"))
+    )
+
+    def row(name: str, bits: float, mse_df: DataFrame) -> DataFrame:
+        return mse_df.select(
+            F.lit(name).alias("quantizer"),
+            F.lit(bits).alias("bits_per_dim"),
+            F.round("mse", 4).alias("mse"),
+        )
+
+    return (
+        row("pq", 0.1875, pq_err)
+        .unionByName(row("rq", 0.140625, rq_err))
+        .unionByName(row("sq8", 8.0, sq_err))
+        .orderBy("quantizer")
+    )
+
+
+@query(
     "ann_ivfpq",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
