@@ -232,6 +232,7 @@ def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:
     m2 = assemble_index(big, model.centroids, model.codebooks, cfg)
     dt = time.perf_counter() - t0
     out["encode_only_sec"] = round(dt, 3)
+    out["encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
     # residual-quantization fused encode over the same 200k corpus
     # (one Arrow pass, 3 levels) — quantizer-family throughput next to
     # the PQ encode_only number
@@ -256,10 +257,9 @@ def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:
     rq_encode_fused(big, rq_cbs).select(
         F.sum(F.element_at("codes", 1))
     ).collect()
-    dt = time.perf_counter() - t0
-    out["rq_encode_200k_sec"] = round(dt, 3)
-    out["rq_encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
-    out["encode_vec_per_sec"] = round(out["n_vectors"] / dt, 1)
+    rq_dt = time.perf_counter() - t0
+    out["rq_encode_200k_sec"] = round(rq_dt, 3)
+    out["rq_encode_vec_per_sec"] = round(out["n_vectors"] / rq_dt, 1)
     m2.encoded.unpersist()
     kept_cfg = IndexConfig(
         num_partitions=64, num_divisions=16, num_codes=64, seed=7,
