@@ -341,15 +341,23 @@ def compact_index(
     each partition's rows in a single writer task (one output file per
     partition directory; cap file size with ``max_records_per_file``,
     which Spark splits via spark.sql.files.maxRecordsPerFile
-    semantics). Rewrites into a staging dir then atomically renames —
-    readers opening mid-compaction see the old layout; single-writer
-    assumed (layer Delta/Iceberg over the same layout for multi-writer
-    transactions, as with upsert/delete above).
+    semantics). Rewrites into a staging dir then swaps via a
+    three-step rename (old -> .pre, staging -> index, delete .pre) so
+    there is NO window in which the index exists only as deleted data:
+    a crash mid-swap leaves either the old layout in place or the old
+    layout recoverable at ``index.compact.pre`` (a leftover ``.pre``
+    dir from a prior crash is cleared on the next run). Readers
+    opening mid-compaction see the old layout; single-writer assumed
+    (layer Delta/Iceberg over the same layout for multi-writer
+    transactions, as with upsert/delete above; directory rename is
+    atomic on HDFS/local, copy-based on S3 — use the table-format
+    route there).
 
     Returns {"files_before", "files_after", "partitions"}.
     """
     index_dir = f"{index_path}/index"
     staging = f"{index_path}/index.compact.tmp"
+    backup = f"{index_path}/index.compact.pre"
     files_before = _count_data_files(spark, index_dir)
     df = spark.read.parquet(index_dir)
     # count partitions BEFORE the swap — the scan's file listing is
@@ -365,10 +373,17 @@ def compact_index(
     hconf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(index_dir)
+    pre = jvm.org.apache.hadoop.fs.Path(backup)
     fs = dst.getFileSystem(hconf)
-    fs.delete(dst, True)
+    if fs.exists(pre):  # leftover from a crashed prior swap
+        fs.delete(pre, True)
+    if not fs.rename(dst, pre):
+        raise IOError(f"rename {index_dir} -> {backup} failed")
     if not fs.rename(src, dst):
+        # restore the old layout rather than leaving no index at all
+        fs.rename(pre, dst)
         raise IOError(f"rename {staging} -> {index_dir} failed")
+    fs.delete(pre, True)
     files_after = _count_data_files(spark, index_dir)
     return {
         "files_before": files_before,
