@@ -52,26 +52,38 @@ def bm25_topk(
     the DuckDB oracle reproduces it). Duplicate query terms contribute
     once (terms are distinct-ed) — the common bag-of-words=set choice.
 
-    Plan: one pass builds (doc, term, tf, doclen); the query join is an
-    equi-join on term (inverted index — only posting rows for query
-    terms survive, pushed before any aggregation); df/idf and avgdl are
-    tiny broadcast aggregates; per-(query, doc) sum is partial-agged;
-    top-k per query is a row_number window Spark runs as
-    WindowGroupLimit."""
+    Plan: the query-term set (distinct terms across the batch — small)
+    is BROADCAST against the exploded token stream BEFORE any
+    aggregation, so the only corpus-wide work is one map pass + a
+    partial-agged count over the surviving postings; doc length is a
+    map-only ``size(tokens(...))`` (no explode shuffle); df/idf and
+    avgdl are tiny broadcast aggregates; per-(query, doc) scoring
+    partial-aggs; top-k per query is a row_number window Spark runs as
+    WindowGroupLimit. Assumes the query batch's term set broadcasts
+    (thousands of queries x a few terms — far under any broadcast
+    limit)."""
+    # doc length rides ON the exploded rows (tokens() computed twice
+    # per row — map-only, cheaper than a corpus-wide doclen join later)
     toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias(term_col)
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias(term_col),
     )
-    tf = toks.groupBy(id_col, term_col).agg(
-        F.count(F.lit(1)).alias("__tf")
-    )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("__n")
-    ).crossJoin(doclen.agg(F.avg("__dl").alias("__avgdl")))
-
     qterms = queries.select(query_id_col, term_col).distinct()
-    # inverted-index join FIRST: only postings of query terms survive
-    hits = tf.join(qterms, term_col)
+    # prune FIRST: only tokens matching some query term survive the
+    # scan; tf then partial-aggs over the pruned postings only
+    matched = toks.join(
+        F.broadcast(qterms.select(term_col).distinct()), term_col
+    )
+    tf = matched.groupBy(id_col, term_col).agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    stats = docs.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        docs.select(F.size(tokens(text_col)).alias("__l"))
+        .agg(F.avg("__l").alias("__avgdl"))
+    )
+
+    hits = tf.join(F.broadcast(qterms), term_col)
     df_counts = (
         hits.select(term_col, id_col)
         .distinct()
@@ -80,7 +92,6 @@ def bm25_topk(
     )
     scored = (
         hits.join(F.broadcast(df_counts), term_col)
-        .join(doclen, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf",
