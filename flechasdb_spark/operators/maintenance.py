@@ -358,6 +358,17 @@ def compact_index(
     index_dir = f"{index_path}/index"
     staging = f"{index_path}/index.compact.tmp"
     backup = f"{index_path}/index.compact.pre"
+    # crash repair: a prior run that died between the two renames left
+    # the old layout at .pre and no index dir — restore it before doing
+    # anything else
+    jvm0 = spark._jvm
+    hconf0 = spark._jsc.hadoopConfiguration()
+    dst0 = jvm0.org.apache.hadoop.fs.Path(index_dir)
+    pre0 = jvm0.org.apache.hadoop.fs.Path(backup)
+    fs0 = dst0.getFileSystem(hconf0)
+    if not fs0.exists(dst0) and fs0.exists(pre0):
+        if not fs0.rename(pre0, dst0):
+            raise IOError(f"crash repair: rename {backup} -> {index_dir} failed")
     files_before = _count_data_files(spark, index_dir)
     df = spark.read.parquet(index_dir)
     # count partitions BEFORE the swap — the scan's file listing is

@@ -264,3 +264,28 @@ def test_compact_index_coalesces_files_preserves_results(spark, saved):
         for r in spark.read.parquet(f"{path}/index").collect()
     )
     assert after_rows == before_rows
+
+
+def test_compact_index_repairs_crashed_swap(spark, saved):
+    """Simulated crash between the two swap renames (old layout at
+    index.compact.pre, no index dir): the next compact_index restores
+    it first and completes normally, rows intact."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import compact_index
+
+    emb, model, path = saved
+    before_rows = sorted(
+        (r.vec_id, r.partition_id)
+        for r in spark.read.parquet(f"{path}/index").collect()
+    )
+    shutil.move(f"{path}/index", f"{path}/index.compact.pre")
+    assert not os.path.exists(f"{path}/index")
+    stats = compact_index(spark, path)
+    assert stats["files_after"] >= 1
+    after_rows = sorted(
+        (r.vec_id, r.partition_id)
+        for r in spark.read.parquet(f"{path}/index").collect()
+    )
+    assert after_rows == before_rows
+    assert not os.path.exists(f"{path}/index.compact.pre")
