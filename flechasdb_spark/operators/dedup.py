@@ -247,6 +247,47 @@ def doc_novelty(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """The filter-out form of ``cross_ngram_overlap``: returns ``train``
+    with every document that shares >= ``min_shared`` distinct word
+    n-grams with ANY eval/benchmark document REMOVED. ``cross_ngram_
+    overlap`` is the report (which pairs overlap); this is the action a
+    training pipeline actually takes before a run — drop the
+    contaminated training docs so the benchmark stays held out.
+
+    Shape: the pair detection is the same inverted-index equi-join
+    (never a cross join), collapsed to the distinct contaminated
+    id_left set (partial-agg'd), then removed with one LEFT ANTI join
+    on the id key. The contaminated set is usually tiny relative to
+    train (AQE turns the anti-join into a broadcast when it is); no
+    driver-side state at any size.
+
+    All columns of ``train`` pass through unchanged.
+    """
+    bad = (
+        cross_ngram_overlap(
+            train,
+            eval_set,
+            n=n,
+            min_shared=min_shared,
+            text_col=text_col,
+            id_col=id_col,
+            max_df=max_df,
+        )
+        .select(F.col("id_left").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
 def minhash_signature(
     df: DataFrame,
     num_hashes: int = 16,

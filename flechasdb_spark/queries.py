@@ -2703,6 +2703,64 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_decontaminate",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+sp AS (SELECT doc_id,
+         CASE WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 8000
+              THEN 'train'
+              WHEN {_DD_SPLIT_BUCKET.format(salt="split")} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents),
+lx0 AS (SELECT sh.doc_id AS id_left, unnest(g) AS shingle
+        FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE sp.split = 'train'),
+lx AS (SELECT * FROM lx0 WHERE shingle NOT IN (
+         SELECT shingle FROM lx0 GROUP BY shingle HAVING count(*) > 1000)),
+rx AS (SELECT sh.doc_id AS id_right, unnest(g) AS shingle
+       FROM sh JOIN sp ON sh.doc_id = sp.doc_id WHERE sp.split = 'test'),
+bad AS (SELECT DISTINCT id_left AS doc_id FROM (
+          SELECT id_left, id_right, count(*) AS n_shared
+          FROM lx JOIN rx USING (shingle)
+          GROUP BY id_left, id_right HAVING count(*) >= 3))
+SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens
+FROM d JOIN sp ON d.doc_id = sp.doc_id
+WHERE sp.split = 'train' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY d.doc_id
+""",
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION form of split_contamination: the train split with
+    every document sharing >= 3 distinct 3-grams with a test-split
+    document REMOVED (18 of ~400 train docs at sf0.01), returning the
+    surviving corpus (doc_id, n_tokens). Same inverted-index pair
+    detection, collapsed to a distinct contaminated-id set and applied
+    with one LEFT ANTI join — the step a pipeline runs between
+    hash_split and training."""
+    from flechasdb_spark.operators.dedup import decontaminate
+    from flechasdb_spark.operators.sampling import hash_split
+    from flechasdb_spark.operators.text import tokens
+
+    docs = hash_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    train = docs.where(F.col("split") == "train").select("doc_id", "text")
+    test = docs.where(F.col("split") == "test").select("doc_id", "text")
+    return (
+        decontaminate(train, test, n=3, min_shared=3)
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SW = {
     "en": "['the','a','of','and','to','in','is','that','it','for']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",

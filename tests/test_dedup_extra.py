@@ -450,6 +450,44 @@ def test_doc_novelty_bounds_and_extremes(spark):
     assert rows[13].n_grams == 0 and rows[13].novelty == 1.0
 
 
+def test_decontaminate_removes_overlapping_train_docs(spark):
+    """decontaminate = train minus cross_ngram_overlap's id_left set:
+    docs sharing >= min_shared distinct n-grams with any eval doc are
+    dropped, everything else passes through with all columns intact."""
+    from flechasdb_spark.operators.dedup import (
+        cross_ngram_overlap,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (2, "completely unrelated training text goes here", "b"),
+            (3, "quick brown fox appears in this one too yes", "c"),
+        ],
+        "doc_id long, text string, extra string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    kept = decontaminate(train, evals, n=3, min_shared=1)
+    assert kept.columns == ["doc_id", "text", "extra"]
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [2]
+    # consistency with the report form
+    flagged = sorted(
+        r.id_left
+        for r in cross_ngram_overlap(train, evals, n=3, min_shared=1)
+        .select("id_left")
+        .distinct()
+        .collect()
+    )
+    assert flagged == [1, 3]
+    # min_shared above any actual overlap -> nothing removed
+    assert decontaminate(train, evals, n=3, min_shared=99).count() == 3
+
+
 def test_quality_stratified_sample_per_group_cut(spark):
     """Each group keeps ceil(fraction * n) rows and they are the
     top-scored ones; fraction edges 0 and 1 behave."""
