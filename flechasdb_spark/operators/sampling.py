@@ -21,6 +21,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "temperature_sample",
+    "token_budget_select",
     "quality_stratified_sample",
     "SPLIT_BUCKETS",
 ]
@@ -129,6 +130,104 @@ def temperature_sample(
         .where(F.col("rk") <= F.col("target"))
         .select(by, id_col)
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality",
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "tb",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Greedy selection under a global token budget: take documents in
+    ``(score desc, md5(salt:id) asc, id asc)`` order until the running
+    token total would exceed ``budget_tokens`` — the "fill the training
+    mix with the best data that fits" step. A document is kept iff the
+    cumulative ``n_tokens`` INCLUDING it is <= the budget (no partial
+    documents). The hash in the order key both breaks score ties
+    deterministically and shuffles within a score band, so equal-score
+    docs are drawn uniformly rather than by ingest order.
+
+    ``score_col`` must be discretized (this repo's quality scores are
+    rounded to 4 decimals, so <= ~10k distinct values) — distinct
+    scores are the unit of driver-side bookkeeping.
+
+    Scale (100 TB): a global ordered cumulative sum is normally a
+    single-task sort; this avoids it with a boundary-group
+    decomposition. Per-score token totals (one partial-agg pass,
+    O(distinct scores) rows to the driver) locate the ONE score group
+    straddling the budget: groups before it are kept whole (map-only
+    filter), groups after are dropped whole (same filter), and only the
+    boundary group runs an ordered cumsum — itself two-level like
+    ``length_bucket_batches``: sub-bucketed on an order-preserving
+    ``sub_prefix_len``-hex-char prefix of the hash (256 parallel sort
+    tasks by default, exact offsets from an O(256) driver prefix).
+    Nothing driver-side grows with data volume.
+
+    Returns kept rows as ``(id_col, n_tokens_col, score_col)``.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens {budget_tokens} < 0")
+    spark = df.sparkSession
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    rows = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+        F.col(score_col),
+        F.md5(key).alias("__h"),
+        F.conv(F.substring(F.md5(key), 1, sub_prefix_len), 16, 10)
+        .cast("long")
+        .alias("__s"),
+    )
+    out_cols = [id_col, n_tokens_col, score_col]
+    totals = sorted(
+        (
+            (r["s"], r["t"])
+            for r in rows.groupBy(F.col(score_col).alias("s"))
+            .agg(F.sum(n_tokens_col).alias("t"))
+            .collect()
+        ),
+        key=lambda x: x[0],
+        reverse=True,
+    )
+    acc = 0
+    boundary_score, boundary_off = None, 0
+    for s, t in totals:
+        if acc + t > budget_tokens:
+            boundary_score, boundary_off = s, acc
+            break
+        acc += t
+    if boundary_score is None:
+        return rows.select(*out_cols)  # everything fits
+    kept_full = rows.where(F.col(score_col) > F.lit(boundary_score))
+    remaining = budget_tokens - boundary_off
+    bnd = rows.where(F.col(score_col) == F.lit(boundary_score))
+    sub_off = {
+        r["__s"]: r["t"]
+        for r in bnd.groupBy("__s").agg(F.sum(n_tokens_col).alias("t")).collect()
+    }
+    offsets, off = [], 0
+    for s in sorted(sub_off):
+        offsets.append((s, off))
+        off += sub_off[s]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__s long, __off long")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__s")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_bnd = (
+        bnd.withColumn("__cum", F.sum(n_tokens_col).over(w))
+        .join(off_df, "__s")
+        .where(F.col("__off") + F.col("__cum") <= F.lit(int(remaining)))
+    )
+    return kept_full.select(*out_cols).unionByName(kept_bnd.select(*out_cols))
 
 
 def quality_stratified_sample(

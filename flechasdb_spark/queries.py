@@ -2964,6 +2964,56 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_budget_select",
+    f"""
+WITH d AS (SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS n_stop
+  FROM d),
+q AS (
+  SELECT doc_id, n_tok::BIGINT AS n_tokens,
+         round(0.4 * least(1.0, n_tok / 50.0)
+               + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+                                   ELSE n_punct::DOUBLE / n_chars END)
+               + 0.3 * least(1.0, 5.0 * CASE WHEN n_tok = 0 THEN 0.0
+                                  ELSE n_stop::DOUBLE / n_tok END)
+               + 1e-9, 4) AS quality
+  FROM m),
+o AS (
+  SELECT doc_id, n_tokens, quality,
+         sum(n_tokens) OVER (
+           ORDER BY quality DESC, md5('tb:' || doc_id::VARCHAR) ASC,
+                    doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q)
+SELECT doc_id, n_tokens, quality FROM o WHERE cum <= 15000 ORDER BY doc_id
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation: the highest-quality documents that fit a
+    15k-token training budget, greedily in (quality desc, salted-hash)
+    order with no partial documents. The operator's boundary-group
+    decomposition keeps every group except the one straddling the
+    budget map-only; the oracle is the equivalent single ordered
+    cumulative sum."""
+    from flechasdb_spark.operators.sampling import token_budget_select
+    from flechasdb_spark.operators.text import quality_score, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        token_stats(docs)
+        .select("doc_id", "n_tokens")
+        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+    )
+    return token_budget_select(scored, budget_tokens=15000).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): opaque binary payloads
 # + md5-derived fake decode (the real decoder is the stubbed

@@ -37,3 +37,44 @@ def test_temperature_flattens_skewed_mixture(spark):
     a = sorted(map(tuple, temperature_sample(df, total=100).collect()))
     b = sorted(map(tuple, temperature_sample(df, total=100).collect()))
     assert a == b  # deterministic across runs
+
+
+def test_token_budget_select_matches_sequential_greedy(spark):
+    """The distributed boundary-group decomposition equals the
+    sequential greedy scan in (score desc, md5 asc, id asc) order:
+    keep iff inclusive running total <= budget."""
+    import hashlib
+
+    from flechasdb_spark.operators.sampling import token_budget_select
+
+    rows = [(i, 10 + (i * 7) % 30, round(0.1 * ((i * 3) % 5), 4)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+
+    def reference(budget):
+        order = sorted(
+            rows,
+            key=lambda r: (
+                -r[2],
+                hashlib.md5(f"tb:{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        kept, acc = set(), 0
+        for i, t, _ in order:
+            acc += t  # prefix semantics: skipped docs still consume cum
+            if acc <= budget:
+                kept.add(i)
+        return kept
+
+    for budget in (0, 5, 137, 500, 10**6):
+        got = {
+            r.doc_id
+            for r in token_budget_select(df, budget_tokens=budget).collect()
+        }
+        assert got == reference(budget), budget
+    # full-fit path returns everything
+    assert len(token_budget_select(df, budget_tokens=10**6).collect()) == 60
+    # deterministic across invocations
+    a = sorted(map(tuple, token_budget_select(df, budget_tokens=137).collect()))
+    b = sorted(map(tuple, token_budget_select(df, budget_tokens=137).collect()))
+    assert a == b
