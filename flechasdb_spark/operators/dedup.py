@@ -42,6 +42,7 @@ __all__ = [
     "embedding_neardup",
     "embedding_neardup_pairs",
     "connected_components",
+    "select_representatives",
     "cross_ngram_overlap",
     "doc_novelty",
     "segment_dedup",
@@ -654,6 +655,54 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def select_representatives(
+    docs_scores: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Keep-best dedup policy: per near-dup cluster, keep the
+    HIGHEST-SCORING member (ties -> smallest id) instead of
+    ``minhash_dedup``'s keep-first/min-id — the curation-grade choice
+    when duplicates differ in quality (crawl copies with boilerplate vs
+    the clean original). Documents absent from ``components`` are
+    singletons and always kept, reported with their own id as the
+    component.
+
+    ``docs_scores`` is (id, score) for EVERY doc (compose with
+    ``quality_score``); ``components`` is ``connected_components``
+    output. Returns (id_col, comp_col, score_col, keep).
+
+    Scale: the per-cluster argmax is ``min(struct(-score, id))`` — a
+    partially-aggregable reduction (map-side combined, one shuffle on
+    the cluster key), never a per-cluster sort window; attaching the
+    verdict back is one equi-join on the cluster key plus a broadcast-
+    friendly join of the O(clusters) winner table. Linear at any corpus
+    size.
+    """
+    labeled = docs_scores.select(
+        F.col(id_col), F.col(score_col)
+    ).join(
+        components.select(
+            F.col(node_col).alias(id_col), F.col(comp_col)
+        ),
+        id_col,
+        "left",
+    ).withColumn(comp_col, F.coalesce(F.col(comp_col), F.col(id_col)))
+    winners = labeled.groupBy(comp_col).agg(
+        F.min(F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("i")))
+        .alias("w")
+    ).select(comp_col, F.col("w.i").alias("__rep"))
+    return labeled.join(winners, comp_col).select(
+        id_col,
+        comp_col,
+        score_col,
+        (F.col(id_col) == F.col("__rep")).alias("keep"),
+    )
 
 
 def embedding_neardup(

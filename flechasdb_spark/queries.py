@@ -3014,6 +3014,75 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(scored, budget_tokens=15000).orderBy("doc_id")
 
 
+@query(
+    "neardup_keep_best",
+    f"""
+WITH RECURSIVE d AS (SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node),
+comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS n_stop
+  FROM d),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(1.0, n_tok / 50.0)
+               + 0.3 * (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+                                   ELSE n_punct::DOUBLE / n_chars END)
+               + 0.3 * least(1.0, 5.0 * CASE WHEN n_tok = 0 THEN 0.0
+                                  ELSE n_stop::DOUBLE / n_tok END)
+               + 1e-9, 4) AS quality
+  FROM m),
+lab AS (
+  SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+  FROM q LEFT JOIN comp c ON q.doc_id = c.node)
+SELECT doc_id, component, quality,
+       (row_number() OVER (
+          PARTITION BY component ORDER BY quality DESC, doc_id ASC) = 1)
+         AS keep
+FROM lab ORDER BY doc_id
+""",
+)
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup verdict for every document: near-dup clusters
+    (n-gram Jaccard >= 0.5 -> connected components) keep their
+    HIGHEST-quality member; singletons keep themselves. The per-cluster
+    argmax is a partially-aggregable min(struct) reduction, not a
+    window sort; the oracle reproduces it with a rank window over the
+    same recursive-CTE components and quality formula."""
+    from flechasdb_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+        select_representatives,
+    )
+    from flechasdb_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = connected_components(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    )
+    scored = quality_score(docs).select("doc_id", "quality")
+    return select_representatives(scored, comps).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py): opaque binary payloads
 # + md5-derived fake decode (the real decoder is the stubbed

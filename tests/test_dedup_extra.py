@@ -507,3 +507,34 @@ def test_quality_stratified_sample_per_group_cut(spark):
         assert sorted(scores) == [7.0, 8.0, 9.0]  # the top scores
     assert quality_stratified_sample(df, 0.0, "score").count() == 0
     assert quality_stratified_sample(df, 1.0, "score").count() == 30
+
+
+def test_select_representatives_keeps_best_per_cluster(spark):
+    """Per cluster the highest score wins (tie -> min id); docs outside
+    any component are singletons kept with their own id as component."""
+    from flechasdb_spark.operators.dedup import select_representatives
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        [
+            (1, 0.2),
+            (2, 0.9),
+            (3, 0.9),  # ties with 2 -> 2 wins (min id)
+            (7, 0.5),
+            (8, 0.4),
+            (42, 0.1),  # singleton
+        ],
+        "doc_id long, quality double",
+    )
+    rows = {
+        r.doc_id: r
+        for r in select_representatives(scores, comps).collect()
+    }
+    assert set(rows) == {1, 2, 3, 7, 8, 42}
+    assert [rows[i].keep for i in (1, 2, 3)] == [False, True, False]
+    assert rows[7].keep and not rows[8].keep
+    assert rows[42].keep and rows[42].component == 42
+    assert rows[3].component == 1 and rows[8].component == 7
