@@ -22,6 +22,7 @@ __all__ = [
     "hash_sample",
     "temperature_sample",
     "token_budget_select",
+    "token_temperature_mix",
     "quality_stratified_sample",
     "SPLIT_BUCKETS",
 ]
@@ -228,6 +229,94 @@ def token_budget_select(
         .where(F.col("__off") + F.col("__cum") <= F.lit(int(remaining)))
     )
     return kept_full.select(*out_cols).unionByName(kept_bnd.select(*out_cols))
+
+
+def token_temperature_mix(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.5,
+    by: str = "source",
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "ttm",
+    sub_prefix_len: int = 2,
+) -> DataFrame:
+    """Temperature-weighted mixing under a TOKEN budget: per-group
+    token targets proportional to ``group_tokens^alpha`` scaled to
+    ``total_tokens`` (alpha < 1 upsamples small sources), then each
+    group is filled greedily in salted-hash order until its target is
+    reached — no partial documents (a doc is kept iff the group's
+    running token total including it fits the target). This is the
+    token-denominated sibling of ``temperature_sample``: pretraining
+    mixes are specified in tokens, not document counts.
+
+    Determinism: same quantized-integer weight arithmetic as
+    ``temperature_sample`` (alpha = 0.5 routes through IEEE-exact
+    sqrt and is the oracle-gated setting), md5 hash order within the
+    group.
+
+    Scale (100 TB): group token totals are one partial-agg pass; the
+    per-group greedy fill is the sub-bucketed prefix-sum scheme shared
+    with ``token_budget_select`` — exact (group, sub-bucket) token
+    sums (O(groups * 16^prefix) driver rows; mixing groups are
+    sources/languages, numbering at most thousands) become exclusive
+    offsets, and the cumsum window runs per (group, sub-bucket): 256
+    parallel sort tasks per group, never one task per group.
+
+    Returns kept rows as ``(id_col, by, n_tokens_col)``.
+    """
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens {total_tokens} < 0")
+    spark = df.sparkSession
+    stats = df.groupBy(by).agg(F.sum(n_tokens_col).alias("tt"))
+    w = F.col("tt").cast("double")
+    w = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(float(alpha)))
+    wq = stats.select(by, F.round(w * 1e6).cast("long").alias("wq"))
+    wtot = wq.agg(F.sum("wq").alias("wtot"))
+    targets = wq.crossJoin(F.broadcast(wtot)).select(
+        by,
+        F.expr(f"CAST({int(total_tokens)} * wq AS BIGINT) DIV wtot").alias(
+            "__target"
+        ),
+    )
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    rows = df.select(
+        F.col(id_col),
+        F.col(by),
+        F.col(n_tokens_col).cast("long").alias(n_tokens_col),
+        F.md5(key).alias("__h"),
+        F.conv(F.substring(F.md5(key), 1, sub_prefix_len), 16, 10)
+        .cast("long")
+        .alias("__s"),
+    )
+    counts: dict = {}
+    for r in (
+        rows.groupBy(by, "__s").agg(F.sum(n_tokens_col).alias("t")).collect()
+    ):
+        counts.setdefault(r[by], {})[r["__s"]] = r["t"]
+    offsets = []
+    for g, subs in counts.items():
+        acc = 0
+        for s in sorted(subs):
+            offsets.append((g, s, acc))
+            acc += subs[s]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, f"{by} string, __s long, __off long")
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(by, "__s")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.withColumn("__cum", F.sum(n_tokens_col).over(win))
+        .join(off_df, [by, "__s"])
+        .join(F.broadcast(targets), by)
+        .where(F.col("__off") + F.col("__cum") <= F.col("__target"))
+        .select(id_col, by, n_tokens_col)
+    )
 
 
 def quality_stratified_sample(

@@ -3015,6 +3015,44 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_temperature_mix",
+    f"""
+WITH d0 AS (SELECT doc_id, source, {_DD_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens FROM d0),
+g AS (SELECT source, sum(n_tokens) AS tt FROM d GROUP BY source),
+w AS (SELECT source, round(sqrt(tt::DOUBLE) * 1e6)::BIGINT AS wq FROM g),
+tw AS (SELECT sum(wq) AS wtot FROM w),
+tgt AS (SELECT source, (8000 * wq) // wtot AS target FROM w, tw),
+o AS (SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY md5('ttm:' || doc_id::VARCHAR) ASC, doc_id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT o.doc_id, o.source, o.n_tokens
+FROM o JOIN tgt USING (source) WHERE o.cum <= tgt.target
+ORDER BY o.doc_id
+""",
+)
+def q_token_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-denominated temperature mixing: an 8k-token corpus drawn
+    across sources with per-source token targets proportional to
+    sqrt(source_tokens), each source filled greedily in salted-hash
+    order with no partial documents. The oracle reproduces the
+    quantized-integer weight arithmetic and the per-source cumulative
+    window exactly."""
+    from flechasdb_spark.operators.sampling import token_temperature_mix
+    from flechasdb_spark.operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = token_stats(docs).select("doc_id", "n_tokens").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return token_temperature_mix(
+        scored, total_tokens=8000, alpha=0.5
+    ).orderBy("doc_id")
+
+
+@query(
     "neardup_keep_best",
     f"""
 WITH RECURSIVE d AS (SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents),

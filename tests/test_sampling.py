@@ -78,3 +78,49 @@ def test_token_budget_select_matches_sequential_greedy(spark):
     a = sorted(map(tuple, token_budget_select(df, budget_tokens=137).collect()))
     b = sorted(map(tuple, token_budget_select(df, budget_tokens=137).collect()))
     assert a == b
+
+
+def test_token_temperature_mix_matches_sequential(spark):
+    """Per-group greedy fill equals the sequential reference: targets
+    from quantized sqrt weights, hash order within group, prefix
+    semantics (no partial docs)."""
+    import hashlib
+    import math
+
+    from flechasdb_spark.operators.sampling import token_temperature_mix
+
+    rows = [
+        (i, f"s{i % 3}", 5 + (i * 11) % 40) for i in range(90)
+    ]  # 3 skewed-ish groups
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    def reference(total):
+        tt = {}
+        for _, g, t in rows:
+            tt[g] = tt.get(g, 0) + t
+        wq = {g: round(math.sqrt(v) * 1e6) for g, v in tt.items()}
+        wtot = sum(wq.values())
+        tgt = {g: (total * w) // wtot for g, w in wq.items()}
+        kept = set()
+        for g in tt:
+            acc = 0
+            for i, gg, t in sorted(
+                (r for r in rows if r[1] == g),
+                key=lambda r: (hashlib.md5(f"ttm:{r[0]}".encode()).hexdigest(), r[0]),
+            ):
+                acc += t
+                if acc <= tgt[g]:
+                    kept.add(i)
+        return kept
+
+    for total in (0, 300, 1000, 10**6):
+        got = {
+            r.doc_id
+            for r in token_temperature_mix(df, total_tokens=total).collect()
+        }
+        assert got == reference(total), total
+    out = token_temperature_mix(df, total_tokens=1000)
+    assert out.columns == ["doc_id", "source", "n_tokens"]
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, token_temperature_mix(df, total_tokens=1000).collect()))
+    assert a == b
