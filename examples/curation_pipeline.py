@@ -111,6 +111,43 @@ def main() -> None:
         f"token ids:    {istats.toks} tokens, "
         f"{100 * istats.unk / max(istats.toks, 1):.1f}% OOV"
     )
+
+    # late-r4 stages: hold out an eval split and strip contaminated
+    # training docs, then assemble the final mix two ways — best-first
+    # under a global token budget, and temperature-balanced across
+    # sources under the same budget
+    from flechasdb_spark.operators.dedup import decontaminate
+    from flechasdb_spark.operators.sampling import (
+        hash_split,
+        token_budget_select,
+        token_temperature_mix,
+    )
+
+    split = hash_split(kept_docs, {"train": 0.9, "eval": 0.1})
+    train = split.where(F.col("split") == "train").select("doc_id", "text")
+    evals = split.where(F.col("split") == "eval").select("doc_id", "text")
+    clean = decontaminate(train, evals, n=3, min_shared=3)
+    print(
+        f"decontam:     {clean.count()} of {train.count()} train docs survive"
+        " vs eval 3-gram overlap"
+    )
+    pool = (
+        clean.select("doc_id")
+        .join(toks, "doc_id")
+        .join(quality, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    budget = int(istats.toks * 0.5)
+    best = token_budget_select(pool, budget_tokens=budget)
+    mix = token_temperature_mix(pool, total_tokens=budget, alpha=0.5)
+    bq = best.agg(
+        F.sum("n_tokens").alias("t"), F.round(F.avg("quality"), 4).alias("q")
+    ).first()
+    mq = mix.join(quality, "doc_id").agg(
+        F.sum("n_tokens").alias("t"), F.round(F.avg("quality"), 4).alias("q")
+    ).first()
+    print(f"budget mix:   best-first {bq.t} tokens (avg q {bq.q}) vs "
+          f"temperature-balanced {mq.t} tokens (avg q {mq.q}) at {budget}")
     spark.stop()
 
 
