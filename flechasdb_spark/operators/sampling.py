@@ -24,6 +24,9 @@ __all__ = [
     "token_budget_select",
     "token_temperature_mix",
     "quality_stratified_sample",
+    "dsir_importance",
+    "dsir_select",
+    "source_mix_report",
     "SPLIT_BUCKETS",
 ]
 
@@ -360,4 +363,166 @@ def quality_stratified_sample(
         .join(F.broadcast(counts), by)
         .where(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
         .select(by, id_col, score_col)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_source: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-n-gram importance score per document (DSIR shape — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): estimate a target and a raw unigram distribution over
+    ``n_buckets`` hash buckets (target = docs whose ``by`` column equals
+    ``target_source``; raw = the rest), then score every document by the
+    sum of per-token log-likelihood ratios
+
+        score(d) = sum_{tok in d} [ ln p_target(bucket(tok))
+                                  - ln p_raw(bucket(tok)) ]
+
+    with add-one smoothing on both sides. Documents resembling the
+    target domain score high; selecting the top scorers (``dsir_select``)
+    is the published recipe for tilting a web-scale corpus toward a
+    small high-quality target domain.
+
+    Determinism: the per-bucket log-ratio is quantized to integer
+    micro-nats (round(lambda * 1e6) as BIGINT) so the per-document sum
+    is an order-independent INTEGER sum — exact on any engine at any
+    parallelism. (The lambda table itself routes through ln(), <= 1 ulp
+    on either engine — same accepted tolerance as temperature_sample's
+    pow note; a flip requires the true value within ~1e-8 of a rounding
+    boundary.)
+
+    Scale (100 TB): token explode is map-side; the two distribution
+    estimates are partial-agg passes collapsing to ``n_buckets`` rows;
+    the lambda table (O(n_buckets)) broadcast-joins onto the exploded
+    tokens; the per-doc score is one map-side-combinable sum keyed by
+    doc id. No window, no skew (buckets are md5-uniform).
+
+    Returns (id_col, by, score) — score in integer micro-nats; empty
+    documents score 0.
+    """
+    B = int(n_buckets)
+    tok = df.select(
+        F.col(id_col),
+        F.col(by),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    tok = tok.withColumn("__b", md5_long(F.col("__tok")) % B)
+    is_tgt = F.col(by) == target_source
+    counts = tok.groupBy("__b").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(is_tgt, 0).otherwise(1)).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            (
+                F.log(F.col("__ct") + 1)
+                - F.log(F.col("__nt") + B)
+                - F.log(F.col("__cr") + 1)
+                + F.log(F.col("__nr") + B)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__lq"),
+    )
+    scored = (
+        tok.join(F.broadcast(lam), "__b")
+        .groupBy(id_col, by)
+        .agg(F.sum("__lq").alias("score"))
+    )
+    # empty docs produced no token rows; restore them with score 0
+    return (
+        df.select(id_col, by)
+        .join(scored.select(id_col, "score"), id_col, "left")
+        .select(
+            id_col, by, F.coalesce(F.col("score"), F.lit(0)).alias("score")
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    total: int,
+    target_source: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``total`` documents by DSIR importance score (ties broken on
+    doc id) — the deterministic selection step over
+    ``dsir_importance``. The global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + one O(total) merge),
+    never a global sort. Returns (id_col, by, score).
+    """
+    return (
+        dsir_importance(
+            df, target_source, n_buckets, text_col=text_col, by=by,
+            id_col=id_col,
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(int(total))
+    )
+
+
+def source_mix_report(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus composition report — the observability pass a
+    mixing/curation pipeline runs before choosing sampling weights:
+    document count, token count and share of the corpus, exact-duplicate
+    rate within the source (distinct md5(text) vs rows), and mean
+    document length in tokens.
+
+    One partial-agg pass keyed by source (count-distinct of the content
+    hash rewrites to a two-phase partial agg), plus a broadcast of the
+    1-row corpus total for the share. All outputs are exact-integer
+    arithmetic or exact-integer divisions — bit-identical cross-engine.
+
+    Returns (by, n_docs, n_tokens, token_share, n_unique_texts,
+    dup_rate, mean_tokens), ordered by source.
+    """
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(t)
+    )
+    per = df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            by,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__tot"), 4).alias(
+                "token_share"
+            ),
+            "n_unique_texts",
+            F.round(
+                1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy(by)
     )

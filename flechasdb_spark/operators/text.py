@@ -18,6 +18,8 @@ from flechasdb_spark.functions.texthash import MERSENNE_P, md5_long
 
 __all__ = [
     "build_vocab",
+    "gopher_quality_filter",
+    "GOPHER_REQUIRED_STOPWORDS",
     "encode_token_ids",
     "length_bucket_batches",
     "chunk_text_udtf",
@@ -481,4 +483,106 @@ def encode_token_ids(
         F.transform(F.col("__ps"), lambda s: s["__tid"].cast("bigint")).alias(
             "token_ids"
         ),
+    )
+
+
+# Gopher rule-set document filter (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A — the published heuristic filter
+# suite most 100 TB-scale text pipelines start from).
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule-set quality filter: per-document rule signals and the
+    conjunctive keep decision (Rae et al. 2021 Appendix A):
+
+    - word count in ``[min_words, max_words]``
+    - mean word length in ``[min_mean_word_len, max_mean_word_len]``
+    - symbol-to-word ratio (``#`` or ``...`` tokens) <= ``max_symbol_ratio``
+    - fraction of lines starting with a bullet <= ``max_bullet_ratio``
+    - fraction of lines ending in an ellipsis <= ``max_ellipsis_ratio``
+    - fraction of words containing a letter >= ``min_alpha_word_ratio``
+    - at least ``min_stop_hits`` distinct required stopwords present
+
+    Pure Catalyst (split / higher-order functions / literal string ops
+    only — no UDF, no shuffle): at 100 TB this is an embarrassingly
+    parallel map over the corpus scan, composable with ``quality_score``
+    and ``repetition_stats`` in one pass. Cross-engine determinism: every
+    ratio is an exact-integer division (correctly rounded identically in
+    any IEEE engine), and line/bullet/ellipsis tests are literal string
+    ops, so the DuckDB oracle reproduces the keep decision bit-for-bit.
+
+    Returns (id_col, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_word_ratio, stop_hits, keep), ratios rounded
+    to 4 decimals (the keep decision uses the UNROUNDED exact values).
+    """
+    t = tokens(text_col)
+    n_words = F.size(t).cast("long")
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        sum_len.cast("double") / n_words
+    )
+    n_sym = F.size(
+        F.filter(t, lambda x: x.contains("#") | x.contains("..."))
+    ).cast("long")
+    sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_sym.cast("double") / n_words
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_first = F.filter(
+        lines,
+        lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+    )
+    ell_last = F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+    )
+    bullet_ratio = F.size(bullet_first).cast("double") / n_lines
+    ell_ratio = F.size(ell_last).cast("double") / n_lines
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("long")
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        n_alpha.cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(t),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ell_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_ratio"),
+        F.round(ell_ratio, 4).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
     )

@@ -2621,6 +2621,119 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_quality_filter",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks, text FROM documents),
+s AS (SELECT doc_id, toks, text,
+  len(toks)::BIGINT AS n_words,
+  list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
+  len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...')))::BIGINT AS n_sym,
+  string_split(text, chr(10)) AS lines,
+  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+  len(list_intersect(list_distinct(toks),
+      ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits
+ FROM d),
+m AS (SELECT doc_id, n_words, stop_hits,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE sum_len::DOUBLE / n_words END AS mean_wl,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE n_sym::DOUBLE / n_words END AS sym_ratio,
+  len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE
+    / len(lines) AS bullet_ratio,
+  len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE
+    / len(lines) AS ell_ratio,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha::DOUBLE / n_words END AS alpha_ratio
+ FROM s)
+SELECT doc_id, n_words,
+  round(mean_wl, 4) AS mean_word_len,
+  round(sym_ratio, 4) AS symbol_ratio,
+  round(bullet_ratio, 4) AS bullet_ratio,
+  round(ell_ratio, 4) AS ellipsis_ratio,
+  round(alpha_ratio, 4) AS alpha_word_ratio,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_wl >= 3.0 AND mean_wl <= 10.0
+   AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
+   AND alpha_ratio >= 0.8 AND stop_hits >= 1) AS keep
+FROM m ORDER BY doc_id
+""",
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set filter (Rae et al. 2021 Appendix A) over the
+    corpus: every rule signal plus the conjunctive keep decision, pure
+    Catalyst map pass. min_stop_hits=1 against the synthetic word-salad
+    corpus (only 'the' from the required list occurs) so the decision
+    exercises both branches."""
+    from flechasdb_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(
+        _t(spark, sf_dir, "documents"), min_stop_hits=1
+    ).orderBy("doc_id")
+
+
+@query(
+    "dsir_select",
+    f"""
+WITH tok AS (SELECT doc_id, source, unnest({_DD_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id, source,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256) AS b
+       FROM tok WHERE tok <> ''),
+cnt AS (SELECT b,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)::BIGINT AS cr
+        FROM tb GROUP BY b),
+tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM cnt),
+lam AS (SELECT b,
+         round((ln(ct + 1) - ln(nt + 256) - ln(cr + 1) + ln(nr + 256)) * 1e6)::BIGINT AS lq
+        FROM cnt, tot),
+sc AS (SELECT tb.doc_id, sum(lq)::BIGINT AS score
+       FROM tb JOIN lam USING (b) GROUP BY tb.doc_id)
+SELECT d.doc_id, d.source, coalesce(sc.score, 0)::BIGINT AS score
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+ORDER BY score DESC, d.doc_id LIMIT 100
+""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance resampling (Xie et al. 2023): treat src0
+    as the target domain, score every document by its integer-micro-nat
+    log-likelihood-ratio sum over 256 md5 hash buckets, keep the top
+    100. The per-doc sum is an order-independent integer sum, so the
+    oracle recomputes the exact selection."""
+    from flechasdb_spark.operators.sampling import dsir_select
+
+    return dsir_select(
+        _t(spark, sf_dir, "documents"),
+        total=100,
+        target_source="src0",
+        n_buckets=256,
+    )
+
+
+@query(
+    "source_mix_report",
+    f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_DD_TOKS}))::BIGINT AS n_tokens,
+         count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / t, 4) AS token_share,
+       n_unique_texts,
+       round(1.0 - n_unique_texts::DOUBLE / n_docs, 4) AS dup_rate,
+       round(n_tokens::DOUBLE / n_docs, 4) AS mean_tokens
+FROM per, tot ORDER BY source
+""",
+)
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report (docs, tokens, token share,
+    exact-dup rate, mean length) — the observability pass before
+    choosing mixing weights; all exact-integer arithmetic."""
+    from flechasdb_spark.operators.sampling import source_mix_report
+
+    return source_mix_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "sequence_pack",
     f"""
 WITH d AS (SELECT doc_id, len({_DD_TOKS}) AS n FROM documents),

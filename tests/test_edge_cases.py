@@ -237,3 +237,46 @@ def test_cms_overestimates_never_under(spark):
     unseen = spark.createDataFrame([(123456,)], "v long")
     r = cms_estimate(wide, unseen, "v", width=4096, depth=4).first()
     assert r.est == 0
+
+
+def test_gopher_filter_line_and_word_rules(spark):
+    """Exercise the line-based Gopher rules the single-line corpus
+    can't: bullets, ellipsis endings, symbol tokens, non-alpha words,
+    and the empty document."""
+    from flechasdb_spark.operators.text import gopher_quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and that have "
+            "with be to of " * 5)
+    bullets = "- item one\n- item two\n- item three\nthe end of that have"
+    ells = "the first line...\nthe second line...\nthe third have of"
+    symbols = "the # of # and # that # have # be # to # with # # # # #"
+    nonalpha = "the 123 456 789 012 345 678 901 234 567 890 of and that have"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ells), (4, symbols), (5, nonalpha),
+         (6, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            df, min_words=5, min_stop_hits=2, min_mean_word_len=2.0
+        ).collect()
+    }
+    assert got[1].keep is True
+    # 3 of 4 lines start with '-': bullet_ratio 0.75 <= 0.9 passes, but
+    # tighten the threshold and it fails
+    assert abs(got[2].bullet_ratio - 0.75) < 1e-12
+    r2 = {
+        r.doc_id: r
+        for r in gopher_quality_filter(
+            df, min_words=5, min_stop_hits=2, min_mean_word_len=2.0,
+            max_bullet_ratio=0.5,
+        ).collect()
+    }
+    assert r2[2].keep is False
+    # 2 of 3 lines end with '...'
+    assert abs(got[3].ellipsis_ratio - round(2 / 3, 4)) < 1e-3
+    assert got[3].keep is False
+    assert got[4].keep is False and got[4].symbol_ratio > 0.1
+    assert got[5].keep is False and got[5].alpha_word_ratio < 0.8
+    assert got[6].keep is False and got[6].n_words == 0

@@ -124,3 +124,70 @@ def test_token_temperature_mix_matches_sequential(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, token_temperature_mix(df, total_tokens=1000).collect()))
     assert a == b
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Documents made of target-domain vocabulary must outscore
+    documents made of raw-domain vocabulary, and a mixed doc lands
+    between them."""
+    from flechasdb_spark.operators.sampling import dsir_importance
+
+    tgt_text = "alpha beta gamma delta " * 5
+    raw_text = "omega sigma tau rho " * 5
+    rows = (
+        [(i, tgt_text, "target") for i in range(10)]
+        + [(100 + i, raw_text, "web") for i in range(30)]
+        # probes living in the raw pool:
+        + [(900, tgt_text, "web"), (901, raw_text + "x", "web"),
+           (902, tgt_text + raw_text, "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r.score
+        for r in dsir_importance(df, target_source="target").collect()
+    }
+    assert got[900] > got[902] > got[901]
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from flechasdb_spark.operators.sampling import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "t"), (2, "", "w"), (3, "a b", "w")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.score for r in dsir_importance(df, "t").collect()}
+    assert got[2] == 0 and len(got) == 3
+
+
+def test_dsir_select_deterministic_topk(spark):
+    """Same inputs -> identical selection on repeated runs (integer
+    scores, id tie-break)."""
+    from flechasdb_spark.operators.sampling import dsir_select
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} filler{i % 11}",
+             "t" if i % 5 == 0 else "w") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = [(r.doc_id, r.score) for r in dsir_select(df, 20, "t").collect()]
+    b = [(r.doc_id, r.score) for r in dsir_select(df, 20, "t").collect()]
+    assert a == b and len(a) == 20
+    scores = [s for _, s in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_source_mix_report_arithmetic(spark):
+    from flechasdb_spark.operators.sampling import source_mix_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"), (2, "a b c", "s1"), (3, "d e", "s1"),
+            (4, "x y z w", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_mix_report(df).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert s1.n_docs == 3 and s1.n_tokens == 8 and s1.n_unique_texts == 2
+    assert abs(s1.dup_rate - round(1 - 2 / 3, 4)) < 1e-12
+    assert abs(s1.token_share - round(8 / 12, 4)) < 1e-12
+    assert s2.n_docs == 1 and s2.n_tokens == 4 and s2.dup_rate == 0.0
