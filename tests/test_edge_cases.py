@@ -280,3 +280,64 @@ def test_gopher_filter_line_and_word_rules(spark):
     assert got[4].keep is False and got[4].symbol_ratio > 0.1
     assert got[5].keep is False and got[5].alpha_word_ratio < 0.8
     assert got[6].keep is False and got[6].n_words == 0
+
+
+def _py_gopher_keep(text, min_words=5, max_words=100000, min_mwl=2.0,
+                    max_mwl=10.0, max_sym=0.1, max_bullet=0.9,
+                    max_ell=0.3, min_alpha=0.8, min_stop=1):
+    """Pure-Python keep decision (exact-integer divisions only, so it
+    must agree with both engines bit-for-bit)."""
+    import re
+
+    from flechasdb_spark.operators.text import GOPHER_REQUIRED_STOPWORDS
+
+    toks = [t for t in text.lower().strip().split() if t]
+    n = len(toks)
+    lines = text.split("\n")
+    if n == 0:
+        return False
+    mean_wl = sum(len(t) for t in toks) / n
+    sym = sum(1 for t in toks if "#" in t or "..." in t) / n
+    bullet = sum(
+        1 for l in lines if l.lstrip()[:1] in ("-", "*", "•")
+    ) / len(lines)
+    ell = sum(1 for l in lines if l.rstrip().endswith("...")) / len(lines)
+    alpha = sum(1 for t in toks if re.search("[a-z]", t)) / n
+    stop = len(set(toks) & set(GOPHER_REQUIRED_STOPWORDS))
+    return (min_words <= n <= max_words and min_mwl <= mean_wl <= max_mwl
+            and sym <= max_sym and bullet <= max_bullet and ell <= max_ell
+            and alpha >= min_alpha and stop >= min_stop)
+
+
+def test_gopher_matches_python_reference(spark):
+    """Randomized corpora with newlines/bullets/symbols: the Spark keep
+    decision equals the pure-Python reference on every doc."""
+    import random
+
+    from flechasdb_spark.operators.text import gopher_quality_filter
+
+    words = ["the", "of", "and", "value", "x1", "##", "...", "a", "-",
+             "table", "123", "zz"]
+    for seed in (7, 8):
+        rng = random.Random(seed)
+
+        def line(rng=rng):
+            pre = rng.choice(["", "- ", "* ", "  "])
+            suf = rng.choice(["", "...", "."])
+            return pre + " ".join(
+                rng.choices(words, k=rng.randint(0, 12))
+            ) + suf
+
+        rows = [
+            (i, "\n".join(line() for _ in range(rng.randint(1, 5))))
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.keep
+            for r in gopher_quality_filter(
+                df, min_words=5, min_stop_hits=1, min_mean_word_len=2.0
+            ).collect()
+        }
+        for did, text in rows:
+            assert got[did] == _py_gopher_keep(text), (seed, did, text)

@@ -191,3 +191,79 @@ def test_source_mix_report_arithmetic(spark):
     assert abs(s1.dup_rate - round(1 - 2 / 3, 4)) < 1e-12
     assert abs(s1.token_share - round(8 / 12, 4)) < 1e-12
     assert s2.n_docs == 1 and s2.n_tokens == 4 and s2.dup_rate == 0.0
+
+
+def _py_dsir(rows, target_source, B=64):
+    """Pure-Python DSIR reference (same md5 bucketing and micro-nat
+    quantization). Per-bucket ln routes through C libm vs the JVM's —
+    each <= 1 ulp — so per-doc scores are compared with a +-n_tokens
+    micro-nat envelope rather than exact equality."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    toks = {
+        did: [t for t in text.lower().strip().split() if t]
+        for did, text, _ in rows
+    }
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for did, text, src in rows:
+        for t in toks[did]:
+            b = bucket(t)
+            (ct if src == target_source else cr).setdefault(b, 0)
+            if src == target_source:
+                ct[b] += 1
+            else:
+                cr[b] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def half_up(x):
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    def lq(b):
+        lam = (
+            math.log(ct.get(b, 0) + 1)
+            - math.log(nt + B)
+            - math.log(cr.get(b, 0) + 1)
+            + math.log(nr + B)
+        )
+        return half_up(lam * 1e6)
+
+    return {
+        did: sum(lq(bucket(t)) for t in toks[did]) for did, text, _ in rows
+    }
+
+
+def test_dsir_matches_python_reference(spark):
+    import random
+
+    from flechasdb_spark.operators.sampling import dsir_importance
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                " ".join(rng.choices(vocab, k=rng.randint(0, 30))),
+                "t" if rng.random() < 0.3 else "w",
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            r.doc_id: r.score
+            for r in dsir_importance(df, "t", n_buckets=64).collect()
+        }
+        ref = _py_dsir(rows, "t", B=64)
+        assert set(got) == set(ref)
+        for did in got:
+            n_tok = len(rows[did][1].split()) if rows[did][1].strip() else 0
+            assert abs(got[did] - ref[did]) <= max(1, n_tok), (
+                seed, did, got[did], ref[did]
+            )
