@@ -27,6 +27,21 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # corpus composition + rule-set gate before anything expensive:
+    # both are single map/agg passes over the first scan
+    from flechasdb_spark.operators.sampling import source_mix_report
+    from flechasdb_spark.operators.text import gopher_quality_filter
+
+    mix = source_mix_report(docs)
+    worst = mix.orderBy(F.col("dup_rate").desc()).first()
+    print(f"sources:      {mix.count()} "
+          f"(max dup_rate {worst.dup_rate} in {worst.source})")
+    gopher_keep = (
+        gopher_quality_filter(docs, min_stop_hits=1)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+
     exact_keep = dedup_exact(docs).where(F.col("keep")).select("doc_id")
     near_keep = minhash_dedup(docs, threshold=0.8).where(F.col("keep")).select("doc_id")
     quality = quality_score(docs).select("doc_id", "quality")
@@ -35,6 +50,7 @@ def main() -> None:
 
     curated = (
         docs.select("doc_id", "source")
+        .join(gopher_keep, "doc_id", "left_semi")
         .join(exact_keep, "doc_id", "left_semi")
         .join(near_keep, "doc_id", "left_semi")
         .join(quality, "doc_id")
@@ -148,6 +164,21 @@ def main() -> None:
     ).first()
     print(f"budget mix:   best-first {bq.t} tokens (avg q {bq.q}) vs "
           f"temperature-balanced {mq.t} tokens (avg q {mq.q}) at {budget}")
+
+    # DSIR alternative to the quality mixes: tilt the clean pool toward
+    # a target domain (src0 as the stand-in) by hashed importance score
+    from flechasdb_spark.operators.sampling import dsir_select
+
+    clean_docs = docs.join(clean.select("doc_id"), "doc_id", "left_semi")
+    tilted = dsir_select(
+        clean_docs, total=min(100, clean.count()), target_source="src0"
+    )
+    tstats = tilted.agg(
+        F.round(F.avg("score") / 1e6, 4).alias("nats"),
+        F.sum((F.col("source") == "src0").cast("int")).alias("n_tgt"),
+    ).first()
+    print(f"dsir tilt:    top-{tilted.count()} avg {tstats.nats} nats, "
+          f"{tstats.n_tgt} from the target source")
     spark.stop()
 
 
