@@ -346,6 +346,9 @@ def main() -> None:
         "bm25_topk",
         "hybrid_rrf",
         "zorder_key_events",
+        "gopher_quality_filter",
+        "dsir_select",
+        "source_mix_report",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -135,3 +135,31 @@ def test_maxsim_plan_single_pass(spark):
     for bad in ("Join", "Window"):
         assert bad not in plan, f"unexpected {bad} in MaxSim plan"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_filter_is_map_only(spark):
+    """The rule-set filter must stay a pure map pass: no Exchange, no
+    join — at 100 TB it rides the corpus scan for free. (The registry
+    row adds an orderBy for readability; the gate targets the
+    operator.)"""
+    from flechasdb_spark.operators.text import gopher_quality_filter
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        gopher_quality_filter(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "gopher filter must not shuffle"
+    assert "Join" not in plan
+
+
+def test_dsir_topk_and_broadcast_lambda(spark):
+    """DSIR selection: the lambda table joins as a broadcast (O(buckets)
+    rows), the global top-k is TakeOrderedAndProject, and nothing
+    degenerates to a cartesian product."""
+    plan = _plan(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
