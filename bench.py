@@ -90,6 +90,18 @@ def ann_lifecycle(spark, sf_dir, timings):
     kept.encoded.unpersist()
 
 
+def _min2(fn) -> float:
+    """Min of two timed executions — the same warm-sample policy as the
+    headline loop (r4: single warm samples swung ~2x under shared-host
+    scheduling noise; min-of-2 was stable)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def fused_encode(spark, sf_dir, timings):
     """The PRODUCT encode path (fused Arrow assign+residual+encode UDF,
     one map pass) on the same input the relational pq_encode oracle form
@@ -97,10 +109,11 @@ def fused_encode(spark, sf_dir, timings):
     ships."""
     from flechasdb_spark.queries import _frozen_model
 
-    t0 = time.perf_counter()
-    model, _ = _frozen_model(spark, sf_dir)  # assemble_index: encode+count
-    timings["pq_encode_fused"] = round(time.perf_counter() - t0, 3)
-    model.encoded.unpersist()
+    def run():
+        model, _ = _frozen_model(spark, sf_dir)  # assemble: encode+count
+        model.encoded.unpersist()
+
+    timings["pq_encode_fused"] = _min2(run)
 
 
 def fused_rq_encode(spark, sf_dir, timings):
@@ -127,9 +140,11 @@ def fused_rq_encode(spark, sf_dir, timings):
         ],
         dtype=np.float64,
     )
-    t0 = time.perf_counter()
-    rq_encode_fused(emb, cbs).select(F.sum(F.element_at("codes", 1))).collect()
-    timings["rq_encode_fused"] = round(time.perf_counter() - t0, 3)
+    timings["rq_encode_fused"] = _min2(
+        lambda: rq_encode_fused(emb, cbs)
+        .select(F.sum(F.element_at("codes", 1)))
+        .collect()
+    )
 
 
 def fused_lsh_multitable(spark, sf_dir, timings):
@@ -140,11 +155,11 @@ def fused_lsh_multitable(spark, sf_dir, timings):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32)
     dim = len(emb.select("embedding").first()[0])
-    t0 = time.perf_counter()
-    lsh_neardup_pairs(
-        emb, threshold=0.45, dim=dim, bits=5, tables=3, impl="pandas"
-    ).count()
-    timings["lsh_multitable_fused"] = round(time.perf_counter() - t0, 3)
+    timings["lsh_multitable_fused"] = _min2(
+        lambda: lsh_neardup_pairs(
+            emb, threshold=0.45, dim=dim, bits=5, tables=3, impl="pandas"
+        ).count()
+    )
 
 
 def fused_semantic(spark, sf_dir, timings):
@@ -160,9 +175,11 @@ def fused_semantic(spark, sf_dir, timings):
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("center")
     )
-    t0 = time.perf_counter()
-    cluster_neardup_pairs(emb, cents, threshold=0.3, impl="pandas").count()
-    timings["semantic_neardup_fused"] = round(time.perf_counter() - t0, 3)
+    timings["semantic_neardup_fused"] = _min2(
+        lambda: cluster_neardup_pairs(
+            emb, cents, threshold=0.3, impl="pandas"
+        ).count()
+    )
 
 
 def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:

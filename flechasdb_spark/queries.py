@@ -5280,7 +5280,14 @@ DRIVER_ORDER = [
     # events_percentiles -> rq_knn [kmv keeps sketches, percentile
     # arithmetic stays pytest-oracle-gated], lang_id -> bq_hamming_knn
     # [token_stats/quality_score keep text analysis], tpch_q9 ->
-    # hybrid_rrf [q1/q2/q5 keep the TPC-H shapes])
+    # hybrid_rrf [q1/q2/q5 keep the TPC-H shapes];
+    # final-r4 swaps for this round's curation additions, each retiring
+    # a row with 3 rounds of green driver evidence while its family
+    # keeps >= 1 row: quality_score -> gopher_quality_filter [rule-set
+    # quality, token_stats keeps per-doc stats], dedup_exact ->
+    # dsir_select [6 dedup rows remain; DSIR adds importance
+    # resampling], tpch_q1 -> source_mix_report [q2/q5 keep TPC-H;
+    # q1 stays oracle-gated in pytest])
     "flat_knn",
     "knn_join",
     "vector_norms",
@@ -5300,7 +5307,6 @@ DRIVER_ORDER = [
     "csv_source_knn",
     "bm25_topk",
     # dedup / similarity
-    "dedup_exact",
     "segment_dedup",
     "minhash_dedup",
     "neardup_components",
@@ -5313,17 +5319,18 @@ DRIVER_ORDER = [
     "doc_novelty",
     # text / training-data pipeline
     "token_stats",
-    "quality_score",
+    "gopher_quality_filter",
     "pii_scrub",
     "doc_chunks",
     "build_vocab",
     "length_bucket_batches",
     "sequence_pack",
     "quality_stratified_sample",
+    "dsir_select",
     # multimodal
     "image_features",
     # relational SQL surface
-    "tpch_q1",
+    "source_mix_report",
     "tpch_q2",
     "tpch_q5",
     "hybrid_rrf",
