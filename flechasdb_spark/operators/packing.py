@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["sequence_pack", "pack_summary"]
+__all__ = ["sequence_pack", "pack_summary", "shard_shuffle"]
 
 
 def sequence_pack(
@@ -92,4 +92,61 @@ def pack_summary(packed: DataFrame) -> DataFrame:
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic corpus shuffle + round-robin shard assignment — the
+    loader step that turns a curated corpus into per-worker training
+    shards with a reproducible global order. The canonical order is
+    (md5-bucket, md5(salt:id), id): a fixed pseudorandom permutation,
+    identical on any engine and any cluster size; vary ``salt`` (e.g.
+    "epoch3") to re-shuffle per epoch without touching the data.
+
+    Each document gets the global rank of its position in that order;
+    shard = rank % n_shards and pos = rank DIV n_shards deal the stream
+    round-robin, so shard sizes differ by at most 1 and every shard's
+    ``pos`` is a dense 0..ceil(M/S)-1 sequence — no post-balancing pass.
+
+    Scale (100 TB): the global rank uses the same distributed prefix
+    scheme as ``sequence_pack`` — rank within each of ``n_buckets``
+    hash buckets via parallel windows (one shuffle keyed on the
+    bucket), plus O(n_buckets) exclusive counts collected and broadcast
+    back. No global-order window (that would be one task sorting the
+    corpus), no skew (md5-uniform buckets).
+
+    Returns ``(id_col, shard int, pos long)``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards {n_shards} must be >= 1")
+    key = F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    rows = df.select(
+        F.col(id_col),
+        F.md5(key).alias("__h"),
+        (md5_long(key) % n_buckets).alias("__b"),
+    )
+    counts = {
+        r["__b"]: r["c"]
+        for r in rows.groupBy("__b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += int(counts.get(b, 0))
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__b long, __off long")
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    rank = F.col("__off") + F.row_number().over(w) - 1
+    return rows.join(off_df, "__b").select(
+        id_col,
+        (rank % n_shards).cast("int").alias("shard"),
+        # floor-div via double is exact while M < 2^53
+        F.floor(rank / F.lit(float(n_shards))).cast("long").alias("pos"),
     )

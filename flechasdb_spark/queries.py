@@ -2621,6 +2621,30 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_shard_shuffle",
+    """
+WITH k AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS h,
+             (('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT % 64) AS b
+           FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY b, h, doc_id) - 1 AS rk FROM k)
+SELECT doc_id, (rk % 8)::INT AS shard, (rk // 8)::BIGINT AS pos
+FROM r ORDER BY doc_id
+""",
+)
+def q_corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle dealt round-robin into 8 training
+    shards: global rank in the fixed (bucket, md5, id) pseudorandom
+    order -> shard = rank % 8, pos = rank DIV 8. The oracle recomputes
+    the distributed prefix rank as one ordered window over the same
+    keys."""
+    from flechasdb_spark.operators.packing import shard_shuffle
+
+    return shard_shuffle(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    ).orderBy("doc_id")
+
+
+@query(
     "gopher_quality_filter",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks, text FROM documents),

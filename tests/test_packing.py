@@ -70,3 +70,35 @@ def test_length_bucket_batches_groups_similar_lengths(spark):
     assert out[3].bucket == 2 and out[4].bucket == 2
     assert out[5].bucket == 4 and out[6].bucket == 4
     assert out[0].batch_id != out[1].batch_id  # bucket-disjoint ids
+
+
+def test_shard_shuffle_balanced_and_dense(spark):
+    from flechasdb_spark.operators.packing import shard_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(101)], "doc_id long"
+    )
+    got = shard_shuffle(df, n_shards=8).collect()
+    assert len(got) == 101
+    by_shard: dict[int, list[int]] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) <= 1          # round-robin balance
+    for poss in by_shard.values():               # dense 0..k-1 per shard
+        assert sorted(poss) == list(range(len(poss)))
+    # determinism + epoch salt changes the permutation
+    again = shard_shuffle(df, n_shards=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    other = shard_shuffle(df, n_shards=8, salt="epoch1").collect()
+    assert sorted(map(tuple, got)) != sorted(map(tuple, other))
+
+
+def test_shard_shuffle_matches_oracle(spark, sf_dir):
+    from flechasdb_spark.queries import ORACLES, REGISTRY
+    from tests.oracle_harness import compare, duck_con
+
+    con = duck_con(sf_dir)
+    sdf = REGISTRY["corpus_shard_shuffle"](spark, sf_dir)
+    odf = con.execute(ORACLES["corpus_shard_shuffle"]).df()
+    assert compare(sdf, odf) == []
