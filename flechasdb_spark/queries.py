@@ -1515,6 +1515,37 @@ def q_csv_source_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_source_knn",
+    f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT s.vec_id,
+         {_DD_SQL2.format(a="s.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM sub s, q)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_orc_source_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 source coverage: the same round-trip gate as csv_source_knn
+    through ORC — Spark's other native columnar format (bit-exact float
+    round-trip, pushdown/pruning on the scan as with parquet) — then
+    searched from vec_id=1; hash-matched against the parquet
+    originals."""
+    import tempfile
+
+    from flechasdb_spark.sources.vectors import read_vectors_orc
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    tmp = tempfile.mkdtemp(prefix="orc_src_")
+    emb.select("vec_id", "embedding").write.mode("overwrite").orc(tmp)
+    df = read_vectors_orc(spark, tmp, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    return flat_knn(df, qv, k=10, round_to=4)
+
+
+@query(
     "json_source_stats",
     """
 SELECT count(*) AS n_vectors,

@@ -28,6 +28,7 @@ __all__ = [
     "read_vectors_parquet",
     "read_vectors_csv",
     "read_vectors_json",
+    "read_vectors_orc",
 ]
 
 
@@ -118,3 +119,16 @@ def read_vectors_json(
         vec_col, F.col(vec_col).cast("array<float>")
     )
     return validate_vectors(parsed, dim, vec_col)
+
+
+def read_vectors_orc(
+    spark: SparkSession,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORC with the vector as a native array column — the other
+    Spark-native columnar format (predicate pushdown and column pruning
+    reach the ORC scan exactly as with parquet; floats round-trip
+    bit-exactly, no string parsing)."""
+    return validate_vectors(spark.read.orc(path), dim, vec_col)

@@ -132,3 +132,31 @@ def test_zorder_write_narrows_file_ranges_on_both_columns(spark, tmp_path):
     for col in ("x", "y"):
         avg = sum(spans[col]) / len(spans[col])
         assert avg < 0.6, f"{col}: avg file span {avg} not clustered"
+
+
+def test_orc_roundtrip_and_validation(spark, tmp_path):
+    from flechasdb_spark.sources.vectors import read_vectors_orc
+
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.25]), (2, [0.1, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "orc")
+    df.write.orc(path)
+    back = read_vectors_orc(spark, path, dim=2)
+    got = {r.vec_id: list(r.embedding) for r in back.collect()}
+    assert got[1] == [1.5, -2.25]  # bit-exact float round-trip
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_vectors_orc(spark, path, dim=3)
+
+
+def test_orc_source_oracle(spark, sf_dir):
+    from flechasdb_spark.queries import ORACLES, REGISTRY
+    from tests.oracle_harness import compare, duck_con
+
+    con = duck_con(sf_dir)
+    sdf = REGISTRY["orc_source_knn"](spark, sf_dir)
+    odf = con.execute(ORACLES["orc_source_knn"]).df()
+    assert compare(sdf, odf) == []
