@@ -179,6 +179,14 @@ def main() -> None:
     ).first()
     print(f"dsir tilt:    top-{tilted.count()} avg {tstats.nats} nats, "
           f"{tstats.n_tgt} from the target source")
+
+    # deal the final pool into per-worker training shards in a
+    # reproducible pseudorandom order (re-shuffle per epoch via salt)
+    from flechasdb_spark.operators.packing import shard_shuffle
+
+    shards = shard_shuffle(clean_docs, n_shards=4, salt="epoch0")
+    sstats = shards.groupBy("shard").count().orderBy("shard").collect()
+    print("shards:       " + ", ".join(f"s{r.shard}={r['count']}" for r in sstats))
     spark.stop()
 
 
