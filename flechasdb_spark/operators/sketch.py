@@ -30,6 +30,8 @@ __all__ = [
     "histogram_quantiles",
     "cms_build",
     "cms_estimate",
+    "bloom_build",
+    "bloom_maybe_contains",
     "KMV_SPACE",
 ]
 
@@ -230,4 +232,131 @@ def cms_estimate(
         keyed.join(F.broadcast(cells), ["row", "bucket"], "left")
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str | Column,
+    n_words: int = 2048,
+    k: int = 4,
+    salt: str = "bl",
+) -> DataFrame:
+    """Deterministic Bloom filter over the distinct values of
+    ``value_col``: k md5-derived bit positions per value, packed into
+    63-bit BIGINT words (bit 63 is never used, so the words — and the
+    oracle's — stay positive and engine-portable; DuckDB recomputes the
+    identical words from the same md5 arithmetic, unlike Spark's
+    internal BloomFilterAggregate whose layout is engine-private).
+
+    The scale primitive this enables: membership PRE-filtering before
+    an expensive shuffle join/anti-join — ship the O(n_words) filter,
+    not the set. m = 63 * n_words bits; false-positive rate
+    ~(1 - e^(-k*n/m))^k, no false negatives ever (one-sided error, the
+    property the prefilter contract needs).
+
+    Shape: explode k positions per distinct value (map-side), one
+    hash-groupBy on word index with ``bit_or`` partial aggregation —
+    output is exactly ``<= n_words`` rows no matter the input size.
+
+    Returns (word_idx long, word long).
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    m = 63 * int(n_words)
+    vals = df.select(c.cast("string").alias("__v")).distinct()
+    pos = vals.select(
+        "__v",
+        F.explode(
+            F.array(*[
+                (
+                    md5_long(
+                        F.concat(
+                            F.lit(salt), F.lit(":"), F.lit(str(j)),
+                            F.lit(":"), F.col("__v"),
+                        )
+                    )
+                    % m
+                )
+                for j in range(int(k))
+            ])
+        ).alias("__p"),
+    )
+    return (
+        pos.select(
+            (F.col("__p") / 63).cast("long").alias("word_idx"),
+            # shiftleft needs a column bit count -> SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__mask)").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    bloom: DataFrame,
+    value_col: str | Column,
+    n_words: int = 2048,
+    k: int = 4,
+    salt: str = "bl",
+    out_col: str = "maybe",
+) -> DataFrame:
+    """Probe each row's ``value_col`` against a ``bloom_build`` filter:
+    ``out_col`` is true iff ALL k probed bits are set (possible member
+    — FP rate per the build sizing), false = definitely absent.
+
+    ``n_words``/``k``/``salt`` must match the build call. The filter
+    (<= n_words rows) broadcasts; each input row probes via k
+    broadcast-join lookups + a count — no shuffle of ``df`` itself
+    beyond the per-row regroup, and when the probe is used as a
+    prefilter the regroup replaces a full join against the reference
+    SET (O(n) rows shipped vs O(n_words)).
+
+    Rows of ``df`` must be distinct (the probe regroups on all of
+    df's columns); probe de-duplicated keys, as a prefilter should.
+
+    Returns df's columns plus ``out_col`` boolean.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    m = 63 * int(n_words)
+    cols = df.columns
+    pos = df.select(
+        "*",
+        F.explode(
+            F.array(*[
+                (
+                    md5_long(
+                        F.concat(
+                            F.lit(salt), F.lit(":"), F.lit(str(j)),
+                            F.lit(":"), c.cast("string"),
+                        )
+                    )
+                    % m
+                )
+                for j in range(int(k))
+            ])
+        ).alias("__p"),
+    )
+    probed = pos.join(
+        F.broadcast(bloom),
+        (F.col("__p") / 63).cast("long") == F.col("word_idx"),
+        "left",
+    ).withColumn(
+        "__hit",
+        F.when(
+            F.col("word").isNotNull()
+            & (
+                F.expr(
+                    "shiftright(word, CAST(__p % 63 AS INT)) & CAST(1 AS BIGINT)"
+                )
+                == 1
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        probed.groupBy(*cols)
+        .agg((F.sum("__hit") == int(k)).alias(out_col))
     )

@@ -2652,6 +2652,79 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontam_prefilter",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(toks) - 2, 0)),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g FROM d),
+ref AS (SELECT DISTINCT unnest(g) AS shingle FROM sh WHERE doc_id % 2 = 0),
+rpos AS (SELECT shingle,
+          (('0x' || substr(md5('bl:' || j::VARCHAR || ':' || shingle), 1, 15))::BIGINT
+            % 129024) AS p
+         FROM ref, generate_series(0, 3) AS t(j)),
+bloom AS (SELECT (p // 63)::BIGINT AS word_idx,
+                 bit_or((1::BIGINT << (p % 63))::BIGINT) AS word
+          FROM rpos GROUP BY 1),
+ex AS (SELECT DISTINCT doc_id, unnest(g) AS shingle FROM sh WHERE doc_id % 2 = 1),
+epos AS (SELECT doc_id, shingle, j,
+          (('0x' || substr(md5('bl:' || j::VARCHAR || ':' || shingle), 1, 15))::BIGINT
+            % 129024) AS p
+         FROM ex, generate_series(0, 3) AS t(j)),
+hits AS (SELECT e.doc_id, e.shingle,
+           (count(*) FILTER (WHERE b.word IS NOT NULL
+              AND (b.word >> (e.p % 63)) % 2 <> 0) = 4) AS maybe
+         FROM epos e LEFT JOIN bloom b ON (e.p // 63) = b.word_idx
+         GROUP BY e.doc_id, e.shingle),
+exact AS (SELECT e.doc_id, e.shingle, (r.shingle IS NOT NULL) AS hit
+          FROM ex e LEFT JOIN ref r USING (shingle))
+SELECT h.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN h.maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(CASE WHEN x.hit THEN 1 ELSE 0 END)::BIGINT AS n_exact
+FROM hits h JOIN exact x ON h.doc_id = x.doc_id AND h.shingle = x.shingle
+GROUP BY h.doc_id ORDER BY h.doc_id
+""",
+)
+def q_bloom_decontam_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom prefilter over the contamination check: a 2048-word / k=4
+    deterministic Bloom filter built from the even-id half's 3-gram set
+    probes every odd-id doc's shingles — per doc, the bloom 'maybe'
+    count bounds the exact hit count from above (one-sided error; FP
+    sizing ~0.5% at the sf0.01 shingle cardinality). At 100 TB this is
+    the cheap first pass that spares the full shingle equi-join for the
+    (typically vast) majority of definitely-clean shingles: the filter
+    ships O(n_words) rows, not the reference set."""
+    from flechasdb_spark.operators.dedup import word_ngrams
+    from flechasdb_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 3)).alias("shingle")
+    )
+    ref = sh.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    ex = sh.where(F.col("doc_id") % 2 == 1).distinct()
+    bloom = bloom_build(ref, "shingle")
+    probed = bloom_maybe_contains(ex, bloom, "shingle")
+    exact = ex.join(
+        ref.withColumn("__hit", F.lit(1)), "shingle", "left"
+    ).select("doc_id", "shingle", F.coalesce("__hit", F.lit(0)).alias("__e"))
+    return (
+        probed.join(exact, ["doc_id", "shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("maybe").cast("int")).alias("n_maybe"),
+            F.sum("__e").alias("n_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_shard_shuffle",
     """
 WITH k AS (SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS h,

@@ -341,3 +341,35 @@ def test_gopher_matches_python_reference(spark):
         }
         for did, text in rows:
             assert got[did] == _py_gopher_keep(text), (seed, did, text)
+
+
+def test_bloom_one_sided_error(spark):
+    """Members are ALWAYS maybe=true (no false negatives); non-members
+    are mostly false at the sized FP rate."""
+    from flechasdb_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = [(f"m{i}",) for i in range(500)]
+    others = [(f"x{i}",) for i in range(500)]
+    ref = spark.createDataFrame(members, "v string")
+    bloom = bloom_build(ref, "v", n_words=256, k=4)
+    probe = spark.createDataFrame(members + others, "v string")
+    got = {r.v: r.maybe for r in bloom_maybe_contains(
+        probe, bloom, "v", n_words=256, k=4).collect()}
+    assert all(got[f"m{i}"] for i in range(500)), "false negative!"
+    fp = sum(1 for i in range(500) if got[f"x{i}"]) / 500
+    assert fp < 0.05, f"fp rate {fp} way above sizing (~0.24% at 500/16k)"
+
+
+def test_bloom_words_stay_positive(spark):
+    """63-bit packing: no word ever uses the sign bit (portability
+    contract with the BIGINT oracle)."""
+    from flechasdb_spark.operators.sketch import bloom_build
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([(f"v{i}",) for i in range(2000)], "v string")
+    bloom = bloom_build(ref, "v", n_words=8, k=4)  # saturate the words
+    row = bloom.agg(F.min("word").alias("mn"), F.count("*").alias("n")).first()
+    assert row.mn > 0 and row.n <= 8
