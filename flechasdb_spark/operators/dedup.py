@@ -156,6 +156,8 @@ def cross_ngram_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = 1000,
+    bloom_prefilter: bool = True,
+    bloom_words: int = 4096,
 ) -> DataFrame:
     """Contamination check: for each (left, right) document pair sharing
     >= min_shared distinct word n-grams, the shared count — the standard
@@ -167,6 +169,19 @@ def cross_ngram_overlap(
     never a cross join. ``max_df`` drops shingles present in more than
     max_df LEFT documents (stopword phrases match everything and carry
     no contamination signal).
+
+    ``bloom_prefilter`` (default on): collapse the right side's shingle
+    set to a broadcastable Bloom filter (``sketch.bloom_build``,
+    O(bloom_words) rows) and drop every left shingle the filter
+    definitely rules out BEFORE the equi-join. One-sided error means
+    the surviving join is over exactly the shingles that could match —
+    results are bit-identical with the filter on or off (equivalence
+    pytest-gated), but at 100 TB the train side ships only its
+    (typically tiny) bloom-positive sliver through the shuffle instead
+    of every shingle. Applied AFTER the ``max_df`` hot-shingle cut so
+    the cut's counts are unchanged. Size ``bloom_words`` ~ right-side
+    distinct shingles / 10 for ~0.5% FP (false positives only cost
+    wasted join rows, never correctness).
 
     Returns (id_left, id_right, n_shared) — one shuffle on the pair key.
     """
@@ -186,6 +201,20 @@ def cross_ngram_overlap(
             .select("shingle")
         )
         lx = lx.join(F.broadcast(hot), "shingle", "left_anti")
+    if bloom_prefilter:
+        from flechasdb_spark.operators.sketch import (
+            bloom_build,
+            bloom_maybe_contains,
+        )
+
+        bloom = bloom_build(
+            rx.select("shingle").distinct(), "shingle", n_words=bloom_words
+        )
+        lx = (
+            bloom_maybe_contains(lx, bloom, "shingle", n_words=bloom_words)
+            .where(F.col("maybe"))
+            .drop("maybe")
+        )
     pairs = (
         lx.join(rx, "shingle")
         .groupBy("id_left", "id_right")

@@ -538,3 +538,44 @@ def test_select_representatives_keeps_best_per_cluster(spark):
     assert rows[7].keep and not rows[8].keep
     assert rows[42].keep and rows[42].component == 42
     assert rows[3].component == 1 and rows[8].component == 7
+
+
+def test_cross_overlap_bloom_prefilter_equivalence(spark):
+    """The Bloom prefilter must be invisible in the results: identical
+    (id_left, id_right, n_shared) with the filter on and off (one-sided
+    error — it can only drop shingles that cannot match)."""
+    from flechasdb_spark.operators.dedup import cross_ngram_overlap
+
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    mk = lambda: " ".join(rng.choices(vocab, k=rng.randint(5, 25)))
+    left = spark.createDataFrame(
+        [(i, mk()) for i in range(80)], "doc_id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(i, mk()) for i in range(20)], "doc_id long, text string"
+    )
+    on = sorted(
+        map(tuple, cross_ngram_overlap(left, right, n=2).collect())
+    )
+    off = sorted(
+        map(
+            tuple,
+            cross_ngram_overlap(
+                left, right, n=2, bloom_prefilter=False
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
+
+
+def test_decontaminate_empty_eval_keeps_all(spark):
+    from flechasdb_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate(train, empty, n=2).count() == 2
