@@ -5415,9 +5415,13 @@ DRIVER_ORDER = [
     # quality, token_stats keeps per-doc stats], dedup_exact ->
     # dsir_select [6 dedup rows remain; DSIR adds importance
     # resampling], tpch_q1 -> source_mix_report [q2/q5 keep TPC-H;
-    # q1 stays oracle-gated in pytest])
+    # q1 stays oracle-gated in pytest]; and for the last three r4
+    # additions: knn_join -> bloom_decontam_prefilter [flat_knn/
+    # cosine_topk/quantizer rows keep exact kNN], csv_source_knn ->
+    # orc_source_knn [CSV parse path stays pytest-gated],
+    # sequence_pack -> corpus_shard_shuffle [packing family keeps
+    # length_bucket_batches + the shard dealer])
     "flat_knn",
-    "knn_join",
     "vector_norms",
     "pq_encode",
     "pq_permuted_encode",
@@ -5432,7 +5436,7 @@ DRIVER_ORDER = [
     "attr_map_fetch",
     "maintenance_upsert_delete",
     "index_merge_query",
-    "csv_source_knn",
+    "orc_source_knn",
     "bm25_topk",
     # dedup / similarity
     "segment_dedup",
@@ -5452,7 +5456,7 @@ DRIVER_ORDER = [
     "doc_chunks",
     "build_vocab",
     "length_bucket_batches",
-    "sequence_pack",
+    "corpus_shard_shuffle",
     "quality_stratified_sample",
     "dsir_select",
     # multimodal
@@ -5466,6 +5470,7 @@ DRIVER_ORDER = [
     "events_asof_join",
     "events_value_bands",
     "kmv_distinct_users",
+    "bloom_decontam_prefilter",
     # streaming
     "stream_windowed_agg",
     "stream_dedup",
