@@ -56,12 +56,16 @@ def kmv_distinct(
         *group_cols, md5_long(c.cast("string")).alias("__h")
     ).distinct()
     if group_cols:
+        # rank-filter <= k compiles to WindowGroupLimit: each task keeps
+        # k hashes per group before the exchange
         w = Window.partitionBy(*group_cols).orderBy("__h")
+        kept = hashes.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= k
+        )
     else:
-        w = Window.partitionBy(F.lit(1)).orderBy("__h")
-    kept = hashes.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k
-    )
+        # global k smallest -> TakeOrderedAndProject (per-partition
+        # heaps + one O(k) merge), never a single-task global window
+        kept = hashes.orderBy("__h").limit(k)
     agg = kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("__h").alias("__hk"),
