@@ -366,6 +366,8 @@ def main() -> None:
         "gopher_quality_filter",
         "dsir_select",
         "source_mix_report",
+        "bloom_decontam_prefilter",
+        "corpus_shard_shuffle",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings
