@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "index_partition_stats"]
+__all__ = ["recall_at_k", "index_partition_stats", "rank_metrics"]
 
 
 def recall_at_k(
@@ -68,4 +68,81 @@ def index_partition_stats(
         F.round(F.col("__p") * F.col("__mx") / F.col("__tot"), 4).alias(
             "imbalance"
         ),
+    )
+
+
+def rank_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval result against a binary
+    relevance set: MRR (reciprocal rank of the first relevant hit in
+    the top-k) and nDCG@k (log2-discounted gain over the ideal).
+
+    Determinism: each rank's discount gain is quantized to an integer
+    (round(1e6 / log2(rank+1))), so DCG and ideal-DCG are
+    order-independent INTEGER sums — same engine-exactness contract as
+    the DSIR scores; the final ndcg is one exact integer division,
+    rounded to 4 decimals.
+
+    Scale: top-k filter bounds the join to O(Q*k) rows; relevance
+    counts are partial aggs; the ideal-DCG explodes <= k rows per query
+    (F.sequence). Everything keys on query_id — no corpus-sized
+    shuffle.
+
+    Returns (query_id, n_rel, n_hits, first_rel_rank, rr, ndcg);
+    first_rel_rank = 0 and rr = ndcg = 0.0 when no relevant doc is
+    retrieved (n_rel = 0 queries score 0 by convention).
+    """
+    gain = lambda r: F.round(1e6 / F.log(2.0, r + 1)).cast("long")
+    topk = ranked.where(F.col(rank_col) <= k).select(
+        query_id_col, id_col, F.col(rank_col).alias("__rk")
+    )
+    tr = truth.select(query_id_col, id_col).distinct()
+    nrel = tr.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = topk.join(tr, [query_id_col, id_col])
+    dcg = hits.groupBy(query_id_col).agg(
+        F.min("__rk").cast("long").alias("__first"),
+        F.sum(gain(F.col("__rk"))).alias("__dcg"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    ideal = (
+        nrel.select(
+            query_id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)))
+            ).alias("__i"),
+        )
+        .groupBy(query_id_col)
+        .agg(F.sum(gain(F.col("__i"))).alias("__idcg"))
+    )
+    return (
+        nrel.join(dcg, query_id_col, "left")
+        .join(ideal, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_rel",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("__first"), F.lit(0)).alias("first_rel_rank"),
+            F.round(
+                F.when(F.col("__first").isNull(), F.lit(0.0)).otherwise(
+                    1.0 / F.col("__first")
+                ),
+                4,
+            ).alias("rr"),
+            F.round(
+                F.when(
+                    F.col("__idcg").isNull() | (F.col("__idcg") == 0),
+                    F.lit(0.0),
+                ).otherwise(
+                    F.coalesce(F.col("__dcg"), F.lit(0)).cast("double")
+                    / F.col("__idcg")
+                ),
+                4,
+            ).alias("ndcg"),
+        )
     )

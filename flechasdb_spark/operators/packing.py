@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.texthash import md5_long
 
-__all__ = ["sequence_pack", "pack_summary", "shard_shuffle"]
+__all__ = ["sequence_pack", "pack_summary", "shard_shuffle", "sequence_pack_fragments"]
 
 
 def sequence_pack(
@@ -149,4 +149,48 @@ def shard_shuffle(
         (rank % n_shards).cast("int").alias("shard"),
         # floor-div via double is exact while M < 2^53
         F.floor(rank / F.lit(float(n_shards))).cast("long").alias("pos"),
+    )
+
+
+def sequence_pack_fragments(
+    packed: DataFrame,
+    ctx_tokens: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Expand ``sequence_pack`` output into per-(doc, pack) FRAGMENTS —
+    the loader-side view a trainer needs to build attention-reset masks
+    and per-window token slices: a document whose token stream straddles
+    pack boundaries contributes one fragment row per covered pack, with
+    the exact token count landing in that window.
+
+    Pure arithmetic on the prefix sum (no second tokenization pass):
+    a doc starting at s with n tokens covers packs floor(s/ctx) ..
+    floor((s+n-1)/ctx); the fragment in pack p holds
+    min(s+n, (p+1)*ctx) - max(s, p*ctx) tokens. Fragment counts per doc
+    sum back to n (invariant-tested). Zero-token docs yield no
+    fragments. Map-only: one F.sequence explode, no shuffle, output
+    rows = docs + boundary crossings.
+
+    Returns (id_col, pack_id, frag_idx, frag_tokens), frag_idx 0-based
+    within the doc.
+    """
+    c = float(ctx_tokens)
+    s, n = F.col("start_offset"), F.col("n_tokens")
+    p0 = F.floor(s / F.lit(c)).cast("long")
+    p1 = F.floor((s + n - 1) / F.lit(c)).cast("long")
+    fr = packed.where(n > 0).select(
+        F.col(id_col),
+        s.alias("__s"),
+        n.alias("__n"),
+        p0.alias("__p0"),
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    frag = F.least(
+        F.col("__s") + F.col("__n"), (F.col("pack_id") + 1) * int(ctx_tokens)
+    ) - F.greatest(F.col("__s"), F.col("pack_id") * int(ctx_tokens))
+    return fr.select(
+        id_col,
+        "pack_id",
+        (F.col("pack_id") - F.col("__p0")).cast("long").alias("frag_idx"),
+        frag.cast("long").alias("frag_tokens"),
     )

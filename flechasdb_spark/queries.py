@@ -2652,6 +2652,118 @@ def q_quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_pack_fragments",
+    f"""
+WITH d AS (SELECT doc_id, len({_DD_TOKS}) AS n FROM documents),
+k AS (SELECT doc_id, n, md5('pack:' || doc_id::VARCHAR) AS h,
+        (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 32) AS b
+      FROM d),
+c AS (SELECT doc_id, n,
+        sum(n) OVER (ORDER BY b, h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM k),
+s AS (SELECT doc_id, n::BIGINT AS n, (cum - n)::BIGINT AS start FROM c WHERE n > 0),
+fr AS (SELECT doc_id, n, start,
+         unnest(generate_series((start // 256)::BIGINT,
+                                ((start + n - 1) // 256)::BIGINT)) AS pack_id
+       FROM s)
+SELECT doc_id, pack_id::BIGINT AS pack_id,
+       (pack_id - (start // 256))::BIGINT AS frag_idx,
+       (least(start + n, (pack_id + 1) * 256)
+        - greatest(start, pack_id * 256))::BIGINT AS frag_tokens
+FROM fr ORDER BY doc_id, pack_id
+""",
+)
+def q_sequence_pack_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, pack) fragments of the 256-token packing — the
+    attention-mask view: boundary-straddling docs contribute one row
+    per covered window with the exact token count landing there, pure
+    arithmetic on the distributed prefix sum (no second tokenization
+    pass). The oracle recomputes the same prefix order and closed-form
+    fragment arithmetic."""
+    from flechasdb_spark.operators.packing import (
+        sequence_pack,
+        sequence_pack_fragments,
+    )
+    from flechasdb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    packed = sequence_pack(docs, ctx_tokens=256)
+    return sequence_pack_fragments(packed, ctx_tokens=256).orderBy(
+        "doc_id", "pack_id"
+    )
+
+
+@query(
+    "retrieval_rank_metrics",
+    f"""
+WITH {_DD_BM25.strip().rstrip(',')},
+topk AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10),
+truth AS (
+  SELECT q.query_id, t.doc_id
+  FROM (SELECT query_id, term FROM q) q
+  JOIN (SELECT doc_id, term, count(*) AS tf FROM toks
+        GROUP BY doc_id, term) t USING (term)
+  WHERE t.tf >= 4
+  GROUP BY q.query_id, t.doc_id
+  HAVING count(DISTINCT t.term) =
+         (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)),
+relhits AS (SELECT k.query_id, k.rank,
+              round(1e6 / (ln(k.rank + 1) / ln(2)))::BIGINT AS gain_q
+            FROM topk k JOIN truth USING (query_id, doc_id)),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY query_id),
+dcg AS (SELECT query_id, min(rank)::BIGINT AS first_rel, sum(gain_q)::BIGINT AS dcg_q,
+               count(*)::BIGINT AS n_hits
+        FROM relhits GROUP BY query_id),
+ideal AS (SELECT n.query_id,
+            sum(round(1e6 / (ln(i + 1) / ln(2)))::BIGINT)::BIGINT AS idcg_q
+          FROM nrel n, unnest(generate_series(1, 10)) AS g(i)
+          WHERE i <= least(n.n_rel, 10) GROUP BY n.query_id)
+SELECT n.query_id, n.n_rel,
+       coalesce(d.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(d.first_rel, 0)::BIGINT AS first_rel_rank,
+       round(CASE WHEN d.first_rel IS NULL THEN 0.0
+             ELSE 1.0 / d.first_rel END, 4) AS rr,
+       round(CASE WHEN i.idcg_q IS NULL OR i.idcg_q = 0 THEN 0.0
+             ELSE coalesce(d.dcg_q, 0)::DOUBLE / i.idcg_q END, 4) AS ndcg
+FROM nrel n LEFT JOIN dcg d USING (query_id) LEFT JOIN ideal i USING (query_id)
+ORDER BY n.query_id
+""",
+)
+def q_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and nDCG@10 of the BM25 rankings against a binary relevance
+    set (docs with tf >= 4 for EVERY query term — sized so one query
+    retrieves nothing and two hit at rank 1 with partial nDCG, i.e.
+    both code paths execute). Discount gains are integer-quantized so
+    the DCG sums are order-independent — same determinism contract as
+    the DSIR scores."""
+    from flechasdb_spark.operators.eval import rank_metrics
+    from flechasdb_spark.operators.retrieval import bm25_topk
+    from flechasdb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, _bm25_queries_df(spark), k=10)
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    q = _bm25_queries_df(spark)
+    qn = q.groupBy("query_id").agg(F.countDistinct("term").alias("__nq"))
+    truth = (
+        tf.where(F.col("tf") >= 4)
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("__nt"))
+        .join(F.broadcast(qn), "query_id")
+        .where(F.col("__nt") == F.col("__nq"))
+        .select("query_id", "doc_id")
+    )
+    return rank_metrics(ranked, truth, k=10).orderBy("query_id")
+
+
+@query(
     "bloom_decontam_prefilter",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),

@@ -102,3 +102,32 @@ def test_shard_shuffle_matches_oracle(spark, sf_dir):
     sdf = REGISTRY["corpus_shard_shuffle"](spark, sf_dir)
     odf = con.execute(ORACLES["corpus_shard_shuffle"]).df()
     assert compare(sdf, odf) == []
+
+
+def test_pack_fragments_invariants(spark):
+    """Fragments reassemble exactly: per-doc token sums match, frag_idx
+    is dense from 0, and every fragment fits its window."""
+    from flechasdb_spark.operators.packing import (
+        sequence_pack,
+        sequence_pack_fragments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 300) for i in range(200)] + [(999, 0)],
+        "doc_id long, n_tokens long",
+    )
+    packed = sequence_pack(docs, ctx_tokens=128)
+    frags = sequence_pack_fragments(packed, ctx_tokens=128).collect()
+    per_doc: dict[int, list] = {}
+    for r in frags:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    n_by_id = {r.doc_id: r.n_tokens for r in docs.collect()}
+    assert 999 not in per_doc                      # zero-token doc drops
+    for did, rows in per_doc.items():
+        rows.sort(key=lambda r: r.pack_id)
+        assert sum(r.frag_tokens for r in rows) == n_by_id[did]
+        assert [r.frag_idx for r in rows] == list(range(len(rows)))
+        assert all(1 <= r.frag_tokens <= 128 for r in rows)
+        # covered packs are contiguous
+        assert rows[-1].pack_id - rows[0].pack_id == len(rows) - 1
+    assert len(per_doc) == 200

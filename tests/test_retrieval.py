@@ -82,3 +82,29 @@ def test_rrf_fusion_arithmetic(spark):
     assert out[11][1] == 1
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_rank_metrics_hand_computed(spark):
+    import math
+
+    from flechasdb_spark.operators.eval import rank_metrics
+
+    ranked = spark.createDataFrame(
+        [(0, d, r) for r, d in enumerate([10, 11, 12, 13], 1)]
+        + [(1, d, r) for r, d in enumerate([20, 21, 22], 1)]
+        + [(2, d, r) for r, d in enumerate([30, 31], 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        # q0: perfect (both rels at top); q1: rel at rank 3 of 1 ideal;
+        # q2: nothing relevant retrieved (rel doc 99 absent)
+        [(0, 10), (0, 11), (1, 22), (2, 99)],
+        "query_id long, doc_id long",
+    )
+    got = {r.query_id: r for r in rank_metrics(ranked, truth, k=3).collect()}
+    assert got[0].rr == 1.0 and got[0].ndcg == 1.0 and got[0].n_hits == 2
+    g = lambda r: round(1e6 / math.log2(r + 1))
+    exp1 = round(g(3) / g(1), 4)
+    assert got[1].first_rel_rank == 3 and abs(got[1].rr - 0.3333) < 1e-9
+    assert abs(got[1].ndcg - exp1) < 1e-9
+    assert got[2].rr == 0.0 and got[2].ndcg == 0.0 and got[2].n_hits == 0
