@@ -94,16 +94,32 @@ def rank_metrics(
     (F.sequence). Everything keys on query_id — no corpus-sized
     shuffle.
 
-    Returns (query_id, n_rel, n_hits, first_rel_rank, rr, ndcg);
-    first_rel_rank = 0 and rr = ndcg = 0.0 when no relevant doc is
-    retrieved (n_rel = 0 queries score 0 by convention).
+    Returns (query_id, n_rel, n_hits, first_rel_rank, rr, ndcg) — one
+    row per query id appearing in EITHER the ranked top-k or the truth
+    set (r4 ADVICE: the former truth-keyed output silently dropped
+    queries ranked with zero relevant docs, so a downstream mean
+    excluded them); first_rel_rank = 0 and rr = ndcg = 0.0 when no
+    relevant doc is retrieved (n_rel = 0 queries score 0 by
+    convention, and now actually appear as rows).
     """
     gain = lambda r: F.round(1e6 / F.log(2.0, r + 1)).cast("long")
     topk = ranked.where(F.col(rank_col) <= k).select(
         query_id_col, id_col, F.col(rank_col).alias("__rk")
     )
     tr = truth.select(query_id_col, id_col).distinct()
-    nrel = tr.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    qids = (
+        topk.select(query_id_col)
+        .union(tr.select(query_id_col))
+        .distinct()
+    )
+    nrel = qids.join(
+        tr.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_rel")),
+        query_id_col,
+        "left",
+    ).select(
+        query_id_col,
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+    )
     hits = topk.join(tr, [query_id_col, id_col])
     dcg = hits.groupBy(query_id_col).agg(
         F.min("__rk").cast("long").alias("__first"),
@@ -111,7 +127,11 @@ def rank_metrics(
         F.count(F.lit(1)).alias("n_hits"),
     )
     ideal = (
-        nrel.select(
+        # n_rel = 0 must not reach the explode: F.sequence(1, 0) yields
+        # a DESCENDING [1, 0] in Spark, and rank 0's discount divides
+        # by log2(1) = 0. Such queries keep __idcg null -> ndcg 0.
+        nrel.where(F.col("n_rel") >= 1)
+        .select(
             query_id_col,
             F.explode(
                 F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)))

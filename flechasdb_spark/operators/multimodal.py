@@ -3,14 +3,18 @@
 / resize as Arrow-batched ``mapInPandas`` stages, and frame sampling as
 pure Catalyst expressions.
 
-Extension surface (no reference counterpart). The real decoders
-(image/audio/video libraries) are NOT available in this environment, so
-``decode_image(..., fake=False)`` raises ``NotImplementedError`` at the
-clearly-marked integration point; the default is a deterministic fake
-decode derived from the payload's md5 digest, which keeps the entire
-Spark-side contract real and testable: binary schema, Arrow batch
-transfer, ``mapInPandas`` iterator signature, output struct schema, and
-the DuckDB oracle (md5 arithmetic is cross-engine).
+Extension surface (no reference counterpart). ``decode_image(...,
+fake=False)`` REALLY decodes the uncompressed formats that need no
+external library — 24-bit BMP and binary PPM (P6), pure-NumPy header
+parse + ``np.frombuffer`` pixel view (``_decode_bmp`` / ``_decode_ppm``)
+— and extracts deterministic pixel-statistic features; compressed
+formats (PNG/JPEG/...) raise ``NotImplementedError`` at the
+clearly-marked codec integration point (no image codecs in this
+environment). The default ``fake=True`` keeps the md5-derived
+deterministic stand-in for the text-derived synthetic corpus, whose
+payloads are not images, with a DuckDB-reproducible oracle; both paths
+share the identical Spark contract: binary schema, Arrow batch
+transfer, ``mapInPandas`` iterator signature, output struct schema.
 
 Scale design (100 TB of media):
 - payloads stay opaque bytes end to end — no driver collect, no
@@ -72,6 +76,118 @@ def payload_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes):
+    """Pure-NumPy decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB) -> (H, W, 3) uint8 RGB array. Rows are
+    4-byte padded; positive biHeight means bottom-up row order,
+    negative top-down. Compressed / non-24bpp BMPs raise
+    NotImplementedError (the only remaining integration point — no
+    compression codecs in this environment)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} unsupported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dims {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"BMP truncated: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes):
+    """Pure-NumPy decode of a binary PPM (P6, maxval <= 255) ->
+    (H, W, 3) uint8 RGB array. Header tokens may be separated by any
+    whitespace and '#' comments per the netpbm spec; 16-bit maxval
+    raises NotImplementedError."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i] not in (10, 13):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < 3:
+        raise ValueError("PPM header truncated")
+    width, height, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise NotImplementedError(f"16-bit PPM (maxval={maxval}) unsupported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dims {width}x{height}")
+    i += 1  # exactly one whitespace byte after maxval
+    need = i + width * height * 3
+    if len(payload) < need:
+        raise ValueError(f"PPM truncated: {len(payload)} < {need} bytes")
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=i
+    ).reshape(height, width, 3)
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode for the uncompressed formats parsable without
+    external libraries (BMP / PPM), dispatched on the magic bytes, plus
+    FEATURE_DIM deterministic pixel-statistic features in [0, 1]:
+    per-channel means and stds, mean luma (BT.601), and the fraction of
+    pixels brighter than the mean luma. Compressed formats (PNG/JPEG/
+    GIF/WebP) raise NotImplementedError — codecs are not available in
+    this environment."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        px = _decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        px = _decode_ppm(payload)
+    else:
+        magic = bytes(payload[:4])
+        raise NotImplementedError(
+            f"no decoder for payload magic {magic!r}: only uncompressed "
+            "BMP (24-bit BI_RGB) and binary PPM (P6) decode without "
+            "image codecs; wire PIL/cv2 here for compressed formats"
+        )
+    h, w = px.shape[0], px.shape[1]
+    x = px.reshape(-1, 3).astype(np.float64) / 255.0
+    luma = x @ np.array([0.299, 0.587, 0.114])
+    feats = [
+        *x.mean(axis=0),
+        *x.std(axis=0),
+        float(luma.mean()),
+        float((luma > luma.mean()).mean()),
+    ]
+    return w, h, [round(float(f), 4) for f in feats]
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image decoder: dimensions and a
     FEATURE_DIM-dim feature vector derived from the md5 digest."""
@@ -96,15 +212,17 @@ def decode_image(
     (Arrow batches of bytes in, small feature rows out; payload column
     is dropped on output).
 
-    ``fake=False`` is the real-decoder integration point — wire PIL /
-    torchvision / ffmpeg there; unavailable in this environment.
+    ``fake=False`` decodes REAL images with the pure-NumPy decoders:
+    uncompressed 24-bit BMP and binary PPM (P6), dispatched on magic
+    bytes (``_real_decode``); compressed formats raise
+    NotImplementedError per payload — wire PIL / torchvision / ffmpeg
+    into ``_real_decode`` when codecs are available. ``fake=True``
+    (default for the text-derived synthetic corpus, whose payloads are
+    not images) keeps the deterministic md5-derived stand-in with a
+    DuckDB-reproducible oracle. Both paths share the identical Spark
+    contract: schema, Arrow batching, output shape.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding requires an image library (PIL/cv2) "
-            "not present in this environment; use fake=True for the "
-            "deterministic md5-derived stand-in"
-        )
+    decode_one = _fake_decode if fake else _real_decode
 
     schema = (
         f"{id_col} long, width int, height int, features array<float>"
@@ -112,7 +230,7 @@ def decode_image(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode_one(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

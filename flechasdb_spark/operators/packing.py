@@ -77,13 +77,20 @@ def sequence_pack(
         df.sparkSession.createDataFrame(offsets, "__b long, __off long")
     )
     start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
-    # floor-div via double is exact while total tokens < 2^53 — far past
-    # 100 TB of text; avoids a detour through F.expr for integer DIV
-    return rows.join(off_df, "__b").select(
-        id_col,
-        "n_tokens",
-        start.alias("start_offset"),
-        F.floor(start / F.lit(float(ctx_tokens))).cast("long").alias("pack_id"),
+    # integral SQL `div` on longs — exact at ANY magnitude (ADVICE r4:
+    # the former floor(x / double) could exceed the true floor once
+    # ulp(x/d)/2 >= 1/d, i.e. past ~2^52 total tokens)
+    return (
+        rows.join(off_df, "__b")
+        .select(id_col, "n_tokens", start.alias("start_offset"))
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset div {int(ctx_tokens)}")
+            .cast("long")
+            .alias("pack_id"),
+        )
     )
 
 
@@ -144,11 +151,15 @@ def shard_shuffle(
     )
     w = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     rank = F.col("__off") + F.row_number().over(w) - 1
-    return rows.join(off_df, "__b").select(
-        id_col,
-        (rank % n_shards).cast("int").alias("shard"),
-        # floor-div via double is exact while M < 2^53
-        F.floor(rank / F.lit(float(n_shards))).cast("long").alias("pos"),
+    # integral `div` on longs — exact at any corpus size (ADVICE r4)
+    return (
+        rows.join(off_df, "__b")
+        .select(id_col, rank.alias("__rank"))
+        .select(
+            id_col,
+            (F.col("__rank") % n_shards).cast("int").alias("shard"),
+            F.expr(f"__rank div {int(n_shards)}").cast("long").alias("pos"),
+        )
     )
 
 
@@ -174,10 +185,11 @@ def sequence_pack_fragments(
     Returns (id_col, pack_id, frag_idx, frag_tokens), frag_idx 0-based
     within the doc.
     """
-    c = float(ctx_tokens)
+    L = int(ctx_tokens)
     s, n = F.col("start_offset"), F.col("n_tokens")
-    p0 = F.floor(s / F.lit(c)).cast("long")
-    p1 = F.floor((s + n - 1) / F.lit(c)).cast("long")
+    # integral `div` on longs — exact at any offset (ADVICE r4)
+    p0 = F.expr(f"start_offset div {L}").cast("long")
+    p1 = F.expr(f"(start_offset + n_tokens - 1) div {L}").cast("long")
     fr = packed.where(n > 0).select(
         F.col(id_col),
         s.alias("__s"),

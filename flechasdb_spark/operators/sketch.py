@@ -306,45 +306,80 @@ def bloom_maybe_contains(
     k: int = 4,
     salt: str = "bl",
     out_col: str = "maybe",
+    impl: str = "map",
 ) -> DataFrame:
     """Probe each row's ``value_col`` against a ``bloom_build`` filter:
     ``out_col`` is true iff ALL k probed bits are set (possible member
     — FP rate per the build sizing), false = definitely absent.
 
-    ``n_words``/``k``/``salt`` must match the build call. The filter
-    (<= n_words rows) broadcasts; each input row probes via k
-    broadcast-join lookups + a count — no shuffle of ``df`` itself
-    beyond the per-row regroup, and when the probe is used as a
-    prefilter the regroup replaces a full join against the reference
-    SET (O(n) rows shipped vs O(n_words)).
+    ``n_words``/``k``/``salt`` must match the build call.
 
-    Rows of ``df`` must be distinct (the probe regroups on all of
-    df's columns); probe de-duplicated keys, as a prefilter should.
+    ``impl="map"`` (default, the product path): the filter is <=
+    ``n_words`` 63-bit longs (2048 words = 16 KiB), so it is collected
+    to the driver ONCE (running the build plan eagerly) and embedded as
+    a literal array; every probe is then k ``element_at`` + shift
+    expressions — a pure whole-stage-codegen map pass with NO explode,
+    NO join, and NO shuffle of ``df`` at any width (ADVICE r4: the
+    former relational probe regrouped the probe side on all of df's
+    columns, a full exchange that undercut the prefilter framing).
+    Row multiplicity is preserved exactly.
 
-    Returns df's columns plus ``out_col`` boolean.
+    ``impl="relational"``: the original explode + broadcast-join +
+    regroup form, kept for plan-comparison tests and for probing with
+    a bloom too large to collect. It requires the rows of ``df`` to be
+    distinct (the regroup collapses duplicates) and ``df`` must not
+    already carry the internal names it uses (guarded).
+
+    Returns df's columns plus ``out_col`` boolean (map mode appends;
+    relational mode regroups to df's distinct rows).
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     m = 63 * int(n_words)
-    cols = df.columns
-    pos = df.select(
-        "*",
-        F.explode(
-            F.array(*[
-                (
-                    md5_long(
-                        F.concat(
-                            F.lit(salt), F.lit(":"), F.lit(str(j)),
-                            F.lit(":"), c.cast("string"),
-                        )
-                    )
-                    % m
+    probes = [
+        md5_long(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.lit(str(j)),
+                F.lit(":"), c.cast("string"),
+            )
+        )
+        % m
+        for j in range(int(k))
+    ]
+    if impl == "map":
+        words = [0] * int(n_words)
+        for r in bloom.select("word_idx", "word").collect():
+            i = int(r["word_idx"])
+            if not 0 <= i < int(n_words):
+                raise ValueError(
+                    f"bloom word_idx {i} outside [0, {n_words}) — "
+                    "n_words must match the bloom_build call"
                 )
-                for j in range(int(k))
-            ])
-        ).alias("__p"),
-    )
+            words[i] = int(r["word"])
+        arr = F.lit(words)  # one ArrayType literal, not n_words children
+        hit = None
+        for p in probes:
+            word = F.element_at(arr, (p / 63).cast("int") + 1)
+            bit = (
+                F.call_function(
+                    "shiftright", word, (p % 63).cast("int")
+                ).bitwiseAND(F.lit(1))
+                == 1
+            )
+            hit = bit if hit is None else (hit & bit)
+        return df.select("*", hit.alias(out_col))
+    if impl != "relational":
+        raise ValueError(f"impl {impl!r} must be 'map' or 'relational'")
+    reserved = {"__p", "__hit", "word_idx", "word"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"relational bloom probe reserves column names {sorted(clash)};"
+            " rename them or use impl='map'"
+        )
+    cols = df.columns
+    pos = df.select("*", F.explode(F.array(*probes)).alias("__p"))
     probed = pos.join(
-        F.broadcast(bloom),
+        F.broadcast(bloom.select("word_idx", "word")),
         (F.col("__p") / 63).cast("long") == F.col("word_idx"),
         "left",
     ).withColumn(

@@ -2713,7 +2713,11 @@ truth AS (
 relhits AS (SELECT k.query_id, k.rank,
               round(1e6 / (ln(k.rank + 1) / ln(2)))::BIGINT AS gain_q
             FROM topk k JOIN truth USING (query_id, doc_id)),
-nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY query_id),
+qids AS (SELECT DISTINCT query_id FROM topk
+         UNION SELECT DISTINCT query_id FROM truth),
+nrel0 AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY query_id),
+nrel AS (SELECT q.query_id, coalesce(n.n_rel, 0)::BIGINT AS n_rel
+         FROM qids q LEFT JOIN nrel0 n USING (query_id)),
 dcg AS (SELECT query_id, min(rank)::BIGINT AS first_rel, sum(gain_q)::BIGINT AS dcg_q,
                count(*)::BIGINT AS n_hits
         FROM relhits GROUP BY query_id),

@@ -363,6 +363,82 @@ def test_bloom_one_sided_error(spark):
     assert fp < 0.05, f"fp rate {fp} way above sizing (~0.24% at 500/16k)"
 
 
+def test_bloom_map_probe_is_shuffle_free_and_matches_relational(spark):
+    """The product probe (impl='map', literal word array) must produce
+    the same booleans as the relational explode+join+regroup form, add
+    no Exchange to the probe plan (the r4 ADVICE hazard: the regroup
+    exchanged the full probe side), and preserve duplicate rows that
+    the relational regroup would collapse."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    ref = spark.createDataFrame([(f"m{i}",) for i in range(300)], "v string")
+    bloom = bloom_build(ref, "v", n_words=128, k=4)
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(300)] + [(f"x{i}",) for i in range(300)],
+        "v string",
+    )
+    got_map = {
+        r.v: r.maybe
+        for r in bloom_maybe_contains(
+            probe, bloom, "v", n_words=128, k=4, impl="map"
+        ).collect()
+    }
+    got_rel = {
+        r.v: r.maybe
+        for r in bloom_maybe_contains(
+            probe, bloom, "v", n_words=128, k=4, impl="relational"
+        ).collect()
+    }
+    assert got_map == got_rel
+    # wide-row probe: no Exchange regardless of column count
+    wide = probe.select(
+        "v", *[F.lit(f"pad{i}").alias(f"w{i}") for i in range(12)]
+    )
+    plan = (
+        bloom_maybe_contains(wide, bloom, "v", n_words=128, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "map probe must not shuffle the probe side"
+    # duplicates pass through 1:1 (the relational form collapses them)
+    dup = spark.createDataFrame([("m0",), ("m0",), ("zz",)], "v string")
+    rows = bloom_maybe_contains(dup, bloom, "v", n_words=128, k=4).collect()
+    assert sorted((r.v, r.maybe) for r in rows)[:2] == [
+        ("m0", True),
+        ("m0", True),
+    ]
+
+
+def test_bloom_relational_probe_guards_reserved_names(spark):
+    import pytest
+
+    from flechasdb_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    ref = spark.createDataFrame([("a",)], "v string")
+    bloom = bloom_build(ref, "v", n_words=8, k=2)
+    clash = spark.createDataFrame([("a", 1)], "v string, word long")
+    with pytest.raises(ValueError, match="reserves column names"):
+        bloom_maybe_contains(
+            clash, bloom, "v", n_words=8, k=2, impl="relational"
+        )
+    with pytest.raises(ValueError, match="must be 'map' or 'relational'"):
+        bloom_maybe_contains(clash, bloom, "v", impl="nope")
+    # mismatched n_words is a clear error, not an index crash
+    many = spark.createDataFrame([(f"v{i}",) for i in range(64)], "v string")
+    wide_bloom = bloom_build(many, "v", n_words=8, k=4)  # fills all 8 words
+    with pytest.raises(ValueError, match="n_words"):
+        bloom_maybe_contains(many, wide_bloom, "v", n_words=4, k=4)
+
+
 def test_bloom_words_stay_positive(spark):
     """63-bit packing: no word ever uses the sign bit (portability
     contract with the BIGINT oracle)."""

@@ -42,9 +42,137 @@ def test_decode_image_shape_and_determinism(media):
     assert ((d1["height"] >= 32) & (d1["height"] < 256)).all()
 
 
-def test_real_decoder_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media, fake=False)
+def _bmp_bytes(px, top_down: bool = False) -> bytes:
+    """Craft an uncompressed 24-bit BMP from an (H, W, 3) uint8 RGB
+    array — BITMAPINFOHEADER, BGR pixel order, 4-byte row padding,
+    bottom-up rows unless top_down."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = px[:, :, ::-1]  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = b"".join(
+        r.tobytes() + b"\x00" * (stride - w * 3) for r in rows
+    )
+    hdr = (
+        b"BM"
+        + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+    )
+    bih = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + bih + body
+
+
+def _ppm_bytes(px, comment: bool = False) -> bytes:
+    h, w = px.shape[:2]
+    head = b"P6\n"
+    if comment:
+        head += b"# crafted fixture\n"
+    head += f"{w} {h}\n255\n".encode()
+    return head + px.tobytes()
+
+
+def _rand_px(h, w, seed=7):
+    import numpy as np
+
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def test_bmp_decode_roundtrip_with_padding():
+    """w=5 forces a 1-byte row pad; bottom-up and top-down orders both
+    recover the exact pixel array."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _decode_bmp
+
+    px = _rand_px(3, 5)
+    assert np.array_equal(_decode_bmp(_bmp_bytes(px)), px)
+    assert np.array_equal(_decode_bmp(_bmp_bytes(px, top_down=True)), px)
+
+
+def test_ppm_decode_roundtrip_with_comment():
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _decode_ppm
+
+    px = _rand_px(4, 7, seed=11)
+    assert np.array_equal(_decode_ppm(_ppm_bytes(px)), px)
+    assert np.array_equal(_decode_ppm(_ppm_bytes(px, comment=True)), px)
+
+
+def test_real_decode_known_pixel_stats():
+    """A uniform-color image decodes to exact per-channel means, zero
+    stds, and the documented luma stats."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _real_decode
+
+    px = np.zeros((6, 4, 3), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 51, 102, 204  # /255: .2 .4 .8
+    for payload in (_bmp_bytes(px), _ppm_bytes(px)):
+        w, h, feats = _real_decode(payload)
+        assert (w, h) == (4, 6)
+        assert feats[:3] == [0.2, 0.4, 0.8]
+        assert feats[3:6] == [0.0, 0.0, 0.0]
+        luma = round(0.299 * 0.2 + 0.587 * 0.4 + 0.114 * 0.8, 4)
+        assert feats[6] == luma
+        # uniform image: the brighter-than-mean fraction is 0 or 1
+        # depending on which side FP summation rounds the mean
+        assert feats[7] in (0.0, 1.0)
+
+
+def test_real_decode_spark_end_to_end(spark):
+    """fake=False through the full mapInPandas path: mixed BMP + PPM
+    payloads in one binary column decode to per-image dims and stats
+    matching NumPy."""
+    import numpy as np
+
+    a, b = _rand_px(3, 5, seed=1), _rand_px(8, 2, seed=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp_bytes(a))), (2, bytearray(_ppm_bytes(b)))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: r
+        for r in decode_image(df, fake=False).collect()
+    }
+    assert (got[1].width, got[1].height) == (5, 3)
+    assert (got[2].width, got[2].height) == (2, 8)
+    for did, px in ((1, a), (2, b)):
+        x = px.reshape(-1, 3).astype(np.float64) / 255.0
+        exp = [round(float(v), 4) for v in x.mean(axis=0)]
+        assert [round(float(v), 4) for v in got[did].features[:3]] == exp
+
+
+def test_real_decode_compressed_formats_still_raise():
+    """PNG magic and 16-bit PPM hit the codec integration point."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import (
+        _decode_ppm,
+        _real_decode,
+    )
+
+    with pytest.raises(NotImplementedError, match="magic"):
+        _real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    px = _rand_px(2, 2)
+    deep = b"P6\n2 2\n65535\n" + px.tobytes() * 2
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _decode_ppm(deep)
+    with pytest.raises(ValueError, match="truncated"):
+        _real_decode(_bmp_bytes(px)[:-4])
 
 
 def test_resize_meta(media):

@@ -131,3 +131,37 @@ def test_pack_fragments_invariants(spark):
         # covered packs are contiguous
         assert rows[-1].pack_id - rows[0].pack_id == len(rows) - 1
     assert len(per_doc) == 200
+
+
+def test_pack_ids_exact_past_double_precision(spark):
+    """pack_id / shard pos use integral `div`, not floor(x / double)
+    (r4 ADVICE: the double path can exceed the true floor past ~2^52).
+    Token counts near 2^60 must still yield pack_id == start_offset
+    // ctx exactly."""
+    from flechasdb_spark.operators.packing import (
+        sequence_pack,
+        sequence_pack_fragments,
+    )
+
+    huge = 1 << 59
+    docs = spark.createDataFrame(
+        [(i, huge + (i * 13) % 97) for i in range(8)],
+        "doc_id long, n_tokens long",
+    )
+    rows = sequence_pack(docs, ctx_tokens=7).collect()
+    for r in rows:
+        assert r.pack_id == r.start_offset // 7, (
+            r.doc_id,
+            r.start_offset,
+            r.pack_id,
+        )
+    # fragment window arithmetic at the same magnitude — one doc (an
+    # explode would be 2^56 rows; p0/p1 exactness is what's under test)
+    one = spark.createDataFrame(
+        [(0, huge + 3, huge + 1, 0)],
+        "doc_id long, n_tokens long, start_offset long, pack_id long",
+    )
+    fr = sequence_pack_fragments(one, ctx_tokens=huge).collect()
+    assert [(r.pack_id, r.frag_idx, r.frag_tokens) for r in sorted(
+        fr, key=lambda r: r.pack_id
+    )] == [(1, 0, huge - 1), (2, 1, 4)]

