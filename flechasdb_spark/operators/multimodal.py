@@ -39,9 +39,11 @@ __all__ = [
     "attach_payload",
     "payload_stats",
     "decode_image",
+    "decode_audio",
     "resize_meta",
     "sample_frames",
     "FEATURE_DIM",
+    "AUDIO_FEATURE_DIM",
 ]
 
 FEATURE_DIM = 8
@@ -237,6 +239,142 @@ def decode_image(
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema)
+
+
+AUDIO_FEATURE_DIM = 8
+
+
+def _decode_wav(payload: bytes):
+    """Pure-NumPy decode of a RIFF/WAVE PCM payload -> (sample_rate,
+    n_channels, mono float64 samples in [-1, 1]). Walks the chunk list
+    (chunks are word-aligned; unknown chunks are skipped) to find
+    ``fmt `` and ``data``; 16-bit PCM (format tag 1) and 8-bit unsigned
+    PCM are supported — compressed/float formats raise
+    NotImplementedError (the codec integration point)."""
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV supported (format={tag}, bits={bits});"
+            " wire an audio codec here for compressed formats"
+        )
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV header (channels={n_ch}, rate={rate})")
+    if bits == 16:
+        raw = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float64) / 32768.0
+    else:
+        raw = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    frames = raw[: len(raw) - len(raw) % n_ch].reshape(-1, n_ch)
+    return rate, n_ch, frames.mean(axis=1)
+
+
+def _real_audio_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """WAV decode + AUDIO_FEATURE_DIM deterministic signal statistics:
+    rms, peak, mean |x|, dc offset (all in [-1, 1] space), zero-crossing
+    rate, fraction of near-clipped samples (|x| > 0.99), duration in
+    seconds, and crest factor scaled by 1/10 (peak/rms, 0 for silence).
+    Returns (sample_rate, n_channels, n_samples, features)."""
+    import numpy as np
+
+    rate, n_ch, x = _decode_wav(payload)
+    m = x.shape[0]
+    if m == 0:
+        return rate, n_ch, 0, [0.0] * AUDIO_FEATURE_DIM
+    rms = float(np.sqrt((x**2).mean()))
+    peak = float(np.abs(x).max())
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if m > 1 else 0.0
+    feats = [
+        rms,
+        peak,
+        float(np.abs(x).mean()),
+        float(x.mean()),
+        zcr,
+        float((np.abs(x) > 0.99).mean()),
+        m / rate,
+        (peak / rms / 10.0) if rms > 0 else 0.0,
+    ]
+    return rate, n_ch, m, [round(f, 4) for f in feats]
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic md5-derived stand-in for audio metadata/features —
+    same contract as ``_fake_decode`` for images, DuckDB-reproducible
+    (hex-slice arithmetic only)."""
+    h = hashlib.md5(payload).hexdigest()
+    rate = 8000 + (int(h[0:4], 16) % 9) * 4000
+    n_ch = 1 + int(h[4:6], 16) % 2
+    n_samples = 1 + int(h[6:10], 16)
+    feats = [
+        round(int(h[2 * j : 2 * j + 2], 16) / 255.0, 4)
+        for j in range(AUDIO_FEATURE_DIM)
+    ]
+    return rate, n_ch, n_samples, feats
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Audio decode + feature extraction over binary payloads via
+    ``mapInPandas`` — the audio leg of the multimodal plumbing, same
+    scale shape as ``decode_image``: payloads move as Arrow binary
+    batches, the stage is map-only, and the (small) feature rows drop
+    the payload immediately.
+
+    ``fake=False`` really decodes RIFF/WAVE PCM (8/16-bit) with the
+    pure-NumPy parser; compressed audio raises NotImplementedError per
+    payload. ``fake=True`` (default for the text-derived synthetic
+    corpus) is the md5-derived deterministic stand-in with a DuckDB
+    oracle.
+
+    Returns (id_col, sample_rate int, n_channels int, n_samples long,
+    features array<float>).
+    """
+    decode_one = _fake_audio_decode if fake else _real_audio_decode
+    schema = (
+        f"{id_col} long, sample_rate int, n_channels int, "
+        "n_samples long, features array<float>"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_one(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "features": [d[3] for d in decoded],
                 }
             )
 

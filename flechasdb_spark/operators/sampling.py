@@ -19,6 +19,7 @@ from flechasdb_spark.functions.texthash import md5_long
 
 __all__ = [
     "hash_split",
+    "leakage_safe_split",
     "hash_sample",
     "temperature_sample",
     "token_budget_select",
@@ -63,6 +64,63 @@ def hash_split(
         col = F.when(cond, name) if col is None else col.when(cond, name)
         acc = hi
     return df.withColumn("split", col)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test split: every near-duplicate CLUSTER
+    is assigned to a split as a unit, so no near-dup pair can straddle
+    the train/eval boundary — the structural fix for the leakage a
+    plain per-document hash split permits (a crawl copy of an eval doc
+    landing in train evades n-gram decontamination only by luck; here
+    it is impossible by construction).
+
+    ``pairs`` is any near-dup edge list (``ngram_jaccard_pairs``,
+    ``minhash_lsh_pairs`` + verify, ``embedding_neardup_pairs``...);
+    clusters are its transitive closure (``connected_components``), a
+    document's representative is the min id in its cluster (singletons:
+    its own id), and the split hashes the REPRESENTATIVE with the same
+    bucket arithmetic as ``hash_split`` — deterministic across engines
+    and cluster sizes.
+
+    Scale (100 TB): components iterate O(diameter) rounds over the
+    (tiny relative to the corpus) duplicate GRAPH only; attaching the
+    labels back is one left equi-join (duplicate clusters are typically
+    <1% of docs, so AQE broadcasts it), and the split itself is a
+    map-only projection. Split-fraction skew is bounded: a cluster
+    moves as one unit, so realized fractions drift from the targets by
+    at most the cluster-mass distribution tail.
+
+    Returns (id_col, rep, split); split is NULL past the last range,
+    as in ``hash_split``.
+    """
+    from flechasdb_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        df.select(id_col)
+        .join(
+            comps.select(
+                F.col("node").alias(id_col), F.col("component")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("rep"),
+        )
+    )
+    return hash_split(labeled, splits, id_col="rep", salt=salt).select(
+        id_col, "rep", "split"
+    )
 
 
 def hash_sample(

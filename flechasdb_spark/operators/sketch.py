@@ -315,14 +315,22 @@ def bloom_maybe_contains(
     ``n_words``/``k``/``salt`` must match the build call.
 
     ``impl="map"`` (default, the product path): the filter is <=
-    ``n_words`` 63-bit longs (2048 words = 16 KiB), so it is collected
-    to the driver ONCE (running the build plan eagerly) and embedded as
-    a literal array; every probe is then k ``element_at`` + shift
-    expressions — a pure whole-stage-codegen map pass with NO explode,
-    NO join, and NO shuffle of ``df`` at any width (ADVICE r4: the
-    former relational probe regrouped the probe side on all of df's
-    columns, a full exchange that undercut the prefilter framing).
-    Row multiplicity is preserved exactly.
+    ``n_words`` 63-bit longs (2048 words = 16 KiB), so the sparse
+    (word_idx, word) rows are collapsed LAZILY — inside the same job —
+    into a one-row dense ``array<bigint>`` (map_from_entries + a
+    transform over sequence(0, n_words-1)) that broadcast-attaches to
+    every probe row; each probe is then k ``element_at`` + shift
+    expressions against real ArrayData. The only exchange is the
+    one-row BroadcastExchange: NO explode, NO equi-join, NO shuffle of
+    ``df`` at any width (ADVICE r4: the former relational probe
+    regrouped the probe side on all of df's columns, a full exchange
+    that undercut the prefilter framing), and no eager driver collect
+    (measured: serializing the build job ahead of the probe job cost
+    more wall-clock than the whole relational form; an eager literal
+    array additionally decayed to a 2048-child per-row CreateArray).
+    Row multiplicity is preserved exactly. A build/probe ``n_words``
+    mismatch raises at evaluation time via a per-row broadcast-constant
+    check.
 
     ``impl="relational"``: the original explode + broadcast-join +
     regroup form, kept for plan-comparison tests and for probing with
@@ -346,27 +354,77 @@ def bloom_maybe_contains(
         for j in range(int(k))
     ]
     if impl == "map":
-        words = [0] * int(n_words)
-        for r in bloom.select("word_idx", "word").collect():
-            i = int(r["word_idx"])
-            if not 0 <= i < int(n_words):
-                raise ValueError(
-                    f"bloom word_idx {i} outside [0, {n_words}) — "
-                    "n_words must match the bloom_build call"
+        wcol, xcol = "__bloom_words", "__bloom_max_idx"
+        clash = {wcol, xcol} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"map bloom probe reserves column names {sorted(clash)}"
+            )
+        dense = (
+            bloom.groupBy()
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            F.col("word_idx").cast("int").alias("k"),
+                            F.col("word").alias("v"),
+                        )
+                    )
+                ).alias("__m"),
+                F.max("word_idx").alias(xcol),
+            )
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(n_words) - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("__m"), i), F.lit(0)
+                    ),
+                ).alias(wcol),
+                # the n_words-mismatch guard evaluates ONCE here, on
+                # the single dense row at broadcast-build time (a
+                # per-probe-row raise_error blocked codegen — measured
+                # +0.5 s); the row path only reads the 0 back
+                F.when(
+                    F.coalesce(F.col(xcol), F.lit(-1)) >= int(n_words),
+                    F.raise_error(
+                        F.lit(
+                            "bloom word_idx exceeds probe n_words "
+                            f"{int(n_words)} — n_words must match "
+                            "the bloom_build call"
+                        )
+                    ).cast("int"),
                 )
-            words[i] = int(r["word"])
-        arr = F.lit(words)  # one ArrayType literal, not n_words children
-        hit = None
-        for p in probes:
-            word = F.element_at(arr, (p / 63).cast("int") + 1)
-            bit = (
+                .otherwise(0)
+                .alias(xcol),
+            )
+        )
+        # positions as a bound-variable array (each md5 evaluated ONCE;
+        # inlining p into idx AND bit doubled the hashing) and the k-way
+        # AND as forall over it
+        parr = F.transform(
+            F.sequence(F.lit(0), F.lit(int(k) - 1)),
+            lambda j: md5_long(
+                F.concat(
+                    F.lit(salt), F.lit(":"), j.cast("string"),
+                    F.lit(":"), c.cast("string"),
+                )
+            )
+            % m,
+        )
+        hit = F.forall(
+            parr,
+            lambda p: (
                 F.call_function(
-                    "shiftright", word, (p % 63).cast("int")
+                    "shiftright",
+                    F.element_at(F.col(wcol), (p / 63).cast("int") + 1),
+                    (p % 63).cast("int"),
                 ).bitwiseAND(F.lit(1))
                 == 1
-            )
-            hit = bit if hit is None else (hit & bit)
-        return df.select("*", hit.alias(out_col))
+            ),
+        )
+        return df.crossJoin(F.broadcast(dense)).select(
+            *df.columns, (hit & (F.col(xcol) == 0)).alias(out_col)
+        )
     if impl != "relational":
         raise ValueError(f"impl {impl!r} must be 'map' or 'relational'")
     reserved = {"__p", "__hit", "word_idx", "word"}

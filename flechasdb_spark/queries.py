@@ -2573,6 +2573,58 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "leakage_safe_split",
+    f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node),
+comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT doc.doc_id, coalesce(c.component, doc.doc_id)::BIGINT AS rep
+  FROM documents doc LEFT JOIN comps c ON doc.doc_id = c.node),
+bkt AS (SELECT doc_id, rep,
+          (('0x' || substr(md5('split:' || rep::VARCHAR), 1, 15))::BIGINT
+            % 10000) AS b
+        FROM labeled)
+SELECT doc_id, rep,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            WHEN b < 10000 THEN 'test'
+       END AS split
+FROM bkt ORDER BY doc_id
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split: near-dup clusters (3-gram Jaccard >= 0.5,
+    transitive closure) are hashed by their min-id representative, so
+    no near-duplicate pair straddles train/eval — the structural
+    decontamination a per-doc hash split cannot give. Oracle recomputes
+    the closure with a recursive CTE and the identical md5 bucket
+    arithmetic on the representative."""
+    from flechasdb_spark.operators.dedup import ngram_jaccard_pairs
+    from flechasdb_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).orderBy("doc_id")
+
+
+@query(
     "doc_hash_sample",
     f"""
 SELECT doc_id FROM documents
@@ -2824,7 +2876,13 @@ def q_bloom_decontam_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = sh.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
     ex = sh.where(F.col("doc_id") % 2 == 1).distinct()
     bloom = bloom_build(ref, "shingle")
-    probed = bloom_maybe_contains(ex, bloom, "shingle")
+    # impl choice: this probe side is narrow distinct key rows that the
+    # query regroups per doc right after anyway, so the fully-pipelined
+    # relational probe wins here (A/B at sf0.01/sf0.1: ~1.1 vs ~1.7 s
+    # and 2.4 vs 2.9 s warm); the shuffle-free default impl='map' is
+    # for wide or multiplicity-preserving prefilters where regrouping
+    # the probe side is the scale hazard (equivalence pytest-gated)
+    probed = bloom_maybe_contains(ex, bloom, "shingle", impl="relational")
     exact = ex.join(
         ref.withColumn("__hit", F.lit(1)), "shingle", "left"
     ).select("doc_id", "shingle", F.coalesce("__hit", F.lit(0)).alias("__e"))
@@ -3529,6 +3587,51 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "width",
         "height",
+        F.col("j").cast("long").alias("j"),
+        F.round(F.col("feature").cast("double"), 4).alias("feature"),
+    ).orderBy("doc_id", "j")
+
+
+@query(
+    "audio_features",
+    """
+SELECT doc_id,
+       (8000 + (('0x' || substr(md5(text), 1, 4))::INT % 9) * 4000)
+         AS sample_rate,
+       (1 + ('0x' || substr(md5(text), 5, 2))::INT % 2) AS n_channels,
+       (1 + ('0x' || substr(md5(text), 7, 4))::BIGINT)::BIGINT AS n_samples,
+       (j - 1)::BIGINT AS j,
+       round(('0x' || substr(md5(text), 2*j - 1, 2))::INT / 255.0, 4)
+         AS feature
+FROM documents, generate_series(1, 8) t(j)
+ORDER BY doc_id, j
+""",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal plumbing (decode_audio over opaque
+    binary payloads via Arrow mapInPandas): the synthetic corpus has no
+    real audio, so the deterministic md5-derived fake decode runs here
+    (the oracle reproduces its hex-slice arithmetic exactly); the REAL
+    pure-NumPy RIFF/WAVE PCM decoder behind fake=False is pytest-gated
+    over crafted fixtures with known signal statistics."""
+    from flechasdb_spark.operators.multimodal import (
+        attach_payload,
+        decode_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_audio(attach_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.posexplode("features").alias("j", "feature"),
+    ).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
         F.col("j").cast("long").alias("j"),
         F.round(F.col("feature").cast("double"), 4).alias("feature"),
     ).orderBy("doc_id", "j")
@@ -5536,11 +5639,28 @@ DRIVER_ORDER = [
     # cosine_topk/quantizer rows keep exact kNN], csv_source_knn ->
     # orc_source_knn [CSV parse path stays pytest-gated],
     # sequence_pack -> corpus_shard_shuffle [packing family keeps
-    # length_bucket_batches + the shard dealer])
+    # length_bucket_batches + the shard dealer].
+    # r5 rotation (VERDICT r4 #4): the late-r4 cohort gets driver
+    # visibility, each swap retiring a row with >= 3 rounds of green
+    # driver evidence while its family keeps >= 1 row:
+    # pq_encode -> quantizer_report [pq_permuted_encode IS the PQ
+    # encode path + permutation; the report spans all 4 quantizer
+    # families], simhash_neardup -> cms_user_counts [minhash/
+    # neardup_components/semantic/lsh keep near-dup; CMS joins KMV in
+    # sketches], maxsim_doc_topk -> retrieval_rank_metrics [cosine/
+    # semantic keep similarity; metrics close the retrieval loop with
+    # bm25/hybrid_rrf], doc_chunks -> token_id_encode [UDTF surface
+    # stays pytest-gated; token ids are the vocab consumer],
+    # build_vocab -> sequence_pack_fragments [token_id_encode consumes
+    # the vocab so the family keeps coverage; fragments complete
+    # packing], events_asof_join -> zorder_key_events [value_bands
+    # keeps range joins; Z-order adds the clustered-scan row],
+    # ann_lsh_topk -> index_partition_stats [lsh_neardup_multitable
+    # keeps hyperplane LSH; the stats row covers index ops/eval]
     "flat_knn",
     "vector_norms",
-    "pq_encode",
     "pq_permuted_encode",
+    "quantizer_report",
     "ann_ivfpq",
     "ann_ivfpq_frozen",
     "ann_ivfpq_rerank_fused",
@@ -5552,27 +5672,25 @@ DRIVER_ORDER = [
     "attr_map_fetch",
     "maintenance_upsert_delete",
     "index_merge_query",
+    "index_partition_stats",
     "orc_source_knn",
     "bm25_topk",
     # dedup / similarity
     "segment_dedup",
     "minhash_dedup",
     "neardup_components",
-    "simhash_neardup",
     "semantic_neardup",
     "lsh_neardup_multitable",
     "cosine_topk",
-    "ann_lsh_topk",
-    "maxsim_doc_topk",
     "doc_novelty",
     # text / training-data pipeline
     "token_stats",
     "gopher_quality_filter",
     "pii_scrub",
-    "doc_chunks",
-    "build_vocab",
+    "token_id_encode",
     "length_bucket_batches",
     "corpus_shard_shuffle",
+    "sequence_pack_fragments",
     "quality_stratified_sample",
     "dsir_select",
     # multimodal
@@ -5582,10 +5700,12 @@ DRIVER_ORDER = [
     "tpch_q2",
     "tpch_q5",
     "hybrid_rrf",
+    "retrieval_rank_metrics",
     "events_sessionize",
-    "events_asof_join",
     "events_value_bands",
+    "zorder_key_events",
     "kmv_distinct_users",
+    "cms_user_counts",
     "bloom_decontam_prefilter",
     # streaming
     "stream_windowed_agg",

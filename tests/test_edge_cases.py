@@ -395,17 +395,27 @@ def test_bloom_map_probe_is_shuffle_free_and_matches_relational(spark):
         ).collect()
     }
     assert got_map == got_rel
-    # wide-row probe: no Exchange regardless of column count
+    # wide-row probe: no shuffle of the probe side regardless of column
+    # count. Materialize the filter first so the plan under test holds
+    # ONLY the probe (the embedded bloom BUILD legitimately shuffles
+    # its <= n_words rows).
+    bloom_local = spark.createDataFrame(
+        bloom.collect(), "word_idx long, word long"
+    )
     wide = probe.select(
         "v", *[F.lit(f"pad{i}").alias(f"w{i}") for i in range(12)]
     )
     plan = (
-        bloom_maybe_contains(wide, bloom, "v", n_words=128, k=4)
+        bloom_maybe_contains(wide, bloom_local, "v", n_words=128, k=4)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, "map probe must not shuffle the probe side"
+    # the one-row word-array broadcast is the ONLY exchange allowed;
+    # the probe side itself must never repartition
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        "map probe must not shuffle the probe side"
+    )
     # duplicates pass through 1:1 (the relational form collapses them)
     dup = spark.createDataFrame([("m0",), ("m0",), ("zz",)], "v string")
     rows = bloom_maybe_contains(dup, bloom, "v", n_words=128, k=4).collect()
@@ -432,11 +442,12 @@ def test_bloom_relational_probe_guards_reserved_names(spark):
         )
     with pytest.raises(ValueError, match="must be 'map' or 'relational'"):
         bloom_maybe_contains(clash, bloom, "v", impl="nope")
-    # mismatched n_words is a clear error, not an index crash
+    # mismatched n_words raises at evaluation time (the map probe's
+    # per-row broadcast-constant guard), not a silent false-negative
     many = spark.createDataFrame([(f"v{i}",) for i in range(64)], "v string")
     wide_bloom = bloom_build(many, "v", n_words=8, k=4)  # fills all 8 words
-    with pytest.raises(ValueError, match="n_words"):
-        bloom_maybe_contains(many, wide_bloom, "v", n_words=4, k=4)
+    with pytest.raises(Exception, match="n_words"):
+        bloom_maybe_contains(many, wide_bloom, "v", n_words=4, k=4).collect()
 
 
 def test_bloom_words_stay_positive(spark):

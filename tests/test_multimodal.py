@@ -188,3 +188,115 @@ def test_sample_frames_stride(media):
     assert (out["frame_idx"] % 8 == 0).all()
     assert (out["frame_idx"] < out["n_frames"]).all()
     assert (out["frame_pos"] == out["frame_idx"] // 8).all()
+
+
+def _wav_bytes(
+    samples, rate=16000, n_ch=1, bits=16, extra_chunk=False, tag=1
+) -> bytes:
+    """Craft a RIFF/WAVE PCM payload from float samples in [-1, 1]
+    (interleaved if n_ch > 1). extra_chunk inserts an unknown LIST
+    chunk before fmt to exercise the chunk walker."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if bits == 16:
+        data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    block = n_ch * bits // 8
+    fmt = (
+        tag.to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b""
+    if extra_chunk:
+        chunks += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    chunks += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_known_signal_stats():
+    """A +/-0.5 square wave: rms = peak = mean|x| = 0.5, dc = 0, every
+    adjacent pair flips sign (zcr ~ 1)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _real_audio_decode
+
+    n = 2000
+    sq = 0.5 * np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    rate, n_ch, m, feats = _real_audio_decode(_wav_bytes(sq, rate=1000))
+    assert (rate, n_ch, m) == (1000, 1, n)
+    rms, peak, mean_abs, dc, zcr = feats[:5]
+    q = round(0.5 * 32767 / 32768.0, 4)  # int16 quantization of 0.5
+    assert rms == q and peak == q and mean_abs == q
+    assert dc == 0.0
+    assert zcr == round((n - 1) / (n - 1), 4) or zcr == 1.0
+    assert feats[6] == round(n / 1000, 4)  # duration
+    assert feats[7] == round(1 / 10.0, 4)  # crest factor / 10
+
+
+def test_wav_decode_stereo_downmix_and_chunk_walk():
+    """Stereo L=+a / R=-a downmixes to silence; an unknown chunk before
+    fmt is skipped; 8-bit PCM decodes."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _real_audio_decode
+
+    inter = np.empty(400)
+    inter[0::2], inter[1::2] = 0.25, -0.25
+    rate, n_ch, m, feats = _real_audio_decode(
+        _wav_bytes(inter, rate=8000, n_ch=2, extra_chunk=True)
+    )
+    assert (rate, n_ch, m) == (8000, 2, 200)
+    assert feats[0] <= 0.0001  # rms of the downmix ~ 0 (int16 rounding)
+    r8, _, m8, f8 = _real_audio_decode(
+        _wav_bytes(np.zeros(100) + 0.5, rate=4000, bits=8)
+    )
+    assert (r8, m8) == (4000, 100)
+    assert abs(f8[1] - 0.496) < 0.01  # 8-bit quantized 0.5 peak
+
+
+def test_wav_decode_compressed_raises():
+    import numpy as np
+    import pytest
+
+    from flechasdb_spark.operators.multimodal import _decode_wav
+
+    with pytest.raises(NotImplementedError, match="PCM"):
+        _decode_wav(_wav_bytes(np.zeros(10), tag=3))  # IEEE float
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"OggS" + b"\x00" * 64)
+
+
+def test_decode_audio_spark_end_to_end(spark):
+    """fake=False through mapInPandas: WAV payloads decode to per-row
+    sample metadata matching the crafted fixtures."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import decode_audio
+
+    a = _wav_bytes(0.5 * np.ones(300), rate=16000)
+    b = _wav_bytes(np.zeros(123), rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in decode_audio(df, fake=False).collect()}
+    assert (got[1].sample_rate, got[1].n_samples) == (16000, 300)
+    assert (got[2].sample_rate, got[2].n_samples) == (8000, 123)
+    assert got[2].features[0] == 0.0  # silence rms
+    assert len(got[1].features) == 8
+
+
+def test_decode_audio_fake_deterministic(media):
+    from flechasdb_spark.operators.multimodal import decode_audio
+
+    d1 = decode_audio(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    d2 = decode_audio(media).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert d1.equals(d2)
+    assert ((d1["sample_rate"] >= 8000) & (d1["sample_rate"] <= 40000)).all()
+    assert d1["n_channels"].isin([1, 2]).all()

@@ -267,3 +267,39 @@ def test_dsir_matches_python_reference(spark):
             assert abs(got[did] - ref[did]) <= max(1, n_tok), (
                 seed, did, got[did], ref[did]
             )
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every doc in a near-dup cluster (transitively, including chains)
+    lands in the SAME split; singletons hash on their own id exactly
+    like hash_split would."""
+    from flechasdb_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 0-1-2-3 (one cluster via transitivity), pair 10-11, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 200
+    chain = [by_id[i] for i in range(4)]
+    assert {r.rep for r in chain} == {0}
+    assert len({r.split for r in chain}) == 1
+    assert by_id[10].split == by_id[11].split and by_id[10].rep == 10
+    # singletons: identical assignment to a plain hash split on the id
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(
+            docs, {"train": 0.6, "val": 0.2, "test": 0.2}
+        ).collect()
+    }
+    for i in range(20, 200):
+        assert by_id[i].rep == i and by_id[i].split == plain[i]
