@@ -132,14 +132,27 @@ def main() -> None:
     # training docs, then assemble the final mix two ways — best-first
     # under a global token budget, and temperature-balanced across
     # sources under the same budget
-    from flechasdb_spark.operators.dedup import decontaminate
+    from flechasdb_spark.operators.dedup import (
+        decontaminate,
+        ngram_jaccard_pairs,
+    )
     from flechasdb_spark.operators.sampling import (
-        hash_split,
+        leakage_safe_split,
         token_budget_select,
         token_temperature_mix,
     )
 
-    split = hash_split(kept_docs, {"train": 0.9, "eval": 0.1})
+    # r5: split by near-dup-cluster representative — any duplicates the
+    # earlier dedup threshold let through can no longer straddle
+    # train/eval (the decontaminate pass below then only has to catch
+    # partial n-gram overlap, not whole near-copies)
+    residual_pairs = ngram_jaccard_pairs(kept_docs, n=3, threshold=0.5)
+    split = kept_docs.join(
+        leakage_safe_split(
+            kept_docs, residual_pairs, {"train": 0.9, "eval": 0.1}
+        ).select("doc_id", "split"),
+        "doc_id",
+    )
     train = split.where(F.col("split") == "train").select("doc_id", "text")
     evals = split.where(F.col("split") == "eval").select("doc_id", "text")
     clean = decontaminate(train, evals, n=3, min_shared=3)

@@ -172,3 +172,46 @@ def test_dsir_topk_and_broadcast_lambda(spark):
     assert plan.count("InMemoryTableScan") >= 3, (
         "per-(doc,bucket) persist missing or not shared by all branches"
     )
+
+
+def test_audio_features_is_map_only(spark):
+    """decode_audio must ride the scan: one ArrowEvalPython-free
+    mapInPandas stage, no Exchange, no join — payloads never shuffle."""
+    from flechasdb_spark.operators.multimodal import (
+        attach_payload,
+        decode_audio,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        decode_audio(attach_payload(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "audio decode must not shuffle payloads"
+    assert "MapInPandas" in plan
+
+
+def test_leakage_safe_split_attach_is_broadcast(spark):
+    """The component-label attach must broadcast the (tiny) label table
+    against the corpus, and the split itself adds no exchange beyond
+    it."""
+    from flechasdb_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, {"train": 0.9, "eval": 0.1})
+    # the label table comes from a checkpoint (no plan-time stats), so
+    # the broadcast decision is AQE's runtime re-plan: execute, then
+    # assert on the FINAL adaptive plan
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # the adaptive plan string appends the pre-AQE "Initial Plan"
+    # (where the SMJ legitimately appears); judge only the final part
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
