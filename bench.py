@@ -418,6 +418,8 @@ def main() -> None:
         # lifecycle, not the operator — the distributed-probe query
         # cost is measured directly as ann_query_distprobe below)
         "doc_novelty",
+        "unigram_ppl_score",
+        "leakage_safe_split",
         "quality_stratified_sample",
         "rq_knn",
         "bq_hamming_knn",

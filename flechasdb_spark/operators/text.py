@@ -32,6 +32,7 @@ __all__ = [
     "bpe_token_stats",
     "BPE_ISH_PATTERN",
     "quality_score",
+    "unigram_logprob_score",
     "lang_id",
     "doc_fingerprint",
     "repetition_stats",
@@ -217,6 +218,104 @@ def quality_score(
         ).alias("stopword_ratio"),
         F.round(punct_ratio + eps, 4).alias("punct_ratio"),
         F.round(score + eps, 4).alias("quality"),
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality signal with a RELATIONAL unigram language
+    model (Wenzek et al. 2020 use a KenLM 5-gram; the unigram form is
+    the engine-exact member of the same family): train add-one-smoothed
+    token probabilities on ``reference`` (default: ``df`` itself), then
+    score every document by its total and mean negative log-likelihood.
+    Low mean NLL ~ looks like the reference corpus; the standard
+    pipeline move is to keep the head/middle perplexity buckets and
+    drop the tail.
+
+    Determinism (same contract as DSIR): each vocabulary entry's
+    log-prob is quantized ONCE to integer micro-nats
+    (round(1e6 * ln((c+1)/(N+V)))), so every per-doc sum is an
+    order-independent INTEGER sum; unseen tokens take the smoothing
+    floor round(1e6 * ln(1/(N+V))). The mean is one exact integer
+    division rounded to 4 decimals at the end.
+
+    Scale (100 TB): reference token counts are ONE partial-agg pass
+    collapsing to O(V) rows; (N, V) totals broadcast as a 1-row table;
+    scoring explodes the doc tokens once and meets the O(V) log-prob
+    table in an equi-join keyed on the token — AQE broadcasts it while
+    V is small and falls back to a linear shuffle join keyed on the
+    token when the vocabulary outgrows broadcast (no driver state
+    either way); the per-doc sum is map-side combinable. No window, no
+    skew beyond natural token frequency (mitigated by the same
+    map-side combine).
+
+    Returns (id_col, n_tokens, nll_micro_nats, mean_nll, seen_ratio);
+    empty documents score nll 0 / mean 0.0 / seen_ratio 1.0 by
+    convention.
+    """
+    ref = reference if reference is not None else df
+    rtok = ref.select(F.explode(tokens(text_col)).alias("__tok"))
+    counts = rtok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    lp = counts.crossJoin(F.broadcast(totals)).select(
+        "__tok",
+        F.round(
+            (F.log(F.col("__c") + 1) - F.log(F.col("__n") + F.col("__v")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("__lq"),
+    )
+    floor_lq = (
+        totals.select(
+            F.round(-F.log(F.col("__n") + F.col("__v")) * 1e6)
+            .cast("long")
+            .alias("__floor")
+        )
+    )
+    dtok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    scored = (
+        dtok.join(lp, "__tok", "left")
+        .crossJoin(F.broadcast(floor_lq))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.coalesce(F.col("__lq"), F.col("__floor")))).alias(
+                "nll_micro_nats"
+            ),
+            F.sum(
+                F.when(F.col("__lq").isNotNull(), 1).otherwise(0)
+            ).alias("__seen"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("nll_micro_nats", F.lit(0))
+            .cast("long")
+            .alias("nll_micro_nats"),
+            F.round(
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("nll_micro_nats") / F.col("n_tokens") / 1e6
+                ),
+                4,
+            ).alias("mean_nll"),
+            F.round(
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(F.col("__seen") / F.col("n_tokens")),
+                4,
+            ).alias("seen_ratio"),
+        )
     )
 
 

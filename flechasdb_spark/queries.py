@@ -3270,6 +3270,46 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_ppl_score",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+rt AS (SELECT unnest(toks) AS tok FROM d WHERE doc_id % 2 = 0),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM rt GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM cnt),
+lp AS (SELECT tok, round((ln(c + 1) - ln(n + v)) * 1e6)::BIGINT AS lq
+       FROM cnt, tot),
+fl AS (SELECT round(-ln(n + v) * 1e6)::BIGINT AS floor_lq FROM tot),
+dt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+         (-sum(coalesce(lp.lq, fl.floor_lq)))::BIGINT AS nll,
+         sum(CASE WHEN lp.lq IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS seen
+       FROM dt LEFT JOIN lp USING (tok), fl GROUP BY dt.doc_id)
+SELECT doc.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sc.nll, 0)::BIGINT AS nll_micro_nats,
+       round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+             ELSE sc.nll::DOUBLE / sc.n_tokens / 1e6 END, 4) AS mean_nll,
+       round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 1.0
+             ELSE sc.seen::DOUBLE / sc.n_tokens END, 4) AS seen_ratio
+FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+ORDER BY doc.doc_id
+""",
+)
+def q_unigram_ppl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal, relational unigram form: train
+    add-one-smoothed token log-probs on the even-id half, score EVERY
+    doc by integer-micro-nat negative log-likelihood (odd docs exercise
+    the unseen-token smoothing floor). Deterministic per the DSIR
+    integer-sum contract; the oracle recomputes the identical model."""
+    from flechasdb_spark.operators.text import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(
+        docs, reference=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+@query(
     "lang_id",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),

@@ -460,3 +460,32 @@ def test_bloom_words_stay_positive(spark):
     bloom = bloom_build(ref, "v", n_words=8, k=4)  # saturate the words
     row = bloom.agg(F.min("word").alias("mn"), F.count("*").alias("n")).first()
     assert row.mn > 0 and row.n <= 8
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus vs exact Python arithmetic: seen tokens use
+    round(1e6*ln((c+1)/(N+V))), unseen take the smoothing floor, empty
+    docs score 0 with seen_ratio 1.0 by convention."""
+    import math
+
+    from flechasdb_spark.operators.text import unigram_logprob_score
+
+    ref = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "z"), (12, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(docs, ref).collect()}
+    N, V = 5, 3  # tokens a:3 b:1 c:1 -> N=5, V=3
+    lq = lambda c: round(1e6 * (math.log(c + 1) - math.log(N + V)))
+    floor = round(1e6 * (-math.log(N + V)))
+    assert out[10].nll_micro_nats == -(lq(3) + lq(1))
+    assert out[10].n_tokens == 2 and out[10].seen_ratio == 1.0
+    assert out[11].nll_micro_nats == -floor and out[11].seen_ratio == 0.0
+    assert out[12].n_tokens == 0 and out[12].nll_micro_nats == 0
+    assert out[12].mean_nll == 0.0 and out[12].seen_ratio == 1.0
+    assert out[10].mean_nll == round(out[10].nll_micro_nats / 2 / 1e6, 4)
+    # ordering property: in-distribution text scores lower NLL than
+    # out-of-vocabulary text
+    assert out[10].mean_nll < out[11].mean_nll
