@@ -3387,7 +3387,8 @@ kept AS (
 SELECT source,
        count(*) AS n_docs,
        sum(n_tok)::BIGINT AS total_tokens,
-       round(avg(quality), 4) AS avg_quality
+       round(sum(round(quality * 10000)::BIGINT)::DOUBLE
+             / count(*) / 1e4, 4) AS avg_quality
 FROM kept GROUP BY source ORDER BY source
 """,
 )
@@ -3395,7 +3396,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composite: exact dedup (keep-first) ->
     quality filter (>= 0.5) -> per-source corpus stats. The operators
     compose as DataFrames; Catalyst fuses the whole pipeline into a
-    handful of stages."""
+    handful of stages.
+
+    avg_quality routes through an integer sum of the (already
+    4-decimal) quality values: a plain avg(double) sums in partition
+    order, and quantized rationals land on 5-at-the-5th-decimal
+    boundaries often enough that the 4-dp rounding flipped with the
+    summation order (one flaky oracle mismatch observed in r5) —
+    sum(round(q*1e4)::long)/n is order-independent and bit-identical
+    cross-engine."""
     from flechasdb_spark.operators.dedup import dedup_exact
     from flechasdb_spark.operators.text import quality_score, token_stats
 
@@ -3413,7 +3422,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(
+                F.sum(F.round(F.col("quality") * 10000).cast("long"))
+                / F.count(F.lit(1))
+                / 1e4,
+                4,
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -5696,7 +5710,10 @@ DRIVER_ORDER = [
     # packing], events_asof_join -> zorder_key_events [value_bands
     # keeps range joins; Z-order adds the clustered-scan row],
     # ann_lsh_topk -> index_partition_stats [lsh_neardup_multitable
-    # keeps hyperplane LSH; the stats row covers index ops/eval]
+    # keeps hyperplane LSH; the stats row covers index ops/eval].
+    # Queued for the r6 rotation (r5 additions, pytest-oracle-gated
+    # this round): audio_features, leakage_safe_split,
+    # unigram_ppl_score.
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
