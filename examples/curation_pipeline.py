@@ -134,7 +134,7 @@ def main() -> None:
     # sources under the same budget
     from flechasdb_spark.operators.dedup import (
         decontaminate,
-        ngram_jaccard_pairs,
+        minhash_verified_pairs,
     )
     from flechasdb_spark.operators.sampling import (
         leakage_safe_split,
@@ -146,7 +146,7 @@ def main() -> None:
     # earlier dedup threshold let through can no longer straddle
     # train/eval (the decontaminate pass below then only has to catch
     # partial n-gram overlap, not whole near-copies)
-    residual_pairs = ngram_jaccard_pairs(kept_docs, n=3, threshold=0.5)
+    residual_pairs = minhash_verified_pairs(kept_docs, threshold=0.5)
     split = kept_docs.join(
         leakage_safe_split(
             kept_docs, residual_pairs, {"train": 0.9, "eval": 0.1}

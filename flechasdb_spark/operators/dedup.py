@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signature",
     "minhash_band_keys",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "minhash_dedup",
     "simhash",
     "simhash_neardup_pairs",
@@ -432,7 +433,7 @@ def _banded(
     )
 
 
-def minhash_dedup(
+def minhash_verified_pairs(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
@@ -441,14 +442,17 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """End-to-end scalable near-dedup: MinHash+LSH candidates ->
-    true token-Jaccard verification -> greedy keep-lowest-id.
+    """VERIFIED near-dup edges: MinHash+LSH banding candidates (capped
+    buckets) -> exact distinct-token Jaccard verification. Returns
+    (id_a, id_b) with id_a < id_b and true Jaccard >= ``threshold``.
 
-    Returns (id, keep): keep=false iff the doc has a LOWER-id verified
-    duplicate neighbor (Jaccard >= threshold). Greedy min-neighbor, not
-    full transitive closure — the deterministic single-pass policy
-    (full connected components needs iteration; at threshold >= 0.7
-    near-dup clusters are cliques in practice, where both coincide).
+    This is the candidate-bounded edge source for everything that
+    consumes a duplicate graph (``minhash_dedup`` keep flags,
+    ``connected_components`` clusters, ``leakage_safe_split``): pair
+    volume is capped by banding + ``max_bucket``, never all-pairs —
+    unlike ``ngram_jaccard_pairs``, whose inverted-index self-join
+    emits k^2 rows per shared shingle and is the exact (but
+    hot-shingle-sensitive) form.
 
     ``max_bucket`` drops LSH buckets larger than the cap before pairing:
     heavily templated corpora produce identical band keys for thousands
@@ -491,7 +495,7 @@ def minhash_dedup(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
-    dup_edges = (
+    return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .where(
@@ -500,6 +504,31 @@ def minhash_dedup(
             >= threshold
         )
         .select("id_a", "id_b")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end scalable near-dedup: ``minhash_verified_pairs``
+    edges -> greedy keep-lowest-id.
+
+    Returns (id, keep): keep=false iff the doc has a LOWER-id verified
+    duplicate neighbor (Jaccard >= threshold). Greedy min-neighbor, not
+    full transitive closure — the deterministic single-pass policy
+    (full connected components needs iteration; at threshold >= 0.7
+    near-dup clusters are cliques in practice, where both coincide).
+    Compose the same edges with ``connected_components`` /
+    ``select_representatives`` / ``leakage_safe_split`` for the
+    closure-grade policies."""
+    dup_edges = minhash_verified_pairs(
+        df, num_hashes, bands, threshold, max_bucket, text_col, id_col
     )
     dropped = dup_edges.select(F.col("id_b").alias(id_col)).distinct()
     return (
@@ -646,24 +675,31 @@ def connected_components(
     This is the full transitive closure the greedy ``minhash_dedup``
     keep-policy approximates; use it when duplicate clusters are long
     chains rather than cliques (e.g. chained near-identical crawls)."""
+    # materialize the edge list ONCE: every iteration joins against it,
+    # and without this the edge-producing plan (often an expensive
+    # candidate-pair generation, e.g. an n-gram inverted-index
+    # self-join) re-executes per round — measured 28 s -> ~3 s for
+    # leakage_safe_split at sf0.1
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+
+    def _propagate(lbl):
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(lbl, sym.b == lbl.node)
             .groupBy("a")
             .agg(F.min("component").alias("n_comp"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+        return (
+            lbl.join(neighbor_min, lbl.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(
@@ -671,16 +707,26 @@ def connected_components(
                 ).alias("component"),
             )
         )
+
+    # TWO hops per materialization round: the per-round fixed cost
+    # (checkpoint job + convergence-check job) dominates on small dup
+    # graphs, and chaining two propagations inside one round halves it
+    # for the same O(diameter) label movement (max_iter still bounds
+    # HOPS). Checkpoint FIRST (truncates the iterative-join lineage),
+    # then run the convergence check against the materialized rows so
+    # the round's plan executes once.
+    for _ in range(0, max_iter, 2):
+        new_labels = _propagate(_propagate(labels)).localCheckpoint(
+            eager=True
+        )
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "node")
             .where(F.col("u.component") != F.col("l.component"))
             .limit(1)
             .count()
         )
-        # truncate lineage each round (iterative joins otherwise stack
-        # an ever-deeper plan)
-        labels = updated.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels
