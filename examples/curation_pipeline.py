@@ -193,13 +193,27 @@ def main() -> None:
     print(f"dsir tilt:    top-{tilted.count()} avg {tstats.nats} nats, "
           f"{tstats.n_tgt} from the target source")
 
-    # deal the final pool into per-worker training shards in a
-    # reproducible pseudorandom order (re-shuffle per epoch via salt)
-    from flechasdb_spark.operators.packing import shard_shuffle
+    # materialize the final pool as per-worker training shards in a
+    # reproducible pseudorandom order (re-shuffle per epoch via salt):
+    # the sink writes shards/shard=K directories + a manifest, and the
+    # loader-side read prunes to one shard's directory
+    import tempfile
 
-    shards = shard_shuffle(clean_docs, n_shards=4, salt="epoch0")
-    sstats = shards.groupBy("shard").count().orderBy("shard").collect()
-    print("shards:       " + ", ".join(f"s{r.shard}={r['count']}" for r in sstats))
+    from flechasdb_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    shard_dir = tempfile.mkdtemp(prefix="curation_shards_")
+    man = write_training_shards(
+        clean_docs, shard_dir, n_shards=4, salt="epoch0"
+    )
+    s0 = read_training_shards(spark, shard_dir, shard=0).count()
+    print(
+        "shards:       "
+        + ", ".join(f"s{k}={v}" for k, v in man["shard_counts"].items())
+        + f" (read back shard 0: {s0} docs)"
+    )
     spark.stop()
 
 

@@ -1,0 +1,139 @@
+"""Training-shard sink/source: materialize a curated corpus as N
+reproducibly-shuffled shards plus a manifest — the hand-off point
+between the curation pipeline and a training data loader.
+
+Extension surface (no reference counterpart; the analogue of
+``sources/manifest.py`` for text corpora instead of vector indexes).
+The shard/position assignment is ``operators/packing.py::
+shard_shuffle`` — a deterministic md5-order permutation dealt
+round-robin, already oracle-gated as ``corpus_shard_shuffle`` — so the
+written layout is a pure function of (ids, salt, n_shards): any engine,
+any cluster size, any retry produces the identical corpus order.
+
+Scale (100 TB):
+- the assignment is the distributed prefix scheme (parallel windows
+  over md5 buckets + O(buckets) driver offsets — see packing.py);
+- the write is one shuffle keyed on the shard id, then
+  ``partitionBy("shard")`` directories; rows carry their global
+  ``pos`` so within-shard order survives multi-file shards (readers
+  order by ``pos``, never by file layout);
+- the manifest holds O(n_shards) counts — no per-row driver state;
+- reading one shard prunes to its directory (Parquet partition
+  pruning on the ``shard`` column, plan-gated in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flechasdb_spark.sources.manifest import (
+    FORMAT_VERSION,
+    MANIFEST_NAME,
+    read_manifest_json,
+    write_manifest_json,
+)
+
+__all__ = ["write_training_shards", "read_training_shards"]
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic training shards under
+    ``path``: ``shards/shard=K/*.parquet`` (every input column plus the
+    global ``pos``) and a ``manifest.json`` with per-shard counts.
+    Shard sizes differ by at most 1 (round-robin deal); re-running with
+    the same (ids, salt, n_shards) reproduces the identical assignment.
+    Returns the manifest dict."""
+    from flechasdb_spark.operators.packing import shard_shuffle
+
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in {df.columns}")
+    clash = {"shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_training_shards reserves column names {sorted(clash)}"
+        )
+    assign = shard_shuffle(df, n_shards, id_col=id_col, salt=salt)
+    out = df.join(assign, id_col)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(os.path.join(path, "shards"))
+    )
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in assign.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "kind": "training_shards",
+        "n_shards": int(n_shards),
+        "n_docs": int(sum(counts.values())),
+        "salt": salt,
+        "id_col": id_col,
+        "columns": [c for c in df.columns],
+        "shard_counts": {str(k): v for k, v in sorted(counts.items())},
+    }
+    write_manifest_json(
+        df.sparkSession, os.path.join(path, MANIFEST_NAME), manifest
+    )
+    return manifest
+
+
+def validate_shards_manifest(m: dict) -> None:
+    if m.get("kind") != "training_shards":
+        raise ValueError(f"not a training_shards manifest: kind={m.get('kind')!r}")
+    n = m.get("n_shards")
+    if not isinstance(n, int) or n < 1:
+        raise ValueError(f"n_shards {n!r} must be a positive int")
+    counts = m.get("shard_counts")
+    if not isinstance(counts, dict) or len(counts) > n:
+        raise ValueError("shard_counts missing or larger than n_shards")
+    total = sum(int(v) for v in counts.values())
+    if total != m.get("n_docs"):
+        raise ValueError(
+            f"shard_counts sum {total} != n_docs {m.get('n_docs')}"
+        )
+    # round-robin deal: sizes differ by at most 1
+    if counts:
+        vals = [int(v) for v in counts.values()]
+        if max(vals) - min(vals) > 1:
+            raise ValueError(f"shard sizes not balanced: {vals}")
+
+
+def read_training_shards(
+    spark: SparkSession,
+    path: str,
+    shard: int | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Load a training-shard dataset; ``shard=K`` restricts to one
+    shard (pruned at the Parquet partition level, not a post-filter).
+    Rows within a shard are ordered by the ``pos`` column — order by it
+    explicitly; file layout order is not a contract."""
+    m = read_manifest_json(spark, os.path.join(path, MANIFEST_NAME))
+    if m is None:
+        raise FileNotFoundError(f"no {MANIFEST_NAME} under {path}")
+    if validate:
+        validate_shards_manifest(m)
+    df = spark.read.parquet(os.path.join(path, "shards"))
+    if shard is not None:
+        if not 0 <= int(shard) < int(m["n_shards"]):
+            raise ValueError(
+                f"shard {shard} outside [0, {m['n_shards']})"
+            )
+        df = df.where(F.col("shard") == int(shard))
+    return df

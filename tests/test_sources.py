@@ -160,3 +160,100 @@ def test_orc_source_oracle(spark, sf_dir):
     sdf = REGISTRY["orc_source_knn"](spark, sf_dir)
     odf = con.execute(ORACLES["orc_source_knn"]).df()
     assert compare(sdf, odf) == []
+
+
+def test_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Sink/source contract: shard sizes differ by <= 1, pos is dense
+    0..sz-1 per shard, every row survives, and a re-write reproduces
+    the identical (id, shard, pos) assignment."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(203)],
+        "doc_id long, text string, source string",
+    )
+    m = write_training_shards(docs, str(tmp_path / "a"), n_shards=4)
+    assert m["n_docs"] == 203 and m["n_shards"] == 4
+    sizes = sorted(int(v) for v in m["shard_counts"].values())
+    assert sizes == [50, 51, 51, 51]
+    back = read_training_shards(spark, str(tmp_path / "a"))
+    assert back.count() == 203
+    assert set(back.columns) == {"doc_id", "text", "source", "pos", "shard"}
+    rows = back.select("doc_id", "shard", "pos").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.pos)
+    for s, poss in per.items():
+        assert sorted(poss) == list(range(len(poss))), s
+    assert {r.doc_id for r in rows} == set(range(203))
+    # determinism across writes
+    write_training_shards(docs, str(tmp_path / "b"), n_shards=4)
+    a = {
+        (r.doc_id, r.shard, r.pos)
+        for r in read_training_shards(spark, str(tmp_path / "a")).collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in read_training_shards(spark, str(tmp_path / "b")).collect()
+    }
+    assert a == b
+
+
+def test_training_shards_single_shard_read_prunes(spark, tmp_path):
+    """shard=K reads only that directory: the scan's partition filters
+    carry the shard predicate (pruning, not a post-filter)."""
+    from flechasdb_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(80)], "doc_id long, text string"
+    )
+    m = write_training_shards(docs, str(tmp_path / "s"), n_shards=5)
+    one = read_training_shards(spark, str(tmp_path / "s"), shard=2)
+    assert one.count() == int(m["shard_counts"]["2"])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        read_training_shards(spark, str(tmp_path / "s"), shard=9)
+
+
+def test_training_shards_manifest_validation(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from flechasdb_spark.sources.shards import (
+        read_training_shards,
+        validate_shards_manifest,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    m = write_training_shards(docs, str(tmp_path / "v"), n_shards=2)
+    validate_shards_manifest(m)
+    bad = dict(m)
+    bad["n_docs"] = 99
+    with pytest.raises(ValueError, match="n_docs"):
+        validate_shards_manifest(bad)
+    with pytest.raises(ValueError, match="kind"):
+        validate_shards_manifest({"kind": "index"})
+    # reserved-name guard
+    with pytest.raises(ValueError, match="reserves"):
+        write_training_shards(
+            docs.withColumn("pos", docs.doc_id), str(tmp_path / "x"), 2
+        )
+    with pytest.raises(FileNotFoundError):
+        read_training_shards(spark, str(tmp_path / "nope"))
