@@ -419,6 +419,7 @@ def main() -> None:
         # cost is measured directly as ann_query_distprobe below)
         "doc_novelty",
         "unigram_ppl_score",
+        "ccnet_ppl_bands",
         "leakage_safe_split",
         "quality_stratified_sample",
         "rq_knn",

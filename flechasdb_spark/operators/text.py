@@ -33,6 +33,7 @@ __all__ = [
     "BPE_ISH_PATTERN",
     "quality_score",
     "unigram_logprob_score",
+    "ppl_band_select",
     "lang_id",
     "doc_fingerprint",
     "repetition_stats",
@@ -316,6 +317,67 @@ def unigram_logprob_score(
                 4,
             ).alias("seen_ratio"),
         )
+    )
+
+
+def ppl_band_select(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    lo_frac: float = 0.33,
+    hi_frac: float = 0.67,
+    nll_hi: float = 20.0,
+    num_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's perplexity-bucket split (Wenzek et al. 2020 §4.3): score
+    every document with the relational LM (``unigram_logprob_score``),
+    estimate the ``lo_frac``/``hi_frac`` mean-NLL quantile thresholds
+    with the fixed-grid histogram sketch (``sketch.histogram_
+    quantiles`` over [0, nll_hi) nats), and label each document
+    ``head`` (< q_lo), ``middle`` (< q_hi) or ``tail`` — the standard
+    pipeline keeps head+middle and drops the tail.
+
+    Everything is the deterministic form of its family: integer
+    micro-nat NLL sums, fixed-grid interpolated quantiles (never
+    engine-private KLL), band edges compared on identically-rounded
+    doubles — so the oracle reproduces the exact band of every doc.
+
+    Scale: the LM pass is the token-grain shuffle analyzed in
+    ``unigram_logprob_score``; the sketch collapses to
+    O(num_buckets) rows; the two thresholds broadcast as one row. No
+    sort, no window over the corpus.
+
+    Returns (id_col, mean_nll, band).
+    """
+    from flechasdb_spark.operators.sketch import histogram_quantiles
+
+    scored = unigram_logprob_score(
+        df, reference, text_col=text_col, id_col=id_col
+    )
+    qs = histogram_quantiles(
+        scored,
+        "mean_nll",
+        probs=[float(lo_frac), float(hi_frac)],
+        lo=0.0,
+        hi=float(nll_hi),
+        num_buckets=num_buckets,
+    )
+    th = qs.agg(
+        F.min(
+            F.when(F.col("prob") == float(lo_frac), F.col("q_est"))
+        ).alias("__qlo"),
+        F.min(
+            F.when(F.col("prob") == float(hi_frac), F.col("q_est"))
+        ).alias("__qhi"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        id_col,
+        "mean_nll",
+        F.when(F.col("mean_nll") < F.col("__qlo"), F.lit("head"))
+        .when(F.col("mean_nll") < F.col("__qhi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
     )
 
 

@@ -3335,6 +3335,59 @@ def q_unigram_ppl_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ccnet_ppl_bands",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+rt AS (SELECT unnest(toks) AS tok FROM d WHERE doc_id % 2 = 0),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM rt GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM cnt),
+lp AS (SELECT tok, round((ln(c + 1) - ln(n + v)) * 1e6)::BIGINT AS lq
+       FROM cnt, tot),
+fl AS (SELECT round(-ln(n + v) * 1e6)::BIGINT AS floor_lq FROM tot),
+dt AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+sc AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+         (-sum(coalesce(lp.lq, fl.floor_lq)))::BIGINT AS nll
+       FROM dt LEFT JOIN lp USING (tok), fl GROUP BY dt.doc_id),
+scored AS (
+  SELECT doc.doc_id,
+         round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+               ELSE sc.nll::DOUBLE / sc.n_tokens / 1e6 END, 4) AS mean_nll
+  FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id),
+hb AS (SELECT LEAST(GREATEST(floor(mean_nll / 0.078125), 0), 255)::BIGINT AS b,
+              count(*)::DOUBLE AS cnt
+       FROM scored GROUP BY b),
+hc AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b) AS cum,
+              sum(cnt) OVER () AS n FROM hb),
+pp AS (SELECT unnest([0.33, 0.67]) AS prob),
+q AS (SELECT pp.prob,
+        round(0.078125 * (hc.b + (pp.prob * hc.n - (hc.cum - hc.cnt)) / hc.cnt),
+              4) AS q_est
+      FROM hc, pp
+      WHERE hc.cum >= pp.prob * hc.n AND (hc.cum - hc.cnt) < pp.prob * hc.n),
+th AS (SELECT min(CASE WHEN prob = 0.33 THEN q_est END) AS qlo,
+              min(CASE WHEN prob = 0.67 THEN q_est END) AS qhi FROM q)
+SELECT s.doc_id, s.mean_nll,
+       CASE WHEN s.mean_nll < th.qlo THEN 'head'
+            WHEN s.mean_nll < th.qhi THEN 'middle'
+            ELSE 'tail' END AS band
+FROM scored s, th ORDER BY s.doc_id
+""",
+)
+def q_ccnet_ppl_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket split end to end: relational unigram
+    LM (trained on the even-id half) -> fixed-grid histogram-sketch
+    tercile thresholds over [0, 20) nats -> head/middle/tail band per
+    doc. Every stage is the deterministic family member, so the oracle
+    reproduces the exact band of every document."""
+    from flechasdb_spark.operators.text import ppl_band_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return ppl_band_select(
+        docs, reference=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+@query(
     "lang_id",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),

@@ -489,3 +489,40 @@ def test_unigram_logprob_hand_computed(spark):
     # ordering property: in-distribution text scores lower NLL than
     # out-of-vocabulary text
     assert out[10].mean_nll < out[11].mean_nll
+
+
+def test_ppl_band_select_thirds_and_monotone(spark):
+    """Bands partition the corpus into contiguous NLL ranges: every
+    head doc scores below every middle doc, every middle below every
+    tail, and with well-spread scores the split is near terciles."""
+    from flechasdb_spark.operators.text import ppl_band_select
+
+    ref = spark.createDataFrame(
+        [(i, "common words " * 5 + f"rare{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        # graded OOV fraction -> graded mean NLL
+        [
+            (i, " ".join(
+                ["common" if j < i % 10 else f"oov{i}_{j}" for j in range(10)]
+            ))
+            for i in range(90)
+        ],
+        "doc_id long, text string",
+    )
+    rows = ppl_band_select(docs, ref).collect()
+    by_band: dict[str, list[float]] = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r.mean_nll)
+    assert set(by_band) <= {"head", "middle", "tail"}
+    assert len(rows) == 90
+    if "head" in by_band and "middle" in by_band:
+        assert max(by_band["head"]) <= min(by_band["middle"])
+    if "middle" in by_band and "tail" in by_band:
+        assert max(by_band["middle"]) <= min(by_band["tail"])
+    # near-terciles (quantization tolerance: one histogram bucket can
+    # hold many docs of identical score)
+    assert all(len(v) >= 9 for v in by_band.values()), {
+        k: len(v) for k, v in by_band.items()
+    }
