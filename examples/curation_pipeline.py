@@ -193,6 +193,18 @@ def main() -> None:
     print(f"dsir tilt:    top-{tilted.count()} avg {tstats.nats} nats, "
           f"{tstats.n_tgt} from the target source")
 
+    # r5: CCNet-style perplexity banding — score the pool against an
+    # LM of the already-curated half and report the band mix (a real
+    # pipeline drops the tail band here)
+    from flechasdb_spark.operators.text import ppl_band_select
+
+    bands = ppl_band_select(clean_docs, reference=clean_docs)
+    bmix = {
+        r.band: r.n
+        for r in bands.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"ppl bands:    {bmix}")
+
     # materialize the final pool as per-worker training shards in a
     # reproducible pseudorandom order (re-shuffle per epoch via salt):
     # the sink writes shards/shard=K directories + a manifest, and the
