@@ -802,15 +802,16 @@ pqe AS (
                       cb.code) AS rn
     FROM embeddings e CROSS JOIN codebooks cb) s WHERE rn = 1),
 pqm AS (
-  SELECT sum(err) / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+  SELECT sum(round(err * 1e6)::BIGINT) / 1e6
+           / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
   FROM pqe),
 {_DD_SQ_BOUNDS.strip().rstrip(',')},
 sqm AS (
-  SELECT sum({_DD_SQL2.format(
+  SELECT sum(round(({_DD_SQL2.format(
       a="c.v",
       b="list_transform(c.cs, (x, i) -> "
-        "sqba.lo[i] + x * (sqba.hi[i] - sqba.lo[i]) / 255.0)")})
-           / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+        "sqba.lo[i] + x * (sqba.hi[i] - sqba.lo[i]) / 255.0)")}) * 1e6)::BIGINT)
+           / 1e6 / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
   FROM sqcodes c, sqba),
 {_DD_RQ_CB.strip().rstrip(',')},
 {_DD_RQ_LEVELS.strip()},
@@ -820,8 +821,8 @@ rqrec AS (
                         z -> (z[1] + z[2]) + z[3]) AS rv
   FROM e0 JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)),
 rqm AS (
-  SELECT sum({_DD_SQL2.format(a="r0.r", b="rqrec.rv")})
-           / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
+  SELECT sum(round(({_DD_SQL2.format(a="r0.r", b="rqrec.rv")}) * 1e6)::BIGINT)
+           / 1e6 / (64.0 * (SELECT count(*) FROM embeddings)) AS mse
   FROM r0 JOIN rqrec USING (vec_id))
 SELECT 'pq' AS quantizer, 0.1875 AS bits_per_dim, round(mse, 4) AS mse
 FROM pqm
@@ -873,7 +874,17 @@ def q_quantizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("center"),
             ).alias("err")
         )
-        .agg((F.sum("err") / (float(dim) * n)).alias("mse"))
+        .agg(
+            # integer-quantized error sum (micro-units): order-
+            # independent and bit-identical cross-engine, immune to the
+            # summation-order 4-dp rounding flips a plain double sum
+            # risks (same hardening as corpus_curation's avg_quality)
+            (
+                F.sum(F.round(F.col("err") * 1e6).cast("long"))
+                / 1e6
+                / (float(dim) * n)
+            ).alias("mse")
+        )
     )
 
     # SQ8: decode(encode(v)) in one map pass
@@ -897,7 +908,17 @@ def q_quantizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("reconstruction"),
             ).alias("err")
         )
-        .agg((F.sum("err") / (float(dim) * n)).alias("mse"))
+        .agg(
+            # integer-quantized error sum (micro-units): order-
+            # independent and bit-identical cross-engine, immune to the
+            # summation-order 4-dp rounding flips a plain double sum
+            # risks (same hardening as corpus_curation's avg_quality)
+            (
+                F.sum(F.round(F.col("err") * 1e6).cast("long"))
+                / 1e6
+                / (float(dim) * n)
+            ).alias("mse")
+        )
     )
 
     def row(name: str, bits: float, mse_df: DataFrame) -> DataFrame:
