@@ -236,3 +236,56 @@ def test_encode_token_ids_roundtrip_and_oov(spark):
     assert list(out[1].token_ids) == [vmap["bb"], -1, vmap["bb"]]
     assert out[1].n_unk == 1
     assert out[2].n_tokens == 0 and list(out[2].token_ids) == []
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**16),
+)
+def test_bmp_ppm_decode_roundtrip_property(h, w, top_down, seed):
+    """Any pixel array survives encode->decode exactly for both
+    uncompressed formats, at every width (exercising all 4 BMP row-pad
+    cases) and both BMP row orders."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _decode_bmp, _decode_ppm
+    from tests.test_multimodal import _bmp_bytes, _ppm_bytes
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert np.array_equal(_decode_bmp(_bmp_bytes(px, top_down=top_down)), px)
+    assert np.array_equal(_decode_ppm(_ppm_bytes(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    n_ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    bits=st.sampled_from([8, 16]),
+    extra=st.booleans(),
+    seed=st.integers(0, 2**16),
+)
+def test_wav_decode_roundtrip_property(n, n_ch, rate, bits, extra, seed):
+    """WAV decode recovers sample count, rate, channels, and the mono
+    downmix within quantization error for arbitrary PCM payloads."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import _decode_wav
+    from tests.test_multimodal import _wav_bytes
+
+    x = np.random.default_rng(seed).uniform(-1, 1, size=n * n_ch)
+    got_rate, got_ch, mono = _decode_wav(
+        _wav_bytes(x, rate=rate, n_ch=n_ch, bits=bits, extra_chunk=extra)
+    )
+    assert (got_rate, got_ch) == (rate, n_ch)
+    assert mono.shape[0] == n
+    expected = x.reshape(-1, n_ch).mean(axis=1)
+    # 2 LSB: 1 for the encoder's truncation + ~1 for its 127-vs-128
+    # scale (the fixture builder scales by 2^b-1, the PCM decode by 2^b)
+    tol = 2.0 / 127 if bits == 8 else 2.0 / 32767
+    assert np.abs(mono - expected).max() <= tol + 1e-12
