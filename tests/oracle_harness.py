@@ -33,14 +33,22 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Replicate the DRIVER's order of operations exactly: sort the RAW
+    # values first, stringify object columns after. The r5 regression
+    # (`token_id_encode`, VERDICT r5 #2) passed locally because this
+    # harness used to stringify BEFORE sorting — a list-typed column
+    # became a sortable string here but raised `unhashable type: 'list'`
+    # in the driver's raw sort. Sorting raw first means any
+    # array/map/struct output column now fails the local gate the same
+    # way it would fail the driver.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
             drop=True
         )
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
     return df
 
 

@@ -50,3 +50,42 @@ def test_rows_only(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_rows_have_scalar_columns_only(spark):
+    """Registry-wide guard (VERDICT r5 #2): the driver canonicalizes a
+    result by sorting RAW rows before stringifying, so an array/map/
+    struct output column raises `unhashable type` at the driver even
+    when values are correct. Every row in the driver's 50-entry window
+    must therefore emit scalar columns only; complex types belong in
+    pytest-gated operator tests, or reshaped (explode / array_join)
+    for the registry. Schema inspection only — no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from flechasdb_spark.queries import DRIVER_ORDER
+
+    offenders = []
+    for name in DRIVER_ORDER:
+        assert name in _QUERIES, f"DRIVER_ORDER names unknown query {name}"
+        schema = _QUERIES[name](spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "driver-window rows with non-scalar columns (driver canon "
+        "cannot sort these): " + "; ".join(offenders)
+    )
+
+
+def test_canon_fails_on_array_column_like_driver():
+    """The deliberate array-shaped fixture (VERDICT r5 #2 'done'
+    criterion): a list-typed result column must FAIL local
+    canonicalization with the driver's exact error class, not pass
+    because it was stringified first."""
+    import pandas as pd
+
+    from tests.oracle_harness import _canon
+
+    pdf = pd.DataFrame({"doc_id": [2, 1], "token_ids": [[1, 2], [3]]})
+    with pytest.raises(TypeError, match="unhashable"):
+        _canon(pdf)
