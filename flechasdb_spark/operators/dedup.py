@@ -668,8 +668,10 @@ def connected_components(
     min-label propagation: every node repeatedly adopts the smallest
     component id among itself and its neighbors until a fixpoint.
 
-    Converges in O(diameter) rounds (each a self-join + min-aggregate —
-    both map-side combinable); ``max_iter`` bounds pathological chains.
+    Converges in O(diameter) hops (each a self-join + min-aggregate —
+    both map-side combinable); ``max_iter`` bounds the number of HOPS
+    exactly (an odd bound runs an odd number of propagations — r5
+    ADVICE: the former two-hop loop could overshoot by one).
     Returns (node, component) where component = min node id reachable.
 
     This is the full transitive closure the greedy ``minhash_dedup``
@@ -686,10 +688,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels with the ONE-HOP minimum, min(node, neighbors) — a
+    # single map-side-combinable aggregate over the materialized edge
+    # list. Near-dup clusters are overwhelmingly cliques (every copy
+    # meets every other in some band), and for a clique the seed IS the
+    # fixpoint: the loop's first convergence check then exits after ONE
+    # materialized round instead of two, halving the per-call fixed
+    # cost (checkpoint + count jobs) that dominated leakage_safe_split
+    # (r5 VERDICT #6). The seed counts as hop 1 of the max_iter budget.
+    if max_iter <= 0:
+        return (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("node"), "component")
     )
 
     def _propagate(lbl):
@@ -708,17 +724,27 @@ def connected_components(
             )
         )
 
-    # TWO hops per materialization round: the per-round fixed cost
-    # (checkpoint job + convergence-check job) dominates on small dup
-    # graphs, and chaining two propagations inside one round halves it
-    # for the same O(diameter) label movement (max_iter still bounds
-    # HOPS). Checkpoint FIRST (truncates the iterative-join lineage),
-    # then run the convergence check against the materialized rows so
-    # the round's plan executes once.
-    for _ in range(0, max_iter, 2):
-        new_labels = _propagate(_propagate(labels)).localCheckpoint(
-            eager=True
-        )
+    # Up to TWO hops per materialization round: the per-round fixed
+    # cost (checkpoint job + convergence-check job) dominates on small
+    # dup graphs, and chaining two propagations inside one round halves
+    # it for the same O(diameter) label movement. max_iter bounds HOPS
+    # exactly: the seed spends hop 1, each round spends min(2,
+    # remaining). Checkpoint FIRST (truncates the iterative-join
+    # lineage), then run the convergence check against the materialized
+    # rows so the round's plan executes once — and skip the check
+    # entirely when the hop budget is exhausted (the loop exits either
+    # way, so the count job would be pure overhead — r5 VERDICT #6).
+    hops = 1
+    while hops < max_iter:
+        step = min(2, max_iter - hops)
+        new_labels = labels
+        for _ in range(step):
+            new_labels = _propagate(new_labels)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        hops += step
+        if hops >= max_iter:
+            labels = new_labels
+            break
         changed = (
             new_labels.alias("u")
             .join(labels.alias("l"), "node")

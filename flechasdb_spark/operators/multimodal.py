@@ -265,6 +265,14 @@ def _decode_wav(payload: bytes):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
+        # a declared size overrunning the payload would otherwise
+        # silently clamp the slice and compute features from partial
+        # audio; fail loudly like the BMP/PPM decoders do (r5 ADVICE)
+        if len(body) != size:
+            raise ValueError(
+                f"WAV truncated: chunk {cid!r} declares {size} bytes,"
+                f" payload holds {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -163,21 +163,27 @@ def rq_encode(
     r_{l+1} = r_l - center[l][code_l].
 
     Returns long-form (id, level, code) — the join-ready shape for
-    reconstruction. L sequential rounds; each is a broadcast join +
-    map-side-combined argmin (one shuffled row per vector per round).
-    Each round's argmin output is persisted, truncating the lineage so
-    round l executes ONE argmin job instead of re-deriving rounds
-    0..l-1 (the unpersisted chain was O(L^2) recompute — VERDICT r4
-    #6); the cache holds one (id, code, center) row per vector per
-    level, is deduplicated by Spark's plan-level cache manager across
-    identical calls, and the fused Arrow path (``rq_encode_fused``)
-    remains the bulk-encode product form."""
+    reconstruction, materialized EAGERLY. L sequential rounds; each is
+    a broadcast join + map-side-combined argmin (one shuffled row per
+    vector per round). Each round's argmin output is persisted while
+    the chain builds, truncating the lineage so round l executes ONE
+    argmin job instead of re-deriving rounds 0..l-1 (the unpersisted
+    chain was O(L^2) recompute — VERDICT r4 #6); once the code table is
+    materialized the per-level caches — which hold a full-dimension
+    center array per vector per level, the heavy part — are unpersisted
+    before returning (r5 ADVICE: they previously lived until session
+    LRU eviction). The returned frame is a localCheckpoint of the
+    small (id, level, code) table, freed when the caller drops it; the
+    fused Arrow path (``rq_encode_fused``) remains the bulk-encode
+    product form."""
     cur = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__r")
     )
     outs = []
+    cached = []
     for lv in range(levels):
         chosen = _level_argmin(cur, codebooks, lv, id_col).persist()
+        cached.append(chosen)
         outs.append(
             chosen.select(
                 id_col, F.lit(lv).alias("level"), F.col("code")
@@ -193,6 +199,13 @@ def rq_encode(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # materialize once (every caller does anyway — encode is not a
+    # plan fragment, it is the codes), then release the per-level
+    # caches so repeated calls with different inputs cannot accumulate
+    # executor storage
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     return out
 
 

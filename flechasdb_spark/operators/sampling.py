@@ -466,7 +466,13 @@ def dsir_importance(
     plan derived it 3x — VERDICT r4 #1). No window, no skew (buckets
     are md5-uniform). The persist is deduplicated by Spark's plan-level
     cache manager across repeated calls with identical inputs; its
-    footprint is the count table, never the tokens.
+    footprint is the count table, never the tokens. Cache LIFETIME is
+    caller-managed (r5 ADVICE): the returned plan reads the cache, so
+    it cannot be dropped here — it uses the default MEMORY_AND_DISK
+    level (spills, never OOMs) and a long-lived session scoring many
+    DIFFERENT corpora should call ``spark.catalog.clearCache()``
+    between them (unlike ``rq_encode``, whose heavy per-level caches
+    are self-releasing, this one is <= docs x n_buckets scalars).
 
     Returns (id_col, by, score) — score in integer micro-nats; empty
     documents score 0.

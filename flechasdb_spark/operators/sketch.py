@@ -263,7 +263,12 @@ def bloom_build(
     hash-groupBy on word index with ``bit_or`` partial aggregation —
     output is exactly ``<= n_words`` rows no matter the input size.
 
-    Returns (word_idx long, word long).
+    Returns (word_idx long, word long, n_words long) — ``n_words``
+    rides along as a constant so ``bloom_maybe_contains`` can verify
+    the probe sizing matches the build in BOTH directions (r5 ADVICE:
+    an OVERSIZED probe n_words silently changed the modulus m and
+    produced false negatives, which breaks the filter's one-sided-error
+    contract; the old guard only caught undersizing).
     """
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     m = 63 * int(n_words)
@@ -295,6 +300,7 @@ def bloom_build(
         )
         .groupBy("word_idx")
         .agg(F.expr("bit_or(__mask)").alias("word"))
+        .withColumn("n_words", F.lit(int(n_words)).cast("long"))
     )
 
 
@@ -314,23 +320,28 @@ def bloom_maybe_contains(
 
     ``n_words``/``k``/``salt`` must match the build call.
 
-    ``impl="map"`` (default, the product path): the filter is <=
-    ``n_words`` 63-bit longs (2048 words = 16 KiB), so the sparse
-    (word_idx, word) rows are collapsed LAZILY — inside the same job —
-    into a one-row dense ``array<bigint>`` (map_from_entries + a
-    transform over sequence(0, n_words-1)) that broadcast-attaches to
-    every probe row; each probe is then k ``element_at`` + shift
-    expressions against real ArrayData. The only exchange is the
-    one-row BroadcastExchange: NO explode, NO equi-join, NO shuffle of
-    ``df`` at any width (ADVICE r4: the former relational probe
+    ``impl="map"`` (default, the product path): the sparse
+    (word_idx, word) rows are collapsed into a one-row dense
+    ``array<bigint>`` (map_from_entries + a transform over
+    sequence(0, n_words-1)), eagerly ``localCheckpoint``ed — one tiny
+    Spark job that also fires the sizing guard immediately — and then
+    referenced from the probe scan as a SCALAR SUBQUERY, so each probe
+    row evaluates k md5 + ``element_at`` + shift expressions entirely
+    inside whole-stage codegen. NO explode, NO equi-join, NO exchange
+    of ``df`` at any width (ADVICE r4: the former relational probe
     regrouped the probe side on all of df's columns, a full exchange
-    that undercut the prefilter framing), and no eager driver collect
-    (measured: serializing the build job ahead of the probe job cost
-    more wall-clock than the whole relational form; an eager literal
-    array additionally decayed to a 2048-child per-row CreateArray).
+    that undercut the prefilter framing), and no driver collect of the
+    words (the subquery result is bound JVM-side). Design history, all
+    measured at sf0.1: a broadcast crossJoin + ``forall`` bit-test kept
+    one exchange-free plan but the higher-order function is
+    CodegenFallback, interpreting the whole per-row expression (~2x
+    slower than relational); an eager literal array decayed to a
+    per-row n_words-child CreateArray; and a NON-checkpointed scalar
+    subquery re-executed the whole (non-deterministic, collect_list)
+    build aggregate once PER REFERENCE — k times the build cost.
     Row multiplicity is preserved exactly. A build/probe ``n_words``
-    mismatch raises at evaluation time via a per-row broadcast-constant
-    check.
+    mismatch raises at probe-construction time (the checkpoint
+    materializes the guard).
 
     ``impl="relational"``: the original explode + broadcast-join +
     regroup form, kept for plan-comparison tests and for probing with
@@ -355,11 +366,22 @@ def bloom_maybe_contains(
     ]
     if impl == "map":
         wcol, xcol = "__bloom_words", "__bloom_max_idx"
-        clash = {wcol, xcol} & set(df.columns)
+        vcol = "__bloom_probe_val"
+        clash = {wcol, xcol, vcol} & set(df.columns)
         if clash:
             raise ValueError(
                 f"map bloom probe reserves column names {sorted(clash)}"
             )
+        # mismatch detection is two-sided (r5 ADVICE): word_idx past
+        # the probe range catches an UNDERSIZED probe, and the n_words
+        # the build recorded catches an OVERSIZED one (larger probe
+        # n_words = different modulus m = false negatives, silently).
+        # Blooms built before the column existed fall back to the
+        # one-sided check.
+        has_n = "n_words" in bloom.columns
+        built_n = (
+            F.max("n_words") if has_n else F.lit(None).cast("long")
+        )
         dense = (
             bloom.groupBy()
             .agg(
@@ -372,6 +394,7 @@ def bloom_maybe_contains(
                     )
                 ).alias("__m"),
                 F.max("word_idx").alias(xcol),
+                built_n.alias("__bn"),
             )
             .select(
                 F.transform(
@@ -385,12 +408,18 @@ def bloom_maybe_contains(
                 # per-probe-row raise_error blocked codegen — measured
                 # +0.5 s); the row path only reads the 0 back
                 F.when(
-                    F.coalesce(F.col(xcol), F.lit(-1)) >= int(n_words),
+                    (F.coalesce(F.col(xcol), F.lit(-1)) >= int(n_words))
+                    | (
+                        F.coalesce(F.col("__bn"), F.lit(int(n_words)))
+                        != int(n_words)
+                    ),
                     F.raise_error(
                         F.lit(
-                            "bloom word_idx exceeds probe n_words "
-                            f"{int(n_words)} — n_words must match "
-                            "the bloom_build call"
+                            "bloom probe n_words "
+                            f"{int(n_words)} does not match the "
+                            "bloom_build sizing — the bit modulus "
+                            "differs and membership answers would be "
+                            "wrong in both directions"
                         )
                     ).cast("int"),
                 )
@@ -398,33 +427,50 @@ def bloom_maybe_contains(
                 .alias(xcol),
             )
         )
-        # positions as a bound-variable array (each md5 evaluated ONCE;
-        # inlining p into idx AND bit doubled the hashing) and the k-way
-        # AND as forall over it
-        parr = F.transform(
-            F.sequence(F.lit(0), F.lit(int(k) - 1)),
-            lambda j: md5_long(
-                F.concat(
-                    F.lit(salt), F.lit(":"), j.cast("string"),
-                    F.lit(":"), c.cast("string"),
-                )
+        # ONE eager one-row checkpoint: runs the bloom build exactly
+        # once, fires the sizing guard now (fail-fast at construction),
+        # and gives the scalar subqueries below a trivially-rescannable
+        # one-row table — required because the build aggregate contains
+        # collect_list, which is non-deterministic, so ReuseSubquery
+        # cannot dedup a plain subquery and each of the k references
+        # would re-run the whole build (measured: k x build cost)
+        dense = dense.localCheckpoint(eager=True)
+        # the probe value as a pre-projected string column so the SQL
+        # below needs no arbitrary-expression stringification
+        pre = df.withColumn(vcol, c.cast("string"))
+        if "{" in f"{salt}{out_col}" or "}" in f"{salt}{out_col}":
+            raise ValueError(
+                "map bloom probe: salt/out_col may not contain braces"
             )
-            % m,
+        esc_salt = str(salt).replace("'", "''")
+        esc_out = str(out_col).replace("`", "``")
+
+        def p_sql(j: int) -> str:
+            # identical bytes to bloom_build's md5_long(concat(salt,
+            # ':', j, ':', value)) — the hashes MUST match the build
+            return (
+                "(CAST(CONV(SUBSTRING(MD5(CONCAT("
+                f"'{esc_salt}:', '{j}', ':', {vcol}"
+                f")),1,15),16,10) AS BIGINT) % {m})"
+            )
+
+        bits = " AND ".join(
+            "((shiftright(element_at((SELECT "
+            + wcol
+            + " FROM {dense}), CAST("
+            + p_sql(j)
+            + "/63 AS INT)+1), CAST("
+            + p_sql(j)
+            + " % 63 AS INT)) & CAST(1 AS BIGINT)) = 1)"
+            for j in range(int(k))
         )
-        hit = F.forall(
-            parr,
-            lambda p: (
-                F.call_function(
-                    "shiftright",
-                    F.element_at(F.col(wcol), (p / 63).cast("int") + 1),
-                    (p % 63).cast("int"),
-                ).bitwiseAND(F.lit(1))
-                == 1
-            ),
+        res = df.sparkSession.sql(
+            "SELECT p.*, (" + bits + ") AS `" + esc_out + "` "
+            "FROM {probe} p",
+            probe=pre,
+            dense=dense,
         )
-        return df.crossJoin(F.broadcast(dense)).select(
-            *df.columns, (hit & (F.col(xcol) == 0)).alias(out_col)
-        )
+        return res.select(*df.columns, F.col(out_col))
     if impl != "relational":
         raise ValueError(f"impl {impl!r} must be 'map' or 'relational'")
     reserved = {"__p", "__hit", "word_idx", "word"}
@@ -435,6 +481,26 @@ def bloom_maybe_contains(
             " rename them or use impl='map'"
         )
     cols = df.columns
+    # same two-sided sizing guard as the map impl, evaluated on the
+    # O(n_words) broadcast side (never per probe row): any bloom row
+    # whose recorded n_words differs from the probe's raises at
+    # broadcast build time
+    if "n_words" in bloom.columns:
+        bloom = bloom.select(
+            "word_idx",
+            F.when(
+                F.col("n_words") != int(n_words),
+                F.raise_error(
+                    F.lit(
+                        "bloom probe n_words "
+                        f"{int(n_words)} does not match the "
+                        "bloom_build sizing"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("word"))
+            .alias("word"),
+        )
     pos = df.select("*", F.explode(F.array(*probes)).alias("__p"))
     probed = pos.join(
         F.broadcast(bloom.select("word_idx", "word")),

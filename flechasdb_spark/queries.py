@@ -2924,10 +2924,13 @@ def q_bloom_decontam_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(ref, "shingle")
     # impl choice: this probe side is narrow distinct key rows that the
     # query regroups per doc right after anyway, so the fully-pipelined
-    # relational probe wins here (A/B at sf0.01/sf0.1: ~1.1 vs ~1.7 s
-    # and 2.4 vs 2.9 s warm); the shuffle-free default impl='map' is
-    # for wide or multiplicity-preserving prefilters where regrouping
-    # the probe side is the scale hazard (equivalence pytest-gated)
+    # relational probe stays the right fit for THIS row (and keeps the
+    # lazy single-query shape the oracle pins); the shuffle-free
+    # default impl='map' — scalar-subquery + codegen since r6 — wins
+    # where the probe side carries payload: 0.53 vs 1.84 s warm on the
+    # 200k-doc text corpus (BENCH smoke bloom_probe_corpus_*), the
+    # decontamination shape where regrouping the corpus is the scale
+    # hazard (equivalence pytest-gated)
     probed = bloom_maybe_contains(ex, bloom, "shingle", impl="relational")
     exact = ex.join(
         ref.withColumn("__hit", F.lit(1)), "shingle", "left"

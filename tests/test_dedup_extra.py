@@ -49,6 +49,29 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_max_iter_bounds_hops_exactly(spark):
+    """max_iter bounds HOPS exactly (r5 ADVICE: the old two-hop loop
+    ran max_iter+1 propagations for odd bounds). On a path graph,
+    node i's label after h hops is max(0, i-h): with max_iter=3 the
+    far end of an 8-node chain must sit at exactly 7-3=4, not the
+    4-hop value 3."""
+    from flechasdb_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=3).collect()
+    }
+    assert got[7] == 4 and got[6] == 3 and got[3] == 0
+    # and an ample budget still reaches the true fixpoint
+    full = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=20).collect()
+    }
+    assert set(full.values()) == {0}
+
+
 def test_connected_components_on_real_neardup_pairs(spark):
     """Transitive closure over the LSH near-dup pairs at sf0.001 —
     min-propagation must equal union-find on the same edge set."""

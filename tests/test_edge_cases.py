@@ -363,6 +363,31 @@ def test_bloom_one_sided_error(spark):
     assert fp < 0.05, f"fp rate {fp} way above sizing (~0.24% at 500/16k)"
 
 
+def test_bloom_probe_nwords_mismatch_raises_both_directions(spark):
+    """The sizing guard is TWO-sided (r5 ADVICE): an undersized probe
+    n_words reads out-of-range word indexes, an OVERSIZED one silently
+    probed with a different modulus m and produced false negatives —
+    both must raise, in both impls."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from flechasdb_spark.operators.sketch import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    ref = spark.createDataFrame([(f"m{i}",) for i in range(300)], "v string")
+    bloom = bloom_build(ref, "v", n_words=128, k=4)
+    probe = spark.createDataFrame([("m0",), ("zz",)], "v string")
+    for bad_n in (64, 256):
+        for impl in ("map", "relational"):
+            with pytest.raises((Py4JJavaError, Exception)) as ei:
+                bloom_maybe_contains(
+                    probe, bloom, "v", n_words=bad_n, k=4, impl=impl
+                ).collect()
+            assert "n_words" in str(ei.value)
+
+
 def test_bloom_map_probe_is_shuffle_free_and_matches_relational(spark):
     """The product probe (impl='map', literal word array) must produce
     the same booleans as the relational explode+join+regroup form, add
@@ -400,7 +425,7 @@ def test_bloom_map_probe_is_shuffle_free_and_matches_relational(spark):
     # ONLY the probe (the embedded bloom BUILD legitimately shuffles
     # its <= n_words rows).
     bloom_local = spark.createDataFrame(
-        bloom.collect(), "word_idx long, word long"
+        bloom.collect(), "word_idx long, word long, n_words long"
     )
     wide = probe.select(
         "v", *[F.lit(f"pad{i}").alias(f"w{i}") for i in range(12)]

@@ -273,6 +273,20 @@ def test_wav_decode_compressed_raises():
         _decode_wav(b"OggS" + b"\x00" * 64)
 
 
+def test_wav_truncated_data_chunk_raises():
+    """A declared chunk size overrunning the payload must raise, not
+    silently compute features from partial audio (r5 ADVICE — the BMP/
+    PPM decoders already failed loudly on truncation)."""
+    import numpy as np
+    import pytest
+
+    from flechasdb_spark.operators.multimodal import _decode_wav
+
+    whole = _wav_bytes(np.linspace(-0.5, 0.5, 64))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_wav(whole[:-10])  # data chunk body cut short
+
+
 def test_decode_audio_spark_end_to_end(spark):
     """fake=False through mapInPandas: WAV payloads decode to per-row
     sample metadata matching the crafted fixtures."""

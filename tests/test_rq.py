@@ -154,15 +154,20 @@ def test_rq_fused_matches_relational(spark, emb):
 
 
 def test_rq_encode_truncates_lineage_per_round(spark, emb):
-    """Each round's argmin output is persisted (VERDICT r4 #6): the
-    final plan must read rounds 0..L-2 from InMemoryTableScan instead
-    of re-deriving the whole chain per level (O(L^2) recompute), and
-    the codes must still match NumPy."""
+    """Each round's argmin is persisted while the chain builds
+    (VERDICT r4 #6: the unpersisted chain recomputed O(L^2)), then the
+    materialized code table is returned as a checkpoint and the
+    per-level caches RELEASED (r5 ADVICE: they used to live until
+    session LRU eviction). Gate both: no lingering cached RDDs after
+    the call, checkpoint-scan plan, and codes still match NumPy."""
     cb_df = rq_fixed_codebooks(spark, L, C, DIM)
     sub = emb.where(F.col("vec_id") < 32)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     enc = rq_encode(sub, cb_df, levels=L)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, "per-level caches must be unpersisted"
     plan = enc._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, "per-round persist missing"
+    assert "ExistingRDD" in plan, "encode must return the checkpoint"
     x = np.array(
         [
             np.asarray(r.embedding, dtype=np.float64)
