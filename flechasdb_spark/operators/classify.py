@@ -1,0 +1,170 @@
+"""Hashed-bucket multinomial Naive Bayes text classification — the
+relational, engine-exact member of the linear-classifier family that
+LLM data pipelines use for quality and domain filtering (fastText
+supervised models in CCNet/LLaMA-style curation, logistic quality
+scorers in DataComp; Joulin et al. 2017 "Bag of Tricks for Efficient
+Text Classification" is the published shape: hashed bag-of-words
+features -> linear scores -> argmax).
+
+Reference anchor: flechasdb has no classifier (it is a vector DB —
+src/lib.rs), so this module is pure extension surface; it follows the
+same determinism contract as the DSIR and unigram-LM operators
+(operators/sampling.py, operators/text.py): every model weight is
+quantized ONCE to integer micro-nats so per-document scores are
+order-independent INTEGER sums that DuckDB reproduces bit-for-bit.
+
+Scale (100 TB): training is one token-grain partial-agg pass
+collapsing to O(L x B) rows (labels x buckets — thousands, not
+corpus-sized); the model broadcasts; scoring is one explode + one
+broadcast join + a map-side-combinable sum per (doc, label). The only
+O(docs x L) intermediate is the per-label score table, with L the
+(small) label count. No windows, no skew beyond token frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flechasdb_spark.functions.texthash import md5_long
+from flechasdb_spark.operators.text import tokens
+
+__all__ = ["nb_train", "nb_score"]
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial NB model over hashed token buckets.
+
+    Features are md5-hashed token buckets (the fastText hashing trick:
+    fixed feature space, no vocabulary state). Add-one smoothing over
+    the B buckets; weights in integer micro-nats:
+
+    - priors:  (label, prior_lq)   prior_lq = round(1e6 * ln(d_l / d))
+    - loglik:  (label, bucket, loglik_lq) DENSE over all B buckets,
+      loglik_lq = round(1e6 * ln((c_lb + 1) / (n_l + B)))
+
+    The dense grid means every scored token hits exactly one row per
+    label — no unseen-feature special case at score time. A label
+    whose documents contain no tokens still gets a full smoothing-floor
+    row set (n_l = 0).
+
+    One shuffle (token-grain partial agg, map-side combined), then
+    O(L x B) arithmetic. Returns (priors, loglik).
+    """
+    B = int(n_buckets)
+    ndocs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    tot = ndocs.agg(F.sum("__d").alias("__t"))
+    priors = ndocs.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.round((F.log("__d") - F.log("__t")) * 1e6)
+        .cast("long")
+        .alias("prior_lq"),
+    )
+    tok = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    cnt = tok.select(
+        "label", (md5_long(F.col("__tok")) % B).alias("__b")
+    ).groupBy("label", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    n_l = cnt.groupBy("label").agg(F.sum("__c").alias("__n"))
+    # dense grid from the PRIOR label set (not from cnt — a label with
+    # only empty documents must still score), buckets 0..B-1
+    grid = (
+        ndocs.select("label")
+        .join(n_l, "label", "left")
+        .select(
+            "label", F.coalesce("__n", F.lit(0)).alias("__n"),
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+        )
+    )
+    loglik = (
+        grid.join(cnt, ["label", "__b"], "left")
+        .select(
+            "label",
+            F.col("__b").alias("bucket"),
+            F.round(
+                (
+                    F.log(F.coalesce("__c", F.lit(0)) + 1)
+                    - F.log(F.col("__n") + B)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("loglik_lq"),
+        )
+    )
+    return priors, loglik
+
+
+def nb_score(
+    df: DataFrame,
+    priors: DataFrame,
+    loglik: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score every document against every label and keep the argmax.
+
+    ``n_buckets`` must match the train call (same contract as the
+    Bloom probe sizing). score(doc, l) = prior_lq[l] +
+    sum_b c_db * loglik_lq[l, b] — an integer sum, so the argmax (and
+    its deterministic tie-break: highest score, then smallest label
+    string) is engine-exact. Empty documents score priors only, i.e.
+    predict the majority training label.
+
+    Plan: explode -> per-(doc, bucket) count (ONE token-grain shuffle,
+    map-side combined) -> broadcast join the O(L x B) loglik ->
+    per-(doc, label) sum -> argmax as ``min(struct(-score, label))``
+    (partially aggregable — never a per-doc sort window).
+
+    Returns (id_col, predicted, score_micro_nats).
+    """
+    B = int(n_buckets)
+    dtok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    dbc = dtok.select(
+        id_col, (md5_long(F.col("__tok")) % B).alias("__b")
+    ).groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    sums = (
+        dbc.join(
+            F.broadcast(loglik), dbc["__b"] == loglik["bucket"]
+        )
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("__c") * F.col("loglik_lq")).alias("__s"))
+    )
+    base = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(priors))
+        .join(sums, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_lq") + F.coalesce(F.col("__s"), F.lit(0))
+            ).alias("__score"),
+        )
+    )
+    return (
+        base.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__score")).alias("ns"), F.col("label")
+                )
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.col("__m.label").alias("predicted"),
+            (-F.col("__m.ns")).alias("score_micro_nats"),
+        )
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "cross_ngram_overlap",
     "doc_novelty",
     "segment_dedup",
+    "cdc_chunk_dedup",
 ]
 
 
@@ -915,6 +916,92 @@ def segment_dedup(
                 F.array_sort(
                     F.collect_list(
                         F.when(F.col("__keep"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup at CONTENT-DEFINED chunk granularity —
+    the shift-robust sibling of ``segment_dedup``. Fixed ``seg_words``
+    segmentation breaks when a duplicate passage is merely OFFSET (one
+    inserted word upstream shifts every later segment boundary, so no
+    segment matches); content-defined chunking (the LBFS/rsync family
+    — Muthitacharoen et al. 2001 — at word granularity) cuts AFTER any
+    word whose md5 hash is ``0 mod divisor``, so boundaries travel
+    with the CONTENT and duplicate passages re-align within one chunk
+    of their start regardless of offset. Expected chunk length is
+    ``divisor`` words.
+
+    Keep policy matches ``segment_dedup``: a chunk survives only at
+    its first global occurrence ordered by (doc, chunk position);
+    survivors are stitched back per document. Returns
+    ``(id_col, n_chunks, n_kept, clean_text)``.
+
+    Scale (100 TB): the cut-point marking is map-only; the chunk id is
+    a running boundary count over a window PARTITIONED BY DOCUMENT
+    (bounded by doc length, one shuffle keyed on the doc); chunk
+    assembly is one aggregation on (doc, chunk); first-occurrence is
+    the same whole-partition ``min(struct(doc, pos))`` window keyed on
+    the chunk text as ``segment_dedup`` (data moves once, by chunk);
+    reassembly folds the keep flag into conditional aggregates — no
+    joins anywhere.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    # boundary AFTER a cut word: the NEXT word starts a new chunk, so
+    # chunk id = count of cut words strictly before this position
+    cut = (md5_long(F.col("w")) % int(divisor) == 0).cast("long")
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = words.select(
+        id_col,
+        "pos",
+        "w",
+        F.coalesce(F.sum(cut).over(prev), F.lit(0)).alias("__chunk"),
+    )
+    chunks = chunked.groupBy(id_col, "__chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    okey = F.struct(F.col(id_col).alias("d"), F.col("__chunk").alias("p"))
+    flagged = chunks.withColumn(
+        "__keep",
+        okey == F.min(okey).over(Window.partitionBy("chunk_text")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(
+                                F.col("__chunk").alias("pos"),
+                                F.col("chunk_text").alias("seg"),
+                            ),
+                        )
                     )
                 ),
                 lambda x: x["seg"],

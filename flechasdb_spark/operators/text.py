@@ -33,6 +33,7 @@ __all__ = [
     "BPE_ISH_PATTERN",
     "quality_score",
     "unigram_logprob_score",
+    "bigram_backoff_score",
     "ppl_band_select",
     "lang_id",
     "doc_fingerprint",
@@ -378,6 +379,146 @@ def ppl_band_select(
         .when(F.col("mean_nll") < F.col("__qhi"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("band"),
+    )
+
+
+def bigram_backoff_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff BIGRAM language-model scoring (Brants et al.
+    2007, "Large Language Models in Machine Translation" §4 — the
+    score function built for distributed corpus-scale LMs precisely
+    because it needs no normalization pass): per token position,
+
+    - S(w | u) = c(u,w) / c(u)            when the bigram was seen,
+    - S(w | u) = alpha * P1(w)            otherwise (backoff),
+    - first token of a doc scores P1(w),
+
+    where P1 is the add-one-smoothed unigram (c(w)+1)/(N+V) with floor
+    1/(N+V) for unseen words — the sharper, context-aware sibling of
+    ``unigram_logprob_score`` in the CCNet quality-scoring family.
+
+    Determinism: every DISTINCT model value is quantized once to
+    integer micro-nats — bigram entries round(1e6*ln(c_uv/c_u)),
+    unigram entries round(1e6*ln((c+1)/(N+V))), and the backoff
+    penalty round(1e6*ln(alpha)) computed driver-side — so per-doc
+    scores are order-independent integer sums DuckDB reproduces
+    exactly.
+
+    Scale (100 TB): bigrams come from a lag window PARTITIONED BY
+    DOCUMENT (bounded by doc length — one shuffle on the doc id,
+    never a corpus-wide sort); reference counts collapse to O(V) and
+    O(bigram-types) rows met by equi-joins on the token / token-pair
+    key (AQE broadcasts while small, linear shuffle join beyond); the
+    per-doc sum is map-side combinable.
+
+    Returns (id_col, n_tokens, nll_micro_nats, mean_nll,
+    bigram_hit_ratio); empty docs score 0 / 0.0 / 1.0.
+    """
+    import math
+
+    lq_alpha = int(round(math.log(float(alpha)) * 1e6))
+    ref = reference if reference is not None else df
+
+    def _pairs(frame):
+        t = frame.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("__p", "__w")
+        )
+        prev = F.lag("__w").over(
+            Window.partitionBy(id_col).orderBy("__p")
+        )
+        return t.select(id_col, "__p", "__w", prev.alias("__u"))
+
+    rp = _pairs(ref)
+    uni = rp.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = uni.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    lp1 = uni.crossJoin(F.broadcast(totals)).select(
+        F.col("__w").alias("w1"),
+        F.round(
+            (F.log(F.col("__c") + 1) - F.log(F.col("__n") + F.col("__v")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("__lq1"),
+    )
+    floor1 = totals.select(
+        F.round(-F.log(F.col("__n") + F.col("__v")) * 1e6)
+        .cast("long")
+        .alias("__floor")
+    )
+    big = (
+        rp.where(F.col("__u").isNotNull())
+        .groupBy("__u", "__w")
+        .agg(F.count(F.lit(1)).alias("__cuv"))
+    )
+    ctx = big.groupBy("__u").agg(F.sum("__cuv").alias("__cu"))
+    lp2 = big.join(ctx, "__u").select(
+        F.col("__u").alias("u2"),
+        F.col("__w").alias("w2"),
+        F.round((F.log("__cuv") - F.log("__cu")) * 1e6)
+        .cast("long")
+        .alias("__lq2"),
+    )
+    dp = _pairs(df)
+    scored = (
+        dp.join(lp1, dp["__w"] == lp1["w1"], "left")
+        .join(
+            lp2,
+            (dp["__u"] == lp2["u2"]) & (dp["__w"] == lp2["w2"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(floor1))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__u").isNull(),
+                F.coalesce(F.col("__lq1"), F.col("__floor")),
+            )
+            .when(F.col("__lq2").isNotNull(), F.col("__lq2"))
+            .otherwise(
+                F.lit(lq_alpha)
+                + F.coalesce(F.col("__lq1"), F.col("__floor"))
+            )
+            .alias("__lq"),
+            F.col("__lq2").isNotNull().cast("long").alias("__hit"),
+            (F.col("__u").isNotNull()).cast("long").alias("__isbig"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("__lq")).alias("nll_micro_nats"),
+            F.sum("__hit").alias("__nhit"),
+            F.sum("__isbig").alias("__nbig"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("nll_micro_nats", F.lit(0))
+            .cast("long")
+            .alias("nll_micro_nats"),
+            F.round(
+                F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("nll_micro_nats") / F.col("n_tokens") / 1e6
+                ),
+                4,
+            ).alias("mean_nll"),
+            F.round(
+                F.when(F.coalesce("__nbig", F.lit(0)) == 0, F.lit(1.0))
+                .otherwise(F.col("__nhit") / F.col("__nbig")),
+                4,
+            ).alias("bigram_hit_ratio"),
+        )
     )
 
 

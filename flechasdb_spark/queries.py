@@ -8,6 +8,8 @@ rounding of float outputs on both sides, id tie-breaks on every ordering.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1790,6 +1792,61 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_chunk_dedup",
+    f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS wd,
+               generate_subscripts(ws, 1) AS pos FROM w),
+cutm AS (SELECT doc_id, pos, wd,
+                CASE WHEN {_DD_MD5H.format(x="wd")} % 16 = 0
+                     THEN 1 ELSE 0 END AS cut
+         FROM tok),
+ch AS (SELECT doc_id, pos, wd,
+              coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk
+       FROM cutm),
+chunks AS (SELECT doc_id, chunk,
+                  string_agg(wd, ' ' ORDER BY pos) AS chunk_text
+           FROM ch GROUP BY doc_id, chunk),
+ranked AS (SELECT doc_id, chunk, chunk_text,
+                  row_number() OVER (PARTITION BY chunk_text
+                                     ORDER BY doc_id, chunk) AS rn
+           FROM chunks),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                          ' ' ORDER BY chunk) AS clean_text
+        FROM ranked GROUP BY doc_id)
+SELECT d.doc_id, a.n_chunks, a.n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (LBFS/rsync boundary family at
+    word granularity): chunk boundaries cut after words whose md5 is
+    0 mod 16, so duplicate passages re-align under OFFSET — the
+    failure mode fixed-segment dedup cannot catch. First global
+    occurrence (by doc, chunk position) survives; stitched clean_text
+    per doc. Oracle recomputes the identical md5 cut-points, running
+    boundary count and keep window."""
+    from flechasdb_spark.operators.dedup import cdc_chunk_dedup
+
+    return (
+        cdc_chunk_dedup(_t(spark, sf_dir, "documents"), divisor=16)
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ngram_jaccard",
     # Mirrors the operator's inverted-index form INCLUDING the max_df
     # hot-shingle cut (sizes count all shingles; intersections only
@@ -3448,6 +3505,149 @@ def q_ccnet_ppl_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_band_select(
         docs, reference=docs.where(F.col("doc_id") % 2 == 0)
     ).orderBy("doc_id")
+
+
+# stupid-backoff's fixed penalty, quantized ONCE driver-side so the
+# Spark operator and the DuckDB oracle share the identical integer
+_LQ_ALPHA_04 = int(round(math.log(0.4) * 1e6))
+
+
+@query(
+    "bigram_lm_score",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+pt AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+       FROM d),
+pp AS (SELECT doc_id, p, w,
+              lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS u
+       FROM pt),
+rp AS (SELECT * FROM pp WHERE doc_id % 2 = 0),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM rp GROUP BY w),
+tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+lp1 AS (SELECT w, round((ln(c + 1) - ln(n + v)) * 1e6)::BIGINT AS lq1
+        FROM uni, tot),
+fl AS (SELECT round(-ln(n + v) * 1e6)::BIGINT AS floor_lq FROM tot),
+big AS (SELECT u, w, count(*)::BIGINT AS cuv FROM rp
+        WHERE u IS NOT NULL GROUP BY u, w),
+ctx AS (SELECT u, sum(cuv)::BIGINT AS cu FROM big GROUP BY u),
+lp2 AS (SELECT big.u, big.w,
+               round((ln(cuv) - ln(cu)) * 1e6)::BIGINT AS lq2
+        FROM big JOIN ctx USING (u)),
+sc AS (
+  SELECT pp.doc_id, count(*)::BIGINT AS n_tokens,
+         (-sum(CASE WHEN pp.u IS NULL
+                    THEN coalesce(lp1.lq1, fl.floor_lq)
+                    WHEN lp2.lq2 IS NOT NULL THEN lp2.lq2
+                    ELSE {_LQ_ALPHA_04} + coalesce(lp1.lq1, fl.floor_lq)
+               END))::BIGINT AS nll,
+         sum(CASE WHEN lp2.lq2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nhit,
+         sum(CASE WHEN pp.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS nbig
+  FROM pp
+  LEFT JOIN lp1 ON pp.w = lp1.w
+  LEFT JOIN lp2 ON pp.u = lp2.u AND pp.w = lp2.w, fl
+  GROUP BY pp.doc_id)
+SELECT doc.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sc.nll, 0)::BIGINT AS nll_micro_nats,
+       round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+             ELSE sc.nll::DOUBLE / sc.n_tokens / 1e6 END, 4) AS mean_nll,
+       round(CASE WHEN coalesce(sc.nbig, 0) = 0 THEN 1.0
+             ELSE sc.nhit::DOUBLE / sc.nbig END, 4) AS bigram_hit_ratio
+FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+ORDER BY doc.doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007 — the
+    normalization-free score built for corpus-scale distributed LMs):
+    train bigram + add-one unigram tables on the even-id half, score
+    EVERY doc (odd docs exercise the backoff and the unseen-word
+    floor). The context-aware step up from ``unigram_ppl_score`` in
+    the CCNet quality family; integer micro-nat sums keep it
+    engine-exact, including the driver-side-quantized ln(0.4)
+    penalty shared verbatim with this oracle."""
+    from flechasdb_spark.operators.text import bigram_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_backoff_score(
+        docs, reference=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+@query(
+    "nb_source_classifier",
+    f"""
+WITH d AS (SELECT doc_id, source, {_DD_TOKS} AS toks FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % 4 <= 1),
+eval AS (SELECT * FROM d WHERE doc_id % 4 >= 2),
+nd AS (SELECT source AS label, count(*)::BIGINT AS dl FROM train
+       GROUP BY source),
+tt AS (SELECT sum(dl)::BIGINT AS t FROM nd),
+priors AS (SELECT label, round((ln(dl) - ln(t)) * 1e6)::BIGINT
+             AS prior_lq FROM nd, tt),
+ttok AS (SELECT source AS label, unnest(toks) AS tok FROM train),
+tb AS (SELECT label, {_DD_MD5H.format(x="tok")} % 256 AS b FROM ttok),
+cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tb GROUP BY label, b),
+nl AS (SELECT label, sum(c)::BIGINT AS n FROM cnt GROUP BY label),
+grid AS (SELECT nd.label, coalesce(nl.n, 0) AS n, gs.b
+         FROM nd LEFT JOIN nl USING (label)
+         CROSS JOIN (SELECT unnest(range(256)) AS b) gs),
+ll AS (SELECT grid.label, grid.b,
+              round((ln(coalesce(cnt.c, 0) + 1) - ln(grid.n + 256))
+                    * 1e6)::BIGINT AS lq
+       FROM grid LEFT JOIN cnt ON grid.label = cnt.label
+                              AND grid.b = cnt.b),
+etok AS (SELECT doc_id, unnest(toks) AS tok FROM eval),
+eb AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} % 256 AS b FROM etok),
+ebc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM eb
+        GROUP BY doc_id, b),
+sums AS (SELECT ebc.doc_id, ll.label, sum(ebc.c * ll.lq)::BIGINT AS s
+         FROM ebc JOIN ll ON ebc.b = ll.b GROUP BY ebc.doc_id, ll.label),
+base AS (SELECT ev.doc_id, p.label,
+                (p.prior_lq + coalesce(s.s, 0))::BIGINT AS score
+         FROM (SELECT doc_id FROM eval) ev
+         CROSS JOIN priors p
+         LEFT JOIN sums s ON s.doc_id = ev.doc_id AND s.label = p.label),
+best AS (SELECT doc_id, label, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label ASC) AS rn
+         FROM base)
+SELECT b.doc_id, b.label AS predicted,
+       b.score AS score_micro_nats,
+       (b.label = ev.source) AS correct
+FROM best b JOIN eval ev USING (doc_id)
+WHERE b.rn = 1 ORDER BY b.doc_id
+""",
+)
+def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bucket multinomial Naive Bayes domain classifier
+    (the relational, engine-exact member of the fastText-supervised
+    family LLM pipelines use for quality/domain filtering — Joulin et
+    al. 2017): train on the doc_id %% 4 <= 1 half labeled by
+    ``source`` (this split covers every label on both sides, unlike a
+    parity split — source is doc_id %% 20 in the fixture), score the
+    rest, emit the argmax label with its integer micro-nat score and a
+    ``correct`` flag. Deterministic argmax: highest score, then
+    smallest label."""
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 4 <= 1)
+    ev = docs.where(F.col("doc_id") % 4 >= 2)
+    priors, loglik = nb_train(train)
+    return (
+        nb_score(ev, priors, loglik)
+        .join(ev.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "predicted",
+            "score_micro_nats",
+            (F.col("predicted") == F.col("source")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -5868,6 +6068,12 @@ DRIVER_ORDER = [
     # keeps streaming dedup (3 streaming rows remain); cosine_topk ->
     # flat_knn keeps exact kNN, hybrid_rrf/retrieval_rank_metrics keep
     # the retrieval loop. All retired rows stay oracle-gated in pytest.
+    # QUEUED for the r7 rotation (new in r6, oracle-gated in pytest
+    # now): nb_source_classifier [hashed-NB domain/quality classifier
+    # — the fastText-family relational form], bigram_lm_score
+    # [stupid-backoff bigram LM, the context-aware CCNet scorer],
+    # cdc_chunk_dedup [content-defined chunking dedup — shift-robust
+    # where fixed segments are not].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

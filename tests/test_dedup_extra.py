@@ -602,3 +602,58 @@ def test_decontaminate_empty_eval_keeps_all(spark):
     )
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate(train, empty, n=2).count() == 2
+
+
+def test_cdc_chunk_dedup_is_shift_robust(spark):
+    """The property that motivates content-defined chunking: a
+    duplicate passage that is merely OFFSET (a prefix inserted
+    upstream) must still dedup, because boundaries travel with the
+    content. Fixed segmentation (segment_dedup) catches ~nothing
+    here; CDC must remove most of the copied words."""
+    import random
+
+    from flechasdb_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        segment_dedup,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(rng.choice(vocab) for _ in range(400))
+    prefix = " ".join(rng.choice(vocab) for _ in range(7))
+    docs = spark.createDataFrame(
+        [(1, passage), (2, prefix + " " + passage)],
+        "doc_id long, text string",
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(docs, divisor=16).collect()}
+    seg = {r.doc_id: r for r in segment_dedup(docs, seg_words=16).collect()}
+    # doc 1 (first occurrence) keeps everything
+    assert cdc[1].n_kept == cdc[1].n_chunks
+    # the offset copy: CDC removes most chunks (all but the prefix
+    # chunk and the one straddling chunk where boundaries resync);
+    # fixed segments all differ, so segment_dedup keeps ~everything
+    cdc_removed = cdc[2].n_chunks - cdc[2].n_kept
+    seg_removed = seg[2].n_segs - seg[2].n_kept
+    assert cdc_removed >= cdc[2].n_chunks - 3, (
+        cdc[2].n_chunks, cdc[2].n_kept,
+    )
+    assert seg_removed == 0
+    # and the surviving text of doc 2 is (order-preserved) a prefix
+    # portion, far shorter than the original
+    assert len(cdc[2].clean_text) < len(passage) / 4
+
+
+def test_cdc_chunk_dedup_exact_duplicates_and_empty(spark):
+    """Exact-duplicate docs: the second keeps zero chunks; empty text
+    behaves like segment_dedup's one-empty-word convention."""
+    from flechasdb_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    assert got[1].n_kept == got[1].n_chunks
+    assert got[2].n_kept == 0 and got[2].clean_text == ""
+    assert got[3].n_chunks == 1  # split('', ' ') -> [''], one chunk

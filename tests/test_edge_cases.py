@@ -551,3 +551,86 @@ def test_ppl_band_select_thirds_and_monotone(spark):
     assert all(len(v) >= 9 for v in by_band.values()), {
         k: len(v) for k, v in by_band.items()
     }
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark):
+    """Multinomial NB over hashed buckets: disjoint-vocabulary labels
+    must classify perfectly; an empty doc falls back to priors with
+    the deterministic smallest-label tie-break."""
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "cat", "meow purr whiskers feline meow"),
+            (2, "cat", "purr meow kitten feline"),
+            (3, "dog", "woof bark fetch canine woof"),
+            (4, "dog", "bark woof puppy canine"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "meow purr kitten"), (11, "bark fetch puppy"), (12, "")],
+        "doc_id long, text string",
+    )
+    priors, loglik = nb_train(train)
+    # the loglik grid is DENSE: every (label, bucket) pair present
+    assert loglik.count() == 2 * 256
+    got = {r.doc_id: r.predicted for r in nb_score(ev, priors, loglik).collect()}
+    assert got == {10: "cat", 11: "dog", 12: "cat"}
+
+
+def test_nb_score_is_integer_exact_sum(spark):
+    """score(doc, l) must equal prior + sum(c_b * loglik_b) computed
+    independently in Python from the model tables."""
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+    from flechasdb_spark.functions.texthash import md5_long
+    import hashlib
+
+    train = spark.createDataFrame(
+        [(1, "a", "x y z x"), (2, "b", "p q r p q")],
+        "doc_id long, source string, text string",
+    )
+    ev = spark.createDataFrame([(9, "x p q")], "doc_id long, text string")
+    priors, loglik = nb_train(train, n_buckets=64)
+    pr = {r.label: r.prior_lq for r in priors.collect()}
+    ll = {(r.label, r.bucket): r.loglik_lq for r in loglik.collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    scores = {
+        lab: pr[lab] + sum(ll[(lab, bucket(t))] for t in "x p q".split())
+        for lab in pr
+    }
+    want_label = max(sorted(scores), key=lambda l: (scores[l], ))
+    row = nb_score(ev, priors, loglik, n_buckets=64).collect()[0]
+    assert row.predicted == want_label
+    assert row.score_micro_nats == scores[want_label]
+
+
+def test_bigram_backoff_prefers_in_domain_order(spark):
+    """A doc whose bigrams were all seen in training must score a
+    lower mean NLL and a higher bigram hit ratio than the same words
+    in an unseen order; empty docs take the 0/0.0/1.0 convention."""
+    from flechasdb_spark.operators.text import bigram_backoff_score
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),       # all bigrams seen
+            (101, "fox brown quick the"),       # words seen, order not
+            (102, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_backoff_score(df, ref).collect()}
+    assert rows[100].bigram_hit_ratio == 1.0
+    assert rows[101].bigram_hit_ratio == 0.0
+    assert rows[100].mean_nll < rows[101].mean_nll
+    assert rows[102].n_tokens == 0
+    assert rows[102].nll_micro_nats == 0
+    assert rows[102].mean_nll == 0.0
+    assert rows[102].bigram_hit_ratio == 1.0
