@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.text import tokens
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "hard_negatives"]
 
 
 def bm25_topk(
@@ -162,4 +162,66 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (Karpukhin et al. 2020 DPR; Xiong et al. 2021 ANCE): per query,
+    the top-``k`` most-SIMILAR corpus items that are NOT relevant —
+    the negatives that actually move a bi-encoder, as opposed to
+    random negatives the model already separates.
+
+    ``qrels`` is the (query_id_col, id_col) relevance table; relevant
+    items (including the query's own vector, if the caller lists it)
+    are excluded BEFORE ranking, so the output always holds k true
+    negatives per query when the corpus allows.
+
+    This is the exact brute-force baseline (the recall oracle, like
+    ``cosine_topk``): one broadcast of the query side, the relevance
+    anti-join ALSO broadcast (qrels is O(queries x few) rows), and
+    WindowGroupLimit keeps per-partition partial top-k before the one
+    shuffle on the query key. The 100 TB serving path composes the
+    same anti-join + refill around ``ann_query`` (mine from the
+    nprobe-pruned candidate set with rerank_factor headroom) — this
+    form is the ground truth that path is measured against.
+
+    Returns (query_id_col, id_col, cos, neg_rank).
+    """
+    from flechasdb_spark.functions.linalg import cosine_similarity
+
+    pairs = corpus.join(F.broadcast(queries)).join(
+        F.broadcast(qrels.select(query_id_col, id_col)),
+        [query_id_col, id_col],
+        "left_anti",
+    )
+    cos = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    out_cos = (
+        F.round(F.col("__cos"), round_to)
+        if round_to is not None
+        else F.col("__cos")
+    )
+    return (
+        pairs.select(query_id_col, id_col, cos.alias("__cos"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            out_cos.alias("cos"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
     )

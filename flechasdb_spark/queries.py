@@ -2391,6 +2391,53 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hard_negative_mining",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+ranked AS (
+  SELECT q.query_id, n.vec_id,
+         {_DD_COS.format(a="n.v", b="q.qv")} AS c,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_DD_COS.format(a="n.v", b="q.qv")} DESC, n.vec_id)
+           AS neg_rank
+  FROM n, q WHERE n.label <> q.qlabel)
+SELECT query_id, vec_id, round(c, 4) AS cos, neg_rank
+FROM ranked WHERE neg_rank <= 10 ORDER BY query_id, neg_rank
+""",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/ANCE): per query, the 10 most-similar
+    vectors whose LABEL differs from the query's — the not-relevant-
+    but-confusable items a contrastive trainer needs. Relevance (same
+    label) is anti-joined out BEFORE ranking, so every returned row is
+    a true negative; exact brute-force form, the ground truth for the
+    ANN-pruned serving path."""
+    from flechasdb_spark.operators.retrieval import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvector"),
+        F.col("label").alias("qlabel"),
+    )
+    qrels = (
+        qs.select("query_id", "qlabel")
+        .join(
+            emb.select("vec_id", "label"),
+            F.col("qlabel") == F.col("label"),
+        )
+        .select("query_id", "vec_id")
+    )
+    return hard_negatives(
+        emb, qs.select("query_id", "qvector"), qrels, k=10, round_to=4
+    ).orderBy("query_id", "neg_rank")
+
+
+@query(
     "ann_lsh_topk",
     f"""
 WITH {_dd_buckets(6)},
@@ -6073,7 +6120,8 @@ DRIVER_ORDER = [
     # — the fastText-family relational form], bigram_lm_score
     # [stupid-backoff bigram LM, the context-aware CCNet scorer],
     # cdc_chunk_dedup [content-defined chunking dedup — shift-robust
-    # where fixed segments are not].
+    # where fixed segments are not], hard_negative_mining [DPR/ANCE
+    # contrastive-training negatives: anti-join qrels before top-k].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -4,11 +4,14 @@ hand-computable fixture, plan shape, and fusion arithmetic."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture()
@@ -130,3 +133,48 @@ def test_rank_metrics_zero_relevant_query_not_dropped(spark):
     assert got[5].n_hits == 0 and got[5].first_rel_rank == 0
     assert got[7].n_rel == 1 and got[7].n_hits == 0 and got[7].ndcg == 0.0
     assert got[0].n_rel == 1 and got[0].rr == 1.0
+
+
+def test_hard_negatives_exclude_relevants_and_rank_correctly(spark):
+    """Every mined negative must be absent from qrels (true negative),
+    ranked by descending cosine, and k per query when available; a
+    query whose qrels cover the whole corpus yields zero rows."""
+    from flechasdb_spark.operators.retrieval import hard_negatives
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvector"),
+    )
+    # relevant = same label as the query vector
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    qrels = spark.createDataFrame(
+        [
+            (q, v)
+            for q in (0, 1, 2)
+            for v, l in lab.items()
+            if l == lab[q]
+        ],
+        "query_id long, vec_id long",
+    )
+    out = hard_negatives(emb, qs, qrels, k=7, round_to=4).collect()
+    rel = {(r.query_id, r.vec_id) for r in qrels.collect()}
+    by_q: dict = {}
+    for r in out:
+        assert (r.query_id, r.vec_id) not in rel
+        assert lab[r.vec_id] != lab[r.query_id]
+        by_q.setdefault(r.query_id, []).append((r.neg_rank, r.cos))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [x[0] for x in rows] == list(range(1, len(rows) + 1))
+        coss = [x[1] for x in rows]
+        assert coss == sorted(coss, reverse=True)
+        assert len(rows) == 7
+    # all-relevant corpus -> no negatives
+    allrel = spark.createDataFrame(
+        [(0, v) for v in lab], "query_id long, vec_id long"
+    )
+    none = hard_negatives(
+        emb, qs.where("query_id = 0"), allrel, k=7
+    ).count()
+    assert none == 0
