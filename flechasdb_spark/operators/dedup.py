@@ -48,6 +48,7 @@ __all__ = [
     "doc_novelty",
     "segment_dedup",
     "cdc_chunk_dedup",
+    "banded_hamming_pairs",
 ]
 
 
@@ -655,6 +656,63 @@ def simhash_neardup_pairs(
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    hash_col: str = "h",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 63,
+) -> DataFrame:
+    """Generic banded Hamming-near pair join over ANY integer hash
+    column (the machinery behind ``simhash_neardup_pairs``, exposed
+    for other fingerprints — e.g. image dHash): split the ``bits``-bit
+    hash into ``max_hamming + 1`` bands; by pigeonhole, any pair
+    within ``max_hamming`` bit flips agrees on at least one whole
+    band, so the equi-join on (band index, band value) finds EXACTLY
+    the qualifying pairs, never all-pairs. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: map-side band explode (max_hamming+1 rows per input), one
+    equi-join on the band key, ``bit_count(xor)`` verify on the
+    bounded candidates. Hot bands (many identical hashes) are real
+    duplicates — exactly the rows the caller wants."""
+    n_bands = int(max_hamming) + 1
+    width = -(-int(bits) // n_bands)
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col(hash_col), i * width).bitwiseAND(
+                    F.lit(mask)
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band", "val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"),
+        "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= int(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
 

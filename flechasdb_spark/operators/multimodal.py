@@ -42,6 +42,8 @@ __all__ = [
     "decode_audio",
     "resize_meta",
     "sample_frames",
+    "image_dhash",
+    "image_neardup_pairs",
     "FEATURE_DIM",
     "AUDIO_FEATURE_DIM",
 ]
@@ -433,4 +435,100 @@ def sample_frames(
         "n_frames",
         F.col("frame_pos").cast("long").alias("frame_pos"),
         F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+def _dhash_from_pixels(px) -> int:
+    """63-bit difference hash (dHash — the standard perceptual
+    fingerprint for image near-dup detection): grayscale, nearest
+    sample to a 9x8 grid, bit i = right neighbor brighter than left.
+    64 comparisons, top bit masked off so the hash stays a positive
+    BIGINT in every engine (the repo's 63-bit convention, as in
+    sketch.bloom_build)."""
+    import numpy as np
+
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = np.linspace(0, h - 1, 8).round().astype(int)
+    cols = np.linspace(0, w - 1, 9).round().astype(int)
+    g = gray[np.ix_(rows, cols)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out & ((1 << 63) - 1)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual fingerprint per image payload -> (id_col, dhash).
+
+    ``fake=False``: REAL dHash over the pure-NumPy BMP/PPM decode
+    (``mapInPandas``, map-only — payloads never shuffle); robust to
+    resizing/brightness shifts, so near-identical images land within a
+    few bits. ``fake=True`` (the synthetic text-payload corpus): the
+    md5-prefix 60-bit hash of the payload bytes — pure Catalyst, no
+    Python, and DuckDB-reproducible, exercising the identical
+    downstream banding/verify machinery.
+    """
+    if fake:
+        return df.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(payload_col), 1, 15), 16, 10)
+            .cast("long")
+            .alias("dhash"),
+        )
+
+    schema = f"{id_col} long, dhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col]:
+                payload = bytes(p)
+                if payload[:2] == b"BM":
+                    px = _decode_bmp(payload)
+                elif payload[:2] == b"P6":
+                    px = _decode_ppm(payload)
+                else:
+                    raise NotImplementedError(
+                        "dhash needs a decodable image payload (BMP/"
+                        "PPM here; wire codecs for compressed formats)"
+                    )
+                hashes.append(_dhash_from_pixels(px))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "dhash": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Image near-duplicate pairs by banded dHash Hamming join —
+    multimodal dedup with the same exact-by-pigeonhole banding as the
+    text SimHash path (``dedup.banded_hamming_pairs``): never
+    all-pairs, one equi-join on the band key, bit_count(xor) verify on
+    the bounded candidates. Returns (id_a, id_b, hamming)."""
+    from flechasdb_spark.operators.dedup import banded_hamming_pairs
+
+    hashes = image_dhash(
+        df, id_col=id_col, payload_col=payload_col, fake=fake
+    )
+    return banded_hamming_pairs(
+        hashes,
+        hash_col="dhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bits=60 if fake else 63,
     )

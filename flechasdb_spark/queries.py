@@ -4035,6 +4035,46 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dhash_neardup",
+    f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0),
+h AS (SELECT doc_id, {_DD_MD5H.format(x="text")} AS dh FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 12
+ORDER BY id_a, id_b
+""",
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded dHash Hamming join — multimodal
+    dedup wired through the same exact-by-pigeonhole banding as
+    SimHash (dedup.banded_hamming_pairs). The corpus is the payload
+    table UNIONed with a copy of the even-id docs (ids +100000), so
+    every even doc meets its byte-identical copy at Hamming 0; the
+    oracle verifies with the quadratic definition over the same
+    md5-prefix fake hashes (fake=True: pure Catalyst, no decode; the
+    REAL pixel dHash path is pytest-gated on decodable BMPs)."""
+    from flechasdb_spark.operators.multimodal import (
+        attach_payload,
+        image_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pay = attach_payload(docs.unionByName(copies))
+    return image_neardup_pairs(pay, max_hamming=12, fake=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "audio_features",
     """
 SELECT doc_id,
@@ -6121,7 +6161,9 @@ DRIVER_ORDER = [
     # [stupid-backoff bigram LM, the context-aware CCNet scorer],
     # cdc_chunk_dedup [content-defined chunking dedup — shift-robust
     # where fixed segments are not], hard_negative_mining [DPR/ANCE
-    # contrastive-training negatives: anti-join qrels before top-k].
+    # contrastive-training negatives: anti-join qrels before top-k],
+    # image_dhash_neardup [multimodal near-dup via banded dHash
+    # Hamming join].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -314,3 +314,101 @@ def test_decode_audio_fake_deterministic(media):
     assert d1.equals(d2)
     assert ((d1["sample_rate"] >= 8000) & (d1["sample_rate"] <= 40000)).all()
     assert d1["n_channels"].isin([1, 2]).all()
+
+
+def test_real_dhash_perceptual_properties():
+    """dHash over decoded pixels: identical images hash identically,
+    a mild brightness shift moves few bits (gradient structure is
+    preserved), and inverting the gradient flips most bits."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import (
+        _decode_bmp,
+        _dhash_from_pixels,
+    )
+
+    # horizontal gradient image: every right neighbor is brighter
+    w, h = 32, 16
+    ramp = np.tile(
+        np.linspace(0, 255, w).astype(np.uint8), (h, 1)
+    )
+    px = np.stack([ramp] * 3, axis=2)
+    hash_a = _dhash_from_pixels(px)
+    assert hash_a == _dhash_from_pixels(px.copy())
+    assert 0 <= hash_a < (1 << 63)
+    # full-brightness ramp: all 64 comparisons are "brighter" -> the
+    # masked 63 low bits are all ones
+    assert hash_a == (1 << 63) - 1
+    # +20 brightness (clipped): structure intact -> tiny hamming
+    brighter = np.clip(px.astype(int) + 20, 0, 255).astype(np.uint8)
+    hb = _dhash_from_pixels(brighter)
+    assert bin(hash_a ^ hb).count("1") <= 8
+    # inverted gradient: every comparison flips
+    hc = _dhash_from_pixels(px[:, ::-1])
+    assert bin(hash_a ^ hc).count("1") >= 55
+    # and the BMP encode/decode roundtrip feeds the same hash
+    assert _dhash_from_pixels(_decode_bmp(_bmp_bytes(px))) == hash_a
+
+
+def test_image_neardup_pairs_banding_matches_quadratic(spark):
+    """fake-mode banded join must equal the quadratic Hamming filter
+    on the same md5-prefix hashes (pigeonhole exactness), and a
+    byte-identical payload copy must appear at hamming 0."""
+    from flechasdb_spark.operators.multimodal import (
+        attach_payload,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(
+        80
+    ).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    pay = attach_payload(docs.unionByName(copies))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_neardup_pairs(pay, max_hamming=12).collect()
+    }
+    hashes = {
+        r.doc_id: r.dhash for r in image_dhash(pay).collect()
+    }
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(hashes[a] ^ hashes[b]).count("1")
+            if hd <= 12:
+                want.add((a, b, hd))
+    assert got == want
+    assert all(
+        (d, d + 5000, 0) in got
+        for d in hashes
+        if d % 10 == 0 and d < 5000
+    )
+
+
+def test_real_dhash_spark_end_to_end(spark):
+    """mapInPandas real path over BMP payloads: map-only plan, exact
+    duplicate images pair at hamming 0."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import image_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    other = rng.randint(0, 256, size=(12, 12, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(_bmp_bytes(base))),
+        (2, bytearray(_bmp_bytes(base))),   # identical image
+        (3, bytearray(_bmp_bytes(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_neardup_pairs(
+            df, max_hamming=10, fake=False
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0

@@ -165,9 +165,17 @@ def test_rq_encode_truncates_lineage_per_round(spark, emb):
     before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     enc = rq_encode(sub, cb_df, levels=L)
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after == before, "per-level caches must be unpersisted"
+    # the call may leave AT MOST its own checkpoint block behind —
+    # never the L per-level argmin caches (the r5 leak). Exact
+    # equality is not assertable in a shared session: the async
+    # ContextCleaner can retire blocks from earlier tests between the
+    # two snapshots.
+    assert after - before <= 1, (
+        f"per-level caches must be unpersisted ({before} -> {after})"
+    )
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, "encode must return the checkpoint"
+    assert "InMemoryTableScan" not in plan, "caches must be released"
     x = np.array(
         [
             np.asarray(r.embedding, dtype=np.float64)
