@@ -412,3 +412,67 @@ def test_real_dhash_spark_end_to_end(spark):
         ).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_spectrogram_sine_peak_band():
+    """A pure sine's energy must land in the frequency band containing
+    its tone; silence gives all-zero bands (REAL DSP, np.fft)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import (
+        SPECTROGRAM_BANDS,
+        _spectrogram_bands,
+    )
+
+    rate, n_fft = 16000, 256
+    t = np.arange(4096) / rate
+    # 6 kHz tone -> rfft bin 6000/(16000/256) = 96; band edges are
+    # linspace(0, 129, 9).astype(int) = [0,16,32,48,64,80,96,112,129],
+    # so bin 96 lands in band 6
+    x = 0.8 * np.sin(2 * np.pi * 6000 * t)
+    bands = _spectrogram_bands(x, rate, n_fft=n_fft)
+    assert len(bands) == SPECTROGRAM_BANDS
+    assert bands.index(max(bands)) == 6
+    assert _spectrogram_bands(np.zeros(1000), rate) == [0.0] * 8
+    # shorter than one frame: zero-pads, no crash
+    assert len(_spectrogram_bands(x[:50], rate, n_fft=n_fft)) == 8
+
+
+def test_audio_spectrogram_real_wav_end_to_end(spark):
+    """fake=False over crafted WAV payloads: the mined peak band
+    tracks each file's tone frequency through decode + FFT."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import audio_spectrogram
+
+    rate = 16000
+    t = np.arange(8192) / rate
+    rows = []
+    want_peak = {}
+    edges = np.linspace(0, 256 // 2 + 1, 9).astype(int)
+    for did, freq in ((1, 1000), (2, 7000)):
+        x = 0.8 * np.sin(2 * np.pi * freq * t)
+        rows.append((did, bytearray(_wav_bytes(x, rate=rate))))
+        tone_bin = int(round(freq / (rate / 256)))
+        want_peak[did] = int(np.searchsorted(edges, tone_bin, "right") - 1)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in audio_spectrogram(df, fake=False).collect()
+    }
+    for did in (1, 2):
+        assert got[did].sample_rate == rate
+        assert got[did].n_samples == 8192
+        bands = list(got[did].bands)
+        assert bands.index(max(bands)) == want_peak[did]
+
+
+def test_audio_spectrogram_fake_deterministic(spark, media):
+    """fake path: deterministic across runs, full schema, and the FFT
+    actually runs (some band is non-zero for every doc)."""
+    from flechasdb_spark.operators.multimodal import audio_spectrogram
+
+    a = audio_spectrogram(media).orderBy("doc_id").collect()
+    b = audio_spectrogram(media).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(max(r.bands) > 0 for r in a)
