@@ -205,6 +205,43 @@ def main() -> None:
     }
     print(f"ppl bands:    {bmix}")
 
+    # r6: the context-aware scorer (stupid-backoff bigram LM) and the
+    # hashed-NB domain classifier over the same clean pool — the
+    # fastText-family filter step real pipelines run before mixing
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+    from flechasdb_spark.operators.text import bigram_backoff_score
+
+    blm = bigram_backoff_score(clean_docs, reference=clean_docs)
+    bstat = blm.agg(
+        F.round(F.avg("mean_nll"), 4).alias("nll"),
+        F.round(F.avg("bigram_hit_ratio"), 4).alias("hit"),
+    ).first()
+    print(f"bigram LM:    avg mean_nll {bstat.nll}, hit ratio {bstat.hit}")
+    priors, loglik = nb_train(clean_docs.where(F.col("doc_id") % 4 <= 1))
+    preds = nb_score(clean_docs.where(F.col("doc_id") % 4 >= 2), priors, loglik)
+    acc = (
+        preds.join(docs.select("doc_id", "source"), "doc_id")
+        .agg(F.round(F.avg((F.col("predicted") == F.col("source")).cast("int")), 4))
+        .first()[0]
+    )
+    print(f"nb classify:  {preds.count()} docs scored, source acc {acc}")
+
+    # r6: offset-robust CDC chunk dedup on the final pool (catches
+    # shifted duplicate passages fixed segments cannot), and a real
+    # BPE vocabulary for the trainer
+    from flechasdb_spark.operators.bpe import bpe_encode, bpe_train
+    from flechasdb_spark.operators.dedup import cdc_chunk_dedup
+
+    cdc = cdc_chunk_dedup(clean_docs)
+    cstat = cdc.agg(
+        F.sum("n_chunks").alias("n"), F.sum("n_kept").alias("k")
+    ).first()
+    print(f"cdc dedup:    {cstat.n - cstat.k} of {cstat.n} chunks removed")
+    merges = bpe_train(clean_docs, n_merges=100)
+    bpe = bpe_encode(clean_docs, merges)
+    pstat = bpe.agg(F.sum("n_pieces").alias("p")).first()
+    print(f"bpe:          {len(merges)} merges -> {pstat.p} pieces")
+
     # materialize the final pool as per-worker training shards in a
     # reproducible pseudorandom order (re-shuffle per epoch via salt):
     # the sink writes shards/shard=K directories + a manifest, and the
