@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.text import tokens
 
-__all__ = ["bm25_topk", "rrf_fuse", "hard_negatives"]
+__all__ = ["bm25_topk", "rrf_fuse", "hard_negatives", "hard_negatives_ann"]
 
 
 def bm25_topk(
@@ -222,6 +222,64 @@ def hard_negatives(
             query_id_col,
             id_col,
             out_cos.alias("cos"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def hard_negatives_ann(
+    model,
+    queries,
+    qrels: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    factor: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    **ann_kwargs,
+) -> DataFrame:
+    """The SERVING-path hard-negative miner ``hard_negatives``
+    documents: candidates come from the nprobe-pruned ``ann_query``
+    top ``k * factor`` (partition-pruned scan, broadcast ADC — the
+    100 TB path), relevants are anti-joined out, and the survivors
+    re-rank to top-``k`` per query. ``factor`` is the refill headroom:
+    if a query's relevants crowd its candidate list, up to
+    ``k * factor - |relevants∩candidates|`` negatives remain — size it
+    to the qrels density like ``rerank_factor`` on the recall path.
+
+    ``queries`` is the ``ann_query`` batch shape ([(query_id, vector),
+    ...]); ``qrels`` is (query_id_col, id_col). Ranking follows the
+    index's distance (squared L2, ascending, id tie-break) — on
+    normalized embeddings this is the same order cosine gives the
+    exact miner. Returns (query_id_col, id_col, squared_distance,
+    neg_rank).
+    """
+    from flechasdb_spark.plans.ivf import ann_query
+
+    cand = ann_query(
+        model, queries, k=int(k) * int(factor), nprobe=nprobe,
+        **ann_kwargs,
+    )
+    neg = cand.join(
+        F.broadcast(
+            qrels.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(id_col).alias("vector_id"),
+            )
+        ),
+        ["query_id", "vector_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("squared_distance").asc(), F.col("vector_id").asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= int(k))
+        .select(
+            F.col("query_id").alias(query_id_col),
+            F.col("vector_id").alias(id_col),
+            "squared_distance",
             F.col("neg_rank").cast("long").alias("neg_rank"),
         )
     )

