@@ -3672,9 +3672,9 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bucket multinomial Naive Bayes domain classifier
     (the relational, engine-exact member of the fastText-supervised
     family LLM pipelines use for quality/domain filtering — Joulin et
-    al. 2017): train on the doc_id %% 4 <= 1 half labeled by
+    al. 2017): train on the doc_id % 4 <= 1 half labeled by
     ``source`` (this split covers every label on both sides, unlike a
-    parity split — source is doc_id %% 20 in the fixture), score the
+    parity split — source is doc_id % 20 in the fixture), score the
     rest, emit the argmax label with its integer micro-nat score and a
     ``correct`` flag. Deterministic argmax: highest score, then
     smallest label."""
