@@ -123,7 +123,13 @@ def nb_score(
     Plan: explode -> per-(doc, bucket) count (ONE token-grain shuffle,
     map-side combined) -> broadcast join the O(L x B) loglik ->
     per-(doc, label) sum -> argmax as ``min(struct(-score, label))``
-    (partially aggregable — never a per-doc sort window).
+    (partially aggregable — never a per-doc sort window). Because the
+    loglik grid is DENSE, every document with at least one token
+    already scores against EVERY label in the sum table, so no
+    docs-x-labels crossJoin/outer-join is ever materialized (the r6
+    first cut sort-merge-joined two docs x L tables on (doc, label));
+    empty documents take the prior-only argmax, a one-row broadcast
+    constant.
 
     Returns (id_col, predicted, score_micro_nats).
     """
@@ -134,37 +140,35 @@ def nb_score(
     dbc = dtok.select(
         id_col, (md5_long(F.col("__tok")) % B).alias("__b")
     ).groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
-    sums = (
-        dbc.join(
-            F.broadcast(loglik), dbc["__b"] == loglik["bucket"]
-        )
+    argmax = F.min(
+        F.struct((-F.col("__score")).alias("ns"), F.col("label"))
+    ).alias("__m")
+    best = (
+        dbc.join(F.broadcast(loglik), dbc["__b"] == loglik["bucket"])
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("__c") * F.col("loglik_lq")).alias("__s"))
-    )
-    base = (
-        df.select(id_col)
-        .crossJoin(F.broadcast(priors))
-        .join(sums, [id_col, "label"], "left")
+        .join(F.broadcast(priors), "label")
         .select(
-            id_col,
-            "label",
-            (
-                F.col("prior_lq") + F.coalesce(F.col("__s"), F.lit(0))
-            ).alias("__score"),
+            id_col, "label",
+            (F.col("prior_lq") + F.col("__s")).alias("__score"),
         )
+        .groupBy(id_col)
+        .agg(argmax)
     )
+    default = priors.select(
+        F.col("prior_lq").alias("__score"), "label"
+    ).agg(argmax)
     return (
-        base.groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("__score")).alias("ns"), F.col("label")
-                )
-            ).alias("__m")
-        )
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .crossJoin(F.broadcast(default.select(F.col("__m").alias("__d"))))
         .select(
             id_col,
-            F.col("__m.label").alias("predicted"),
-            (-F.col("__m.ns")).alias("score_micro_nats"),
+            F.coalesce(F.col("__m.label"), F.col("__d.label")).alias(
+                "predicted"
+            ),
+            F.coalesce(-F.col("__m.ns"), -F.col("__d.ns")).alias(
+                "score_micro_nats"
+            ),
         )
     )

@@ -634,3 +634,24 @@ def test_bigram_backoff_prefers_in_domain_order(spark):
     assert rows[102].nll_micro_nats == 0
     assert rows[102].mean_nll == 0.0
     assert rows[102].bigram_hit_ratio == 1.0
+
+
+def test_nb_score_plan_single_docwide_join(spark):
+    """The dense loglik grid means every tokened doc scores all labels
+    inside ONE partial-agg chain; the only corpus-sized join allowed
+    is the final per-doc attach (empty-doc default). No docs x labels
+    outer join, no cartesian."""
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    priors, loglik = nb_train(docs)
+    plan = (
+        nb_score(docs, priors, loglik)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1, (
+        "only the per-doc attach may shuffle-join"
+    )
