@@ -434,7 +434,13 @@ def bigram_backoff_score(
         return t.select(id_col, "__p", "__w", prev.alias("__u"))
 
     rp = _pairs(ref)
-    uni = rp.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    # unigram counts need no positions — a plain explode keeps this
+    # branch window-free (Catalyst does not prune the unused lag)
+    uni = (
+        ref.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     totals = uni.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
