@@ -463,11 +463,15 @@ def bigram_backoff_score(
         .groupBy("__u", "__w")
         .agg(F.count(F.lit(1)).alias("__cuv"))
     )
-    ctx = big.groupBy("__u").agg(F.sum("__cuv").alias("__cu"))
-    lp2 = big.join(ctx, "__u").select(
+    # context totals as a window over the O(bigram-types) count table —
+    # a groupBy + join would re-derive the token-stream lag window a
+    # second time (Catalyst does not share the subtree), turning one
+    # corpus pass into two
+    cu = F.sum("__cuv").over(Window.partitionBy("__u"))
+    lp2 = big.select(
         F.col("__u").alias("u2"),
         F.col("__w").alias("w2"),
-        F.round((F.log("__cuv") - F.log("__cu")) * 1e6)
+        F.round((F.log("__cuv") - F.log(cu)) * 1e6)
         .cast("long")
         .alias("__lq2"),
     )

@@ -49,6 +49,7 @@ __all__ = [
     "stream_asof_enrich",
     "stream_dedup",
     "stream_minhash_dedup",
+    "stream_quality_filter",
     "stream_stream_join",
     "stateful_session_count",
     "run_available_now",
@@ -545,6 +546,62 @@ def stream_minhash_dedup(
     return (
         docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", f"{output_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_quality_filter(
+    docs: DataFrame,
+    priors: DataFrame,
+    loglik: DataFrame,
+    output_path: str,
+    keep_labels: list[str],
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Ingest-time quality/domain gate: score each micro-batch of a
+    document stream with a FROZEN hashed-NB classifier
+    (``classify.nb_train`` offline, model broadcast) and keep only
+    documents whose predicted label is in ``keep_labels`` — the
+    streaming form of the fastText-style filter step curation
+    pipelines run before anything expensive touches a document.
+
+    Stateless per batch (the model never updates in-stream), so the
+    delivery contract is the simple half of ``stream_minhash_dedup``'s:
+    each batch writes under ``ingest_batch=<id>`` in overwrite mode and
+    a fully-committed batch replay is a no-op (_SUCCESS check) — no
+    cross-batch store at all. Per batch: one token-grain partial agg +
+    O(L x B) broadcast join (``classify.nb_score``) + one append.
+    Returns the streaming query handle (caller drains/stops).
+    """
+    from flechasdb_spark.operators.classify import nb_score
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out_dir = f"{output_path}/ingest_batch={batch_id}"
+        spark = batch.sparkSession
+        marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a committed batch: exact no-op
+        scored = nb_score(
+            batch, priors, loglik,
+            text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        )
+        kept = batch.join(
+            scored.where(F.col("predicted").isin(list(keep_labels)))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+        kept.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
         .trigger(availableNow=True)
         .start()
     )

@@ -215,3 +215,42 @@ def test_leakage_safe_split_attach_is_broadcast(spark):
     final = plan.split("Initial Plan")[0]
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_cdc_chunk_dedup_plan_is_join_free(spark):
+    """CDC dedup must keep segment_dedup's two-shuffle no-join shape:
+    per-doc boundary window + first-occurrence window, zero joins."""
+    from flechasdb_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        cdc_chunk_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, "CDC dedup must not join"
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_backoff_plan_two_token_stream_passes(spark):
+    """The token-stream lag window may appear exactly twice (reference
+    bigrams + scored docs): the unigram branch must stay window-free
+    and the context-total must ride the tiny bigram-type table, not
+    re-derive the corpus pass (r6: both leaks existed in the first
+    cut)."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.text import bigram_backoff_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        bigram_backoff_score(
+            docs, reference=docs.where(F.col("doc_id") % 2 == 0)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lag(") == 2, "token stream must be windowed twice"
+    assert "CartesianProduct" not in plan

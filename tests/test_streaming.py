@@ -630,3 +630,71 @@ def test_incremental_encode_auto_compaction(spark, tmp_path):
     reloaded = load_index(spark, index_path)
     assert reloaded.encoded.count() == n_total
     assert reloaded.encoded.select("vec_id").distinct().count() == n_total
+
+
+def test_stream_quality_filter_matches_batch_classifier(spark, tmp_path):
+    """Drained multi-batch stream must keep exactly the docs the batch
+    nb_score keeps; a replayed committed batch is a no-op (no
+    duplicate rows)."""
+    import pyspark.sql.functions as F
+
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_quality_filter,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .limit(200)
+        .cache()
+    )
+    priors, loglik = nb_train(docs, n_buckets=64)
+    keep = [r.label for r in priors.orderBy("label").limit(3).collect()]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    stream_docs = docs.select("doc_id", "text")
+    stream_docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        str(src / "f0.parquet")
+    )
+    stream_docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "kept")
+    run_available_now(
+        stream_quality_filter(
+            stream, priors, loglik, out, keep, n_buckets=64
+        )
+    )
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in nb_score(stream_docs, priors, loglik, n_buckets=64)
+        .where(F.col("predicted").isin(keep))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # replay the whole stream with a fresh checkpointless query: every
+    # batch directory is already committed -> identical contents
+    stream2 = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    run_available_now(
+        stream_quality_filter(
+            stream2, priors, loglik, out, keep, n_buckets=64
+        )
+    )
+    again = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert again == got
