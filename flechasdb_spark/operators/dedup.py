@@ -772,28 +772,45 @@ def connected_components(
         # driver fast path: EXACT hop-for-hop parity with the
         # distributed loop (seed = one propagation from identity,
         # then up to max_iter - 1 more, early exit at the fixpoint),
-        # O(E) per hop over at most driver_edges rows. The collect is
-        # bounded by construction — this is the same
-        # small-model-to-driver move as k-means/PQ/BPE training.
-        adj_rows = sym.collect()
-        label: dict = {}
-        for r in adj_rows:
-            a = r["a"]
-            label.setdefault(a, a)
-        for _ in range(int(max_iter)):
-            changed = False
-            new = dict(label)
-            for r in adj_rows:
-                a, b = r["a"], r["b"]
-                if label[b] < new[a]:
-                    new[a] = label[b]
-                    changed = True
-            label = new
-            if not changed:
-                break
+        # O(E) per hop over at most driver_edges rows. The transfer is
+        # one Arrow batch (toPandas) and the propagation is vectorized
+        # (np.minimum.at over the edge index arrays) for numeric ids,
+        # with a plain dict loop for string/other id types. Bounded by
+        # construction — the same small-model-to-driver move as
+        # k-means/PQ/BPE training.
+        import numpy as np
+
         node_t = sym.schema["a"].dataType.simpleString()
+        pdf = sym.toPandas()
+        av, bv = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+        if np.issubdtype(av.dtype, np.number):
+            nodes, a_idx = np.unique(av, return_inverse=True)
+            b_idx = np.searchsorted(nodes, bv)
+            label = nodes.copy()
+            for _ in range(int(max_iter)):
+                new = label.copy()
+                np.minimum.at(new, a_idx, label[b_idx])
+                if (new == label).all():
+                    break
+                label = new
+            items = list(zip(nodes.tolist(), label.tolist()))
+        else:
+            lab: dict = {}
+            for a in av:
+                lab.setdefault(a, a)
+            for _ in range(int(max_iter)):
+                changed = False
+                new = dict(lab)
+                for a, b in zip(av, bv):
+                    if lab[b] < new[a]:
+                        new[a] = lab[b]
+                        changed = True
+                lab = new
+                if not changed:
+                    break
+            items = list(lab.items())
         return edges.sparkSession.createDataFrame(
-            list(label.items()), f"node {node_t}, component {node_t}"
+            items, f"node {node_t}, component {node_t}"
         )
     target = max(1, -(-n_edges // 500_000))
     if target < sym.rdd.getNumPartitions():
