@@ -289,3 +289,139 @@ def test_wav_decode_roundtrip_property(n, n_ch, rate, bits, extra, seed):
     # scale (the fixture builder scales by 2^b-1, the PCM decode by 2^b)
     tol = 2.0 / 127 if bits == 8 else 2.0 / 32767
     assert np.abs(mono - expected).max() <= tol + 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(0, 40),
+)
+def test_bpe_roundtrip_property(words, n_merges):
+    """For ANY corpus and merge budget: applying the trained merges to
+    any training word reconstructs word + marker on concatenation, and
+    piece count never exceeds character count + 1."""
+    from collections import Counter
+
+    from flechasdb_spark.operators.bpe import (
+        END_OF_WORD,
+        _merge_vocab,
+        _pair_counts,
+        bpe_apply_word,
+    )
+
+    # driver-side training replica over exact counts (no Spark in a
+    # hypothesis inner loop)
+    counts = Counter(words)
+    vocab = {tuple(list(w) + [END_OF_WORD]): c for w, c in counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = _pair_counts(vocab)
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in counts:
+        pieces = bpe_apply_word(w, ranks)
+        assert "".join(pieces) == w + END_OF_WORD
+        assert 1 <= len(pieces) <= len(w) + 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    text=st.lists(
+        st.text(alphabet="xyz", min_size=1, max_size=4),
+        min_size=0,
+        max_size=40,
+    ).map(" ".join),
+    divisor=st.integers(2, 32),
+)
+def test_cdc_boundaries_are_content_local(text, divisor):
+    """CDC cut-points depend only on each word's own hash, so chunking
+    PREFIX + text re-aligns with chunking text after at most one
+    straddling chunk: every chunk of the suffix past the first
+    boundary appears verbatim among the original's chunks."""
+    import hashlib
+
+    def cut(w):
+        return (
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % divisor
+            == 0
+        )
+
+    def chunks(s):
+        out, cur = [], []
+        for w in s.split(" "):
+            cur.append(w)
+            if cut(w):
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    base = chunks(text)
+    shifted = chunks("prefixword " + text)
+    # after the chunk containing the injected prefix, everything
+    # re-aligns: the shifted list's tail is a suffix of base's chunks
+    # (both end at the same content); compare from the first boundary
+    if len(base) >= 2:
+        assert shifted[-(len(base) - 1):] == base[1:]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="pq ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+    alpha=st.floats(0.1, 0.9),
+)
+def test_stupid_backoff_scores_bounded(docs, alpha):
+    """Per-token micro-nat scores are always <= 0 (log-probabilities
+    and the backoff penalty are negative), so every document's NLL is
+    >= 0 — a pure-Python replica of the operator's per-token rule."""
+    import math
+    from collections import Counter
+
+    toks = [d.split() for d in (s.strip().lower() for s in docs)]
+    toks = [[w for w in t if w] for t in toks]
+    uni = Counter(w for t in toks for w in t)
+    n, v = sum(uni.values()), len(uni)
+    if n == 0:
+        return
+    big = Counter(
+        (t[i - 1], t[i]) for t in toks for i in range(1, len(t))
+    )
+    ctx = Counter()
+    for (u, w), c in big.items():
+        ctx[u] += c
+    lq1 = {w: round(1e6 * (math.log(c + 1) - math.log(n + v))) for w, c in uni.items()}
+    floor = round(1e6 * -math.log(n + v))
+    lq_alpha = round(1e6 * math.log(alpha))
+    for t in toks:
+        nll = 0
+        for i, w in enumerate(t):
+            if i == 0:
+                s = lq1.get(w, floor)
+            elif (t[i - 1], w) in big:
+                s = round(
+                    1e6
+                    * (
+                        math.log(big[(t[i - 1], w)])
+                        - math.log(ctx[t[i - 1]])
+                    )
+                )
+            else:
+                s = lq_alpha + lq1.get(w, floor)
+            assert s <= 0
+            nll -= s
+        assert nll >= 0
