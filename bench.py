@@ -463,6 +463,13 @@ def main() -> None:
         "source_mix_report",
         "bloom_decontam_prefilter",
         "corpus_shard_shuffle",
+        # r6 additions: classifier, bigram LM, CDC dedup, retrieval
+        # negatives, image near-dup
+        "nb_source_classifier",
+        "bigram_lm_score",
+        "cdc_chunk_dedup",
+        "hard_negative_mining",
+        "image_dhash_neardup",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings
