@@ -45,9 +45,11 @@ __all__ = [
     "image_dhash",
     "image_neardup_pairs",
     "audio_spectrogram",
+    "video_frame_features",
     "FEATURE_DIM",
     "AUDIO_FEATURE_DIM",
     "SPECTROGRAM_BANDS",
+    "VIDEO_FEATURE_DIM",
 ]
 
 FEATURE_DIM = 8
@@ -626,5 +628,169 @@ def audio_spectrogram(
                 }
             )
             rates, counts, bands, ids = [], [], [], []
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+VIDEO_FEATURE_DIM = 5
+
+
+def _decode_avi(payload: bytes):
+    """Pure-NumPy decode of an uncompressed AVI (RIFF 'AVI ' container,
+    '00db' raw bottom-up BGR DIB frames — the same chunk walking as the
+    WAV decoder and the same pixel layout as the BMP decoder, one
+    container level up): returns (width, height, usec_per_frame,
+    frames) with frames a list of (H, W, 3) uint8 RGB arrays.
+    Compressed streams ('00dc' or a non-56-byte avih) raise at the
+    codec integration point; truncated chunks raise ValueError like
+    every decoder in this module."""
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf, pos, end):
+        """Yield (fourcc, body, is_list, list_type) over a chunk run."""
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(
+                    f"AVI truncated: chunk {cid!r} declares {size}, "
+                    f"payload holds {len(body)}"
+                )
+            if cid == b"LIST":
+                yield body[:4], body[4:], True
+            else:
+                yield cid, body, False
+            pos += 8 + size + (size & 1)
+
+    avih = None
+    movi_chunks: list[bytes] = []
+    for cid, body, is_list in walk(payload, 12, len(payload)):
+        if is_list and cid == b"hdrl":
+            for c2, b2, l2 in walk(body, 0, len(body)):
+                if not l2 and c2 == b"avih":
+                    avih = b2
+        elif is_list and cid == b"movi":
+            for c2, b2, l2 in walk(body, 0, len(body)):
+                if l2:
+                    continue
+                if c2.endswith(b"dc"):
+                    raise NotImplementedError(
+                        "compressed AVI stream ('..dc' frames); wire a"
+                        " video codec here - only raw-DIB '..db'"
+                        " frames decode without one"
+                    )
+                if c2.endswith(b"db"):
+                    movi_chunks.append(b2)
+    if avih is None or len(avih) < 40:
+        raise ValueError("AVI missing/short avih header")
+    usec = int.from_bytes(avih[0:4], "little")
+    n_frames = int.from_bytes(avih[16:20], "little")
+    width = int.from_bytes(avih[32:36], "little")
+    height = int.from_bytes(avih[36:40], "little")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad AVI dims {width}x{height}")
+    if n_frames and n_frames != len(movi_chunks):
+        raise ValueError(
+            f"AVI frame count mismatch: avih says {n_frames}, movi"
+            f" holds {len(movi_chunks)}"
+        )
+    stride = (width * 3 + 3) // 4 * 4
+    frames = []
+    for raw in movi_chunks:
+        if len(raw) < stride * height:
+            raise ValueError("AVI truncated: frame smaller than dims")
+        px = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * height
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        frames.append(px[::-1, :, ::-1])  # bottom-up BGR -> RGB
+    return width, height, usec, frames
+
+
+def _frame_stats(px) -> list[float]:
+    """VIDEO_FEATURE_DIM per-frame pixel statistics in [0, 1]: channel
+    means, mean luma (BT.601), bright-pixel fraction."""
+    import numpy as np
+
+    x = px.reshape(-1, 3).astype(np.float64) / 255.0
+    luma = x @ np.array([0.299, 0.587, 0.114])
+    feats = [*x.mean(axis=0), float(luma.mean()),
+             float((luma > luma.mean()).mean())]
+    return [round(float(f), 4) for f in feats]
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_k: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Per-sampled-frame features over video payloads -> one row per
+    (id_col, frame_idx): (id_col, frame_idx, width, height, usec_per_
+    frame, features array<float>).
+
+    ``fake=False``: REAL decode of uncompressed AVI (raw-DIB frames)
+    with the pure-NumPy container walker — every ``every_k``-th frame
+    is decoded and reduced to pixel statistics; compressed streams
+    raise at the codec integration point. ``fake=True`` (text-payload
+    fixture): md5-derived frame count/dims and per-frame md5 features,
+    DuckDB-reproducible, same schema and sampling arithmetic.
+
+    Scale contract as all decode stages: Arrow binary batches, map-only
+    ``mapInPandas``, payloads dropped on output; output volume is
+    frames/every_k rows of small scalars."""
+    schema = (
+        f"{id_col} long, frame_idx long, width int, height int,"
+        " usec_per_frame long, features array<float>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "fi", "w", "h", "us", "ft")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                if fake:
+                    hx = hashlib.md5(payload).hexdigest()
+                    n = 1 + int(hx[0:2], 16) % 16
+                    w = 16 + int(hx[2:4], 16) % 64
+                    h = 16 + int(hx[4:6], 16) % 64
+                    us = 33333
+                    for fi in range(0, n, int(every_k)):
+                        fh = hashlib.md5(
+                            payload + b":" + str(fi).encode()
+                        ).hexdigest()
+                        ft = [
+                            round(int(fh[2 * j : 2 * j + 2], 16) / 255.0, 4)
+                            for j in range(VIDEO_FEATURE_DIM)
+                        ]
+                        for k, v in zip(
+                            ("id", "fi", "w", "h", "us", "ft"),
+                            (int(i), fi, w, h, us, ft),
+                        ):
+                            rows[k].append(v)
+                else:
+                    w, h, us, frames = _decode_avi(payload)
+                    for fi in range(0, len(frames), int(every_k)):
+                        for k, v in zip(
+                            ("id", "fi", "w", "h", "us", "ft"),
+                            (int(i), fi, w, h, us,
+                             _frame_stats(frames[fi])),
+                        ):
+                            rows[k].append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: rows["id"],
+                    "frame_idx": rows["fi"],
+                    "width": rows["w"],
+                    "height": rows["h"],
+                    "usec_per_frame": rows["us"],
+                    "features": rows["ft"],
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -4075,6 +4075,61 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_frame_features",
+    """
+WITH base AS (
+  SELECT doc_id, text,
+         1 + ('0x' || substr(md5(text), 1, 2))::INT % 16 AS n,
+         16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS w,
+         16 + ('0x' || substr(md5(text), 5, 2))::INT % 64 AS h
+  FROM documents),
+fr AS (SELECT doc_id, text, n, w, h, i AS frame_idx
+       FROM base, UNNEST(range(0, n, 2)) t(i))
+SELECT doc_id, frame_idx::BIGINT AS frame_idx, w AS width, h AS height,
+       33333::BIGINT AS usec_per_frame, (j - 1)::BIGINT AS j,
+       round(('0x' || substr(md5(text || ':' || frame_idx::VARCHAR),
+                             2*j - 1, 2))::INT / 255.0, 4) AS feature
+FROM fr, generate_series(1, 5) s(j)
+ORDER BY doc_id, frame_idx, j
+""",
+)
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the multimodal plumbing: per-sampled-frame features
+    (every 2nd frame) through the mapInPandas decode contract. The
+    fixture payloads are text, so this row runs the md5 fake path the
+    oracle reproduces; the REAL uncompressed-AVI container decode
+    (RIFF walker + raw-DIB frames, pure NumPy) is pytest-gated on
+    crafted AVIs with known pixel stats."""
+    from flechasdb_spark.operators.multimodal import (
+        attach_payload,
+        video_frame_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = video_frame_features(attach_payload(docs), every_k=2)
+    return (
+        out.select(
+            "doc_id",
+            "frame_idx",
+            "width",
+            "height",
+            "usec_per_frame",
+            F.posexplode("features").alias("j", "feature"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "width",
+            "height",
+            "usec_per_frame",
+            F.col("j").cast("long").alias("j"),
+            F.round(F.col("feature").cast("double"), 4).alias("feature"),
+        )
+        .orderBy("doc_id", "frame_idx", "j")
+    )
+
+
+@query(
     "audio_features",
     """
 SELECT doc_id,
@@ -6163,7 +6218,8 @@ DRIVER_ORDER = [
     # where fixed segments are not], hard_negative_mining [DPR/ANCE
     # contrastive-training negatives: anti-join qrels before top-k],
     # image_dhash_neardup [multimodal near-dup via banded dHash
-    # Hamming join].
+    # Hamming join], video_frame_features [the video leg of the
+    # multimodal decode contract].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

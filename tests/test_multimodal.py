@@ -476,3 +476,85 @@ def test_audio_spectrogram_fake_deterministic(spark, media):
     b = audio_spectrogram(media).orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert all(max(r.bands) > 0 for r in a)
+
+
+def _avi_bytes(frames, usec=33333, compressed=False) -> bytes:
+    """Craft an uncompressed AVI (RIFF 'AVI ' + hdrl/avih + movi with
+    raw bottom-up BGR '00db' frames, 4-byte row padding)."""
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(four, body):
+        return chunk(b"LIST", four + body)
+
+    avih = (
+        usec.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    movi = b""
+    cid = b"00dc" if compressed else b"00db"
+    for px in frames:
+        rows = px[:, :, ::-1][::-1]  # RGB -> BGR, bottom-up
+        body = b"".join(
+            r.tobytes() + b"\x00" * (stride - w * 3) for r in rows
+        )
+        movi += chunk(cid, body)
+    payload = lst(b"hdrl", chunk(b"avih", avih)) + lst(b"movi", movi)
+    return b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"AVI " + payload
+
+
+def test_avi_decode_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+
+    from flechasdb_spark.operators.multimodal import _decode_avi
+
+    f0 = _rand_px(5, 7, seed=21)
+    f1 = _rand_px(5, 7, seed=22)
+    w, h, usec, frames = _decode_avi(_avi_bytes([f0, f1], usec=40000))
+    assert (w, h, usec) == (7, 5, 40000)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f0)
+    assert np.array_equal(frames[1], f1)
+    with pytest.raises(NotImplementedError, match="codec"):
+        _decode_avi(_avi_bytes([f0], compressed=True))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_avi(_avi_bytes([f0, f1])[:-10])
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _decode_avi(b"RIFF" + b"\x00" * 20)
+
+
+def test_video_frame_features_real_end_to_end(spark):
+    """fake=False over a crafted AVI: one row per sampled frame with
+    pixel stats matching NumPy; every_k strides the frame index."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import (
+        _frame_stats,
+        video_frame_features,
+    )
+
+    frames = [_rand_px(6, 4, seed=30 + i) for i in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_avi_bytes(frames)))], "doc_id long, payload binary"
+    )
+    got = {
+        r.frame_idx: r
+        for r in video_frame_features(df, every_k=2, fake=False).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    for fi in (0, 2, 4):
+        assert (got[fi].width, got[fi].height) == (4, 6)
+        want = _frame_stats(frames[fi])
+        assert [round(float(x), 4) for x in got[fi].features] == want
