@@ -470,6 +470,7 @@ def main() -> None:
         "cdc_chunk_dedup",
         "hard_negative_mining",
         "image_dhash_neardup",
+        "kneser_ney_lm_score",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -3624,6 +3624,73 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kneser_ney_lm_score",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+pt AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+       FROM d),
+pp AS (SELECT doc_id, p, w,
+              lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS u
+       FROM pt),
+rp AS (SELECT * FROM pp WHERE doc_id % 2 = 0),
+big AS (SELECT u, w, count(*)::BIGINT AS cuv FROM rp
+        WHERE u IS NOT NULL GROUP BY u, w),
+ctx AS (SELECT u, sum(cuv)::BIGINT AS cu, count(*)::BIGINT AS n1u
+        FROM big GROUP BY u),
+cont AS (SELECT w, count(*)::BIGINT AS n1w FROM big GROUP BY w),
+tot AS (SELECT coalesce(sum(n1w), 0)::BIGINT AS npt,
+               count(*)::BIGINT AS vc FROM cont),
+sc AS (
+  SELECT pp.doc_id, count(*)::BIGINT AS n_tokens,
+    (-sum(CASE WHEN pp.u IS NULL OR ctx.cu IS NULL
+      THEN round(ln(coalesce(
+               (cont.n1w + 1)::DOUBLE / (tot.npt + tot.vc + 1),
+               1.0::DOUBLE / (tot.npt + tot.vc + 1))) * 1e6)::BIGINT
+      ELSE round(ln((greatest(coalesce(big.cuv, 0) - 0.75::DOUBLE,
+                              0.0::DOUBLE)
+                     + (0.75::DOUBLE * ctx.n1u)
+                       * coalesce(
+                           (cont.n1w + 1)::DOUBLE / (tot.npt + tot.vc + 1),
+                           1.0::DOUBLE / (tot.npt + tot.vc + 1)))
+                    / ctx.cu) * 1e6)::BIGINT
+      END))::BIGINT AS nll,
+    sum(CASE WHEN big.cuv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nhit,
+    sum(CASE WHEN pp.u IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nbig
+  FROM pp
+  LEFT JOIN big ON pp.u = big.u AND pp.w = big.w
+  LEFT JOIN ctx ON pp.u = ctx.u
+  LEFT JOIN cont ON pp.w = cont.w, tot
+  GROUP BY pp.doc_id)
+SELECT doc.doc_id,
+       coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sc.nll, 0)::BIGINT AS nll_micro_nats,
+       round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0.0
+             ELSE sc.nll::DOUBLE / sc.n_tokens / 1e6 END, 4) AS mean_nll,
+       round(CASE WHEN coalesce(sc.nbig, 0) = 0 THEN 1.0
+             ELSE sc.nhit::DOUBLE / sc.nbig END, 4) AS kn_hit_ratio
+FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+ORDER BY doc.doc_id
+""",
+)
+def q_kneser_ney_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothing family CCNet's KenLM scorer
+    actually uses: absolute discounting (D=0.75) interpolated with the
+    CONTINUATION distribution (how many distinct contexts a word
+    follows), trained on the even-id half, scoring every doc. The
+    whole model derives from the one localCheckpointed bigram-type
+    table; per-token probabilities are a single fixed-shape double
+    expression quantized to integer micro-nats, so the oracle's
+    identically-parenthesized arithmetic is engine-exact."""
+    from flechasdb_spark.operators.text import kneser_ney_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_score(
+        docs, reference=docs.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+@query(
     "nb_source_classifier",
     f"""
 WITH d AS (SELECT doc_id, source, {_DD_TOKS} AS toks FROM documents),
@@ -6219,7 +6286,10 @@ DRIVER_ORDER = [
     # contrastive-training negatives: anti-join qrels before top-k],
     # image_dhash_neardup [multimodal near-dup via banded dHash
     # Hamming join], video_frame_features [the video leg of the
-    # multimodal decode contract].
+    # multimodal decode contract], kneser_ney_lm_score [interpolated
+    # Kneser-Ney bigram LM — the smoothing family CCNet's KenLM
+    # scorer actually uses, continuation-probability interpolation
+    # over the stupid-backoff row's same fixture split].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

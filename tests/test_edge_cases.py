@@ -636,6 +636,99 @@ def test_bigram_backoff_prefers_in_domain_order(spark):
     assert rows[102].bigram_hit_ratio == 1.0
 
 
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The defining KN property: a word's model mass comes from how
+    many DISTINCT contexts it follows, not raw frequency. 'francisco'
+    appears 10x (always after 'san'); 'b' appears 3x after 3 distinct
+    contexts — after an unseen context, 'b' must score better. Seen
+    bigrams beat unseen orderings, and empty docs keep the
+    0/0.0/1.0 convention."""
+    from flechasdb_spark.operators.text import kneser_ney_score
+
+    ref_rows = [(i, "san francisco") for i in range(10)]
+    ref_rows += [(20, "a b"), (21, "c b"), (22, "d b")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    df = spark.createDataFrame(
+        [
+            (100, "zz francisco"),  # unseen context -> continuation prob
+            (101, "zz b"),
+            (102, "san francisco"),  # fully in-model bigram
+            (103, "francisco san"),  # same words, unseen order
+            (104, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in kneser_ney_score(df, ref).collect()}
+    # continuation: n1w(b)=3 > n1w(francisco)=1 despite 10x frequency
+    assert rows[101].nll_micro_nats < rows[100].nll_micro_nats
+    assert rows[102].kn_hit_ratio == 1.0
+    assert rows[103].kn_hit_ratio == 0.0
+    assert rows[102].mean_nll < rows[103].mean_nll
+    assert rows[104].n_tokens == 0
+    assert rows[104].nll_micro_nats == 0
+    assert rows[104].mean_nll == 0.0
+    assert rows[104].kn_hit_ratio == 1.0
+
+
+def test_kneser_ney_matches_python_replica(spark):
+    """Exact integer micro-nat parity between the distributed operator
+    and a pure-Python replica of the per-token rule on a mixed corpus
+    (seen pairs, unseen pairs under seen contexts, unseen contexts,
+    unseen words)."""
+    import math
+    from collections import Counter
+
+    from flechasdb_spark.operators.text import kneser_ney_score
+
+    ref_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick red fox sleeps",
+        "a lazy dog sleeps",
+    ]
+    eval_texts = [
+        "the quick brown fox",
+        "fox the sleeps quick",
+        "unseenword the dog",
+        "the",
+    ]
+    ref = spark.createDataFrame(
+        list(enumerate(ref_texts)), "doc_id long, text string"
+    )
+    df = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)],
+        "doc_id long, text string",
+    )
+    toks = [t.split() for t in ref_texts]
+    big = Counter((t[i - 1], t[i]) for t in toks for i in range(1, len(t)))
+    cu, n1u, n1w = Counter(), Counter(), Counter()
+    for (u, w), c in big.items():
+        cu[u] += c
+        n1u[u] += 1
+        n1w[w] += 1
+    npt, vc = sum(n1w.values()), len(n1w)
+
+    def pc(w):
+        if w in n1w:
+            return (n1w[w] + 1) / (npt + vc + 1)
+        return 1.0 / (npt + vc + 1)
+
+    def lq(u, w):
+        if u is None or u not in cu:
+            return round(1e6 * math.log(pc(w)))
+        p = (
+            max(big.get((u, w), 0) - 0.75, 0.0) + (0.75 * n1u[u]) * pc(w)
+        ) / cu[u]
+        return round(1e6 * math.log(p))
+
+    rows = {r.doc_id: r for r in kneser_ney_score(df, ref).collect()}
+    for i, t in enumerate(eval_texts):
+        ws = t.split()
+        want = -sum(
+            lq(ws[j - 1] if j else None, ws[j]) for j in range(len(ws))
+        )
+        assert rows[100 + i].nll_micro_nats == want, (i, t)
+
+
 def test_nb_score_plan_single_docwide_join(spark):
     """The dense loglik grid means every tokened doc scores all labels
     inside ONE partial-agg chain; the only corpus-sized join allowed

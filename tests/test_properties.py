@@ -425,3 +425,53 @@ def test_stupid_backoff_scores_bounded(docs, alpha):
             assert s <= 0
             nll -= s
         assert nll >= 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="pqr ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kneser_ney_is_a_subdistribution(docs):
+    """Interpolated KN with the add-one continuation floor is a proper
+    sub-distribution over the support {seen continuation words} plus
+    ONE unseen representative (the floor is per-word, so an unbounded
+    unseen vocabulary holds unbounded total floor mass — the same
+    caveat as the add-one unigram floor in the other LM ops): for
+    every seen context u, sum_w P(w|u) over that support is <= 1, and
+    every individual P(w|u) is in (0, 1] — so per-token micro-nat
+    scores are <= 0 and document NLLs are >= 0. Pure-Python replica of
+    the operator's rule (text.py kneser_ney_score)."""
+    from collections import Counter
+
+    toks = [d.split() for d in (s.strip().lower() for s in docs)]
+    toks = [[w for w in t if w] for t in toks]
+    big = Counter((t[i - 1], t[i]) for t in toks for i in range(1, len(t)))
+    if not big:
+        return
+    cu, n1u, n1w = Counter(), Counter(), Counter()
+    for (u, w), c in big.items():
+        cu[u] += c
+        n1u[u] += 1
+        n1w[w] += 1
+    npt, vc = sum(n1w.values()), len(n1w)
+    floor = 1.0 / (npt + vc + 1)
+
+    def pc(w):
+        return (n1w[w] + 1) / (npt + vc + 1) if w in n1w else floor
+
+    vocab = set(n1w) | {"__unseen__"}
+    # continuation distribution sums to exactly 1 over this support
+    assert abs(sum(pc(w) for w in vocab) - 1.0) <= 1e-12
+    for u in cu:
+        total = 0.0
+        for w in vocab:
+            p = (
+                max(big.get((u, w), 0) - 0.75, 0.0) + (0.75 * n1u[u]) * pc(w)
+            ) / cu[u]
+            assert 0.0 < p <= 1.0 + 1e-12
+            total += p
+        assert total <= 1.0 + 1e-9
