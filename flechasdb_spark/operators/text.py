@@ -38,6 +38,8 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "repetition_stats",
+    "tfidf_top_terms",
+    "source_token_kl",
     "STOPWORDS",
 ]
 
@@ -1036,4 +1038,135 @@ def gopher_quality_filter(
         F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword terms by tf-idf (Sparck Jones 1972)
+    — the classic keyword extractor next to the corpus-level BM25
+    ranker in ``operators/retrieval.py`` (same tf/df statistics, here
+    consumed per document instead of per query).
+
+    Determinism (the unigram-LM contract): each term's idf is
+    quantized ONCE to integer micro-nats round(1e6 * ln(N / df_t)), so
+    the score tf * idf_micro is an exact INTEGER everywhere and the
+    ranking can never flip on float summation order; ties break on the
+    term string.
+
+    Scale (100 TB): one token-grain partial agg to (doc, term, tf)
+    (map-side combinable), one O(V) df table met in a term equi-join
+    (AQE broadcasts it while V is small, shuffle-join keyed on the
+    term beyond that), and the per-doc top-k window runs over the
+    doc's DISTINCT terms — bounded by document vocabulary, never the
+    corpus. No driver state.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    ndocs = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "term",
+            F.round((F.log("__n") - F.log("__df")) * 1e6)
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(idf, "term").withColumn(
+        "__sm", F.col("tf") * F.col("idf_micro")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("__sm") / 1e6, 4).alias("tfidf"),
+        )
+    )
+
+
+def source_token_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-distribution drift report: KL(P_s || P_corpus)
+    in nats for every source s, where P_s is the source's unigram token
+    distribution and P the whole-corpus one. The standard mix-auditing
+    signal for a multi-source training corpus — a source whose KL jumps
+    between snapshots changed its content mix (scraper drift, encoding
+    breakage, template floods) even when row counts look stable.
+    KL(P_s||P) = sum_t (c_st/n_s) * ln((c_st/n_s) / (c_t/n)) >= 0,
+    zero iff the source matches the corpus distribution exactly; terms
+    absent from a source contribute 0 (P_s(t) = 0).
+
+    Determinism: the per-(source, term) log-ratio is quantized ONCE to
+    integer micro-nats round(1e6 * (ln(c_st) - ln(n_s) - ln(c_t) +
+    ln(n))); each source's sum Σ c_st * lr_micro is then an
+    order-independent integer sum, divided exactly once at the end.
+
+    Scale (100 TB): token-grain partial agg to O(S·V) (source, term)
+    counts (map-side combinable); per-source totals are O(S) rows
+    (broadcast); the O(V) corpus term table meets the counts in a term
+    equi-join (AQE broadcast → shuffle fallback); the 1-row corpus
+    total broadcasts. The final agg is O(S·V) → O(S). No windows, no
+    driver state, no skew beyond natural token frequency (absorbed by
+    the map-side combine).
+    """
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    g_tot = t_tot.agg(F.sum("c_t").alias("n"))
+    lr = (
+        st.join(F.broadcast(s_tot.select("source", "n_s")), "source")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "source",
+            "c_st",
+            F.round(
+                (
+                    F.log("c_st")
+                    - F.log("n_s")
+                    - F.log("c_t")
+                    + F.log("n")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    kl = lr.groupBy("source").agg(
+        F.sum(F.col("c_st") * F.col("lr_micro")).alias("__klm")
+    )
+    return (
+        s_tot.join(kl, "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("__klm") / F.col("n_s") / 1e6, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
     )

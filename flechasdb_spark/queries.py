@@ -938,6 +938,160 @@ def q_quantizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PCA / orthonormal-subspace transform rows (FAISS VectorTransform
+# family; operators/pca.py). The frozen basis is classical Gram-Schmidt
+# over embeddings vec_id 0..3 — sequential-fold float64 on both engines
+# (gram_schmidt docstring), so projections are oracle-exact. The
+# TRAINED path (distributed moments -> driver eigh) is not
+# SQL-expressible and is property-gated in tests/test_pca.py.
+# ---------------------------------------------------------------------------
+
+_PCA_K = 4
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), z -> z[1]*z[2]))"
+
+
+def _pca_gs_ctes(k: int = _PCA_K) -> str:
+    """DuckDB CTE chain computing the classical Gram-Schmidt basis
+    b1..bk from embeddings vec_id 0..k-1 — arithmetic mirrors
+    operators/pca.py::gram_schmidt exactly (projections against the
+    ORIGINAL x_j, left-to-right subtraction, sequential-fold dots)."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS x "
+        f"FROM embeddings WHERE vec_id < {k})",
+        f"n1 AS (SELECT {_dd_dot('x', 'x')} AS nn FROM v WHERE vec_id = 0)",
+        "b1 AS (SELECT list_transform(v.x, e -> e / sqrt(n1.nn)) AS b "
+        "FROM v, n1 WHERE vec_id = 0)",
+    ]
+    for j in range(2, k + 1):
+        prev = list(range(1, j))
+        for i in prev:
+            parts.append(
+                f"p{j}{i} AS (SELECT {_dd_dot('v.x', f'b{i}.b')} AS p "
+                f"FROM v, b{i} WHERE vec_id = {j - 1})"
+            )
+        zip_args = ", ".join(["v.x"] + [f"b{i}.b" for i in prev])
+        expr = "z[1]" + "".join(f" - p{j}{i}.p * z[{i + 1}]" for i in prev)
+        froms = ", ".join(
+            ["v"] + [f"b{i}" for i in prev] + [f"p{j}{i}" for i in prev]
+        )
+        parts.append(
+            f"u{j} AS (SELECT list_transform(list_zip({zip_args}), "
+            f"z -> {expr}) AS u FROM {froms} WHERE vec_id = {j - 1})"
+        )
+        parts.append(f"n{j} AS (SELECT {_dd_dot('u', 'u')} AS nn FROM u{j})")
+        parts.append(
+            f"b{j} AS (SELECT list_transform(u{j}.u, e -> e / sqrt("
+            f"n{j}.nn)) AS b FROM u{j}, n{j})"
+        )
+    return ",\n".join(parts)
+
+
+def _frozen_pca_basis(emb: DataFrame) -> list[list[float]]:
+    from flechasdb_spark.operators.pca import gram_schmidt
+
+    rows = (
+        emb.where(F.col("vec_id") < _PCA_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return gram_schmidt([[float(x) for x in r["embedding"]] for r in rows])
+
+
+_PCA_COEFFS_SQL = ", ".join(
+    f"{_dd_dot('e.ex', f'b{j}.b')} AS c{j - 1}" for j in range(1, _PCA_K + 1)
+)
+_PCA_FROMS = ", ".join(f"b{j}" for j in range(1, _PCA_K + 1))
+
+
+@query(
+    "pca_project_residual",
+    f"""
+WITH {_pca_gs_ctes()},
+c AS (
+  SELECT e.vec_id, {_PCA_COEFFS_SQL}, {_dd_dot('e.ex', 'e.ex')} AS nn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ex FROM embeddings) e,
+       {_PCA_FROMS})
+SELECT vec_id,
+       round(c0, 4) AS c0, round(c1, 4) AS c1,
+       round(c2, 4) AS c2, round(c3, 4) AS c3,
+       round(nn - (c0*c0 + c1*c1 + c2*c2 + c3*c3), 4) AS residual_energy
+FROM c ORDER BY vec_id
+""",
+)
+def q_pca_project_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthonormal-subspace projection + Parseval residual energy per
+    vector — the engine-exact member of the PCA transform family
+    (operators/pca.py; trained eigenbasis property-gated in
+    tests/test_pca.py). residual_energy = ||x||^2 - Σ c_j^2 measures
+    how much of each vector the 4-dim subspace fails to capture — the
+    quantity a dimensionality-reduction choice is judged by."""
+    from flechasdb_spark.operators.pca import (
+        residual_energy_expr,
+        subspace_coeff_exprs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    basis = _frozen_pca_basis(emb)
+    cs = subspace_coeff_exprs("embedding", basis)
+    res = residual_energy_expr("embedding", cs)
+    return emb.select(
+        "vec_id",
+        *[F.round(c, 4).alias(f"c{j}") for j, c in enumerate(cs)],
+        F.round(res, 4).alias("residual_energy"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "pca_reduced_knn",
+    f"""
+WITH {_pca_gs_ctes()},
+pe AS (
+  SELECT e.vec_id,
+         list_value({', '.join(f"{_dd_dot('e.ex', f'b{j}.b')}" for j in range(1, _PCA_K + 1))}) AS y
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ex FROM embeddings) e,
+       {_PCA_FROMS}),
+q AS (SELECT y AS qy FROM pe WHERE vec_id = {_IVF_QID}),
+scored AS (
+  SELECT pe.vec_id, {_DD_SQL2.format(a="pe.y", b="q.qy")} AS d
+  FROM pe, q)
+SELECT vec_id, round(d, 4) AS reduced_distance
+FROM scored ORDER BY d, vec_id LIMIT 10
+""",
+)
+def q_pca_reduced_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN in the 4-dim projected space — the coarse-search use of the
+    transform (project once, search 16x fewer dimensions, exact-re-rank
+    survivors with the stored vectors; the re-rank leg is the same
+    machinery as ann_ivfpq_rerank). Query coefficients are read back
+    from the engine's own projection so both sides rank identical
+    arithmetic."""
+    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.operators.pca import subspace_coeff_exprs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    basis = _frozen_pca_basis(emb)
+    proj = emb.select(
+        "vec_id", F.array(*subspace_coeff_exprs("embedding", basis)).alias("y")
+    )
+    qy = proj.where(F.col("vec_id") == _IVF_QID).first()["y"]
+    return (
+        proj.select(
+            "vec_id",
+            squared_l2("y", F.array(*[F.lit(float(v)) for v in qy])).alias(
+                "d"
+            ),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("d", 4).alias("reduced_distance"))
+    )
+
+
 @query(
     "ann_ivfpq",
     """
@@ -2634,6 +2788,71 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flechasdb_spark.operators.text import bpe_token_stats
 
     return bpe_token_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM d, unnest(d.toks) AS t(term)
+  GROUP BY doc_id, t.term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (
+  SELECT term, round(1e6 * (ln(nd.n) - ln(count(*))))::BIGINT AS idf_micro
+  FROM tf, nd GROUP BY term, nd.n),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_micro AS sm
+  FROM tf JOIN idf USING (term)),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY sm DESC, term) AS rank
+  FROM s)
+SELECT doc_id, rank::BIGINT AS rank, term, tf::BIGINT AS tf,
+       round(sm / 1e6, 4) AS tfidf
+FROM r WHERE rank <= 5 ORDER BY doc_id, rank
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+@query(
+    "source_token_kl",
+    f"""
+WITH d AS (SELECT source, {_DD_TOKS} AS toks FROM documents),
+st AS (
+  SELECT source, t.term, count(*) AS c_st
+  FROM d, unnest(d.toks) AS t(term)
+  GROUP BY source, t.term),
+s_tot AS (
+  SELECT source, sum(c_st) AS n_s, count(*) AS n_terms
+  FROM st GROUP BY source),
+t_tot AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+g AS (SELECT sum(c_t) AS n FROM t_tot),
+lr AS (
+  SELECT st.source, st.c_st,
+         round(1e6 * (ln(st.c_st) - ln(s_tot.n_s)
+                      - ln(t_tot.c_t) + ln(g.n)))::BIGINT AS lr_micro
+  FROM st JOIN s_tot USING (source) JOIN t_tot USING (term), g),
+kl AS (
+  SELECT source, sum(c_st * lr_micro) AS klm FROM lr GROUP BY source)
+SELECT s_tot.source, s_tot.n_s::BIGINT AS n_tokens,
+       s_tot.n_terms::BIGINT AS n_terms,
+       round(kl.klm / s_tot.n_s / 1e6, 6) AS kl_nats
+FROM s_tot JOIN kl USING (source)
+ORDER BY source
+""",
+)
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flechasdb_spark.operators.text import source_token_kl
+
+    return source_token_kl(_t(spark, sf_dir, "documents"))
 
 
 @query(
