@@ -28,6 +28,7 @@ __all__ = [
     "dsir_importance",
     "dsir_select",
     "source_mix_report",
+    "cluster_balanced_sample",
     "SPLIT_BUCKETS",
 ]
 
@@ -603,4 +604,64 @@ def source_mix_report(
             ),
         )
         .orderBy(by)
+    )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "cbal",
+) -> DataFrame:
+    """Diversity (coverage-balanced) sampling: assign every vector to
+    its nearest centroid, then keep a deterministic md5-ranked
+    ``per_cluster`` rows from EACH cluster — equal semantic coverage
+    regardless of how skewed the cluster populations are. The standard
+    curation counterweight to frequency-proportional sampling (head
+    topics otherwise drown the tail; cf. the cluster-aware selection
+    step of SemDeDup / DoReMi-style mixing).
+
+    ``centroids`` must carry (cluster, centroid) — typically a k-means
+    result (operators/kmeans_np.py) or a frozen fixture slice.
+
+    Determinism: in-cluster rank is md5(salt:id) with an id tiebreak —
+    stable across runs, engines, and partitionings (the hash_split
+    contract); assignment argmin ties break to the lowest cluster id
+    on both engines.
+
+    Scale (100 TB): assignment is a broadcast of P centroids + one
+    map-side argmin agg (min(struct(d, cid)) — no window over the
+    corpus); the in-cluster rank is a per-cluster window whose rank
+    filter pushes down as WindowGroupLimit, so every task forwards at
+    most ``per_cluster`` rows per cluster before the final bounded
+    sort. No all-pairs, no driver state.
+    """
+    from flechasdb_spark.functions.linalg import squared_l2
+
+    cents = F.broadcast(
+        centroids.select(
+            F.col("cluster").cast("long").alias("__cid"),
+            F.col("centroid").alias("__cv"),
+        )
+    )
+    d = squared_l2(F.col(vec_col), F.col("__cv"))
+    assign = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(cents)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(d.alias("d"), F.col("__cid"))).alias("__m"))
+        .select(F.col(id_col), F.col("__m.__cid").alias("cluster"))
+    )
+    from pyspark.sql import Window
+
+    h = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(h, F.col(id_col))
+    return (
+        assign.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= per_cluster)
+        .select(id_col, F.col("cluster").cast("long").alias("cluster"), "rk")
     )

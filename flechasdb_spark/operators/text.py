@@ -40,6 +40,7 @@ __all__ = [
     "repetition_stats",
     "tfidf_top_terms",
     "source_token_kl",
+    "vocab_coverage",
     "STOPWORDS",
 ]
 
@@ -1169,4 +1170,58 @@ def source_token_kl(
             F.round(F.col("__klm") / F.col("n_s") / 1e6, 6).alias("kl_nats"),
         )
         .orderBy("source")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group tokenizer-vocabulary coverage: how much of each
+    source's token stream a fixed vocabulary (``build_vocab`` output,
+    or any table with a ``token`` column) fails to cover. The
+    pre-training diagnostic that catches a source whose content the
+    tokenizer was never trained on (high OOV ratio -> byte-fallback
+    blowup in sequence length and degraded loss) BEFORE the tokens hit
+    the trainer.
+
+    Scale (100 TB): one token explode (map-only), a broadcast join
+    against the O(top_n)-bounded vocabulary, and a map-side-combinable
+    per-group agg — no corpus-sized shuffle beyond the group keys.
+
+    Returns (group_col, n_tokens, n_oov, n_oov_types, oov_ratio).
+    """
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("token")
+    )
+    j = tok.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("__in"))),
+        "token",
+        "left",
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("__in").isNull(), F.col("token"))
+            )
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .select(
+            group_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_oov",
+            "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                "oov_ratio"
+            ),
+        )
+        .orderBy(group_col)
     )

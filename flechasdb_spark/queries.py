@@ -1046,6 +1046,51 @@ def q_pca_project_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_CBAL_P, _CBAL_M = 8, 20
+
+
+@query(
+    "cluster_balanced_sample",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_CBAL_P}),
+a AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                    c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+rk AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5('cbal:' || vec_id), 1, 15))::BIGINT,
+                    vec_id) AS rk
+  FROM asg)
+SELECT vec_id, cluster::BIGINT AS cluster, rk::BIGINT AS rk
+FROM rk WHERE rk <= {_CBAL_M} ORDER BY cluster, rk
+""",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-balanced (diversity) sampling over the embedding space:
+    nearest-frozen-centroid assign + per-cluster deterministic md5 rank
+    (operators/sampling.py cluster_balanced_sample). Frozen centroids
+    pin the arithmetic for the oracle; production centroids come from
+    operators/kmeans_np.py."""
+    from flechasdb_spark.operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < _CBAL_P).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    return cluster_balanced_sample(emb, cents, per_cluster=_CBAL_M).orderBy(
+        "cluster", "rk"
+    )
+
+
 @query(
     "pca_reduced_knn",
     f"""
@@ -2853,6 +2898,39 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flechasdb_spark.operators.text import source_token_kl
 
     return source_token_kl(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_coverage_by_source",
+    f"""
+WITH toks AS (
+  SELECT unnest({_DD_TOKS}) AS token FROM documents),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY count(*) DESC, token LIMIT 16),
+d AS (SELECT source, {_DD_TOKS} AS ts FROM documents),
+dtok AS (SELECT source, t.token FROM d, unnest(d.ts) AS t(token))
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       count(DISTINCT CASE WHEN v.token IS NULL THEN dtok.token END)::BIGINT
+         AS n_oov_types,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS oov_ratio
+FROM dtok LEFT JOIN vocab v USING (token)
+GROUP BY source ORDER BY source
+""",
+)
+def q_vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer OOV diagnostic per source against a deliberately tight
+    (top-16) vocabulary so coverage differences between sources are
+    visible on the fixture corpus."""
+    from flechasdb_spark.operators.text import build_vocab, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=16, min_count=2)
+    return vocab_coverage(docs, vocab)
 
 
 @query(

@@ -254,3 +254,74 @@ def test_bigram_backoff_plan_two_token_stream_passes(spark):
     )
     assert plan.count("lag(") == 2, "token stream must be windowed twice"
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_plan(spark):
+    """Assignment must be a broadcast of centroids + argmin agg (no
+    corpus window); the in-cluster rank filter must push down as
+    WindowGroupLimit so tasks forward at most per_cluster rows."""
+    from flechasdb_spark.operators.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    plan = (
+        cluster_balanced_sample(emb, cents, per_cluster=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The O(top_n) vocabulary must meet the token stream through a
+    broadcast join — never a corpus-sized shuffle on the token key."""
+    from flechasdb_spark.operators.text import build_vocab, vocab_coverage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = build_vocab(docs, top_n=16, min_count=2)
+    plan = (
+        vocab_coverage(docs, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_idf_join_no_corpus_sort(spark):
+    """tf-idf: the idf table joins on the term (AQE broadcast at this
+    scale) and the only window is the per-doc top-k with its rank
+    filter pushed as WindowGroupLimit."""
+    from flechasdb_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        tfidf_top_terms(docs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_pca_project_sql_is_map_only(spark):
+    """The sql-impl projection must stay a pure map stage: no exchange,
+    no join, centering constants folded into literals."""
+    from flechasdb_spark.operators.pca import pca_train, pca_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    m = pca_train(emb.limit(200), k=3)
+    plan = (
+        pca_project(emb, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
