@@ -471,6 +471,14 @@ def main() -> None:
         "hard_negative_mining",
         "image_dhash_neardup",
         "kneser_ney_lm_score",
+        # late-r6 additions: PCA transform family, keyword extraction,
+        # source drift, diversity sampling, vocab coverage
+        "pca_project_residual",
+        "pca_reduced_knn",
+        "tfidf_top_terms",
+        "source_token_kl",
+        "cluster_balanced_sample",
+        "vocab_coverage_by_source",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

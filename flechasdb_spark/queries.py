@@ -6586,7 +6586,16 @@ DRIVER_ORDER = [
     # multimodal decode contract], kneser_ney_lm_score [interpolated
     # Kneser-Ney bigram LM — the smoothing family CCNet's KenLM
     # scorer actually uses, continuation-probability interpolation
-    # over the stupid-backoff row's same fixture split].
+    # over the stupid-backoff row's same fixture split]; and the
+    # late-r6 cohort: pca_project_residual + pca_reduced_knn [the
+    # FAISS-VectorTransform-family subspace projection with
+    # Gram-Schmidt-frozen oracle basis; trained eigen path
+    # property-gated in tests/test_pca.py, ITQ learned-rotation
+    # hashing in tests/test_itq.py], tfidf_top_terms [per-doc keyword
+    # extraction, integer micro-nat idf], source_token_kl [per-source
+    # token-distribution KL drift report], cluster_balanced_sample
+    # [nearest-centroid diversity sampling, WindowGroupLimit-bounded],
+    # vocab_coverage_by_source [tokenizer OOV diagnostic].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
