@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from flechasdb_spark.functions.texthash import md5_long
 from flechasdb_spark.operators.pca import PCAModel, pca_train
 
-__all__ = ["ITQModel", "itq_train", "itq_encode", "itq_code_expr"]
+__all__ = ["ITQModel", "itq_train", "itq_encode", "itq_code_expr", "sample_to_driver"]
 
 
 @dataclass(frozen=True)
@@ -60,7 +60,7 @@ class ITQModel:
         return len(self.components)
 
 
-def _sample_to_driver(
+def sample_to_driver(
     vectors: DataFrame, vec_col: str, id_col: str, n: int, salt: str
 ) -> np.ndarray:
     """Deterministic md5-ranked sample — orderBy(hash).limit(n) compiles
@@ -91,7 +91,7 @@ def itq_train(
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
     pca = pca_train(vectors, k=bits, vec_col=vec_col)
-    x = _sample_to_driver(vectors, vec_col, id_col, sample_n, f"itq{seed}")
+    x = sample_to_driver(vectors, vec_col, id_col, sample_n, f"itq{seed}")
     v = (x - np.asarray(pca.mean)) @ np.asarray(pca.components).T  # n x bits
 
     def loss(r: np.ndarray) -> float:
