@@ -479,6 +479,7 @@ def main() -> None:
         "source_token_kl",
         "cluster_balanced_sample",
         "vocab_coverage_by_source",
+        "corpus_snapshot_diff",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -41,6 +41,8 @@ __all__ = [
     "tfidf_top_terms",
     "source_token_kl",
     "vocab_coverage",
+    "unigram_lm_tables",
+    "batch_source_kl",
     "STOPWORDS",
 ]
 
@@ -1224,4 +1226,81 @@ def vocab_coverage(
             ),
         )
         .orderBy(group_col)
+    )
+
+
+def unigram_lm_tables(
+    reference: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int]:
+    """Frozen add-one unigram LM as broadcastable tables: the O(V)
+    (token, lq_micro) log-prob table (integer micro-nats,
+    round(1e6 * ln((c+1)/(N+V))) — the unigram_logprob_score contract)
+    plus the unseen-token floor round(1e6 * ln(1/(N+V))). The
+    offline-trained reference model for streaming drift monitoring
+    (streaming/pipeline.py::stream_token_drift)."""
+    rtok = reference.select(F.explode(tokens(text_col)).alias("token"))
+    counts = rtok.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(
+        F.sum("__c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    denom = float(tot["n"] + tot["v"])
+    lp = counts.select(
+        "token",
+        F.round((F.log(F.col("__c") + 1) - F.log(F.lit(denom))) * 1e6)
+        .cast("long")
+        .alias("lq_micro"),
+    )
+    import math
+
+    floor_micro = int(round(-math.log(denom) * 1e6))
+    return lp, floor_micro
+
+
+def batch_source_kl(
+    batch: DataFrame,
+    lp: DataFrame,
+    floor_micro: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL(P_batch_source || Q_reference) in nats against a
+    FROZEN smoothed reference LM (`unigram_lm_tables`) — the drift
+    score `source_token_kl` computes corpus-internally, here against an
+    external reference so it works on a micro-batch. Tokens unseen in
+    the reference take the smoothing floor (so KL stays finite and a
+    flood of novel tokens shows up as a large, not infinite, jump).
+
+    Determinism: per-(source, term) log-ratio quantized once to
+    integer micro-nats; per-source sums are exact integer sums.
+    Scale: token partial agg + broadcast O(V) model join per batch.
+    """
+    tok = batch.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    lr = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(lp), "token", "left")
+        .select(
+            "source",
+            "c_st",
+            (
+                F.round((F.log("c_st") - F.log("n_s")) * 1e6).cast("long")
+                - F.coalesce(F.col("lq_micro"), F.lit(floor_micro))
+            ).alias("lr_micro"),
+        )
+    )
+    kl = lr.groupBy("source").agg(
+        F.sum(F.col("c_st") * F.col("lr_micro")).alias("__klm")
+    )
+    return (
+        s_tot.join(kl, "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.round(F.col("__klm") / F.col("n_s") / 1e6, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
     )

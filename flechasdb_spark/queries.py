@@ -2901,6 +2901,50 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_snapshot_diff",
+    """
+WITH newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0),
+o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+n AS (SELECT doc_id, md5(text) AS new_hash FROM newc),
+j AS (SELECT doc_id, old_hash, new_hash FROM o FULL OUTER JOIN n USING (doc_id))
+SELECT doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_hash, new_hash
+FROM j ORDER BY doc_id
+""",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between corpus v1 (documents) and a deterministic
+    simulated v2 (every 7th doc removed, every remaining 5th doc's text
+    amended, every 11th doc re-ingested under a new id) — the
+    incremental-ingest audit (operators/diff.py)."""
+    from flechasdb_spark.operators.diff import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.where(F.col("doc_id") % 7 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    new = mutated.unionByName(added)
+    return corpus_diff(docs, new).orderBy("doc_id")
+
+
+@query(
     "vocab_coverage_by_source",
     f"""
 WITH toks AS (
@@ -5944,6 +5988,90 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_token_drift",
+    f"""
+WITH ref AS (SELECT unnest({_DD_TOKS}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM ref GROUP BY token),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lp AS (SELECT token, round(1e6 * (ln(c + 1) - ln(n + v)))::BIGINT AS lq
+       FROM cnt, tot),
+fl AS (SELECT round(-1e6 * ln(n + v))::BIGINT AS f FROM tot),
+b AS (SELECT CASE WHEN doc_id < 100 THEN 0 ELSE 1 END AS ingest_batch,
+             source, {_DD_TOKS} AS ts
+      FROM documents WHERE doc_id < 200),
+st AS (SELECT ingest_batch, source, t.token, count(*) AS c_st
+       FROM b, unnest(b.ts) AS t(token)
+       GROUP BY ingest_batch, source, t.token),
+s_tot AS (SELECT ingest_batch, source, sum(c_st) AS n_s
+          FROM st GROUP BY ingest_batch, source),
+lr AS (SELECT st.ingest_batch, st.source, st.c_st,
+              round(1e6 * (ln(st.c_st) - ln(s_tot.n_s)))::BIGINT
+                - coalesce(lp.lq, fl.f) AS lr_micro
+       FROM st JOIN s_tot USING (ingest_batch, source)
+       LEFT JOIN lp USING (token), fl),
+kl AS (SELECT ingest_batch, source, sum(c_st * lr_micro) AS klm
+       FROM lr GROUP BY ingest_batch, source)
+SELECT s_tot.ingest_batch::BIGINT AS ingest_batch, s_tot.source,
+       s_tot.n_s::BIGINT AS n_tokens,
+       round(kl.klm / s_tot.n_s / 1e6, 6) AS kl_nats
+FROM s_tot JOIN kl USING (ingest_batch, source)
+ORDER BY ingest_batch, source
+""",
+)
+def q_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor drained over a bounded two-batch replay
+    (docs 0-99, then 100-199; arrival order pinned via mtimes): each
+    micro-batch's per-source token distribution scored as KL against
+    the FROZEN reference unigram LM trained offline on the full
+    documents table (streaming/pipeline.py stream_token_drift;
+    text.unigram_lm_tables / batch_source_kl). Stateless per batch, so
+    the drained rows equal the per-batch batch computation — the
+    oracle replays both phases in SQL."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.operators.text import unigram_lm_tables
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_token_drift,
+    )
+
+    docs_all = _t(spark, sf_dir, "documents")
+    lp, floor_micro = unigram_lm_tables(docs_all)
+    docs = docs_all.select("doc_id", "source", "text").where(
+        F.col("doc_id") < 200
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_drift_")
+    src = f"{tmp}/src"
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/b0")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_token_drift(stream, lp, floor_micro, f"{tmp}/drift")
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/drift")
+        .select(
+            F.col("ingest_batch").cast("long").alias("ingest_batch"),
+            "source",
+            "n_tokens",
+            "kl_nats",
+        )
+        .orderBy("ingest_batch", "source")
+    )
+
+
+@query(
     "stream_stream_join",
     """
 WITH l AS (SELECT user_id, event_id, value, ts FROM events
@@ -6595,7 +6723,10 @@ DRIVER_ORDER = [
     # extraction, integer micro-nat idf], source_token_kl [per-source
     # token-distribution KL drift report], cluster_balanced_sample
     # [nearest-centroid diversity sampling, WindowGroupLimit-bounded],
-    # vocab_coverage_by_source [tokenizer OOV diagnostic].
+    # vocab_coverage_by_source [tokenizer OOV diagnostic],
+    # corpus_snapshot_diff [incremental-ingest row diff vs a simulated
+    # v2 corpus], stream_token_drift [streaming per-batch per-source
+    # KL vs a frozen reference LM — joins the streaming family].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -50,6 +50,7 @@ __all__ = [
     "stream_dedup",
     "stream_minhash_dedup",
     "stream_quality_filter",
+    "stream_token_drift",
     "stream_stream_join",
     "stateful_session_count",
     "run_available_now",
@@ -598,6 +599,53 @@ def stream_quality_filter(
             "left_semi",
         )
         kept.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_token_drift(
+    docs: DataFrame,
+    lp: DataFrame,
+    floor_micro: int,
+    output_path: str,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Streaming distribution-drift monitor: per micro-batch, score
+    every source's token distribution against a FROZEN reference
+    unigram LM (text.unigram_lm_tables trained offline) and append
+    (source, n_tokens, kl_nats) rows — the alarm wire for scraper
+    drift / encoding breakage / template floods, caught at ingest time
+    instead of after a 100 TB curation run (the streaming form of the
+    batch `source_token_kl` report, scored against an external
+    reference so a single batch suffices).
+
+    Stateless per batch (the reference never updates in-stream), so
+    the delivery contract is stream_quality_filter's: each batch
+    writes under ``ingest_batch=<id>`` in overwrite mode, committed
+    replays are exact no-ops (_SUCCESS check). Per batch: one
+    token-grain partial agg + broadcast O(V) model join.
+    """
+    from flechasdb_spark.operators.text import batch_source_kl
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out_dir = f"{output_path}/ingest_batch={batch_id}"
+        spark = batch.sparkSession
+        marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a committed batch: exact no-op
+        batch_source_kl(
+            batch, lp, floor_micro,
+            text_col=text_col, source_col=source_col,
+        ).write.mode("overwrite").parquet(out_dir)
 
     return (
         docs.writeStream.outputMode("append")
