@@ -480,6 +480,7 @@ def main() -> None:
         "cluster_balanced_sample",
         "vocab_coverage_by_source",
         "corpus_snapshot_diff",
+        "weighted_sample_topk",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -29,6 +29,7 @@ __all__ = [
     "dsir_select",
     "source_mix_report",
     "cluster_balanced_sample",
+    "weighted_sample_topk",
     "SPLIT_BUCKETS",
 ]
 
@@ -664,4 +665,57 @@ def cluster_balanced_sample(
         assign.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= per_cluster)
         .select(id_col, F.col("cluster").cast("long").alias("cluster"), "rk")
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): each row draws priority u^(1/w) from a deterministic
+    per-(salt, id) uniform u and the k highest priorities win —
+    inclusion probability proportional to weight, no replacement, no
+    RNG state. The quality-weighted selection primitive
+    (`temperature_sample` rebalances GROUP totals; this weights
+    individual ROWS, e.g. keep 1M docs preferring higher quality
+    scores without hard thresholds).
+
+    Determinism (the hash_split contract + the DSIR quantization
+    contract): u = (md5_60bit + 1) / 2^60, and the ORDERING key is
+    ln(u)/w quantized once to integer micro-nats (monotone in the
+    priority), ties broken by id — exactly recomputable by the DuckDB
+    oracle. Rows with weight <= 0 or NULL are excluded (u^(1/w) is
+    undefined there).
+
+    Scale (100 TB): one map stage (hash + log) + a global top-k that
+    compiles to TakeOrderedAndProject — each task forwards at most k
+    rows; no shuffle of the corpus, no window, no driver state beyond
+    the k winners.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = F.col(weight_col).cast("double")
+    # ln u = ln(h+1) - 60 ln 2; ln-priority = ln(u)/w, micro-quantized
+    lnk = F.round(
+        (F.log(h.cast("double") + 1.0) - F.lit(60.0) * F.log(F.lit(2.0)))
+        / w
+        * 1e6
+    ).cast("long")
+    return (
+        df.where(w > 0)
+        .select(F.col(id_col), w.alias("weight"), lnk.alias("__lnk"))
+        .orderBy(F.col("__lnk").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "weight",
+            F.col("__lnk").alias("lnk_micro"),
+        )
     )

@@ -2901,6 +2901,30 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_topk",
+    """
+WITH s AS (
+  SELECT doc_id, n_chars::DOUBLE AS weight,
+         round((ln((('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT)::DOUBLE + 1.0)
+                - 60.0 * ln(2.0)) / n_chars::DOUBLE * 1e6)::BIGINT AS lnk_micro
+  FROM documents WHERE n_chars::DOUBLE > 0)
+SELECT doc_id, weight, lnk_micro
+FROM s ORDER BY lnk_micro DESC, doc_id LIMIT 100
+""",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    top-100 documents drawn with probability proportional to n_chars —
+    the row-level quality-weighted keep (operators/sampling.py
+    weighted_sample_topk; TakeOrderedAndProject, map-only otherwise)."""
+    from flechasdb_spark.operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(spark, sf_dir, "documents"), k=100, weight_col="n_chars"
+    )
+
+
+@query(
     "corpus_snapshot_diff",
     """
 WITH newc AS (
@@ -6726,7 +6750,9 @@ DRIVER_ORDER = [
     # vocab_coverage_by_source [tokenizer OOV diagnostic],
     # corpus_snapshot_diff [incremental-ingest row diff vs a simulated
     # v2 corpus], stream_token_drift [streaming per-batch per-source
-    # KL vs a frozen reference LM — joins the streaming family].
+    # KL vs a frozen reference LM — joins the streaming family],
+    # weighted_sample_topk [Efraimidis-Spirakis weighted sampling
+    # without replacement — row-level quality-weighted keep].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -303,3 +303,61 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     }
     for i in range(20, 200):
         assert by_id[i].rep == i and by_id[i].split == plain[i]
+
+
+def test_weighted_sample_proportional_inclusion(spark):
+    """Efraimidis-Spirakis contract: with k=1 the win probability of a
+    row is weight/total. Count wins across 300 independent salts for
+    weights (1, 4, 16): empirical shares must track 1/21, 4/21, 16/21
+    well within binomial noise."""
+    from flechasdb_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 4.0), (2, 16.0)], "doc_id long, weight double"
+    )
+    wins = {0: 0, 1: 0, 2: 0}
+    for s in range(300):
+        r = weighted_sample_topk(
+            df, k=1, weight_col="weight", salt=f"t{s}"
+        ).first()
+        wins[r["doc_id"]] += 1
+    # expected 14.3 / 57.1 / 228.6; 3-sigma binomial bands are wide
+    assert 2 <= wins[0] <= 34, wins
+    assert 30 <= wins[1] <= 90, wins
+    assert 190 <= wins[2] <= 262, wins
+
+
+def test_weighted_sample_without_replacement_and_guards(spark):
+    from flechasdb_spark.operators.sampling import weighted_sample_topk
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 3)) for i in range(50)] + [(99, 0.0), (98, None)],
+        "doc_id long, weight double",
+    )
+    out = weighted_sample_topk(df, k=10, weight_col="weight").collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 10  # no replacement
+    assert 99 not in ids and 98 not in ids  # zero/NULL weights excluded
+    # determinism across calls
+    again = [
+        r["doc_id"]
+        for r in weighted_sample_topk(df, k=10, weight_col="weight").collect()
+    ]
+    assert ids == again
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, k=0, weight_col="weight")
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from flechasdb_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        weighted_sample_topk(docs, k=10, weight_col="n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
