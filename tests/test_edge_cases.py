@@ -748,3 +748,120 @@ def test_nb_score_plan_single_docwide_join(spark):
     assert plan.count("SortMergeJoin") <= 1, (
         "only the per-doc attach may shuffle-join"
     )
+
+
+def test_tfidf_empty_and_uniform_docs(spark):
+    """Empty docs emit no keyword rows but still count in N (classic
+    tf-idf: N is the corpus size); a term present in every NON-empty
+    doc therefore keeps a small positive idf here, and a term in every
+    doc of an all-tokenized corpus scores exactly 0."""
+    from flechasdb_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(0, "common alpha"), (1, "common beta"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = r
+    assert 2 not in by_doc  # empty doc: no rows
+    for d in (0, 1):
+        # ln(3/2): the empty doc counts in N
+        assert by_doc[d]["common"]["tfidf"] == 0.4055
+        # the distinctive term outranks the near-universal one
+        assert by_doc[d]["common"]["rank"] > min(
+            r["rank"] for r in by_doc[d].values()
+        )
+    # no empty doc -> the universal term's idf is exactly 0
+    df2 = spark.createDataFrame(
+        [(0, "common alpha"), (1, "common beta")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_top_terms(df2, k=5).collect()
+    }
+    assert rows[(0, "common")] == 0.0 and rows[(1, "common")] == 0.0
+
+
+def test_source_token_kl_identical_sources_zero(spark):
+    """Two sources with identical token streams both sit at KL ~ 0
+    (exactly 0 up to micro-nat quantization)."""
+    from flechasdb_spark.operators.text import source_token_kl
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    for r in source_token_kl(df).collect():
+        assert abs(r["kl_nats"]) < 1e-4, r
+
+
+def test_source_token_kl_nonnegative_on_fixture(spark):
+    from flechasdb_spark.operators.text import source_token_kl
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for r in source_token_kl(docs).collect():
+        # Gibbs: KL >= 0 (micro-nat rounding can dip a hair below)
+        assert r["kl_nats"] >= -1e-5, r
+
+
+def test_vocab_coverage_full_and_empty_vocab(spark):
+    from flechasdb_spark.operators.text import build_vocab, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(0, "x y", "s1"), (1, "x z", "s1")],
+        "doc_id long, text string, source string",
+    )
+    full = build_vocab(docs, top_n=10, min_count=1)
+    out = vocab_coverage(docs, full).collect()
+    assert out[0]["n_oov"] == 0 and out[0]["oov_ratio"] == 0.0
+    empty = full.where("token = '__nope__'")
+    out = vocab_coverage(docs, empty).collect()
+    assert out[0]["n_oov"] == out[0]["n_tokens"] == 4
+    assert out[0]["n_oov_types"] == 3
+    assert out[0]["oov_ratio"] == 1.0
+
+
+def test_corpus_diff_identical_and_disjoint(spark):
+    from flechasdb_spark.operators.diff import corpus_diff, corpus_diff_summary
+
+    a = spark.createDataFrame(
+        [(0, "t0"), (1, "t1")], "doc_id long, text string"
+    )
+    same = {r["status"] for r in corpus_diff(a, a).collect()}
+    assert same == {"unchanged"}
+    b = spark.createDataFrame(
+        [(2, "t2"), (3, "t3")], "doc_id long, text string"
+    )
+    st = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
+    assert st == {0: "removed", 1: "removed", 2: "added", 3: "added"}
+    summ = {
+        r["status"]: (r["n_docs"], r["pct"])
+        for r in corpus_diff_summary(a, b).collect()
+    }
+    assert summ == {"added": (2, 0.5), "removed": (2, 0.5)}
+
+
+def test_cluster_balanced_sample_small_clusters_keep_all(spark):
+    """A cluster with fewer than per_cluster members keeps them all;
+    assignment ties break to the lowest cluster id."""
+    from flechasdb_spark.operators.sampling import cluster_balanced_sample
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(5, [0.0, 0.0]), (7, [10.0, 0.0])],
+        "cluster long, centroid array<double>",
+    )
+    out = cluster_balanced_sample(vecs, cents, per_cluster=10).collect()
+    got = {(r["vec_id"], r["cluster"]) for r in out}
+    assert got == {(0, 5), (1, 5), (2, 7)}
+    # equidistant vector: lowest cluster id wins
+    mid = spark.createDataFrame(
+        [(9, [5.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = cluster_balanced_sample(mid, cents, per_cluster=1).collect()
+    assert out[0]["cluster"] == 5
