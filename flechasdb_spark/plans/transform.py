@@ -1,0 +1,151 @@
+"""PCA-pretransformed IVF+PQ index — the FAISS index-factory
+composition ``PCAR{k},IVF{P},PQ{D}`` on Spark: a learned linear
+transform (operators/pca.py) in front of the reference-shaped IVF+PQ
+index (operators/build.py, plans/ivf.py), persisted and queried as one
+unit.
+
+Why compose: high-dimensional embeddings concentrate energy in few
+directions; projecting to k' < n dims before IVF+PQ cuts index size and
+scan cost k'/n while (for anisotropic data) keeping most of the
+distance structure; whitening additionally equalizes per-dimension
+energy so PQ subspaces carry comparable information (the same goal the
+`balance_dims` permutation pursues without changing the basis).
+
+Scale (100 TB): the transform adds exactly one map-only projection to
+the build (no new shuffle — it fuses into the encode scan) and an
+O(n·k') driver matmul per query batch; storage/search cost then scales
+with k', not n. Save/load adds one JSON beside the index manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from flechasdb_spark.operators.build import IndexConfig, IndexModel, build_index
+from flechasdb_spark.operators.pca import PCAModel, pca_project, pca_train
+
+__all__ = [
+    "TransformedIndex",
+    "build_transformed_index",
+    "transform_queries",
+    "transformed_ann_query",
+    "save_transformed_index",
+    "load_transformed_index",
+]
+
+TRANSFORM_NAME = "transform.json"
+
+
+@dataclass
+class TransformedIndex:
+    pca: PCAModel
+    whiten: bool
+    index: IndexModel
+
+
+def build_transformed_index(
+    df: DataFrame,
+    pca_k: int,
+    cfg: IndexConfig | None = None,
+    whiten: bool = False,
+) -> TransformedIndex:
+    """Train PCA(k') on ``df[cfg.vec_col]``, project (map-only), build
+    the IVF+PQ index in the projected space. ``pca_k`` must be
+    divisible by ``cfg.num_divisions`` (the projected vector is what PQ
+    splits)."""
+    cfg = cfg or IndexConfig()
+    if pca_k % cfg.num_divisions != 0:
+        raise ValueError(
+            f"pca_k {pca_k} not divisible by num_divisions "
+            f"{cfg.num_divisions}"
+        )
+    pt = pca_train(df, k=pca_k, vec_col=cfg.vec_col)
+    proj = pca_project(
+        df, pt, vec_col=cfg.vec_col, out_col="__tv", whiten=whiten
+    )
+    tdf = proj.drop(cfg.vec_col).withColumnRenamed("__tv", cfg.vec_col)
+    return TransformedIndex(pca=pt, whiten=whiten, index=build_index(tdf, cfg))
+
+
+def _query_matrix(ti: TransformedIndex, queries) -> list:
+    """Driver-side projection of query vectors (numpy; same arithmetic
+    family as pca_project's pandas impl — equivalence-gated there)."""
+    ids = [q[0] for q in queries]
+    x = np.asarray([q[1] for q in queries], dtype=np.float64)
+    mean = np.asarray(ti.pca.mean)
+    mat = np.asarray(ti.pca.components)
+    if ti.whiten:
+        scale = np.asarray(
+            [1.0 / np.sqrt(v) if v > 1e-12 else 0.0 for v in ti.pca.eigvals]
+        )
+        mat = mat * scale[:, None]
+    y = (x - mean) @ mat.T
+    return [(i, [float(v) for v in row]) for i, row in zip(ids, y)]
+
+
+def transform_queries(ti: TransformedIndex, queries) -> list:
+    return _query_matrix(ti, queries)
+
+
+def transformed_ann_query(
+    ti: TransformedIndex,
+    queries,
+    k: int,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """ann_query in the projected space: distances/ranks are those of
+    the transformed metric (exact-equal to plain PCA distance; a
+    whitened metric is Mahalanobis-along-components)."""
+    from flechasdb_spark.plans.ivf import ann_query
+
+    return ann_query(
+        ti.index, _query_matrix(ti, queries), k=k, nprobe=nprobe, **kwargs
+    )
+
+
+def save_transformed_index(ti: TransformedIndex, path: str) -> None:
+    from flechasdb_spark.sources.manifest import (
+        save_index,
+        write_manifest_json,
+    )
+
+    save_index(ti.index, path)
+    spark = ti.index.encoded.sparkSession
+    write_manifest_json(
+        spark,
+        os.path.join(path, TRANSFORM_NAME),
+        {
+            "kind": "pca",
+            "whiten": bool(ti.whiten),
+            "mean": list(ti.pca.mean),
+            "components": [list(r) for r in ti.pca.components],
+            "eigvals": list(ti.pca.eigvals),
+        },
+    )
+
+
+def load_transformed_index(
+    spark: SparkSession, path: str, **load_kwargs
+) -> TransformedIndex:
+    from flechasdb_spark.sources.manifest import load_index, read_manifest_json
+
+    t = read_manifest_json(spark, os.path.join(path, TRANSFORM_NAME))
+    if t.get("kind") != "pca":
+        raise ValueError(f"unknown transform kind: {t.get('kind')!r}")
+    pca = PCAModel(
+        mean=tuple(float(x) for x in t["mean"]),
+        components=tuple(
+            tuple(float(x) for x in row) for row in t["components"]
+        ),
+        eigvals=tuple(float(x) for x in t["eigvals"]),
+    )
+    return TransformedIndex(
+        pca=pca,
+        whiten=bool(t["whiten"]),
+        index=load_index(spark, path, **load_kwargs),
+    )
