@@ -2236,18 +2236,14 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     bm = bm25_topk(docs, _bm25_queries_df(spark), k=10)
-    qvecs = [
-        (
-            qid,
-            [
-                float(x)
-                for x in emb.where(F.col("vec_id") == vid).first()[
-                    "embedding"
-                ]
-            ],
-        )
-        for qid, vid in [(0, 7), (1, 11), (2, 23)]
-    ]
+    qmap = {(0, 7), (1, 11), (2, 23)}
+    byvid = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(
+            F.col("vec_id").isin([v for _, v in qmap])
+        ).collect()  # one job for all three query vectors
+    }
+    qvecs = [(qid, byvid[vid]) for qid, vid in sorted(qmap)]
     qdf = F.broadcast(
         spark.createDataFrame(qvecs, "query_id long, __qvec array<double>")
     )
