@@ -481,6 +481,10 @@ def main() -> None:
         "vocab_coverage_by_source",
         "corpus_snapshot_diff",
         "weighted_sample_topk",
+        "dedup_exact_normalized",
+        "cross_source_dup_matrix",
+        "pmi_collocations",
+        "ngram_containment",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

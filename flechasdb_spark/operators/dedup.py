@@ -31,6 +31,10 @@ from flechasdb_spark.operators.text import tokens
 
 __all__ = [
     "dedup_exact",
+    "dedup_exact_normalized",
+    "normalized_text",
+    "cross_source_dup_matrix",
+    "ngram_containment_pairs",
     "word_ngrams",
     "ngram_jaccard_pairs",
     "minhash_signature",
@@ -1156,4 +1160,154 @@ def cdc_chunk_dedup(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical text for NORMALIZED exact dedup (the CCNet/Dolma
+    "fuzzy exact" step: hash after normalization so trivial variants —
+    case, runs of whitespace, punctuation — collapse to one group):
+    lowercase, strip every char outside [a-z0-9 ] (after lowering),
+    collapse whitespace runs, trim. Each regex is an engine-portable
+    class (Java and RE2 agree), mirrored verbatim by the oracle (with
+    DuckDB's explicit 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    s = F.regexp_replace(s, "[^a-z0-9 \\t\\n]", "")
+    s = F.regexp_replace(s, "\\s+", " ")
+    return F.trim(s)
+
+
+def dedup_exact_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """`dedup_exact` over the normalized text: (id, content_hash, keep)
+    where hash groups also capture case/whitespace/punctuation variants
+    of the same content. Map-only hash + one window per hash group —
+    the same two-stage shape as the raw form."""
+    h = F.md5(normalized_text(text_col))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.select(id_col, h.alias("content_hash"))
+        .withColumn("keep", (F.row_number().over(w) == 1))
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Which sources duplicate WHICH: for every source pair (a <= b),
+    the number of exact-duplicate document PAIRS spanning them —
+    within-source rows (a == b) count C(c, 2) per hash group,
+    cross-source rows count c_a * c_b. The provenance view of
+    duplication that `source_mix_report`'s per-source dup rate
+    aggregates away — a mirror/scraper relationship between two
+    sources shows up as a hot off-diagonal cell.
+
+    Scale (100 TB): one partial agg to (hash, source, count) — one row
+    per hash x source, so the self-join joins AGGREGATES, never
+    documents, and a million-copy template costs one row per source.
+    The matrix itself is O(S^2) rows.
+    """
+    hs = df.groupBy(
+        F.md5(F.col(text_col)).alias("__h"),
+        F.col(source_col).alias("source"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = hs.select(
+        "__h", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = hs.select(
+        "__h", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    cross = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("n_dup_pairs"))
+    )
+    within = hs.groupBy(F.col("source").alias("source_a")).agg(
+        F.sum(F.expr("div(c * (c - 1), 2)")).alias("n_dup_pairs")
+    ).select(
+        "source_a", F.col("source_a").alias("source_b"), "n_dup_pairs"
+    )
+    return (
+        cross.unionByName(within)
+        .where(F.col("n_dup_pairs") > 0)
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_dup_pairs").cast("long").alias("n_dup_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by n-gram containment
+    |A ∩ B| / |A| >= threshold: "most of A's shingles appear in B" —
+    the asymmetric complement of Jaccard that catches excerpts, quotes
+    and supersets a symmetric measure dilutes (a paragraph quoted
+    inside a book has tiny Jaccard but containment ~1 in the
+    paragraph->book direction).
+
+    Same bounded inverted-index shape as `ngram_jaccard_pairs`
+    (including the ``max_df`` hot-shingle cut, under which the measured
+    containment is a lower bound); each undirected intersection emits
+    both directions, filtered independently.
+    """
+    exploded = df.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("shingles")
+    ).select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .count()
+            .where(F.col("count") > max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    fwd = inter.select(
+        "id_a",
+        "id_b",
+        (F.col("n_inter") / F.col("n_a")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("id_b").alias("id_a"),
+        F.col("id_a").alias("id_b"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
     )

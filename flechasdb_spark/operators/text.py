@@ -43,6 +43,7 @@ __all__ = [
     "vocab_coverage",
     "unigram_lm_tables",
     "batch_source_kl",
+    "pmi_collocations",
     "STOPWORDS",
 ]
 
@@ -1303,4 +1304,71 @@ def batch_source_kl(
             F.round(F.col("__klm") / F.col("n_s") / 1e6, 6).alias("kl_nats"),
         )
         .orderBy("source")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(u, w) = ln(c_uv * N /
+    (c_u * c_w)) over the corpus token stream — the corpus-analysis
+    signal for multiword expressions (and, inversely, for template
+    boilerplate: a near-deterministic bigram repeated across documents
+    scores at the PMI ceiling). ``min_count`` drops unstable rare
+    bigrams (classic PMI's low-frequency pathology).
+
+    Determinism: PMI quantized once to integer micro-nats; ranking on
+    the integer with (u, w) tie-breaks.
+
+    Scale (100 TB): bigrams from a per-doc lag window (bounded by doc
+    length — the bigram_backoff_score machinery), one partial agg to
+    O(bigram-types), two O(V) unigram equi-joins (AQE broadcast), and
+    the global top-k compiles to TakeOrderedAndProject.
+    """
+    pt = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__p", "__w")
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    pp = pt.withColumn("__u", F.lag("__w").over(w)).where(
+        F.col("__u").isNotNull()
+    )
+    big = (
+        pp.groupBy(F.col("__u").alias("u"), F.col("__w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .where(F.col("c_uv") >= min_count)
+    )
+    uni = pt.groupBy(F.col("__w").alias("tok")).agg(
+        F.count(F.lit(1)).alias("c_tok")
+    )
+    n_tot = pt.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        big.join(uni.select(F.col("tok").alias("u"), F.col("c_tok").alias("cu")), "u")
+        .join(uni.select(F.col("tok").alias("w"), F.col("c_tok").alias("cw")), "w")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "u",
+            "w",
+            F.col("c_uv").cast("long").alias("c_uv"),
+            F.round(
+                (
+                    F.log("c_uv")
+                    + F.log("__n")
+                    - F.log("cu")
+                    - F.log("cw")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__pm"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__pm").desc(), "u", "w")
+        .limit(k)
+        .select("u", "w", "c_uv", F.round(F.col("__pm") / 1e6, 6).alias("pmi"))
     )

@@ -2080,6 +2080,128 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_containment",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+ex AS (SELECT doc_id, len(g) AS n_sh, unnest(g) AS shingle FROM sh),
+flt AS (SELECT * FROM ex WHERE shingle NOT IN (
+          SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 1000)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter,
+         any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+  FROM flt a JOIN flt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+dir AS (
+  SELECT id_a, id_b, n_inter::DOUBLE / n_a AS containment FROM inter
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, n_inter::DOUBLE / n_b FROM inter)
+SELECT id_a, id_b, round(containment, 4) AS containment
+FROM dir WHERE containment >= 0.8 ORDER BY id_a, id_b
+""",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (excerpt/superset detection;
+    operators/dedup.py ngram_containment_pairs) — same bounded
+    inverted index as ngram_jaccard, asymmetric measure."""
+    from flechasdb_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+WITH pert AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN upper(text)
+              WHEN doc_id % 4 = 0 THEN replace(text, ' ', '  ')
+              ELSE text || '.' END AS text
+  FROM documents),
+hashes AS (
+  SELECT doc_id,
+         md5(text) AS raw_hash,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 \\t\\n]', '', 'g'), '\\s+', ' ', 'g')))
+           AS norm_hash
+  FROM pert)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY raw_hash ORDER BY doc_id) = 1)
+         AS keep_raw,
+       (row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) = 1)
+         AS keep_norm
+FROM hashes ORDER BY doc_id
+""",
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized ("fuzzy exact") dedup vs raw dedup on a corpus where
+    every doc gets a trivially-perturbed copy (case / doubled spaces /
+    trailing punctuation): raw hashing keeps every perturbed copy,
+    normalized hashing re-collapses each onto its original —
+    operators/dedup.py dedup_exact_normalized / normalized_text."""
+    from flechasdb_spark.operators.dedup import (
+        dedup_exact,
+        dedup_exact_normalized,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper("text"))
+            .when(
+                F.col("doc_id") % 4 == 0,
+                F.regexp_replace(F.col("text"), " ", "  "),
+            )
+            .otherwise(F.concat(F.col("text"), F.lit(".")))
+            .alias("text"),
+        )
+    )
+    raw = dedup_exact(pert).select(
+        "doc_id", F.col("keep").alias("keep_raw")
+    )
+    norm = dedup_exact_normalized(pert).select(
+        "doc_id", F.col("keep").alias("keep_norm")
+    )
+    return raw.join(norm, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "cross_source_dup_matrix",
+    """
+WITH hs AS (
+  SELECT md5(text) AS h, source, count(*) AS c
+  FROM documents GROUP BY md5(text), source),
+crossp AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum(a.c * b.c) AS n_dup_pairs
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source),
+within AS (
+  SELECT source AS source_a, source AS source_b,
+         sum((c * (c - 1)) // 2) AS n_dup_pairs
+  FROM hs GROUP BY source),
+m AS (SELECT * FROM crossp UNION ALL SELECT * FROM within)
+SELECT source_a, source_b, n_dup_pairs::BIGINT AS n_dup_pairs
+FROM m WHERE n_dup_pairs > 0 ORDER BY source_a, source_b
+""",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair counts per source pair (provenance view of
+    duplication — operators/dedup.py cross_source_dup_matrix)."""
+    from flechasdb_spark.operators.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_novelty",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
@@ -2861,6 +2983,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).orderBy(
         "doc_id", "rank"
     )
+
+
+@query(
+    "pmi_collocations",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+pt AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+       FROM d),
+pp AS (SELECT doc_id, p, w,
+              lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS u
+       FROM pt),
+big AS (SELECT u, w, count(*) AS c_uv FROM pp WHERE u IS NOT NULL
+        GROUP BY u, w HAVING count(*) >= 5),
+uni AS (SELECT w AS tok, count(*) AS c_tok FROM pt GROUP BY w),
+n_tot AS (SELECT count(*) AS n FROM pt),
+sc AS (
+  SELECT big.u, big.w, big.c_uv,
+         round((ln(big.c_uv) + ln(n_tot.n) - ln(cu.c_tok)
+                - ln(cw.c_tok)) * 1e6)::BIGINT AS pm
+  FROM big JOIN uni cu ON cu.tok = big.u
+       JOIN uni cw ON cw.tok = big.w, n_tot)
+SELECT u, w, c_uv::BIGINT AS c_uv, round(pm / 1e6, 6) AS pmi
+FROM sc ORDER BY pm DESC, u, w LIMIT 50
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by integer-micro-nat PMI
+    (operators/text.py pmi_collocations)."""
+    from flechasdb_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=50)
 
 
 @query(
@@ -6748,7 +6901,12 @@ DRIVER_ORDER = [
     # v2 corpus], stream_token_drift [streaming per-batch per-source
     # KL vs a frozen reference LM — joins the streaming family],
     # weighted_sample_topk [Efraimidis-Spirakis weighted sampling
-    # without replacement — row-level quality-weighted keep].
+    # without replacement — row-level quality-weighted keep],
+    # dedup_exact_normalized [canonicalize-then-hash fuzzy-exact dedup
+    # recovering perturbed copies], cross_source_dup_matrix
+    # [provenance view of duplication], ngram_containment [directed
+    # excerpt/superset detection], pmi_collocations [collocation /
+    # boilerplate mining].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
