@@ -325,3 +325,47 @@ def test_pca_project_sql_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_cross_source_dup_matrix_joins_aggregates(spark):
+    """The self-join must meet (hash, source, count) AGGREGATES — the
+    plan joins two aggregated sides, never the raw documents table."""
+    from flechasdb_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        cross_source_dup_matrix(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # both join inputs are HashAggregates over the hash x source grain
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pmi_collocations_topk_plan(spark):
+    from flechasdb_spark.operators.text import pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        pmi_collocations(docs, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_containment_no_cartesian(spark):
+    from flechasdb_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        ngram_containment_pairs(docs, n=3, threshold=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
