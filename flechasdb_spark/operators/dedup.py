@@ -1296,18 +1296,28 @@ def ngram_containment_pairs(
             F.first("n_b").alias("n_b"),
         )
     )
-    fwd = inter.select(
-        "id_a",
-        "id_b",
-        (F.col("n_inter") / F.col("n_a")).alias("containment"),
-    )
-    rev = inter.select(
-        F.col("id_b").alias("id_a"),
-        F.col("id_a").alias("id_b"),
-        (F.col("n_inter") / F.col("n_b")).alias("containment"),
-    )
+    # both directions exploded from ONE pass over the intersection
+    # table — a fwd/rev union plans the whole inverted-index pipeline
+    # (3 scans + the shingle self-join) once PER BRANCH, doubling the
+    # dominant cost at corpus scale; the explode emits both directed
+    # rows inside the single aggregated pass
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    (F.col("n_inter") / F.col("n_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    (F.col("n_inter") / F.col("n_b")).alias("containment"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     return (
-        fwd.unionByName(rev)
-        .where(F.col("containment") >= threshold)
+        both.where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
     )
