@@ -485,6 +485,9 @@ def main() -> None:
         "cross_source_dup_matrix",
         "pmi_collocations",
         "ngram_containment",
+        "boilerplate_fraction",
+        "events_decayed_counts",
+        "events_funnel",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

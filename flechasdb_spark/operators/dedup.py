@@ -35,6 +35,7 @@ __all__ = [
     "normalized_text",
     "cross_source_dup_matrix",
     "ngram_containment_pairs",
+    "boilerplate_fraction",
     "word_ngrams",
     "ngram_jaccard_pairs",
     "minhash_signature",
@@ -1320,4 +1321,64 @@ def ngram_containment_pairs(
     return (
         both.where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 3,
+    hot_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-boilerplate exposure: the fraction of the
+    doc's DISTINCT word n-grams whose corpus document-frequency exceeds
+    ``hot_df`` — the cross-document complement of the WITHIN-doc
+    `repetition_stats` rules (Gopher) and the score-form sibling of
+    `doc_novelty` (which measures unseen-ness against a reference; this
+    measures template-ness against the corpus itself). High fraction =
+    the doc is mostly made of spans the corpus repeats everywhere
+    (navigation chrome, license blocks, generated templates) — a
+    standard drop signal, and the document-level proxy for the
+    memorized-span risk of Lee et al. 2022.
+
+    Scale (100 TB): one shingle partial agg to O(shingle-types) df
+    counts, one equi-join back on the shingle key (AQE broadcast while
+    the hot set is small, shuffle fallback beyond), one per-doc
+    map-side-combinable agg. Docs too short for any n-gram report
+    fraction 0.
+    """
+    sh = df.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("shingles")
+    ).select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    j = sh.join(dfc, "shingle").groupBy(id_col).agg(
+        F.first("n_sh").alias("n_shingles"),
+        F.sum(F.when(F.col("__df") > hot_df, 1).otherwise(0)).alias(
+            "n_hot"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(j, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_hot", F.lit(0)).cast("long").alias("n_hot"),
+            F.round(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(F.col("n_hot") / F.col("n_shingles")),
+                4,
+            ).alias("hot_fraction"),
+        )
+        .orderBy(id_col)
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "decayed_counts", "sequential_funnel"]
 
 
 def asof_join(
@@ -121,3 +121,99 @@ def asof_join(
     else:
         carried = carried.drop("__side")
     return carried
+
+
+def decayed_counts(
+    events: DataFrame,
+    half_life_sec: float,
+    by: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed event counts per key: score =
+    Σ 2^(-(t_ref − t)/half_life), t_ref = the corpus max timestamp —
+    the standard recency-weighted activity aggregate (trending users /
+    hot keys) where a plain count weights a year-old event like
+    yesterday's.
+
+    Determinism (the DSIR/LM contract): each event's weight is
+    quantized ONCE to integer micro-units round(1e6 * exp(-ln2·Δt/h)),
+    so per-key sums are order-independent integer sums at any
+    parallelism.
+
+    Scale (100 TB): one 1-row max broadcast + a map-side-combinable
+    partial agg keyed on ``by`` — no window, no driver state.
+    ``ts_col`` is long nanoseconds (session.normalize_event_ts).
+    """
+    import math
+
+    ref = events.agg(F.max(F.col(ts_col)).alias("__tref"))
+    lam = math.log(2.0) / float(half_life_sec)
+    w_micro = F.round(
+        F.exp(
+            -F.lit(lam)
+            * ((F.col("__tref") - F.col(ts_col)) / F.lit(1e9))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select(F.col(by), w_micro.alias("__w"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__w").alias("__dm"),
+        )
+        .select(
+            by,
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("__dm") / 1e6, 6).alias("decayed_count"),
+        )
+        .orderBy(by)
+    )
+
+
+def sequential_funnel(
+    events: DataFrame,
+    stages: list[str],
+    by: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion counts: a key reaches stage i when it
+    has a stage-i event STRICTLY AFTER its earliest qualifying
+    stage-(i-1) event (min-timestamp semantics per stage). Returns one
+    row per stage: (stage_idx, stage, n_keys).
+
+    Scale (100 TB): per stage one type-filtered partial agg + one
+    key-equi-join against the previous stage's (key, t) table — the
+    table SHRINKS at every stage, no windows, no per-key sequence
+    materialization.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    cur = (
+        events.where(F.col(type_col) == stages[0])
+        .groupBy(by)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    out_rows = [(0, stages[0], cur)]
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == st)
+            .join(cur.select(by, F.col("__t").alias("__prev")), by)
+            .where(F.col(ts_col) > F.col("__prev"))
+            .groupBy(by)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        out_rows.append((i, st, nxt))
+        cur = nxt
+    spark = events.sparkSession
+    counts = None
+    for i, st, df in out_rows:
+        c = df.agg(F.count(F.lit(1)).alias("n_keys")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("stage_idx")

@@ -3049,6 +3049,101 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_kl(_t(spark, sf_dir, "documents"))
 
 
+_DECAY_HL_SEC = 3600.0
+_DECAY_LAM = math.log(2.0) / _DECAY_HL_SEC
+
+
+@query(
+    "events_decayed_counts",
+    f"""
+WITH r AS (SELECT max(epoch_us(ts)) AS m FROM events),
+w AS (
+  SELECT user_id,
+         round(exp(-{_DECAY_LAM!r} *
+               (((r.m - epoch_us(ts)) * 1000) / 1e9)) * 1e6)::BIGINT AS wm
+  FROM events, r)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(wm) / 1e6, 6) AS decayed_count
+FROM w GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user activity: half-life-3600s exponential
+    decay, each event's weight micro-quantized once so per-user sums
+    are exact integer sums (operators/temporal.py decayed_counts)."""
+    from flechasdb_spark.operators.temporal import decayed_counts
+
+    return decayed_counts(
+        _t(spark, sf_dir, "events"), half_life_sec=_DECAY_HL_SEC
+    )
+
+
+@query(
+    "events_funnel",
+    """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM v)::BIGINT AS n_keys
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM p)
+ORDER BY stage_idx
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: a user advances only
+    with an event strictly after their earliest qualifying previous
+    stage (operators/temporal.py sequential_funnel — per stage one
+    filtered partial agg + one shrinking key equi-join, no windows)."""
+    from flechasdb_spark.operators.temporal import sequential_funnel
+
+    return sequential_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "boilerplate_fraction",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(toks) - 2, 0)),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       FROM d),
+ex AS (SELECT doc_id, len(g) AS n_sh, unnest(g) AS shingle FROM sh),
+dfc AS (SELECT shingle, count(*) AS dfv FROM ex GROUP BY shingle),
+j AS (SELECT ex.doc_id, any_value(ex.n_sh) AS n_sh,
+             sum(CASE WHEN dfc.dfv > 5 THEN 1 ELSE 0 END) AS n_hot
+      FROM ex JOIN dfc USING (shingle) GROUP BY ex.doc_id)
+SELECT dd.doc_id,
+       coalesce(j.n_sh, 0)::BIGINT AS n_shingles,
+       coalesce(j.n_hot, 0)::BIGINT AS n_hot,
+       round(CASE WHEN coalesce(j.n_sh, 0) = 0 THEN 0.0
+             ELSE j.n_hot / j.n_sh END, 4) AS hot_fraction
+FROM documents dd LEFT JOIN j ON dd.doc_id = j.doc_id
+ORDER BY dd.doc_id
+""",
+)
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-boilerplate exposure: fraction of the doc's
+    distinct 3-grams with corpus df > 5 (operators/dedup.py
+    boilerplate_fraction — the cross-document complement of the Gopher
+    within-doc repetition rules)."""
+    from flechasdb_spark.operators.dedup import boilerplate_fraction
+
+    return boilerplate_fraction(
+        _t(spark, sf_dir, "documents"), n=3, hot_df=5
+    )
+
+
 @query(
     "weighted_sample_topk",
     """
@@ -6906,7 +7001,9 @@ DRIVER_ORDER = [
     # recovering perturbed copies], cross_source_dup_matrix
     # [provenance view of duplication], ngram_containment [directed
     # excerpt/superset detection], pmi_collocations [collocation /
-    # boilerplate mining].
+    # boilerplate mining], boilerplate_fraction [per-doc cross-corpus
+    # repetition exposure], events_decayed_counts [recency-weighted
+    # activity], events_funnel [ordered-stage funnel].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
