@@ -488,6 +488,7 @@ def main() -> None:
         "boilerplate_fraction",
         "events_decayed_counts",
         "events_funnel",
+        "mmr_diverse_topk",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

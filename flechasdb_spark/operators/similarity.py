@@ -44,6 +44,7 @@ __all__ = [
     "lsh_neardup_pairs",
     "cluster_neardup_pairs",
     "maxsim_doc_topk",
+    "mmr_rerank",
 ]
 
 
@@ -498,4 +499,128 @@ def maxsim_doc_topk(
         )
         .orderBy(F.col("score").desc(), "doc")
         .limit(k)
+    )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvector",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results per query maximizing
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    over the top-``n_candidates`` cosine candidates (penalty 0 for the
+    first pick). The serving-path diversity layer every vector index
+    grows next to plain top-k — the reference stops at distance order
+    (src/protos.rs query results); this de-duplicates near-identical
+    hits in the answer set itself.
+
+    Returns (query_id, vec_id, mmr_rank, rel, mmr_score) with exactly
+    the greedy selection order.
+
+    Scale shape: candidates are bounded per query (any kNN source —
+    here the exact brute-force scan; at corpus scale the IVF/LSH path
+    feeds the same shape), candidate-candidate similarities meet
+    through an equi-join on the query key (O(Q * N^2) bounded rows,
+    never corpus-quadratic), and the greedy loop runs per query group
+    inside one Arrow batch (O(k * N) on N<=n_candidates rows). Queries
+    parallelize across partitions; nothing iterates over the corpus.
+
+    Engine-exact contract: rel and pairwise sims are the sequential-
+    fold cosine ROUNDED to 4 decimals before the greedy loop consumes
+    them, so selection compares identical doubles in Spark and the
+    DuckDB oracle (k chained argmax CTEs); ties break on ascending id.
+    ``lam`` should have a short decimal expansion (default 0.5) so
+    ``mmr_score`` is exact at 5 decimals."""
+    import pandas as pd
+
+    if k < 1 or n_candidates < k:
+        raise ValueError(f"need 1 <= k <= n_candidates, got {k}, {n_candidates}")
+    cand = cosine_topk(
+        df,
+        queries,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        round_to=4,
+    ).select(query_id_col, F.col(id_col).alias("__cid"), F.col("cos").alias("rel"))
+    vecs = df.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v")
+    )
+    # persist the bounded candidate set (Q * n_candidates rows) before
+    # the pair self-join: without it both join branches re-derive the
+    # whole candidate top-k -- i.e. the corpus scan runs TWICE (the
+    # dominant cost at scale). Cache lifetime is caller-managed, as for
+    # rq_encode/dsir_importance (ADVICE r5): one bounded-small table
+    # per call, LRU-evicted.
+    cv = (
+        cand.join(vecs, "__cid")
+        .select(
+            query_id_col,
+            F.col("__cid").alias("a"),
+            "rel",
+            F.col("__v").alias("__va"),
+        )
+        .persist()
+    )
+    cb = cv.select(
+        query_id_col, F.col("a").alias("b"), F.col("__va").alias("__vb")
+    )
+    # bounded N x N per query (self-pairs kept so an N=1 group still
+    # reaches the greedy stage); equi-join on the query key only
+    pairs = cv.join(cb, query_id_col).select(
+        query_id_col,
+        "a",
+        "rel",
+        "b",
+        F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 4).alias("s"),
+    )
+    qcol = query_id_col
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[qcol].iloc[0]
+        rel = {}
+        sims = {}
+        for a, r, b, s in zip(pdf["a"], pdf["rel"], pdf["b"], pdf["s"]):
+            rel[a] = float(r)
+            sims[(a, b)] = float(s)
+        remaining = sorted(rel)
+        selected: list = []
+        rows = []
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:
+                pen = max(sims[(d, s2)] for s2 in selected) if selected else 0.0
+                score = lam * rel[d] - (1.0 - lam) * pen
+                key = (-score, d)
+                if best is None or key < best[0]:
+                    best = (key, d, score)
+            _, d, score = best
+            remaining.remove(d)
+            selected.append(d)
+            rows.append((qid, d, rank, rel[d], round(score, 5)))
+        return pd.DataFrame(
+            rows, columns=[qcol, "vec_id", "mmr_rank", "rel", "mmr_score"]
+        )
+
+    return (
+        pairs.groupBy(qcol)
+        .applyInPandas(
+            _greedy,
+            schema=f"{qcol} long, vec_id long, mmr_rank long, "
+            "rel double, mmr_score double",
+        )
     )

@@ -7003,7 +7003,9 @@ DRIVER_ORDER = [
     # excerpt/superset detection], pmi_collocations [collocation /
     # boilerplate mining], boilerplate_fraction [per-doc cross-corpus
     # repetition exposure], events_decayed_counts [recency-weighted
-    # activity], events_funnel [ordered-stage funnel].
+    # activity], events_funnel [ordered-stage funnel],
+    # mmr_diverse_topk [MMR diversified serving-path top-k, chained-
+    # argmax oracle].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7555,3 +7557,89 @@ def q_maxsim_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_doc_topk(
         emb.withColumn("label", F.col("label").cast("long")), qv, k=5
     )
+
+
+def _mmr_sql(k: int = 5, n_cand: int = 20) -> str:
+    """Chained-argmax DuckDB oracle for mmr_rerank (lam=0.5): step i
+    scores every unselected candidate as 0.5*rel - 0.5*max(sim to the
+    selected set) over 4dp-rounded sims, picks the (score DESC, vec_id)
+    argmax — the same greedy the Spark side runs per Arrow group."""
+    cos = _DD_COS.format(a="n.v", b="q.qv")
+    cos_ab = _DD_COS.format(a="va.v", b="vb.v")
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id >= 8),
+scored AS (
+  SELECT q.query_id, n.vec_id, {cos} AS c,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos} DESC, n.vec_id) AS rk
+  FROM n, q),
+cand AS (SELECT query_id, vec_id, round(c, 4) AS rel
+         FROM scored WHERE rk <= {n_cand}),
+pr AS (
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b, round({cos_ab}, 4) AS s
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id
+  JOIN n va ON va.vec_id = a.vec_id
+  JOIN n vb ON vb.vec_id = b.vec_id),
+r1 AS (
+  SELECT query_id, vec_id, rel, 0.5 * rel AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, vec_id) AS rn
+  FROM cand),
+s1 AS (SELECT query_id, vec_id, rel, score FROM r1 WHERE rn = 1),
+sel1 AS (SELECT query_id, vec_id FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT c.query_id, c.vec_id, c.rel, 0.5 * c.rel - 0.5 * max(p.s) AS score
+  FROM cand c
+  LEFT JOIN sel{i - 1} x
+    ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+  JOIN pr p ON p.query_id = c.query_id AND p.a = c.vec_id
+  JOIN sel{i - 1} sl ON sl.query_id = p.query_id AND sl.vec_id = p.b
+  WHERE x.vec_id IS NULL
+  GROUP BY c.query_id, c.vec_id, c.rel),
+r{i} AS (
+  SELECT query_id, vec_id, rel, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM c{i}),
+s{i} AS (SELECT query_id, vec_id, rel, score FROM r{i} WHERE rn = 1),
+sel{i} AS (SELECT query_id, vec_id FROM sel{i - 1}
+           UNION ALL SELECT query_id, vec_id FROM s{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, vec_id, {i}::BIGINT AS mmr_rank, rel,"
+        f" round(score, 5) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f"\n{union}\nORDER BY query_id, mmr_rank"
+
+
+@query("mmr_diverse_topk", _mmr_sql(k=5, n_cand=20))
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified serving-path top-k: MMR greedy re-rank (lam=0.5,
+    k=5) over each query's 20 exact-cosine candidates — near-identical
+    hits penalize each other so the answer set covers the neighborhood
+    instead of repeating it. Candidates bounded per query; pairwise
+    sims meet via a query-key equi-join; greedy is O(k*N) per Arrow
+    group (operators/similarity.py::mmr_rerank)."""
+    from flechasdb_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    # corpus excludes the query vectors themselves: a self-hit has
+    # rel 1.0 and penalizes every other candidate by exactly its own
+    # rel, collapsing all scores to tied zeros -- the standard
+    # "don't return the query" serving rule keeps the greedy real
+    return mmr_rerank(
+        emb.where(F.col("vec_id") >= 8), qs, k=5, n_candidates=20, lam=0.5
+    ).orderBy("query_id", "mmr_rank")

@@ -239,3 +239,51 @@ def test_hard_negatives_ann_matches_exact_at_full_probe(spark):
         pg.setdefault(r.query_id, []).append(r.vec_id)
     for q, _ in qs:
         assert len(pg[q]) == 5
+
+
+def test_mmr_rerank_properties(spark):
+    """Greedy invariants on a crafted 2-cluster corpus: rank-1 is the
+    top-rel candidate; with lam=0.5 the second pick escapes the first
+    pick's near-duplicate cluster; ranks are unique selections."""
+    import pyspark.sql.functions as F
+    from flechasdb_spark.operators.similarity import mmr_rerank
+
+    # cluster A: ids 10, 11 (near-identical, sim(10,11) rounds to 1);
+    # cluster B: id 20 -- lower rel but diverse. The query must NOT
+    # equal a corpus vector (then sim-to-selected == rel and every
+    # score ties at 0); (1, 0.1, 0) makes 11 the top hit, after which
+    # 10 is penalized by its twin and 20 jumps it.
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (11, [0.999, 0.01, 0.0]),
+            (20, [0.8, 0.59, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0])], "query_id long, qvector array<double>"
+    )
+    out = mmr_rerank(emb, qs, k=3, n_candidates=3, lam=0.5).orderBy(
+        "mmr_rank"
+    )
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [11, 20, 10]
+    assert [r.mmr_rank for r in rows] == [1, 2, 3]
+    assert rows[0].mmr_score == round(0.5 * rows[0].rel, 5)
+    # penalties only ever subtract: scores are non-increasing in the
+    # sense that every later score <= 0.5 * its own rel
+    for r in rows[1:]:
+        assert r.mmr_score <= 0.5 * r.rel + 1e-12
+
+    # single-candidate group survives (self-pair keeps the row)
+    one = mmr_rerank(
+        emb.where(F.col("vec_id") == 20), qs, k=2, n_candidates=2, lam=0.5
+    ).collect()
+    assert len(one) == 1 and one[0].vec_id == 20 and one[0].mmr_rank == 1
+
+    # parameter validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mmr_rerank(emb, qs, k=5, n_candidates=3)
