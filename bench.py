@@ -489,6 +489,7 @@ def main() -> None:
         "events_decayed_counts",
         "events_funnel",
         "mmr_diverse_topk",
+        "kmv_audience_overlap",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -27,6 +27,7 @@ from flechasdb_spark.functions.texthash import md5_long
 
 __all__ = [
     "kmv_distinct",
+    "kmv_set_ops",
     "histogram_quantiles",
     "cms_build",
     "cms_estimate",
@@ -75,6 +76,86 @@ def kmv_distinct(
     ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.col("__hk"))
     return agg.select(
         *group_cols, "n_kept", F.round(est, 4).alias("kmv_estimate")
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    value_col: str | Column,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA between every pair of groups: union /
+    intersection cardinality and Jaccard estimates from the merged
+    k-minimum-values sketches (Beyer et al. 2007 / Bar-Yossef et al.
+    2002). The audience-overlap question ("how many users do sources A
+    and B share?") answered from O(groups * k) sketch rows instead of
+    an exact pairwise distinct-intersection over the corpus.
+
+    Per unordered pair (group_a < group_b):
+      - merged sketch = k smallest of (kept_A union kept_B) hashes;
+      - union_est  = exact count when the merge holds < k hashes, else
+        (k-1) * 2^60 / h_k (the standard KMV estimator);
+      - jaccard_est = |{h in merged-k present in BOTH sketches}| / |merged-k|
+        (EXACT Jaccard of the full sets whenever the merge is exact);
+      - inter_est  = jaccard_est * union_est (inclusion via the
+        min-wise sampling identity).
+
+    Scale shape: per-group k-smallest is a WindowGroupLimit (each task
+    keeps k before the exchange); the pair fan-out joins the O(T*k)
+    kept rows against the O(T^2) group-pair table on the group key --
+    bounded by sketch size, never by the corpus. Deterministic md5
+    hashing -> the DuckDB oracle recomputes every cell exactly."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashes = df.select(
+        F.col(group_col).alias("__g"), md5_long(c.cast("string")).alias("__h")
+    ).distinct()
+    w = Window.partitionBy("__g").orderBy("__h")
+    kept = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    gs = kept.select("__g").distinct()
+    gp = (
+        gs.select(F.col("__g").alias("group_a"))
+        .join(gs.select(F.col("__g").alias("group_b")))
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    ka = gp.join(kept, F.col("__g") == F.col("group_a")).select(
+        "group_a", "group_b", "__h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    kb = gp.join(kept, F.col("__g") == F.col("group_b")).select(
+        "group_a", "group_b", "__h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        ka.unionAll(kb)
+        .groupBy("group_a", "group_b", "__h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("group_a", "group_b").orderBy("__h")
+    mk = (
+        m.withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= k)
+    )
+    agg = mk.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("__h").alias("__hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_raw = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.col("__hk"))
+    jacc_raw = F.col("n_both").cast("double") / F.col("n_kept")
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_kept",
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(jacc_raw, 4).alias("jaccard_est"),
+        F.round(jacc_raw * union_raw, 4).alias("inter_est"),
     )
 
 

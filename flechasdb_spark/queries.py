@@ -7005,7 +7005,8 @@ DRIVER_ORDER = [
     # repetition exposure], events_decayed_counts [recency-weighted
     # activity], events_funnel [ordered-stage funnel],
     # mmr_diverse_topk [MMR diversified serving-path top-k, chained-
-    # argmax oracle].
+    # argmax oracle], kmv_audience_overlap [KMV sketch set algebra:
+    # merged-sketch union/intersection/Jaccard vs exact baselines].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7643,3 +7644,121 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.where(F.col("vec_id") >= 8), qs, k=5, n_candidates=20, lam=0.5
     ).orderBy("query_id", "mmr_rank")
+
+
+@query(
+    "kmv_audience_overlap",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         {_DD_MD5H.format(
+            x="user_id::VARCHAR || ':' ||"
+            " epoch(date_trunc('day', ts))::BIGINT::VARCHAR"
+         )} AS hh
+  FROM events),
+kept AS (
+  SELECT g, hh FROM (
+    SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn
+    FROM h) t WHERE rn <= 64),
+gs AS (SELECT DISTINCT g FROM kept),
+gp AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+u AS (
+  SELECT gp.ga, gp.gb, k.hh, 1 AS in_a, 0 AS in_b
+  FROM gp JOIN kept k ON k.g = gp.ga
+  UNION ALL
+  SELECT gp.ga, gp.gb, k.hh, 0 AS in_a, 1 AS in_b
+  FROM gp JOIN kept k ON k.g = gp.gb),
+m AS (SELECT ga, gb, hh, max(in_a) AS in_a, max(in_b) AS in_b
+      FROM u GROUP BY ga, gb, hh),
+mk AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY ga, gb ORDER BY hh) AS rn
+    FROM m) t WHERE rn <= 64),
+agg AS (
+  SELECT ga, gb, count(*)::BIGINT AS n_kept, max(hh) AS hk,
+         sum(in_a * in_b)::BIGINT AS n_both
+  FROM mk GROUP BY ga, gb),
+ua AS (SELECT DISTINCT event_type AS g,
+         user_id::VARCHAR || ':' ||
+           epoch(date_trunc('day', ts))::BIGINT::VARCHAR AS uday
+       FROM events),
+na AS (SELECT g, count(*)::BIGINT AS n FROM ua GROUP BY g),
+ix AS (
+  SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS n_inter
+  FROM ua a JOIN ua b ON b.uday = a.uday AND a.g < b.g
+  GROUP BY a.g, b.g),
+ex AS (
+  SELECT x.g AS ga, y.g AS gb,
+         x.n + y.n - coalesce(i.n_inter, 0) AS n_union_exact,
+         coalesce(i.n_inter, 0) AS n_inter_exact
+  FROM na x JOIN na y ON x.g < y.g
+  LEFT JOIN ix i ON i.ga = x.g AND i.gb = y.g)
+SELECT a.ga AS group_a, a.gb AS group_b, a.n_kept,
+       round(CASE WHEN a.n_kept < 64 THEN a.n_kept::DOUBLE
+                  ELSE 63.0 * 1152921504606846976.0 / a.hk END, 4)
+         AS union_est,
+       round(a.n_both::DOUBLE / a.n_kept, 4) AS jaccard_est,
+       round((a.n_both::DOUBLE / a.n_kept)
+             * CASE WHEN a.n_kept < 64 THEN a.n_kept::DOUBLE
+                    ELSE 63.0 * 1152921504606846976.0 / a.hk END, 4)
+         AS inter_est,
+       e.n_union_exact, e.n_inter_exact
+FROM agg a JOIN ex e ON e.ga = a.ga AND e.gb = a.gb
+ORDER BY group_a, group_b
+""",
+)
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: estimated union / intersection /
+    Jaccard of the user audiences of every event_type pair, joined
+    with the exact counts as the quality baseline. The sketch side is
+    O(groups * k) rows end to end (the 100 TB path); the exact side is
+    the fixture-scale ground truth the estimator is judged against —
+    same pairing the kmv_distinct_users row uses for cardinality
+    (operators/sketch.py::kmv_set_ops)."""
+    from flechasdb_spark.operators.sketch import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    # audience key = (user, active day): every user fires every event
+    # type somewhere in the fixture window, so plain user_id gives
+    # Jaccard 1.0 for all pairs -- the daily-activity grain (~0.22)
+    # actually exercises the estimator
+    day = F.unix_timestamp(
+        F.date_trunc("day", F.expr(f"timestamp_micros({_TS_US})"))
+    )
+    ev = ev.withColumn(
+        "uday",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+        ),
+    )
+    est = kmv_set_ops(ev, "uday", "event_type", k=64)
+    ua = ev.select(F.col("event_type").alias("g"), "uday").distinct()
+    na = ua.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ua.alias("a"), ua.alias("b")
+    ix = (
+        a.join(
+            b,
+            (F.col("b.uday") == F.col("a.uday"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    x, y = na.alias("x"), na.alias("y")
+    ex = (
+        x.join(y, F.col("x.g") < F.col("y.g"))
+        .join(
+            ix.alias("ix"),
+            (F.col("ix.ga") == F.col("x.g")) & (F.col("ix.gb") == F.col("y.g")),
+            "left",
+        )
+        .select(
+            F.col("x.g").alias("group_a"),
+            F.col("y.g").alias("group_b"),
+            (
+                F.col("x.n") + F.col("y.n") - F.coalesce("n_inter", F.lit(0))
+            ).alias("n_union_exact"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter_exact"),
+        )
+    )
+    return est.join(ex, ["group_a", "group_b"]).orderBy("group_a", "group_b")

@@ -865,3 +865,41 @@ def test_cluster_balanced_sample_small_clusters_keep_all(spark):
     )
     out = cluster_balanced_sample(mid, cents, per_cluster=1).collect()
     assert out[0]["cluster"] == 5
+
+
+def test_kmv_set_ops_exact_when_sets_fit(spark):
+    """With k larger than every set, the merged sketch is complete, so
+    union/intersection/Jaccard estimates equal the EXACT values; and
+    disjoint sets report zero overlap."""
+    import pyspark.sql.functions as F
+    from flechasdb_spark.operators.sketch import kmv_set_ops
+
+    rows = (
+        [("a", f"u{i}") for i in range(30)]
+        + [("b", f"u{i}") for i in range(10, 40)]   # |a&b|=20 |aUb|=40
+        + [("c", f"x{i}") for i in range(15)]        # disjoint from a, b
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {
+        (r.group_a, r.group_b): r
+        for r in kmv_set_ops(df, "v", "g", k=256).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.n_kept == 40 and ab.union_est == 40.0
+    assert ab.jaccard_est == 0.5 and ab.inter_est == 20.0
+    for pair in [("a", "c"), ("b", "c")]:
+        r = out[pair]
+        assert r.jaccard_est == 0.0 and r.inter_est == 0.0
+        assert r.union_est == r.n_kept  # exact union below k
+
+    # k must bound the merge: undersized k keeps exactly k rows
+    small = {
+        (r.group_a, r.group_b): r
+        for r in kmv_set_ops(df, "v", "g", k=8).collect()
+    }
+    assert all(r.n_kept == 8 for r in small.values())
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmv_set_ops(df, "v", "g", k=2)
