@@ -490,6 +490,7 @@ def main() -> None:
         "events_funnel",
         "mmr_diverse_topk",
         "kmv_audience_overlap",
+        "phrase_search_topk",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

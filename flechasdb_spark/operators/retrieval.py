@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.text import tokens
 
-__all__ = ["bm25_topk", "rrf_fuse", "hard_negatives", "hard_negatives_ann"]
+__all__ = ["bm25_topk", "rrf_fuse", "hard_negatives", "hard_negatives_ann", "phrase_topk"]
 
 
 def bm25_topk(
@@ -281,5 +281,69 @@ def hard_negatives_ann(
             F.col("vector_id").alias(id_col),
             "squared_distance",
             F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Positional phrase search: rank documents by the number of EXACT
+    consecutive occurrences of each query phrase — the positional-
+    index query BM25's bag-of-words scoring cannot answer ("merge part
+    window" as a phrase, not three independent terms).
+
+    Returns (query_id, doc_id, n_occ, rank), rank by occurrences
+    descending with id tie-break, top-``k`` per query.
+
+    Plan: ONE join + one aggregation, no per-word self-join chain —
+    the phrase terms (query_id, j, term) are a tiny BROADCAST against
+    the corpus position stream (doc_id, p, term); a surviving row
+    means position p holds term j of the phrase, so grouping by the
+    implied anchor p0 = p - j and requiring count(DISTINCT j) ==
+    phrase length detects a full consecutive match (repeated words in
+    a phrase need distinct j's AT DISTINCT positions, which the
+    anchor-grouping enforces for free). Corpus-side work is a single
+    map pass + a partial-aggregable count keyed on (query, doc,
+    anchor); per-query top-k is a WindowGroupLimit. Postings volume is
+    bounded by the df of the phrase's terms — the standard inverted-
+    index bound — and nothing is ever quadratic in the corpus."""
+    from flechasdb_spark.operators.text import tokens
+
+    terms = phrases.select(
+        query_id_col,
+        F.posexplode(tokens(phrase_col)).alias("j", "term"),
+    )
+    plen = terms.groupBy(query_id_col).agg(
+        F.count_distinct("j").alias("__plen")
+    )
+    pos = docs.select(
+        id_col, F.posexplode(tokens(text_col)).alias("p", "term")
+    )
+    hits = pos.join(F.broadcast(terms), "term").select(
+        query_id_col, id_col, (F.col("p") - F.col("j")).alias("__p0"), "j"
+    )
+    occ = (
+        hits.groupBy(query_id_col, id_col, "__p0")
+        .agg(F.count_distinct("j").alias("__nj"))
+        .join(F.broadcast(plen), query_id_col)
+        .where(F.col("__nj") == F.col("__plen"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_occ").desc(), F.col(id_col).asc()
+    )
+    return (
+        occ.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "n_occ", F.col("rank").cast("long").alias("rank")
         )
     )

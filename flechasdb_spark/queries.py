@@ -7006,7 +7006,9 @@ DRIVER_ORDER = [
     # activity], events_funnel [ordered-stage funnel],
     # mmr_diverse_topk [MMR diversified serving-path top-k, chained-
     # argmax oracle], kmv_audience_overlap [KMV sketch set algebra:
-    # merged-sketch union/intersection/Jaccard vs exact baselines].
+    # merged-sketch union/intersection/Jaccard vs exact baselines],
+    # phrase_search_topk [positional phrase search, anchor-grouped
+    # single-join form].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7762,3 +7764,61 @@ def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(ex, ["group_a", "group_b"]).orderBy("group_a", "group_b")
+
+
+_PHRASES = [
+    (0, "order fast"),
+    (1, "window join"),
+    (2, "merge part window"),
+    (3, "group query row"),
+]
+
+
+@query(
+    "phrase_search_topk",
+    f"""
+WITH ph(query_id, phrase) AS (VALUES {", ".join(
+    f"({q}, '{p}')" for q, p in _PHRASES)}),
+terms AS (
+  SELECT query_id,
+         generate_subscripts(regexp_split_to_array(lower(trim(phrase)),
+                                                   '\\s+'), 1) AS j,
+         unnest(regexp_split_to_array(lower(trim(phrase)), '\\s+')) AS term
+  FROM ph),
+plen AS (SELECT query_id, count(DISTINCT j) AS plen FROM terms
+         GROUP BY query_id),
+pos AS (
+  SELECT doc_id, generate_subscripts({_DD_TOKS}, 1) AS p,
+         unnest({_DD_TOKS}) AS term
+  FROM documents),
+hits AS (
+  SELECT t.query_id, pos.doc_id, pos.p - t.j AS p0, t.j
+  FROM pos JOIN terms t ON t.term = pos.term),
+anchors AS (
+  SELECT h.query_id, h.doc_id, h.p0, count(DISTINCT h.j) AS nj
+  FROM hits h GROUP BY h.query_id, h.doc_id, h.p0),
+occ AS (
+  SELECT a.query_id, a.doc_id, count(*)::BIGINT AS n_occ
+  FROM anchors a JOIN plen l ON l.query_id = a.query_id
+  WHERE a.nj = l.plen
+  GROUP BY a.query_id, a.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, n_occ,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_occ DESC, doc_id) AS rank
+  FROM occ)
+SELECT query_id, doc_id, n_occ, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+)
+def q_phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the documents table: top-10 docs
+    per phrase by exact consecutive-occurrence count — the inverted-
+    index-with-positions query (one broadcast join + anchor-grouped
+    agg, operators/retrieval.py::phrase_topk); 2- and 3-word phrases
+    exercise both lengths."""
+    from flechasdb_spark.operators.retrieval import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = spark.createDataFrame(_PHRASES, "query_id long, phrase string")
+    return phrase_topk(docs, ph, k=10).orderBy("query_id", "rank")

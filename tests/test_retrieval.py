@@ -287,3 +287,35 @@ def test_mmr_rerank_properties(spark):
 
     with _pt.raises(ValueError):
         mmr_rerank(emb, qs, k=5, n_candidates=3)
+
+
+def test_phrase_topk_consecutive_and_repeated_words(spark):
+    """The anchor-grouping must require each phrase position j to hold
+    its term at p0+j: scattered terms don't match, overlapping
+    occurrences of a repeated-word phrase count per anchor, and a
+    phrase absent from the corpus yields no rows."""
+    from flechasdb_spark.operators.retrieval import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps"),        # "quick fox": 1 occurrence
+            (2, "quick then fox"),             # scattered -> no match
+            (3, "quick fox quick fox"),        # 2 occurrences
+            (4, "go go go"),                   # "go go" anchors at 0,1 -> 2
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [(0, "quick fox"), (1, "go go"), (2, "missing phrase")],
+        "query_id long, phrase string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.n_occ, r.rank)
+        for r in phrase_topk(docs, ph, k=10).collect()
+    }
+    assert got[(0, 3)] == (2, 1)
+    assert got[(0, 1)] == (1, 2)
+    assert (0, 2) not in got           # non-consecutive never matches
+    assert got[(1, 4)] == (2, 1)       # overlapping anchors both count
+    assert not any(q == 2 for q, _ in got)
+    assert len(got) == 3
