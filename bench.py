@@ -491,6 +491,7 @@ def main() -> None:
         "mmr_diverse_topk",
         "kmv_audience_overlap",
         "phrase_search_topk",
+        "events_incident_overlap",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

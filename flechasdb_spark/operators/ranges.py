@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_overlap_join"]
 
 
 def range_join(
@@ -75,3 +75,66 @@ def range_join(
         r[c] for c in right.columns if c not in set(by) and c != "__bucket"
     ]
     return out.select(*keep_left, *keep_right)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (half-open: ``a_lo < b_hi AND
+    b_lo < a_hi``) as a hash equi-join — the two-sided sibling of
+    ``range_join``'s point-in-interval. Spark plans the naive
+    inequality join as BroadcastNestedLoopJoin / cartesian,
+    O(|L|*|R|); here BOTH sides explode into the integer buckets they
+    cover and meet on the bucket key.
+
+    An overlapping pair shares every bucket the overlap spans, so a
+    plain bucket join would duplicate it; instead of a post-join
+    ``distinct`` (an extra shuffle over the whole result), each pair
+    is kept only in the ONE bucket that contains the overlap's start
+    ``greatest(a_lo, b_lo)`` — unique per pair by construction, so
+    the output needs no dedup.
+
+    Integer domains only (timestamps in us/ns, scaled values):
+    buckets use exact ``div`` arithmetic, never float floor, so the
+    DuckDB oracle reproduces the join bit for bit. Cost: each side
+    grows by O(interval_width / bucket_width) replicas; pick
+    ``bucket_width`` near the typical interval width.
+
+    Returns all columns of both inputs (names must be disjoint) for
+    every overlapping pair."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    by = by or []
+    clash = set(left.columns) & set(right.columns)
+    if clash - set(by):
+        raise ValueError(
+            f"column names must be disjoint outside `by`, clash: "
+            f"{sorted(clash - set(by))}"
+        )
+    w = int(bucket_width)
+
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{lo} div {w}"), F.expr(f"({hi} - 1) div {w}")
+                )
+            ),
+        )
+
+    lb = _explode(left, left_lo, left_hi)
+    rb = _explode(right, right_lo, right_hi)
+    pairs = lb.join(rb, [*by, "__b"])
+    return pairs.where(
+        (F.col(left_lo) < F.col(right_hi))
+        & (F.col(right_lo) < F.col(left_hi))
+        & (F.expr(f"greatest({left_lo}, {right_lo}) div {w}") == F.col("__b"))
+    ).drop("__b")

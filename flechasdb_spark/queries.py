@@ -7008,7 +7008,8 @@ DRIVER_ORDER = [
     # argmax oracle], kmv_audience_overlap [KMV sketch set algebra:
     # merged-sketch union/intersection/Jaccard vs exact baselines],
     # phrase_search_topk [positional phrase search, anchor-grouped
-    # single-join form].
+    # single-join form], events_incident_overlap [interval x interval
+    # overlap join, bucketed with unique meeting bucket].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7822,3 +7823,77 @@ def q_phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ph = spark.createDataFrame(_PHRASES, "query_id long, phrase string")
     return phrase_topk(docs, ph, k=10).orderBy("query_id", "rank")
+
+
+@query(
+    "events_incident_overlap",
+    """
+WITH spans AS (
+  SELECT user_id, epoch(date_trunc('day', ts))::BIGINT AS day,
+         min(epoch_us(ts))::BIGINT AS a_lo,
+         max(epoch_us(ts))::BIGINT + 1 AS a_hi
+  FROM events GROUP BY user_id, epoch(date_trunc('day', ts))),
+inc AS (
+  SELECT event_id AS inc_id, user_id AS inc_user,
+         epoch_us(ts)::BIGINT AS b_lo,
+         epoch_us(ts)::BIGINT + 1800000000 AS b_hi
+  FROM events WHERE event_type = 'error'),
+ov AS (
+  SELECT s.user_id, s.day,
+         count(*)::BIGINT AS n_incidents,
+         sum(least(s.a_hi, i.b_hi) - greatest(s.a_lo, i.b_lo))::BIGINT
+           AS overlap_us
+  FROM spans s JOIN inc i
+    ON i.inc_user = s.user_id AND s.a_lo < i.b_hi AND i.b_lo < s.a_hi
+  GROUP BY s.user_id, s.day)
+SELECT user_id, day, n_incidents, overlap_us
+FROM ov ORDER BY user_id, day
+""",
+)
+def q_events_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join: each user's daily activity
+    span vs that user's 30-minute error-incident windows — how much
+    of the day's activity ran inside an incident. The Spark side is
+    the BUCKETED equi-join (1h buckets, unique meeting bucket at the
+    overlap start, operators/ranges.py::interval_overlap_join); the
+    oracle is the naive inequality join — same pairs, proving the
+    decomposition, exactly as events_value_bands does for the
+    point-in-interval shape."""
+    from flechasdb_spark.operators.ranges import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr(_TS_US).cast("long")
+    )
+    day = F.unix_timestamp(
+        F.date_trunc("day", F.expr("timestamp_micros(ts_us)"))
+    )
+    spans = ev.groupBy("user_id", day.alias("day")).agg(
+        F.min("ts_us").alias("a_lo"),
+        (F.max("ts_us") + 1).alias("a_hi"),
+    )
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        F.col("user_id").alias("inc_user"),
+        F.col("ts_us").alias("b_lo"),
+        (F.col("ts_us") + 1_800_000_000).alias("b_hi"),
+    )
+    ov = interval_overlap_join(
+        spans.withColumn("inc_user", F.col("user_id")),
+        inc,
+        "a_lo",
+        "a_hi",
+        "b_lo",
+        "b_hi",
+        bucket_width=3_600_000_000,
+        by=["inc_user"],
+    )
+    return (
+        ov.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_incidents"),
+            F.sum(
+                F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_id", "day")
+    )

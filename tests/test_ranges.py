@@ -95,3 +95,48 @@ def test_rejects_bad_width(pts, ivs):
             pts, ivs, point="p", lo="lo", hi="hi", bucket_width=1.0,
             how="right",
         )
+
+
+def test_interval_overlap_join_unique_meeting_and_semantics(spark):
+    """A pair overlapping MANY buckets must appear exactly once (the
+    unique meeting-bucket filter replaces a post-join distinct);
+    touching half-open intervals do not overlap; `by` keys isolate
+    groups; disjoint-name and width validation raise."""
+    import pytest as _pt
+    from flechasdb_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            ("u", 1, 0, 100),      # spans buckets 0..9 at w=10
+            ("u", 2, 50, 60),
+            ("v", 3, 0, 100),      # same range, other key
+        ],
+        "k string, lid long, a_lo long, a_hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 10, 5, 95),      # overlaps lid=1 across 9 buckets
+            ("u", 11, 100, 110),   # touches lid=1 at 100 -> NO overlap
+            ("u", 12, 55, 56),     # inside lid=1 and lid=2
+            ("v", 13, 98, 99),     # only lid=3
+        ],
+        "k string, rid long, b_lo long, b_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucket_width=10, by=["k"],
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 10), (1, 12), (2, 10), (2, 12), (3, 13)]
+
+    with _pt.raises(ValueError):
+        interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=0
+        )
+    with _pt.raises(ValueError):
+        interval_overlap_join(
+            left,
+            left.select("k", "lid", "a_lo", "a_hi"),
+            "a_lo", "a_hi", "a_lo", "a_hi",
+            bucket_width=10,
+        )
