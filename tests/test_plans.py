@@ -369,3 +369,55 @@ def test_ngram_containment_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_topk_plan_broadcast_no_cartesian(spark):
+    """Phrase terms must broadcast against the position stream; the
+    per-query top-k compiles to WindowGroupLimit."""
+    from flechasdb_spark.operators.retrieval import phrase_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ph = spark.createDataFrame(
+        [(0, "order fast"), (1, "merge part window")],
+        "query_id long, phrase string",
+    )
+    plan = (
+        phrase_topk(docs, ph, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    """The bucketed decomposition must plan as a hash/sort-merge
+    equi-join -- never the BroadcastNestedLoopJoin/cartesian Spark
+    gives the naive inequality join."""
+    from flechasdb_spark.operators.ranges import interval_overlap_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("lid"),
+        (F.col("id") * 10).alias("a_lo"),
+        (F.col("id") * 10 + 25).alias("a_hi"),
+    )
+    right = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 9).alias("b_lo"),
+        (F.col("id") * 9 + 12).alias("b_hi"),
+    )
+    plan = (
+        interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+            bucket_width=16, by=["k"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
