@@ -492,6 +492,7 @@ def main() -> None:
         "kmv_audience_overlap",
         "phrase_search_topk",
         "events_incident_overlap",
+        "events_transition_matrix",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "decayed_counts", "sequential_funnel"]
+__all__ = ["asof_join", "decayed_counts", "sequential_funnel", "event_transitions"]
 
 
 def asof_join(
@@ -217,3 +217,46 @@ def sequential_funnel(
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts.orderBy("stage_idx")
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each (current, next) event-type pair, the count of
+    adjacent occurrences and the conditional probability
+    P(next | current) — the sequence-analytics view next to
+    ``sequential_funnel``'s fixed-order completion.
+
+    Ordering within a key is (ts, id) so timestamp ties are
+    deterministic cross-engine. One window pass keyed on the entity
+    (lead over the per-key sort — the same shuffle sessionization
+    pays), then an O(types^2) partial agg; the per-current totals come
+    from a window over the O(types^2) aggregate, not a second corpus
+    pass. Counts are exact integers; the probability is one integer
+    division both engines compute identically, rounded for display.
+
+    Returns (cur, nxt, n, p) with p summing to 1 within each cur."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = (
+        events.select(key_col, ts_col, id_col, F.col(type_col).alias("cur"))
+        .withColumn("nxt", F.lead("cur").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    agg = steps.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("cur")
+    return agg.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot), round_to
+        ).alias("p"),
+    )

@@ -7009,7 +7009,9 @@ DRIVER_ORDER = [
     # merged-sketch union/intersection/Jaccard vs exact baselines],
     # phrase_search_topk [positional phrase search, anchor-grouped
     # single-join form], events_incident_overlap [interval x interval
-    # overlap join, bucketed with unique meeting bucket].
+    # overlap join, bucketed with unique meeting bucket],
+    # events_transition_matrix [Markov P(next|current) lead-window
+    # transition counts].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7897,3 +7899,30 @@ def q_events_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+WITH s AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+a AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+SELECT cur, nxt, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY cur), 4) AS p
+FROM a ORDER BY cur, nxt
+""",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-transition matrix: P(next | current)
+    over each user's (ts, event_id)-ordered event stream — one lead
+    window keyed on the user (the sessionization shuffle) + an
+    O(types^2) agg (operators/temporal.py::event_transitions)."""
+    from flechasdb_spark.operators.temporal import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev).orderBy("cur", "nxt")

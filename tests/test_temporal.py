@@ -150,3 +150,34 @@ def test_asof_matched_row_nulls_are_preserved(spark):
     # matched row rt=15 holds (NULL, "new"): both columns must come from it
     assert out[1] == (None, "new", 15)
     assert out[2] == (1.0, "old", 10)
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Adjacency is per key in (ts, id) order: cross-user pairs never
+    count, ties break on event_id, the last event of a key emits no
+    transition, and per-current probabilities sum to 1."""
+    from flechasdb_spark.operators.temporal import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: a -> b -> a   (ts tie at 20 broken by event_id)
+            (1, 10, 100, "a"),
+            (2, 20, 100, "b"),
+            (3, 20, 100, "a"),
+            # user 2: b -> b
+            (4, 5, 200, "b"),
+            (5, 6, 200, "b"),
+            # user 3: single event -> nothing
+            (6, 9, 300, "a"),
+        ],
+        "event_id long, ts long, user_id long, event_type string",
+    )
+    out = {
+        (r.cur, r.nxt): (r.n, r.p)
+        for r in event_transitions(ev).collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
