@@ -512,6 +512,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvector",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k (Carbonell &
     Goldstein 1998): greedily pick ``k`` results per query maximizing
@@ -545,16 +546,34 @@ def mmr_rerank(
 
     if k < 1 or n_candidates < k:
         raise ValueError(f"need 1 <= k <= n_candidates, got {k}, {n_candidates}")
-    cand = cosine_topk(
-        df,
-        queries,
-        k=n_candidates,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-        round_to=4,
-    ).select(query_id_col, F.col(id_col).alias("__cid"), F.col("cos").alias("rel"))
+    if candidates is None:
+        # default candidate source: exact brute-force cosine (the
+        # oracle form); at corpus scale pass the IVF/LSH top-N as
+        # ``candidates`` instead -- the greedy consumes the same shape
+        cand = cosine_topk(
+            df,
+            queries,
+            k=n_candidates,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            round_to=4,
+        ).select(
+            query_id_col, F.col(id_col).alias("__cid"), F.col("cos").alias("rel")
+        )
+    else:
+        need = {query_id_col, id_col, "rel"}
+        if not need <= set(candidates.columns):
+            raise ValueError(
+                f"candidates must carry columns {sorted(need)}, "
+                f"got {candidates.columns}"
+            )
+        cand = candidates.select(
+            query_id_col,
+            F.col(id_col).alias("__cid"),
+            F.round(F.col("rel"), 4).alias("rel"),
+        )
     vecs = df.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v")
     )

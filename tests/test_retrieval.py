@@ -319,3 +319,43 @@ def test_phrase_topk_consecutive_and_repeated_words(spark):
     assert got[(1, 4)] == (2, 1)       # overlapping anchors both count
     assert not any(q == 2 for q, _ in got)
     assert len(got) == 3
+
+
+def test_mmr_rerank_accepts_external_candidates(spark):
+    """An ANN/filtered candidate list can replace the built-in exact
+    scan: the greedy must select only from the provided candidates
+    and still diversify among them; a missing rel column raises."""
+    import pyspark.sql.functions as F
+    from flechasdb_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (11, [0.999, 0.01, 0.0]),
+            (20, [0.8, 0.59, 0.0]),
+            (30, [0.0, 1.0, 0.0]),   # best rel but NOT a candidate
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0])], "query_id long, qvector array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(0, 10, 0.995), (0, 11, 0.996), (0, 20, 0.8599)],
+        "query_id long, vec_id long, rel double",
+    )
+    rows = (
+        mmr_rerank(emb, qs, k=3, n_candidates=3, candidates=cands)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.vec_id for r in rows] == [11, 20, 10]
+    assert 30 not in {r.vec_id for r in rows}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mmr_rerank(
+            emb, qs, k=2, n_candidates=2,
+            candidates=cands.drop("rel"),
+        )
