@@ -493,6 +493,11 @@ def main() -> None:
         "phrase_search_topk",
         "events_incident_overlap",
         "events_transition_matrix",
+        # final-r6 additions: register-exact HLL, cohort retention,
+        # gap-filled rate anomalies
+        "hll_distinct_users",
+        "events_retention_cohorts",
+        "events_anomaly_zscore",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

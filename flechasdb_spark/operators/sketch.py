@@ -28,6 +28,7 @@ from flechasdb_spark.functions.texthash import md5_long
 __all__ = [
     "kmv_distinct",
     "kmv_set_ops",
+    "hll_distinct",
     "histogram_quantiles",
     "cms_build",
     "cms_estimate",
@@ -156,6 +157,93 @@ def kmv_set_ops(
         F.round(union_raw, 4).alias("union_est"),
         F.round(jacc_raw, 4).alias("jaccard_est"),
         F.round(jacc_raw * union_raw, 4).alias("inter_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) with REGISTER-EXACT cross-engine arithmetic — the classic
+    fixed-memory counterpart to ``kmv_distinct``'s order-statistics
+    sketch (reference has no sketches; SURVEY §2.3 sketch family).
+
+    m = 2^p registers over the shared 60-bit md5 hash: register index =
+    the top p bits, rank = 1 + leading zeros of the remaining W = 60-p
+    bits (via ``length(bin(rest))`` — identical string semantics in
+    Spark and DuckDB, so the oracle recomputes every register).
+    Estimate:
+
+      raw   = alpha_m * m^2 / sum_j 2^(-M_j)   (harmonic mean)
+      E     = m * ln(m / V)  when V > 0 zero registers and raw <= 2.5m
+              (linear-counting small-range correction), else raw.
+
+    The harmonic sum is kept EXACT as the integer sum of
+    2^(max_rank - M_j) (max_rank = W+1 <= 55, so each term and the
+    m-bounded sum fit in BIGINT); the only transcendental, ln(m/V),
+    is quantized to integer micro-nats per the repo's determinism
+    contract (SURVEY §2.4). Scale shape: one partial-aggregated
+    groupBy to O(groups * m) register rows, then an O(groups) agg —
+    the shuffle never carries corpus-sized data, and unlike
+    ``approx_count_distinct`` (engine-private HLL++) every cell is
+    oracle-recomputable.
+
+    Returns (group_cols..., v_zero, hll_estimate, used_linear)."""
+    if not 2 <= p <= 12:
+        raise ValueError(f"p must be in [2, 12], got {p}")
+    group_cols = group_cols or []
+    m = 1 << p
+    w = 60 - p  # bits remaining after the register index
+    max_rank = w + 1
+    # alpha_m per the paper: 16 -> 0.673, 32 -> 0.697, 64 -> 0.709,
+    # m >= 128 -> 0.7213 / (1 + 1.079 / m). Constant double; both
+    # engines parse the same literal.
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        p, 0.7213 / (1.0 + 1.079 / m)
+    )
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_long(c.cast("string"))
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rank = F.when(rest == 0, F.lit(max_rank)).otherwise(
+        F.lit(max_rank) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            F.shiftright(h, w).alias("__idx"),
+            rank.alias("__rank"),
+        )
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({max_rank} - __m AS INT))")
+        ).alias("__s_present"),
+    )
+    # absent registers have M = 0 -> each contributes 2^max_rank
+    s_int = F.col("__s_present") + (
+        (F.lit(m) - F.col("__n_present")) * F.lit(1 << max_rank)
+    )
+    v_zero = (F.lit(m) - F.col("__n_present")).cast("long")
+    raw = F.lit(alpha * m * m * float(1 << max_rank)) / s_int.cast("double")
+    # ln(m / V) in integer micro-nats (the DSIR/unigram-LM contract)
+    ln_q = F.round(F.log(F.lit(float(m)) / v_zero.cast("double")) * 1e6).cast(
+        "long"
+    )
+    linear = F.lit(float(m)) * ln_q.cast("double") / F.lit(1e6)
+    use_linear = (v_zero > 0) & (raw <= F.lit(2.5 * m))
+    return agg.select(
+        *group_cols,
+        v_zero.alias("v_zero"),
+        F.round(F.when(use_linear, linear).otherwise(raw), 4).alias(
+            "hll_estimate"
+        ),
+        use_linear.cast("int").alias("used_linear"),
     )
 
 

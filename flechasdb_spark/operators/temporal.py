@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "decayed_counts", "sequential_funnel", "event_transitions"]
+__all__ = [
+    "asof_join",
+    "decayed_counts",
+    "sequential_funnel",
+    "event_transitions",
+    "retention_cohorts",
+    "rate_zscores",
+]
 
 
 def asof_join(
@@ -259,4 +266,149 @@ def event_transitions(
         F.round(
             F.col("n").cast("double") / F.sum("n").over(tot), round_to
         ).alias("p"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the period of
+    their FIRST event, tracked by how many return in each later period
+    (the product-analytics "week-N retention" table).
+
+    Periods are integer epoch indices — ``ts div period_ns`` on the
+    long-nanosecond event time (session.normalize_event_ts, the same
+    convention as ``decayed_counts``) — pure INTEGER division, never a
+    double (2024 epoch-nanos exceed 2^53, so ``floor(ts/period)`` in
+    doubles would mis-bucket), and no engine week-start conventions.
+    cohort = min period per user; retention_rate divides by the
+    cohort's period-0 size (every user is active in their own first
+    period by construction).
+
+    Scale shape: distinct (user, period) first — O(users * periods)
+    rows, the only corpus-sized pass — then a user-keyed window for the
+    cohort min and an O(cohorts * offsets) agg. No self-join of the
+    event log.
+
+    Returns (cohort_period, period_offset, n_users, retention_rate)."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    period_ns = int(period_days) * 86_400 * 1_000_000_000
+    pairs = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.expr(f"CAST(`{ts_col}` div {period_ns} AS BIGINT)").alias(
+                "__p"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__u")
+    labeled = pairs.withColumn("__cohort", F.min("__p").over(w))
+    agg = labeled.groupBy(
+        F.col("__cohort").alias("cohort_period"),
+        (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    base = Window.partitionBy("cohort_period")
+    cohort_size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_users"))
+    ).over(base)
+    return agg.select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / cohort_size.cast("double"),
+            round_to,
+        ).alias("retention_rate"),
+    )
+
+
+def rate_zscores(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-type event-rate z-scores over a GAP-FILLED time grid — the
+    rate-anomaly view ("which hours were unusually hot/quiet for this
+    event type?").
+
+    Empty buckets count as zero: the grid spans every ``bucket_seconds``
+    step between the corpus min and max bucket (inclusive), crossed
+    with the type dimension, so the mean/std are over the true time
+    series, not just the buckets that happened to have events (a
+    present-buckets-only std understates variance exactly where
+    anomaly detection needs it).
+
+    Determinism: bucket = ``ts div bucket_ns`` on the long-nanosecond
+    event time (INTEGER division — 2024 epoch-nanos exceed 2^53, so a
+    double floor would mis-bucket); counts / Σc / Σc² are exact
+    BIGINTs; mean = S1/n, var = S2/n - mean², std = sqrt(var) (IEEE
+    sqrt is correctly rounded in both engines), z = (c - mean)/std
+    with z = 0 where std = 0 — the identical expression tree the
+    DuckDB oracle evaluates.
+
+    Scale shape: one partial-aggregated groupBy to O(types * buckets)
+    count rows, a 1-row global min/max, a broadcast grid join, and an
+    O(types) stats agg joined back broadcast. The corpus is read once.
+
+    Returns (event_type, bucket_epoch, cnt, zscore) over the full grid."""
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    bucket_ns = int(bucket_seconds) * 1_000_000_000
+    b = F.expr(f"CAST(`{ts_col}` div {bucket_ns} AS BIGINT)")
+    # checkpoint the tiny O(types * buckets) count table: span, the
+    # type dimension, the grid join AND the stats agg all read it, and
+    # without the checkpoint Catalyst re-derives each consumer's
+    # subtree from the corpus scan (4 full scans at 100 TB; one here)
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), b.alias("__b"))
+        .groupBy("event_type", "__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    span = counts.agg(
+        F.min("__b").alias("lo"), F.max("__b").alias("hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("__b")
+    )
+    types = counts.select("event_type").distinct()
+    full = (
+        types.crossJoin(F.broadcast(grid))
+        .join(counts, ["event_type", "__b"], "left")
+        .select(
+            "event_type",
+            "__b",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    stats = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    mean = F.col("__s1").cast("double") / F.col("__n").cast("double")
+    var = F.col("__s2").cast("double") / F.col("__n").cast("double") - (
+        F.col("__mean") * F.col("__mean")
+    )
+    joined = (
+        full.join(F.broadcast(stats), "event_type")
+        .withColumn("__mean", mean)
+        .withColumn("__std", F.sqrt(F.greatest(var, F.lit(0.0))))
+    )
+    z = F.when(F.col("__std") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("cnt").cast("double") - F.col("__mean")) / F.col("__std")
+    )
+    return joined.select(
+        "event_type",
+        (F.col("__b") * int(bucket_seconds)).alias("bucket_epoch"),
+        "cnt",
+        F.round(z, round_to).alias("zscore"),
     )

@@ -5881,6 +5881,55 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hll_distinct_users",
+    f"""
+WITH r AS (
+  SELECT event_type, hh >> 54 AS idx,
+         CASE WHEN (hh & 18014398509481983) = 0 THEN 55
+              ELSE 55 - length(bin(hh & 18014398509481983)) END AS rank
+  FROM (SELECT event_type,
+               {_DD_MD5H.format(x="user_id::VARCHAR")} AS hh
+        FROM events)),
+regs AS (SELECT event_type, idx, max(rank) AS m FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*) AS n_present,
+         sum(1::BIGINT << (55 - m)::INT)::BIGINT AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type, (64 - n_present)::BIGINT AS v_zero,
+         1.0462993238608057e+20
+           / (s_present + (64 - n_present) * 36028797018963968)::DOUBLE AS raw
+  FROM agg)
+SELECT e.event_type, e.v_zero,
+       round(CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+                  THEN 64.0 * (round(ln(64.0 / e.v_zero) * 1e6) / 1e6)
+                  ELSE e.raw END, 4) AS hll_estimate,
+       (CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+             THEN 1 ELSE 0 END)::INT AS used_linear,
+       x.n_exact
+FROM est e JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+                 FROM events GROUP BY 1) x USING (event_type)
+ORDER BY e.event_type
+""",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type next to the exact
+    count — the register-exact relational HLL (operators/sketch.py::
+    hll_distinct) whose every register, harmonic sum (kept as an exact
+    BIGINT), and linear-counting branch the DuckDB oracle recomputes,
+    unlike approx_count_distinct's engine-private HLL++. Shuffle
+    carries O(groups * 64) register rows only."""
+    from flechasdb_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", group_cols=["event_type"], p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+@query(
     "cms_user_counts",
     f"""
 WITH cells AS (
@@ -7011,7 +7060,12 @@ DRIVER_ORDER = [
     # single-join form], events_incident_overlap [interval x interval
     # overlap join, bucketed with unique meeting bucket],
     # events_transition_matrix [Markov P(next|current) lead-window
-    # transition counts].
+    # transition counts], hll_distinct_users [register-exact
+    # HyperLogLog next to KMV — harmonic + linear-counting branches
+    # both oracle-recomputed], events_retention_cohorts [weekly
+    # cohort-retention matrix, integer epoch-week buckets],
+    # events_anomaly_zscore [per-type rate z-scores over a GAP-FILLED
+    # hour grid — empty buckets count in the variance].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
@@ -7926,3 +7980,82 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return event_transitions(ev).orderBy("cur", "nxt")
+
+
+@query(
+    "events_retention_cohorts",
+    """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u,
+         floor(epoch(ts) / 604800.0)::BIGINT AS p
+  FROM events),
+lab AS (SELECT u, p, min(p) OVER (PARTITION BY u) AS cohort FROM pairs),
+agg AS (
+  SELECT cohort AS cohort_period, p - cohort AS period_offset,
+         count(*)::BIGINT AS n_users
+  FROM lab GROUP BY 1, 2)
+SELECT cohort_period, period_offset, n_users,
+       round(n_users::DOUBLE
+             / (max(CASE WHEN period_offset = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_period))::DOUBLE, 4)
+         AS retention_rate
+FROM agg ORDER BY cohort_period, period_offset
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-event
+    week, counted in each later week they return (operators/temporal.py
+    ::retention_cohorts). Integer epoch-week indices (nanosecond ts div
+    week_ns) keep the bucketing engine-exact; the corpus-sized pass is
+    one distinct to O(users * weeks) pairs."""
+    from flechasdb_spark.operators.temporal import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev).orderBy("cohort_period", "period_offset")
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+WITH c AS (
+  SELECT event_type, floor(epoch(ts) / 3600.0)::BIGINT AS b,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+grid AS (
+  WITH RECURSIVE g(b) AS (
+    SELECT min(b) FROM c
+    UNION ALL
+    SELECT b + 1 FROM g WHERE b < (SELECT max(b) FROM c))
+  SELECT b FROM g),
+types AS (SELECT DISTINCT event_type FROM c),
+full_grid AS (
+  SELECT t.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN c ON c.event_type = t.event_type AND c.b = g.b),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s1,
+         sum(cnt * cnt)::BIGINT AS s2
+  FROM full_grid GROUP BY 1),
+m AS (
+  SELECT f.event_type, f.b, f.cnt,
+         s.s1::DOUBLE / s.n::DOUBLE AS mean,
+         sqrt(greatest(s.s2::DOUBLE / s.n::DOUBLE
+              - (s.s1::DOUBLE / s.n::DOUBLE) * (s.s1::DOUBLE / s.n::DOUBLE),
+              0.0)) AS std
+  FROM full_grid f JOIN stats s USING (event_type))
+SELECT event_type, b * 3600 AS bucket_epoch, cnt,
+       round(CASE WHEN std = 0.0 THEN 0.0
+                  ELSE (cnt::DOUBLE - mean) / std END, 4) AS zscore
+FROM m ORDER BY event_type, bucket_epoch
+""",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate z-scores per type over a GAP-FILLED grid
+    (operators/temporal.py::rate_zscores) — empty hours count as zero
+    so the variance is the true series variance. Integer count sums +
+    IEEE sqrt keep both engines bit-identical; the corpus collapses to
+    O(types * hours) rows in one partial agg."""
+    from flechasdb_spark.operators.temporal import rate_zscores
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_zscores(ev).orderBy("event_type", "bucket_epoch")

@@ -147,6 +147,49 @@ def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
         kmv_distinct(small, "v", ["g"], k=2)
 
 
+def test_hll_branches_and_accuracy(spark):
+    """HLL: harmonic branch engages at high cardinality (V hits 0 or
+    raw > 2.5m) with ~2*1.04/sqrt(m) relative error; linear-counting
+    branch engages at low cardinality and is near-exact; a pure-Python
+    register replay reproduces the Spark estimate bit for bit; p
+    bounds rejected."""
+    import hashlib
+
+    import pytest
+
+    from flechasdb_spark.operators.sketch import hll_distinct
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 20_000).alias("v")
+    )
+    out = {r.g: r for r in hll_distinct(df, "v", ["g"], p=6).collect()}
+    for g in (0, 1):
+        r = out[g]
+        assert r.used_linear == 0, r
+        assert abs(r.hll_estimate - 10_000) / 10_000 < 2 * 1.04 / (64**0.5), r
+    small = spark.range(40).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    rs = hll_distinct(small, "v", ["g"], p=6).first()
+    assert rs.used_linear == 1 and rs.v_zero > 0
+    assert abs(rs.hll_estimate - 40) / 40 < 0.35, rs
+
+    # register replay: same md5 -> index/rank -> integer harmonic sum
+    m, w, mr = 64, 54, 55
+    regs = {}
+    for vv in range(0, 20_000, 2):  # g=0 holds the even residues
+        h = int(hashlib.md5(str(vv).encode()).hexdigest()[:15], 16)
+        idx, rest = h >> w, h & ((1 << w) - 1)
+        rank = mr if rest == 0 else mr - rest.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rank)
+    s_int = sum(1 << (mr - mm) for mm in regs.values()) + (m - len(regs)) * (
+        1 << mr
+    )
+    raw = 0.709 * m * m * float(1 << mr) / float(s_int)
+    assert round(raw, 4) == out[0].hll_estimate
+
+    with pytest.raises(ValueError, match="p must be"):
+        hll_distinct(small, "v", ["g"], p=1)
+
+
 def test_chunk_text_udtf_windows_and_edges(spark):
     """Context-window UDTF: overlap carry-over, short-doc single chunk,
     empty doc -> zero rows, bad config rejected."""

@@ -181,3 +181,73 @@ def test_event_transitions_counts_and_probs(spark):
         ("b", "a"): (1, 0.5),
         ("b", "b"): (1, 0.5),
     }
+
+
+def test_retention_cohorts_churn_matrix(spark):
+    """Hand-built two-cohort log with churn: cohort sizes, offsets, and
+    rates come out exactly; a returning-after-a-gap user still counts
+    in the gap-skipping offset only."""
+    import pytest
+
+    from flechasdb_spark.operators.temporal import retention_cohorts
+
+    wk = 7 * 86_400 * 1_000_000_000  # one period in ns
+    rows = [
+        # cohort week 0: users 1, 2, 3
+        (1, 0), (2, 0), (3, 0),
+        # week 1: users 1, 2 return
+        (1, 1 * wk), (2, 1 * wk + 5),
+        # week 2: only user 1 — user 3 returns after skipping week 1
+        (1, 2 * wk), (3, 2 * wk),
+        # cohort week 1: user 4 joins, returns week 2
+        (4, 1 * wk), (4, 2 * wk),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {
+        (r.cohort_period, r.period_offset): (r.n_users, r.retention_rate)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {
+        (0, 0): (3, 1.0),
+        (0, 1): (2, round(2 / 3, 4)),
+        (0, 2): (2, round(2 / 3, 4)),
+        (1, 0): (1, 1.0),
+        (1, 1): (1, 1.0),
+    }
+    with pytest.raises(ValueError, match="period_days"):
+        retention_cohorts(ev, period_days=0)
+
+
+def test_rate_zscores_gap_filled_grid(spark):
+    """The grid includes empty buckets as zeros (changing the stats), a
+    constant series gets z = 0 everywhere, and a spike stands out with
+    the exact population z-score."""
+    import math
+
+    import pytest
+
+    from flechasdb_spark.operators.temporal import rate_zscores
+
+    h = 3600 * 1_000_000_000
+    rows = (
+        # type "flat": 1 event in each of buckets 0..3 -> z = 0
+        [(i, i * h, "flat") for i in range(4)]
+        # type "spiky": 4 events in bucket 0, none in 1..2, 1 in bucket 3
+        + [(10 + j, j, "spiky") for j in range(4)]
+        + [(20, 3 * h, "spiky")]
+    )
+    ev = spark.createDataFrame(rows, "event_id long, ts long, event_type string")
+    out = {
+        (r.event_type, r.bucket_epoch): (r.cnt, r.zscore)
+        for r in rate_zscores(ev).collect()
+    }
+    assert len(out) == 8  # 2 types x 4 grid buckets, gaps filled
+    assert all(v == (1, 0.0) for k, v in out.items() if k[0] == "flat")
+    # spiky: counts 4,0,0,1 -> mean 1.25, var (16+0+0+1)/4 - 1.5625
+    mean, var = 1.25, 17 / 4 - 1.25 * 1.25
+    z0 = round((4 - mean) / math.sqrt(var), 4)
+    z_gap = round((0 - mean) / math.sqrt(var), 4)
+    assert out[("spiky", 0)] == (4, z0)
+    assert out[("spiky", 3600)][0] == 0 and out[("spiky", 3600)][1] == z_gap
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        rate_zscores(ev, bucket_seconds=0)
