@@ -498,6 +498,7 @@ def main() -> None:
         "hll_distinct_users",
         "events_retention_cohorts",
         "events_anomaly_zscore",
+        "minhash_jaccard_error",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -41,6 +41,7 @@ __all__ = [
     "minhash_signature",
     "minhash_band_keys",
     "minhash_lsh_pairs",
+    "minhash_estimate_error",
     "minhash_verified_pairs",
     "minhash_dedup",
     "simhash",
@@ -440,6 +441,118 @@ def _banded(
     )
 
 
+def _capped_candidates(
+    df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """LSH banding candidates (id_a < id_b, distinct) with oversized
+    buckets dropped BEFORE pairing. The bucket-size cap is a window
+    count: ONE pass over the signatures (the groupBy+join form
+    recomputes the minhash expressions for the count side — at scale
+    that's the expensive half) and one shuffle on (band, band_key),
+    which the a x b pairing below needs anyway."""
+    from pyspark.sql import Window
+
+    banded = _banded(df, num_hashes, bands, text_col, id_col)
+    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    banded = (
+        banded.withColumn("__n", wcnt)
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash near-dup pipeline: for
+    every LSH candidate pair, the Jaccard ESTIMATE the signature implies
+    (fraction of the num_hashes components that agree — the Broder
+    min-wise identity E[est] = J) next to the EXACT distinct-token
+    Jaccard, plus their absolute error. This is the measurement that
+    justifies (or indicts) a chosen num_hashes before trusting the
+    verify threshold at corpus scale — std(est) ~ sqrt(J(1-J)/H).
+
+    Scale shape: candidates are the same banding + ``max_bucket``
+    equi-join as ``minhash_verified_pairs`` (never all-pairs); the
+    estimate side joins the O(docs * H) signature rows on (pair, j) —
+    O(candidates * H) rows; the exact side is the same bounded
+    intersection join verification pays anyway. Determinism: est =
+    integer-match-count / H, exact = n_inter / union — single double
+    divisions both engines compute identically.
+
+    Returns (id_a, id_b, est_jaccard, exact_jaccard, abs_err)."""
+    cand = _capped_candidates(df, num_hashes, bands, max_bucket, text_col, id_col)
+    sig = minhash_signature(df, num_hashes, text_col, id_col)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), "j", F.col("minhash").alias("__ma")
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), "j", F.col("minhash").alias("__mb")
+    )
+    match = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
+            ).alias("__n_match")
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("__n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("__n_b"))
+    est = F.col("__n_match").cast("double") / F.lit(float(num_hashes))
+    exact = F.col("__n_inter").cast("double") / (
+        F.col("__n_a") + F.col("__n_b") - F.col("__n_inter")
+    )
+    return (
+        # left join + coalesce: a candidate pair with an EMPTY token
+        # intersection must still appear — est > 0 with exact = 0 is
+        # the worst-case error the audit exists to surface
+        match.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("__n_inter", F.coalesce(F.col("__n_inter"), F.lit(0)))
+        .join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -466,27 +579,7 @@ def minhash_verified_pairs(
     of docs, and an uncapped bucket is a quadratic blowup (measured:
     74 s at sf0.1 without the cap). Docs in dropped buckets still meet
     in their other, more selective bands."""
-    banded = _banded(df, num_hashes, bands, text_col, id_col)
-    # bucket-size cap as a window count: ONE pass over the signatures
-    # (the groupBy+join form recomputes the minhash expressions for the
-    # count side — at scale that's the expensive half) and one shuffle
-    # on (band, band_key), which the a×b pairing below needs anyway.
-    from pyspark.sql import Window
-
-    wcnt = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    banded = (
-        banded.withColumn("__n", wcnt)
-        .where(F.col("__n") <= max_bucket)
-        .drop("__n")
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _capped_candidates(df, num_hashes, bands, max_bucket, text_col, id_col)
 
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")

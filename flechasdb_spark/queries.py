@@ -1255,6 +1255,17 @@ _DD_RESID_SLICE = (
     f" cb.division * {_PQ_W} + 1, (cb.division + 1) * {_PQ_W})"
 )
 
+def _dd_frozen_prefix(nprobe: int) -> str:
+    """The frozen-pipeline oracle CTE chain with a chosen probe count —
+    the shared `_DD_FROZEN_PREFIX` pins nprobe=_FRZ_NPROBE; the
+    recall-curve row sweeps it. The probes CTE is the only place the
+    probe bound appears in the prefix (anchored on the adjacent CTE
+    name to keep the substitution unambiguous)."""
+    anchor = f"rn <= {_FRZ_NPROBE}),\nadc AS"
+    assert _DD_FROZEN_PREFIX.count(anchor) == 1, "probes anchor drifted"
+    return _DD_FROZEN_PREFIX.replace(anchor, f"rn <= {nprobe}),\nadc AS")
+
+
 _DD_FROZEN_PREFIX = f"""
 WITH cent AS (
   SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
@@ -1698,6 +1709,124 @@ def q_ann_frozen_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(
         exact, approx.select("query_id", F.col("vector_id").alias("vec_id"))
     ).orderBy("query_id")
+
+
+_CURVE_WIDE_RR = 32  # the rerank_wide arm's candidate factor
+
+
+def _curve_factor(mode: str) -> int:
+    return _CURVE_WIDE_RR if mode == "rerank_wide" else _FRZ_RR
+
+
+def _dd_recall_arm(np_: int, mode: str) -> str:
+    """One (nprobe, mode) arm of the recall-curve oracle: the full
+    frozen pipeline at that probe count — ADC top-k directly
+    (mode='adc') or exact re-rank of the top k*factor ADC candidates
+    (mode='rerank' at factor _FRZ_RR, 'rerank_wide' at
+    _CURVE_WIDE_RR) — scored against the exact top-k."""
+    if mode == "adc":
+        annk = f"""
+annk AS (SELECT query_id, vector_id FROM ranked
+         WHERE rank <= {_FRZ_K})"""
+    else:
+        annk = f"""
+cand AS (SELECT query_id, vector_id FROM ranked
+         WHERE rank <= {_FRZ_K * _curve_factor(mode)}),
+rr AS (
+  SELECT c.query_id, c.vector_id,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_DD_SQL2.format(
+               a="e.embedding::DOUBLE[]", b="q.qv")}, 4),
+                    c.vector_id) AS rank
+  FROM cand c JOIN embeddings e ON c.vector_id = e.vec_id
+       JOIN q ON c.query_id = q.query_id),
+annk AS (SELECT query_id, vector_id FROM rr WHERE rank <= {_FRZ_K})"""
+    return f"""(
+{_dd_frozen_prefix(np_)},{annk},
+exact_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")},
+                      e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q) s WHERE rn <= {_FRZ_K})
+SELECT {np_} AS nprobe, '{mode}' AS mode, er.query_id,
+       count(*) AS n_exact,
+       sum(CASE WHEN a.vector_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN a.vector_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS recall
+FROM exact_ranked er LEFT JOIN annk a
+  ON er.query_id = a.query_id AND er.vec_id = a.vector_id
+GROUP BY er.query_id)"""
+
+
+@query(
+    "ann_nprobe_recall_curve",
+    f"""
+SELECT nprobe, mode, query_id, n_exact, n_hit, recall FROM (
+{" UNION ALL ".join(
+    _dd_recall_arm(np_, mode)
+    for np_ in (1, 2, 4)
+    for mode in ("adc", "rerank", "rerank_wide"))}
+) ORDER BY nprobe, mode, query_id
+""",
+)
+def q_ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning artifact: recall@k vs nprobe from ONE frozen
+    index, swept at nprobe = 1, 2, 4 (= all partitions) across three
+    serving modes — raw ADC top-k, exact re-rank of the top k*4 ADC
+    candidates, and a wide re-rank at k*32 — the accuracy/cost surface
+    FAISS users read before picking nprobe/factor (reference fixes
+    nprobe per query, src/db/stored.rs query(); this row is the
+    evaluation loop around that knob). The trio is the honest picture
+    on this fixture's deliberately crude synthetic codebooks (sf0.01
+    mean recall@5): raw ADC FALLS with nprobe (0.175 -> 0.10 — extra
+    probes add quantization-mis-ranked distractors), factor-4 re-rank
+    is flat ~0.25-0.28 (candidate generation is the ceiling), and
+    factor-32 re-rank RISES 0.48 -> 0.65 (candidates wide enough for
+    the exact rescore to work) — i.e. the curve localizes WHICH stage
+    caps recall, which is the point of running it. Each arm shares the
+    broadcast models and scans only its probed partitions — at 100 TB
+    the sweep costs sum(nprobe) partition scans, never a corpus rescan
+    per arm."""
+    from flechasdb_spark.operators.eval import recall_at_k
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir)
+    qs = _frozen_queries(emb)
+    qdf = emb.where(
+        (F.col("vec_id") >= _FRZ_QLO) & (F.col("vec_id") < _FRZ_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    exact = knn_join(qdf, emb, k=_FRZ_K).select("query_id", "vec_id")
+    arms = []
+    for np_ in (1, 2, 4):
+        for mode in ("adc", "rerank", "rerank_wide"):
+            approx = ann_query(
+                model,
+                qs,
+                k=_FRZ_K,
+                nprobe=np_,
+                round_to=4,
+                rerank=None if mode == "adc" else emb,
+                rerank_factor=_curve_factor(mode),
+            )
+            arms.append(
+                recall_at_k(
+                    exact,
+                    approx.select(
+                        "query_id", F.col("vector_id").alias("vec_id")
+                    ),
+                ).select(
+                    F.lit(np_).alias("nprobe"), F.lit(mode).alias("mode"), "*"
+                )
+            )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("nprobe", "mode", "query_id")
 
 
 @query(
@@ -2528,6 +2657,72 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.7,
         max_bucket=64,
     ).orderBy("doc_id")
+
+
+@query(
+    "minhash_jaccard_error",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+hashed AS (SELECT doc_id, tok, {_DD_MD5H.format(x="tok")} % {_P} AS h FROM tok),
+sig AS (
+  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % {_P}) AS minhash
+  FROM hashed, range(16) r(j) GROUP BY doc_id, j),
+banded AS (
+  SELECT doc_id, (j // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, (j // 4)::INT),
+small AS (
+  SELECT band, band_key FROM banded
+  GROUP BY band, band_key HAVING count(*) <= 64),
+bd AS (SELECT b.* FROM banded b
+       JOIN small s ON b.band = s.band AND b.band_key = s.band_key),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+m AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::BIGINT
+           AS n_match
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+       JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b)
+SELECT m.id_a, m.id_b,
+       round(m.n_match::DOUBLE / 16.0, 4) AS est_jaccard,
+       round(coalesce(i.n_inter, 0)::DOUBLE
+             / (sa.n_tok + sb.n_tok - coalesce(i.n_inter, 0)), 4)
+         AS exact_jaccard,
+       round(abs(m.n_match::DOUBLE / 16.0
+             - coalesce(i.n_inter, 0)::DOUBLE
+               / (sa.n_tok + sb.n_tok - coalesce(i.n_inter, 0))), 4)
+         AS abs_err
+FROM m LEFT JOIN inter i ON m.id_a = i.id_a AND m.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = m.id_a
+JOIN sizes sb ON sb.doc_id = m.id_b
+ORDER BY m.id_a, m.id_b
+""",
+)
+def q_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit (operators/dedup.py::minhash_estimate_
+    error): per LSH candidate pair, the signature-implied Jaccard
+    estimate (matching components / 16, the Broder min-wise identity)
+    next to the exact distinct-token Jaccard and |error| — the
+    measurement that sizes num_hashes before trusting the verify
+    threshold at corpus scale. Candidates stay banding + cap bounded;
+    the estimate join costs O(candidates * 16) signature rows."""
+    from flechasdb_spark.operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, max_bucket=64
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -7065,7 +7260,13 @@ DRIVER_ORDER = [
     # both oracle-recomputed], events_retention_cohorts [weekly
     # cohort-retention matrix, integer epoch-week buckets],
     # events_anomaly_zscore [per-type rate z-scores over a GAP-FILLED
-    # hour grid — empty buckets count in the variance].
+    # hour grid — empty buckets count in the variance],
+    # ann_nprobe_recall_curve [recall@k vs nprobe x serving mode
+    # (adc / rerank / rerank_wide) from one frozen index — the FAISS
+    # tuning sweep that localizes which stage caps recall],
+    # minhash_jaccard_error [per-candidate-pair signature-implied
+    # Jaccard vs exact, the sketch-accuracy audit that sizes
+    # num_hashes].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -657,3 +657,33 @@ def test_cdc_chunk_dedup_exact_duplicates_and_empty(spark):
     assert got[1].n_kept == got[1].n_chunks
     assert got[2].n_kept == 0 and got[2].clean_text == ""
     assert got[3].n_chunks == 1  # split('', ' ') -> [''], one chunk
+
+
+def test_minhash_estimate_error_identical_and_disjoint(spark):
+    """Identical docs estimate J=1 exactly (every signature component
+    agrees) with zero error; near-dup pairs report est, exact, and
+    |err| consistently (err == |est - exact| after rounding); the
+    estimate is always a multiple of 1/num_hashes."""
+    from flechasdb_spark.operators.dedup import minhash_estimate_error
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "totally different words here now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in minhash_estimate_error(docs, num_hashes=16, bands=4).collect()
+    }
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12.est_jaccard == 1.0 and r12.exact_jaccard == 1.0
+    assert r12.abs_err == 0.0
+    for r in out.values():
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) <= 1e-4
+        assert round(r.est_jaccard * 16) == r.est_jaccard * 16
+        assert 0.0 <= r.exact_jaccard <= 1.0
