@@ -38,6 +38,8 @@ __all__ = [
     "event_transitions",
     "retention_cohorts",
     "rate_zscores",
+    "rate_stats",
+    "batch_rate_zscores",
 ]
 
 
@@ -359,14 +361,27 @@ def rate_zscores(
     O(types) stats agg joined back broadcast. The corpus is read once.
 
     Returns (event_type, bucket_epoch, cnt, zscore) over the full grid."""
+    full = _gap_filled_counts(events, type_col, ts_col, bucket_seconds)
+    stats = _grid_stats(full)
+    return _attach_zscores(full, stats, bucket_seconds, round_to).select(
+        "event_type", "bucket_epoch", "cnt", "zscore"
+    )
+
+
+def _gap_filled_counts(
+    events: DataFrame, type_col: str, ts_col: str, bucket_seconds: int
+) -> DataFrame:
+    """(event_type, __b, cnt) over the FULL bucket grid (empty buckets
+    as zeros) between the corpus min and max bucket."""
     if bucket_seconds < 1:
         raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
     bucket_ns = int(bucket_seconds) * 1_000_000_000
     b = F.expr(f"CAST(`{ts_col}` div {bucket_ns} AS BIGINT)")
     # checkpoint the tiny O(types * buckets) count table: span, the
-    # type dimension, the grid join AND the stats agg all read it, and
-    # without the checkpoint Catalyst re-derives each consumer's
-    # subtree from the corpus scan (4 full scans at 100 TB; one here)
+    # type dimension, the grid join AND the downstream stats agg all
+    # read it, and without the checkpoint Catalyst re-derives each
+    # consumer's subtree from the corpus scan (4 full scans at 100 TB;
+    # one here)
     counts = (
         events.select(F.col(type_col).alias("event_type"), b.alias("__b"))
         .groupBy("event_type", "__b")
@@ -380,7 +395,7 @@ def rate_zscores(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("__b")
     )
     types = counts.select("event_type").distinct()
-    full = (
+    return (
         types.crossJoin(F.broadcast(grid))
         .join(counts, ["event_type", "__b"], "left")
         .select(
@@ -389,17 +404,29 @@ def rate_zscores(
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         )
     )
-    stats = full.groupBy("event_type").agg(
+
+
+def _grid_stats(full: DataFrame) -> DataFrame:
+    """(event_type, __n, __s1, __s2) — exact-integer sufficient
+    statistics of the gap-filled series."""
+    return full.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("cnt").alias("__s1"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
     )
+
+
+def _attach_zscores(
+    buckets: DataFrame, stats: DataFrame, bucket_seconds: int, round_to: int
+) -> DataFrame:
+    """Join (event_type, __b, cnt) rows against the integer sufficient
+    statistics (broadcast) and emit bucket_epoch + zscore."""
     mean = F.col("__s1").cast("double") / F.col("__n").cast("double")
     var = F.col("__s2").cast("double") / F.col("__n").cast("double") - (
         F.col("__mean") * F.col("__mean")
     )
     joined = (
-        full.join(F.broadcast(stats), "event_type")
+        buckets.join(F.broadcast(stats), "event_type")
         .withColumn("__mean", mean)
         .withColumn("__std", F.sqrt(F.greatest(var, F.lit(0.0))))
     )
@@ -407,8 +434,69 @@ def rate_zscores(
         (F.col("cnt").cast("double") - F.col("__mean")) / F.col("__std")
     )
     return joined.select(
-        "event_type",
+        *[c for c in buckets.columns if c not in ("__b", "cnt")],
         (F.col("__b") * int(bucket_seconds)).alias("bucket_epoch"),
         "cnt",
         F.round(z, round_to).alias("zscore"),
+    )
+
+
+def rate_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """The FROZEN reference for streaming rate anomalies: per-type
+    exact-integer sufficient statistics (n buckets, Σc, Σc²) of the
+    gap-filled historical series — train offline, broadcast at ingest.
+    Integer sums make the downstream z arithmetic deterministic and
+    the reference mergeable (add the sums to extend the history).
+
+    Returns (event_type, n_buckets, sum_cnt, sum_cnt_sq)."""
+    full = _gap_filled_counts(events, type_col, ts_col, bucket_seconds)
+    return _grid_stats(full).select(
+        "event_type",
+        F.col("__n").alias("n_buckets"),
+        F.col("__s1").alias("sum_cnt"),
+        F.col("__s2").alias("sum_cnt_sq"),
+    )
+
+
+def batch_rate_zscores(
+    batch: DataFrame,
+    stats: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    round_to: int = 4,
+) -> DataFrame:
+    """Score ONE batch's per-type bucket counts against a frozen
+    ``rate_stats`` reference: z = (cnt - mean_ref) / std_ref. Only
+    buckets PRESENT in the batch are scored (an ingest monitor cannot
+    see buckets that haven't arrived; quiet-hour detection is the
+    batch-mode ``rate_zscores``' job). Types absent from the reference
+    are dropped — an unknown type has no baseline (surface them with a
+    separate novelty check).
+
+    Per batch: one partial agg to O(types * buckets_present) rows + a
+    broadcast join of the O(types) reference. Returns
+    (event_type, bucket_epoch, cnt, zscore)."""
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    bucket_ns = int(bucket_seconds) * 1_000_000_000
+    b = F.expr(f"CAST(`{ts_col}` div {bucket_ns} AS BIGINT)")
+    counts = (
+        batch.select(F.col(type_col).alias("event_type"), b.alias("__b"))
+        .groupBy("event_type", "__b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = stats.select(
+        "event_type",
+        F.col("n_buckets").alias("__n"),
+        F.col("sum_cnt").alias("__s1"),
+        F.col("sum_cnt_sq").alias("__s2"),
+    )
+    return _attach_zscores(counts, s, bucket_seconds, round_to).select(
+        "event_type", "bucket_epoch", "cnt", "zscore"
     )

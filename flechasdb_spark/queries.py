@@ -6584,6 +6584,101 @@ def q_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_rate_anomaly",
+    """
+WITH c AS (
+  SELECT event_type, floor(epoch(ts) / 3600.0)::BIGINT AS b,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+grid AS (
+  WITH RECURSIVE g(b) AS (
+    SELECT min(b) FROM c
+    UNION ALL
+    SELECT b + 1 FROM g WHERE b < (SELECT max(b) FROM c))
+  SELECT b FROM g),
+types AS (SELECT DISTINCT event_type FROM c),
+full_grid AS (
+  SELECT t.event_type, g.b, coalesce(c.cnt, 0)::BIGINT AS cnt
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN c ON c.event_type = t.event_type AND c.b = g.b),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s1,
+         sum(cnt * cnt)::BIGINT AS s2
+  FROM full_grid GROUP BY 1),
+bb AS (
+  SELECT CASE WHEN event_id < 500 THEN 0 ELSE 1 END AS ingest_batch,
+         event_type, floor(epoch(ts) / 3600.0)::BIGINT AS b
+  FROM events),
+bc AS (SELECT ingest_batch, event_type, b, count(*)::BIGINT AS cnt
+       FROM bb GROUP BY 1, 2, 3),
+m AS (
+  SELECT bc.ingest_batch, bc.event_type, bc.b, bc.cnt,
+         s.s1::DOUBLE / s.n::DOUBLE AS mean,
+         sqrt(greatest(s.s2::DOUBLE / s.n::DOUBLE
+              - (s.s1::DOUBLE / s.n::DOUBLE) * (s.s1::DOUBLE / s.n::DOUBLE),
+              0.0)) AS std
+  FROM bc JOIN stats s USING (event_type))
+SELECT ingest_batch::BIGINT AS ingest_batch, event_type,
+       b * 3600 AS bucket_epoch, cnt,
+       round(CASE WHEN std = 0.0 THEN 0.0
+                  ELSE (cnt::DOUBLE - mean) / std END, 4) AS zscore
+FROM m ORDER BY ingest_batch, event_type, bucket_epoch
+""",
+)
+def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rate-anomaly monitor drained over a bounded two-batch
+    replay (events 0-499, then the rest; arrival order pinned via
+    mtimes): each micro-batch's per-(type, hour) counts scored as
+    z-values against the FROZEN rate_stats reference trained offline on
+    the full gap-filled series (streaming/pipeline.py
+    stream_rate_anomaly; operators/temporal.py rate_stats /
+    batch_rate_zscores). Stateless per batch, so the drained rows equal
+    the per-batch batch computation — the oracle replays both phases in
+    SQL."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.operators.temporal import rate_stats
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_rate_anomaly,
+    )
+
+    ev_all = _t(spark, sf_dir, "events")
+    stats = rate_stats(ev_all)
+    ev = ev_all.select("event_id", "ts", "event_type")
+    tmp = tempfile.mkdtemp(prefix="stream_rate_")
+    src = f"{tmp}/src"
+    ev.where(F.col("event_id") < 500).coalesce(1).write.parquet(f"{src}/b0")
+    ev.where(F.col("event_id") >= 500).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_rate_anomaly(stream, stats, f"{tmp}/anom")
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/anom")
+        .select(
+            F.col("ingest_batch").cast("long").alias("ingest_batch"),
+            "event_type",
+            "bucket_epoch",
+            "cnt",
+            "zscore",
+        )
+        .orderBy("ingest_batch", "event_type", "bucket_epoch")
+    )
+
+
+@query(
     "stream_stream_join",
     """
 WITH l AS (SELECT user_id, event_id, value, ts FROM events
@@ -7266,7 +7361,9 @@ DRIVER_ORDER = [
     # tuning sweep that localizes which stage caps recall],
     # minhash_jaccard_error [per-candidate-pair signature-implied
     # Jaccard vs exact, the sketch-accuracy audit that sizes
-    # num_hashes].
+    # num_hashes], stream_rate_anomaly [per-batch (type, bucket)
+    # z-scores vs a frozen integer-stats reference — the streaming
+    # sibling of events_anomaly_zscore, replay-idempotent].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

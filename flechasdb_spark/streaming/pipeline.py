@@ -51,6 +51,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_quality_filter",
     "stream_token_drift",
+    "stream_rate_anomaly",
     "stream_stream_join",
     "stateful_session_count",
     "run_available_now",
@@ -281,6 +282,56 @@ def stream_dedup(
         "__event_time", F.expr(f"timestamp_micros({time_col_ns} div 1000)")
     ).withWatermark("__event_time", watermark)
     return with_ts.dropDuplicatesWithinWatermark(key_cols).drop("__event_time")
+
+
+def stream_rate_anomaly(
+    events: DataFrame,
+    stats: DataFrame,
+    output_path: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+):
+    """Streaming event-rate anomaly monitor: per micro-batch, score
+    every (type, bucket) count that arrived against a FROZEN
+    ``operators.temporal.rate_stats`` reference trained offline on the
+    historical gap-filled series, and append (event_type, bucket_epoch,
+    cnt, zscore) rows — the ingest-time alarm wire for traffic spikes /
+    collector outages / replay floods, caught per batch instead of in
+    the next batch-mode ``rate_zscores`` run.
+
+    Stateless per batch (the reference never updates in-stream), so the
+    delivery contract is stream_quality_filter's: each batch writes
+    under ``ingest_batch=<id>`` in overwrite mode, committed replays
+    are exact no-ops (_SUCCESS check). Per batch: one partial agg to
+    O(types * buckets_present) rows + the broadcast O(types) reference
+    join. Only buckets present in the batch are scored (an ingest
+    monitor cannot see data that has not arrived); batch-mode
+    ``rate_zscores`` owns quiet-hour detection over the full grid.
+    """
+    from flechasdb_spark.operators.temporal import batch_rate_zscores
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out_dir = f"{output_path}/ingest_batch={batch_id}"
+        spark = batch.sparkSession
+        marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a committed batch: exact no-op
+        batch_rate_zscores(
+            batch, stats,
+            type_col=type_col, ts_col=ts_col,
+            bucket_seconds=bucket_seconds,
+        ).write.mode("overwrite").parquet(out_dir)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_stream_join(

@@ -251,3 +251,37 @@ def test_rate_zscores_gap_filled_grid(spark):
     assert out[("spiky", 3600)][0] == 0 and out[("spiky", 3600)][1] == z_gap
     with pytest.raises(ValueError, match="bucket_seconds"):
         rate_zscores(ev, bucket_seconds=0)
+
+
+def test_batch_rate_zscores_frozen_reference(spark):
+    """Scoring a batch against frozen rate_stats: z uses the REFERENCE
+    mean/std (not the batch's), unknown types are dropped, and only
+    buckets present in the batch are scored."""
+    from flechasdb_spark.operators.temporal import (
+        batch_rate_zscores,
+        rate_stats,
+    )
+
+    h = 3600 * 1_000_000_000
+    hist = spark.createDataFrame(
+        # history: counts 4,0,0,1 for "spiky" -> mean 1.25, std sqrt(2.6875)
+        [(10 + j, j, "spiky") for j in range(4)] + [(20, 3 * h, "spiky")],
+        "event_id long, ts long, event_type string",
+    )
+    stats = rate_stats(hist)
+    batch = spark.createDataFrame(
+        # 3 spiky events land in one NEW bucket; one event of an
+        # unknown type must be dropped (no baseline)
+        [(100 + j, 7 * h + j, "spiky") for j in range(3)]
+        + [(200, 7 * h, "brand_new")],
+        "event_id long, ts long, event_type string",
+    )
+    out = batch_rate_zscores(batch, stats).collect()
+    assert len(out) == 1  # one bucket present, unknown type dropped
+    r = out[0]
+    import math
+
+    mean, var = 1.25, 17 / 4 - 1.25 * 1.25
+    assert r.event_type == "spiky" and r.cnt == 3
+    assert r.bucket_epoch == 7 * 3600
+    assert r.zscore == round((3 - mean) / math.sqrt(var), 4)
