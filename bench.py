@@ -499,6 +499,9 @@ def main() -> None:
         "events_retention_cohorts",
         "events_anomaly_zscore",
         "minhash_jaccard_error",
+        # classifier evaluation: per-label report + margin calibration
+        "nb_classifier_report",
+        "nb_margin_calibration",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

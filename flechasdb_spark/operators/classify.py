@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from flechasdb_spark.functions.texthash import md5_long
 from flechasdb_spark.operators.text import tokens
 
-__all__ = ["nb_train", "nb_score"]
+__all__ = ["nb_train", "nb_score", "nb_score_margin"]
 
 
 def nb_train(
@@ -170,5 +170,89 @@ def nb_score(
             F.coalesce(-F.col("__m.ns"), -F.col("__d.ns")).alias(
                 "score_micro_nats"
             ),
+        )
+    )
+
+
+def nb_score_margin(
+    df: DataFrame,
+    priors: DataFrame,
+    loglik: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score with the top-2 label margin — the classifier's native
+    confidence signal. NB micro-nat scores are not probabilities (a
+    softmax over them would reintroduce order-dependent float sums),
+    but the GAP between the best and second-best label IS an exact
+    integer, and empirical accuracy binned by that gap is the
+    calibration evidence a curation pipeline needs before thresholding
+    a quality/domain classifier at corpus scale (the fastText-filter
+    practice of keeping only confident predictions).
+
+    Plan: the same one-shuffle per-(doc, bucket) count table as
+    ``nb_score``, broadcast-joined to the dense O(L x B) loglik; the
+    full docs x L score table is then a broadcast cross join of the
+    O(L) priors against the doc spine (BroadcastNestedLoopJoin — map
+    side, no shuffle) left-joined to the per-(doc, label) sums, so
+    documents with no tokens score priors-only without a special case.
+    Top-2 per doc via ``row_number() <= 2`` (WindowGroupLimit pushes
+    the limit into the sort — never a full per-doc sort spill).
+
+    margin_micro_nats = score(top1) - score(top2); a single-label
+    model has no runner-up and reports margin 0 (fully ambiguous
+    would also be 0 — callers with L = 1 have no decision to audit).
+
+    Returns (id_col, predicted, score_micro_nats, margin_micro_nats).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    dtok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    dbc = dtok.select(
+        id_col, (md5_long(F.col("__tok")) % B).alias("__b")
+    ).groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    sums = (
+        dbc.join(F.broadcast(loglik), dbc["__b"] == loglik["bucket"])
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("__c") * F.col("loglik_lq")).alias("__s"))
+    )
+    base = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(priors))
+        .join(sums, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (F.col("prior_lq") + F.coalesce(F.col("__s"), F.lit(0)))
+            .cast("long")
+            .alias("__score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("label").asc()
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("label"))).alias(
+                "predicted"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("__score"))).alias("__s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("__score"))).alias("__s2"),
+        )
+        .select(
+            id_col,
+            "predicted",
+            F.col("__s1").cast("long").alias("score_micro_nats"),
+            (F.col("__s1") - F.coalesce(F.col("__s2"), F.col("__s1")))
+            .cast("long")
+            .alias("margin_micro_nats"),
         )
     )

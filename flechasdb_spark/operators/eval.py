@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "index_partition_stats", "rank_metrics"]
+__all__ = [
+    "recall_at_k",
+    "index_partition_stats",
+    "rank_metrics",
+    "classification_report",
+    "margin_calibration",
+]
 
 
 def recall_at_k(
@@ -165,4 +171,125 @@ def rank_metrics(
                 4,
             ).alias("ndcg"),
         )
+    )
+
+
+def classification_report(
+    scored: DataFrame,
+    actual_col: str = "actual",
+    pred_col: str = "predicted",
+) -> DataFrame:
+    """Per-label precision/recall/F1 from a (actual, predicted) frame —
+    the audit a curation pipeline runs before trusting a quality/domain
+    classifier's labels to route 100 TB of documents (the fastText-
+    filter practice: inspect per-class errors, not just accuracy).
+
+    Plan: ONE partial-aggregable shuffle collapses the corpus to the
+    O(L^2) confusion table; every per-label count (support, n_pred,
+    tp) is then an agg over THAT table, and the label spine is a full
+    outer join of the two tiny marginals — a label that only ever
+    appears as a prediction (or only in truth) still gets a row, with
+    the undefined ratio reported as 0.0 by the usual convention.
+
+    precision = tp / n_pred, recall = tp / support,
+    f1 = 2 p r / (p + r) computed from the UNROUNDED ratios, each
+    rounded to 4 decimals only at the output — integer counts
+    everywhere else, so the report is engine-exact.
+
+    Returns (label, support, n_pred, tp, precision, recall, f1),
+    one row per label in truth OR predictions.
+    """
+    conf = scored.groupBy(
+        F.col(actual_col).alias("__a"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    support = conf.groupBy(F.col("__a").alias("label")).agg(
+        F.sum("__c").alias("support")
+    )
+    n_pred = conf.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__c").alias("n_pred")
+    )
+    tp = (
+        conf.where(F.col("__a") == F.col("__p"))
+        .select(F.col("__a").alias("label"), F.col("__c").alias("tp"))
+    )
+    prec = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("n_pred")
+    )
+    rec = F.when(F.col("support") == 0, F.lit(0.0)).otherwise(
+        F.col("tp").cast("double") / F.col("support")
+    )
+    return (
+        support.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias(
+                "support"
+            ),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias(
+                "n_pred"
+            ),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        )
+        .select(
+            "label",
+            "support",
+            "n_pred",
+            "tp",
+            F.round(prec, 4).alias("precision"),
+            F.round(rec, 4).alias("recall"),
+            F.round(
+                F.when(prec + rec == 0, F.lit(0.0)).otherwise(
+                    2.0 * prec * rec / (prec + rec)
+                ),
+                4,
+            ).alias("f1"),
+        )
+    )
+
+
+def margin_calibration(
+    scored: DataFrame,
+    margin_col: str = "margin_micro_nats",
+    correct_col: str = "correct",
+    bin_width: int = 100_000,
+    max_bin: int = 9,
+) -> DataFrame:
+    """Reliability table over the classifier's top-2 score margin: bin
+    predictions by confidence gap (integer micro-nats, so the binning
+    is exact integer division — no float bucket-edge ambiguity) and
+    report empirical accuracy per bin. A well-behaved classifier's
+    accuracy rises monotonically with margin; the table is how a
+    pipeline picks the "keep only confident predictions" threshold
+    with evidence instead of folklore.
+
+    ``max_bin`` caps the top bin (open-ended: everything at or above
+    max_bin * bin_width), bounding the output no matter how confident
+    the tail gets. One partial-aggregable shuffle to O(max_bin + 1)
+    rows — at 100 TB the map-side combine absorbs the corpus and the
+    shuffle carries a handful of (bin, count, count_correct) triples
+    per task.
+
+    Returns (bin, margin_lo, n, n_correct, accuracy) sorted by bin.
+    """
+    w = int(bin_width)
+    b = F.least(
+        F.expr(f"{margin_col} DIV {w}"), F.lit(int(max_bin))
+    ).cast("long")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(correct_col).cast("long")).alias("n_correct"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * w).cast("long").alias("margin_lo"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.round(F.col("n_correct").cast("double") / F.col("n"), 4).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("bin")
     )

@@ -4568,6 +4568,146 @@ def q_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE chain for the NB evaluation rows: identical train/score
+# arithmetic to the nb_source_classifier oracle, ending at the
+# docs x L ranked score table.
+_NB_EVAL_CTES = f"""
+WITH d AS (SELECT doc_id, source, {_DD_TOKS} AS toks FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % 4 <= 1),
+eval AS (SELECT * FROM d WHERE doc_id % 4 >= 2),
+nd AS (SELECT source AS label, count(*)::BIGINT AS dl FROM train
+       GROUP BY source),
+tt AS (SELECT sum(dl)::BIGINT AS t FROM nd),
+priors AS (SELECT label, round((ln(dl) - ln(t)) * 1e6)::BIGINT
+             AS prior_lq FROM nd, tt),
+ttok AS (SELECT source AS label, unnest(toks) AS tok FROM train),
+tb AS (SELECT label, {_DD_MD5H.format(x="tok")} % 256 AS b FROM ttok),
+cnt AS (SELECT label, b, count(*)::BIGINT AS c FROM tb GROUP BY label, b),
+nl AS (SELECT label, sum(c)::BIGINT AS n FROM cnt GROUP BY label),
+grid AS (SELECT nd.label, coalesce(nl.n, 0) AS n, gs.b
+         FROM nd LEFT JOIN nl USING (label)
+         CROSS JOIN (SELECT unnest(range(256)) AS b) gs),
+ll AS (SELECT grid.label, grid.b,
+              round((ln(coalesce(cnt.c, 0) + 1) - ln(grid.n + 256))
+                    * 1e6)::BIGINT AS lq
+       FROM grid LEFT JOIN cnt ON grid.label = cnt.label
+                              AND grid.b = cnt.b),
+etok AS (SELECT doc_id, unnest(toks) AS tok FROM eval),
+eb AS (SELECT doc_id, {_DD_MD5H.format(x="tok")} % 256 AS b FROM etok),
+ebc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM eb
+        GROUP BY doc_id, b),
+sums AS (SELECT ebc.doc_id, ll.label, sum(ebc.c * ll.lq)::BIGINT AS s
+         FROM ebc JOIN ll ON ebc.b = ll.b GROUP BY ebc.doc_id, ll.label),
+base AS (SELECT ev.doc_id, p.label,
+                (p.prior_lq + coalesce(s.s, 0))::BIGINT AS score
+         FROM (SELECT doc_id FROM eval) ev
+         CROSS JOIN priors p
+         LEFT JOIN sums s ON s.doc_id = ev.doc_id AND s.label = p.label),
+best AS (SELECT doc_id, label, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label ASC) AS rn
+         FROM base)
+"""
+
+
+@query(
+    "nb_classifier_report",
+    _NB_EVAL_CTES
+    + """,
+pred AS (SELECT b.doc_id, b.label AS predicted, ev.source AS actual
+         FROM best b JOIN eval ev USING (doc_id) WHERE b.rn = 1),
+conf AS (SELECT actual, predicted, count(*)::BIGINT AS c FROM pred
+         GROUP BY actual, predicted),
+sup AS (SELECT actual AS label, sum(c)::BIGINT AS support FROM conf
+        GROUP BY actual),
+np AS (SELECT predicted AS label, sum(c)::BIGINT AS n_pred FROM conf
+       GROUP BY predicted),
+tp AS (SELECT actual AS label, c::BIGINT AS tp FROM conf
+       WHERE actual = predicted),
+spine AS (SELECT coalesce(sup.label, np.label) AS label,
+                 coalesce(sup.support, 0)::BIGINT AS support,
+                 coalesce(np.n_pred, 0)::BIGINT AS n_pred
+          FROM sup FULL OUTER JOIN np ON sup.label = np.label),
+r AS (SELECT s.label, s.support, s.n_pred,
+             coalesce(tp.tp, 0)::BIGINT AS tp,
+             CASE WHEN s.n_pred = 0 THEN 0.0
+                  ELSE coalesce(tp.tp, 0)::DOUBLE / s.n_pred END AS p,
+             CASE WHEN s.support = 0 THEN 0.0
+                  ELSE coalesce(tp.tp, 0)::DOUBLE / s.support END AS rc
+      FROM spine s LEFT JOIN tp ON s.label = tp.label)
+SELECT label, support, n_pred, tp,
+       round(p, 4) AS precision,
+       round(rc, 4) AS recall,
+       round(CASE WHEN p + rc = 0 THEN 0.0
+                  ELSE 2.0 * p * rc / (p + rc) END, 4) AS f1
+FROM r ORDER BY label
+""",
+)
+def q_nb_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label precision/recall/F1 for the hashed-NB domain
+    classifier on the held-out quarter-split — the per-class error
+    audit (not just accuracy) a pipeline runs before letting a
+    quality/domain classifier route documents. One corpus-grain
+    shuffle to the O(L^2) confusion table; everything after is
+    label-count arithmetic over tiny marginals."""
+    from flechasdb_spark.operators.classify import nb_score, nb_train
+    from flechasdb_spark.operators.eval import classification_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 4 <= 1)
+    ev = docs.where(F.col("doc_id") % 4 >= 2)
+    priors, loglik = nb_train(train)
+    scored = nb_score(ev, priors, loglik).join(
+        ev.select("doc_id", F.col("source").alias("actual")), "doc_id"
+    )
+    return classification_report(scored).orderBy("label")
+
+
+@query(
+    "nb_margin_calibration",
+    _NB_EVAL_CTES
+    + """,
+top2 AS (SELECT doc_id,
+                max(CASE WHEN rn = 1 THEN label END) AS predicted,
+                max(CASE WHEN rn = 1 THEN score END)::BIGINT AS s1,
+                max(CASE WHEN rn = 2 THEN score END)::BIGINT AS s2
+         FROM best WHERE rn <= 2 GROUP BY doc_id),
+m AS (SELECT t.doc_id,
+             (t.s1 - coalesce(t.s2, t.s1))::BIGINT AS margin,
+             (t.predicted = ev.source) AS correct
+      FROM top2 t JOIN eval ev USING (doc_id)),
+bins AS (SELECT least(margin // 100000, 9)::BIGINT AS bin,
+                count(*)::BIGINT AS n,
+                sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT
+                  AS n_correct
+         FROM m GROUP BY 1)
+SELECT bin, (bin * 100000)::BIGINT AS margin_lo, n, n_correct,
+       round(n_correct::DOUBLE / n, 4) AS accuracy
+FROM bins ORDER BY bin
+""",
+)
+def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the NB classifier: bin held-out
+    predictions by the top-2 score margin (exact integer micro-nats —
+    the classifier's native confidence, with no order-dependent
+    softmax) and report empirical accuracy per bin. This is how the
+    "keep only confident predictions" threshold of a fastText-style
+    corpus filter gets picked with evidence. Margin via
+    WindowGroupLimit-bounded row_number <= 2 over the docs x L score
+    table; the calibration agg collapses to O(10) rows."""
+    from flechasdb_spark.operators.classify import nb_score_margin, nb_train
+    from flechasdb_spark.operators.eval import margin_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 4 <= 1)
+    ev = docs.where(F.col("doc_id") % 4 >= 2)
+    priors, loglik = nb_train(train)
+    scored = nb_score_margin(ev, priors, loglik).join(
+        ev.select("doc_id", "source"), "doc_id"
+    ).withColumn("correct", F.col("predicted") == F.col("source"))
+    return margin_calibration(scored).orderBy("bin")
+
+
 @query(
     "lang_id",
     f"""
@@ -7363,7 +7503,11 @@ DRIVER_ORDER = [
     # Jaccard vs exact, the sketch-accuracy audit that sizes
     # num_hashes], stream_rate_anomaly [per-batch (type, bucket)
     # z-scores vs a frozen integer-stats reference — the streaming
-    # sibling of events_anomaly_zscore, replay-idempotent].
+    # sibling of events_anomaly_zscore, replay-idempotent],
+    # nb_classifier_report [per-label precision/recall/F1 confusion
+    # audit of the hashed-NB classifier], nb_margin_calibration
+    # [reliability bins over the exact integer top-2 score margin —
+    # the evidence behind a confidence-threshold corpus filter].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

@@ -421,3 +421,26 @@ def test_interval_overlap_join_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_margin_top2_is_window_group_limit(spark):
+    """The top-2-per-doc over the docs x L score table must compile to
+    WindowGroupLimit (partial limit before the exchange), the model
+    joins must broadcast, and the only nested-loop join is the
+    deliberate O(L)-row prior cross join -- never a data x data
+    cartesian."""
+    plan = _plan(spark, "nb_margin_calibration")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_classification_report_aggregates_before_joins(spark):
+    """The report must collapse the corpus to the O(L^2) confusion
+    table in ONE hash aggregate before any marginal join: the
+    per-label joins happen between aggregated tiny tables, so no
+    corpus-sized sort or cartesian survives."""
+    plan = _plan(spark, "nb_classifier_report")
+    assert "CartesianProduct" not in plan
+    # marginals meet through hash joins over aggregated inputs
+    assert "HashAggregate" in plan
