@@ -502,6 +502,7 @@ def main() -> None:
         # classifier evaluation: per-label report + margin calibration
         "nb_classifier_report",
         "nb_margin_calibration",
+        "lang_id_report",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

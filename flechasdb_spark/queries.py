@@ -4736,6 +4736,70 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_report",
+    f"""
+WITH d AS (SELECT doc_id, lang, {_DD_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS c_en,
+         len(list_filter(toks, t -> list_contains({_SW["de"]}, t))) AS c_de,
+         len(list_filter(toks, t -> list_contains({_SW["fr"]}, t))) AS c_fr,
+         len(list_filter(toks, t -> list_contains({_SW["es"]}, t))) AS c_es
+  FROM d),
+pred AS (SELECT lang AS actual,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'fr' END AS predicted
+  FROM c),
+conf AS (SELECT actual, predicted, count(*)::BIGINT AS c FROM pred
+         GROUP BY actual, predicted),
+sup AS (SELECT actual AS label, sum(c)::BIGINT AS support FROM conf
+        GROUP BY actual),
+np AS (SELECT predicted AS label, sum(c)::BIGINT AS n_pred FROM conf
+       GROUP BY predicted),
+tp AS (SELECT actual AS label, c::BIGINT AS tp FROM conf
+       WHERE actual = predicted),
+spine AS (SELECT coalesce(sup.label, np.label) AS label,
+                 coalesce(sup.support, 0)::BIGINT AS support,
+                 coalesce(np.n_pred, 0)::BIGINT AS n_pred
+          FROM sup FULL OUTER JOIN np ON sup.label = np.label),
+r AS (SELECT s.label, s.support, s.n_pred,
+             coalesce(tp.tp, 0)::BIGINT AS tp,
+             CASE WHEN s.n_pred = 0 THEN 0.0
+                  ELSE coalesce(tp.tp, 0)::DOUBLE / s.n_pred END AS p,
+             CASE WHEN s.support = 0 THEN 0.0
+                  ELSE coalesce(tp.tp, 0)::DOUBLE / s.support END AS rc
+      FROM spine s LEFT JOIN tp ON s.label = tp.label)
+SELECT label, support, n_pred, tp,
+       round(p, 4) AS precision,
+       round(rc, 4) AS recall,
+       round(CASE WHEN p + rc = 0 THEN 0.0
+                  ELSE 2.0 * p * rc / (p + rc) END, 4) AS f1
+FROM r ORDER BY label
+""",
+)
+def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the stopword language
+    identifier against the corpus's real ``lang`` labels — the second
+    consumer of ``classification_report``, and the one that exercises
+    BOTH outer branches of its label spine on real data: ``zh`` exists
+    only in truth (no zh stopword list — its recall row quantifies the
+    identifier's blind spot), ``unknown`` only in predictions. The
+    operational read: which languages can this cheap heuristic route
+    reliably, and which need a real model."""
+    from flechasdb_spark.operators.eval import classification_report
+    from flechasdb_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id(docs).join(
+        docs.select("doc_id", F.col("lang").alias("actual")), "doc_id"
+    ).select("actual", F.col("pred_lang").alias("predicted"))
+    return classification_report(scored).orderBy("label")
+
+
+@query(
     "doc_fingerprint",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
