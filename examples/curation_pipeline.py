@@ -226,6 +226,42 @@ def main() -> None:
     )
     print(f"nb classify:  {preds.count()} docs scored, source acc {acc}")
 
+    # final r6: before USING the classifier to route documents, audit
+    # it — per-label precision/recall/F1 (which classes it can route)
+    # and margin calibration (what confidence threshold earns trust)
+    from flechasdb_spark.operators.classify import nb_score_margin
+    from flechasdb_spark.operators.eval import (
+        classification_report,
+        margin_calibration,
+    )
+
+    ev = clean_docs.where(F.col("doc_id") % 4 >= 2)
+    rep = classification_report(
+        nb_score(ev, priors, loglik).join(
+            docs.select("doc_id", F.col("source").alias("actual")), "doc_id"
+        )
+    )
+    worst = rep.orderBy("f1").first()
+    print(
+        f"nb report:    {rep.count()} labels, worst f1 {worst.f1}"
+        f" ({worst.label})"
+    )
+    cal = margin_calibration(
+        nb_score_margin(ev, priors, loglik)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("correct", F.col("predicted") == F.col("source"))
+    ).collect()
+    trusted = [r.margin_lo for r in cal if r.accuracy >= 0.9]
+    print(
+        "nb calibration: "
+        + " ".join(f"bin{r.bin}:{r.accuracy}" for r in cal)
+        + (
+            f" -> margin >= {min(trusted)} micro-nats clears 0.9"
+            if trusted
+            else " -> no bin clears 0.9; do not threshold-filter"
+        )
+    )
+
     # r6: offset-robust CDC chunk dedup on the final pool (catches
     # shifted duplicate passages fixed segments cannot), and a real
     # BPE vocabulary for the trainer
