@@ -190,6 +190,13 @@ def classification_report(
     outer join of the two tiny marginals — a label that only ever
     appears as a prediction (or only in truth) still gets a row, with
     the undefined ratio reported as 0.0 by the usual convention.
+    The confusion table is eagerly ``localCheckpoint``ed before the
+    marginals branch off it: three DataFrame branches over one parent
+    would otherwise re-execute the ENTIRE upstream scoring lineage
+    three times (measured 4.4 s vs 2.0 s for the bare classifier at
+    sf0.1 — at corpus scale, three full passes instead of one); the
+    checkpoint pins the one corpus pass and the branches read O(L^2)
+    materialized rows.
 
     precision = tp / n_pred, recall = tp / support,
     f1 = 2 p r / (p + r) computed from the UNROUNDED ratios, each
@@ -199,9 +206,13 @@ def classification_report(
     Returns (label, support, n_pred, tp, precision, recall, f1),
     one row per label in truth OR predictions.
     """
-    conf = scored.groupBy(
-        F.col(actual_col).alias("__a"), F.col(pred_col).alias("__p")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    conf = (
+        scored.groupBy(
+            F.col(actual_col).alias("__a"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     support = conf.groupBy(F.col("__a").alias("label")).agg(
         F.sum("__c").alias("support")
     )

@@ -437,10 +437,19 @@ def test_nb_margin_top2_is_window_group_limit(spark):
 
 def test_classification_report_aggregates_before_joins(spark):
     """The report must collapse the corpus to the O(L^2) confusion
-    table in ONE hash aggregate before any marginal join: the
-    per-label joins happen between aggregated tiny tables, so no
-    corpus-sized sort or cartesian survives."""
+    table in ONE pass: the table is localCheckpointed before the three
+    marginal branches read it, so the final plan scans the
+    materialized rows (ExistingRDD) and re-derives NO upstream lineage
+    (no token explode = Generate, no corpus scan) — without the
+    checkpoint the three branches re-executed the whole scoring
+    lineage three times (measured 4.4 s vs 2.0 s for the bare
+    classifier at sf0.1)."""
     plan = _plan(spark, "nb_classifier_report")
     assert "CartesianProduct" not in plan
-    # marginals meet through hash joins over aggregated inputs
-    assert "HashAggregate" in plan
+    assert "ExistingRDD" in plan, "confusion table must be materialized"
+    assert "Generate" not in plan, (
+        "final plan must not re-derive the token explode"
+    )
+    assert "Scan parquet" not in plan, (
+        "final plan must not rescan the corpus"
+    )
