@@ -30,6 +30,7 @@ __all__ = [
     "source_mix_report",
     "cluster_balanced_sample",
     "weighted_sample_topk",
+    "quality_ensemble",
     "SPLIT_BUCKETS",
 ]
 
@@ -718,4 +719,118 @@ def weighted_sample_topk(
             "weight",
             F.col("__lnk").alias("lnk_micro"),
         )
+    )
+
+
+def quality_ensemble(
+    signals: DataFrame,
+    spec: list[tuple[str, bool]],
+    id_col: str = "doc_id",
+    n_bins: int = 256,
+) -> DataFrame:
+    """Blend heterogeneous quality signals into one percentile-rank
+    composite — the "ensemble of quality scorers" step production
+    curation pipelines run before mixing (DataComp/Nemotron-CC
+    practice: no single signal is trusted alone; rank-averaging makes
+    signals with wildly different scales commensurable and is robust
+    to any one signal's outliers).
+
+    ``signals`` carries one row per document with INTEGER signal
+    columns; ``spec`` lists (column, higher_is_better). Every step is
+    exact integer arithmetic, so the composite is engine-exact:
+
+    1. one 1-row agg takes min/max per signal (broadcast);
+    2. equi-width bucket index b = (x - min) * n_bins DIV
+       (max - min + 1) — integer division, no float bucket edges;
+    3. one shuffle collapses the corpus to O(k * n_bins) bucket
+       counts (the per-doc bucket columns melt through ONE explode,
+       so k signals still cost one corpus-grain agg, map-side
+       combined);
+    4. per-bucket percentile = docs-strictly-WORSE * 10000 DIV total
+       (worse = below for higher-is-better signals, above for
+       lower-is-better — ties score identically on both engines),
+       a window over the TINY count table;
+    5. per-doc scoring is map-only: k broadcast equi-joins of the
+       O(n_bins) lookup, blend = sum(pct) DIV k in basis points.
+
+    A constant signal (min = max) puts every doc in bucket 0 with 0
+    docs strictly worse — pct 0 for everyone, shifting the blend
+    uniformly and changing no ranking. Scale: two corpus-grain
+    passes (min/max + bucket counts) and a map-only score; nothing
+    downstream ever sees more than O(k * n_bins) rows.
+
+    Returns (id_col, <col>_pct per signal, blend_bp), blend in
+    [0, 10000] basis points, higher = better on every column.
+    """
+    k = len(spec)
+    if k == 0:
+        raise ValueError("spec must name at least one signal column")
+    B = int(n_bins)
+    aggs = []
+    for c, _ in spec:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    mm = signals.agg(*aggs)
+    with_buckets = signals.crossJoin(F.broadcast(mm)).select(
+        id_col,
+        *[
+            F.expr(
+                f"(({c} - __mn_{c}) * {B})"
+                f" DIV (__mx_{c} - __mn_{c} + 1)"
+            ).alias(f"__b_{c}")
+            for c, _ in spec
+        ],
+    )
+    # integer DIV throughout (a double quotient can round UP across an
+    # integer edge on large numerators, so floor-after-float-divide is
+    # NOT engine-exact); melt all k bucket columns through one explode
+    # -> one corpus-grain agg
+    melted = with_buckets.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("sig"), F.col(f"__b_{c}").alias("b")
+                    )
+                    for c, _ in spec
+                ]
+            )
+        ).alias("__e")
+    ).select(F.col("__e.sig").alias("sig"), F.col("__e.b").alias("b"))
+    counts = melted.groupBy("sig", "b").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig").orderBy("b")
+    tot = Window.partitionBy("sig")
+    lookup = counts.select(
+        "sig",
+        "b",
+        (F.sum("__c").over(w) - F.col("__c")).alias("__below"),
+        (F.sum("__c").over(tot)).alias("__tot"),
+        F.col("__c").alias("__at"),
+    ).localCheckpoint(eager=True)
+    out = with_buckets
+    pct_cols = []
+    for c, higher_better in spec:
+        lk = lookup.where(F.col("sig") == c)
+        worse = (
+            F.col("__below")
+            if higher_better
+            else F.col("__tot") - F.col("__below") - F.col("__at")
+        )
+        lk = lk.select(
+            F.col("b").alias(f"__b_{c}"),
+            worse.alias("__worse"),
+            F.col("__tot"),
+        ).select(
+            f"__b_{c}",
+            F.expr("(__worse * 10000) DIV __tot").alias(f"{c}_pct"),
+        )
+        out = out.join(F.broadcast(lk), f"__b_{c}")
+        pct_cols.append(f"{c}_pct")
+    blend_sum = " + ".join(pct_cols)
+    return out.select(
+        id_col,
+        *pct_cols,
+        F.expr(f"({blend_sum}) DIV {k}").alias("blend_bp"),
     )

@@ -4709,6 +4709,110 @@ def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_ensemble_rank",
+    f"""
+WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+          i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2
+      FROM d),
+s AS (SELECT doc_id,
+        len(list_distinct(toks))::BIGINT AS rich,
+        ((len(g2) - len(list_distinct(g2))) * 10000
+          // greatest(len(g2), 1))::BIGINT AS dup2,
+        (coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+          * 100 // greatest(len(toks), 1))::BIGINT AS wlen
+      FROM g),
+mm AS (SELECT min(rich) AS mn1, max(rich) AS mx1,
+              min(dup2) AS mn2, max(dup2) AS mx2,
+              min(wlen) AS mn3, max(wlen) AS mx3 FROM s),
+b AS (SELECT doc_id,
+        ((rich - mn1) * 256 // (mx1 - mn1 + 1))::BIGINT AS b1,
+        ((dup2 - mn2) * 256 // (mx2 - mn2 + 1))::BIGINT AS b2,
+        ((wlen - mn3) * 256 // (mx3 - mn3 + 1))::BIGINT AS b3
+      FROM s, mm),
+c1 AS (SELECT b1 AS b, count(*)::BIGINT AS c FROM b GROUP BY b1),
+c2 AS (SELECT b2 AS b, count(*)::BIGINT AS c FROM b GROUP BY b2),
+c3 AS (SELECT b3 AS b, count(*)::BIGINT AS c FROM b GROUP BY b3),
+l1 AS (SELECT b, sum(c) OVER (ORDER BY b) - c AS below,
+              sum(c) OVER () AS tot, c AS at FROM c1),
+l2 AS (SELECT b, sum(c) OVER (ORDER BY b) - c AS below,
+              sum(c) OVER () AS tot, c AS at FROM c2),
+l3 AS (SELECT b, sum(c) OVER (ORDER BY b) - c AS below,
+              sum(c) OVER () AS tot, c AS at FROM c3),
+p1 AS (SELECT b, (below * 10000 // tot)::BIGINT AS pct FROM l1),
+p2 AS (SELECT b, ((tot - below - at) * 10000 // tot)::BIGINT AS pct
+       FROM l2),
+p3 AS (SELECT b, (below * 10000 // tot)::BIGINT AS pct FROM l3)
+SELECT b.doc_id,
+       p1.pct AS rich_pct, p2.pct AS dup2_pct, p3.pct AS wlen_pct,
+       ((p1.pct + p2.pct + p3.pct) // 3)::BIGINT AS blend_bp
+FROM b JOIN p1 ON b.b1 = p1.b
+       JOIN p2 ON b.b2 = p2.b
+       JOIN p3 ON b.b3 = p3.b
+ORDER BY b.doc_id
+""",
+)
+def q_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality composite (the DataComp/Nemotron-CC practice of
+    rank-averaging multiple quality signals instead of trusting one):
+    three integer per-doc signals — lexical richness (distinct tokens,
+    higher better), duplicate-2gram basis points (lower better), mean
+    token length in centichars (higher better) — each mapped to its
+    corpus percentile through exact integer equi-width buckets, then
+    averaged in basis points. Two corpus-grain passes (1-row min/max
+    agg + one melted bucket-count agg) and a map-only score via
+    broadcast O(256) lookups; every division is integer DIV, so the
+    composite is engine-exact."""
+    from flechasdb_spark.operators.sampling import quality_ensemble
+    from flechasdb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("__t"))
+    tc = F.col("__t")
+    base = base.withColumn(
+        "__g2",
+        # size < 2 must not reach the sequence: F.sequence(1, 0) yields
+        # a DESCENDING [1, 0] in Spark while DuckDB's generate_series
+        # is empty (same guard as rank_metrics' ideal-DCG explode)
+        F.when(
+            F.size(tc) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tc) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tc, i, 2)),
+            )
+        ),
+    )
+    signals = base.select(
+        "doc_id",
+        F.size(F.array_distinct(tc)).cast("long").alias("rich"),
+        F.expr(
+            "(size(__g2) - size(array_distinct(__g2))) * 10000"
+            " DIV greatest(size(__g2), 1)"
+        ).alias("dup2"),
+        F.expr(
+            "aggregate(__t, 0L, (a, x) -> a + length(x)) * 100"
+            " DIV greatest(size(__t), 1)"
+        ).alias("wlen"),
+    )
+    return (
+        quality_ensemble(
+            signals,
+            [("rich", True), ("dup2", False), ("wlen", True)],
+        )
+        .select(
+            "doc_id",
+            "rich_pct",
+            "dup2_pct",
+            "wlen_pct",
+            "blend_bp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "lang_id",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
@@ -7571,7 +7675,11 @@ DRIVER_ORDER = [
     # nb_classifier_report [per-label precision/recall/F1 confusion
     # audit of the hashed-NB classifier], nb_margin_calibration
     # [reliability bins over the exact integer top-2 score margin —
-    # the evidence behind a confidence-threshold corpus filter].
+    # the evidence behind a confidence-threshold corpus filter],
+    # lang_id_report [the report reused against real lang labels],
+    # quality_ensemble_rank [rank-averaged multi-signal quality
+    # composite via exact integer percentile buckets — the
+    # DataComp/Nemotron ensemble-scoring practice].
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",

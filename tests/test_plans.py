@@ -453,3 +453,14 @@ def test_classification_report_aggregates_before_joins(spark):
     assert "Scan parquet" not in plan, (
         "final plan must not rescan the corpus"
     )
+
+
+def test_quality_ensemble_lookups_are_broadcast(spark):
+    """The O(256) percentile lookups must be materialized once
+    (localCheckpoint -> ExistingRDD) and meet the per-doc bucket
+    columns through broadcast hash joins; the only nested-loop join is
+    the 1-row min/max broadcast. No cartesian, no corpus-sized sort."""
+    plan = _plan(spark, "quality_ensemble_rank")
+    assert "ExistingRDD" in plan, "percentile lookup must be materialized"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
