@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_media_dir", "sniff_format"]
+__all__ = ["read_media_dir", "sniff_format", "payload_projection"]
+
+# the binaryFile source's fixed schema, needed explicitly by the
+# STREAMING reader (file stream sources require a user schema)
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
 # magic-byte prefixes -> declared format, checked in order; the RIFF
 # container disambiguates on the form type at offset 9
@@ -84,7 +90,14 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    raw = reader.load(path)
+    return payload_projection(reader.load(path))
+
+
+def payload_projection(raw: DataFrame) -> DataFrame:
+    """Reshape a binaryFile frame (batch or streaming — the projection
+    is stateless, so it is legal on an unbounded stream) into the
+    payload contract: content-addressed id, provenance path, opaque
+    payload, magic-sniffed typed metadata."""
     return raw.select(
         F.conv(F.substring(F.md5("content"), 1, 15), 16, 10)
         .cast("long")

@@ -704,3 +704,62 @@ def stream_token_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_media_ingest(
+    spark,
+    media_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    glob: str | None = None,
+    fake: bool = False,
+):
+    """Incremental media-file ingest: watch a directory with the
+    binaryFile FILE STREAM source, reshape each newly-arrived file into
+    the payload contract (content-addressed id, magic-sniffed format),
+    decode image payloads, and append (doc_id, width, height,
+    features) to ``output_path``. Returns the streaming query handle
+    (availableNow trigger — drain what exists, then stop; production
+    would run processingTime).
+
+    Exactly-once per FILE: the file stream source commits seen file
+    paths to the checkpoint, so a restart re-lists the directory but
+    reprocesses nothing already committed — the media sibling of
+    ``incremental_encode``'s contract, with the source itself (not a
+    foreachBatch dedup) providing the idempotence. Non-image payloads
+    are filtered out JVM-side before any Python decode runs; the
+    decode is the same Arrow-batched ``mapInPandas`` kernel the batch
+    path uses (``fake=False`` -> real BMP/PPM decoders).
+
+    Scale: each micro-batch pays one list + bin-packed read of only
+    the NEW files; decode rides the scan map-only (plan-gated for the
+    batch kernel in test_plans.py); the parquet sink appends without
+    touching history.
+    """
+    from flechasdb_spark.operators.multimodal import decode_image
+    from flechasdb_spark.sources.media import (
+        BINARY_FILE_SCHEMA,
+        payload_projection,
+    )
+
+    reader = spark.readStream.format("binaryFile").schema(
+        BINARY_FILE_SCHEMA
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    media = payload_projection(reader.load(media_dir))
+    imgs = media.where(
+        F.col("media_meta.format").startswith("image/")
+    )
+    # decode_image's kernel carries (id, payload) only; provenance
+    # stays recoverable from the content-addressed id (re-list with
+    # read_media_dir), so the feature sink stays narrow
+    feats = decode_image(imgs.select("doc_id", "payload"), fake=fake)
+    return (
+        feats.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -698,3 +698,64 @@ def test_stream_quality_filter_matches_batch_classifier(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert again == got
+
+
+def test_stream_media_ingest_incremental_exactly_once(spark, tmp_path):
+    """Files -> binaryFile file stream -> payload contract -> real
+    decoders -> parquet sink. Second run after adding one file must
+    process ONLY the new file (source checkpoint = exactly-once per
+    file), and features must equal the batch decode of the same dir."""
+    import numpy as np
+
+    from flechasdb_spark.operators.multimodal import decode_image
+    from flechasdb_spark.sources.media import read_media_dir
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_media_ingest,
+    )
+    from tests.test_multimodal import _bmp_bytes, _wav_bytes
+
+    media = tmp_path / "in"
+    media.mkdir()
+    rng = np.random.RandomState(11)
+    for i in range(3):
+        px = rng.randint(0, 256, size=(34 + i, 30, 3)).astype("uint8")
+        (media / f"img{i}.bmp").write_bytes(_bmp_bytes(px))
+    # a non-image file must be filtered JVM-side, not crash the decoder
+    (media / "noise.wav").write_bytes(
+        _wav_bytes(np.sin(np.linspace(0, 20, 200)))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_media_ingest(spark, str(media), out, ckpt, fake=False)
+    run_available_now(q)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 3
+    # add one more file; restart from the same checkpoint
+    px = rng.randint(0, 256, size=(50, 44, 3)).astype("uint8")
+    (media / "late.bmp").write_bytes(_bmp_bytes(px))
+    q = stream_media_ingest(spark, str(media), out, ckpt, fake=False)
+    run_available_now(q)
+    got2 = spark.read.parquet(out).toPandas()
+    assert len(got2) == 4  # +1, nothing reprocessed
+    assert (
+        got2.sort_values("doc_id")["width"].tolist()
+        == [30, 30, 30, 44]
+        or sorted(got2["width"].tolist()) == [30, 30, 30, 44]
+    )
+    # streamed features == batch decode of the same directory
+    batch = (
+        decode_image(
+            read_media_dir(spark, str(media), glob="*.bmp").select(
+                "doc_id", "payload"
+            ),
+            fake=False,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got2 = got2.sort_values("doc_id").reset_index(drop=True)
+    assert batch["doc_id"].tolist() == got2["doc_id"].tolist()
+    for a, b in zip(batch["features"], got2["features"]):
+        assert np.allclose(np.array(a), np.array(b))
