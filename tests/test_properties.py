@@ -475,3 +475,63 @@ def test_kneser_ney_is_a_subdistribution(docs):
             assert 0.0 < p <= 1.0 + 1e-12
             total += p
         assert total <= 1.0 + 1e-9
+
+
+def _ensemble_reference(vals: np.ndarray, higher: list[bool], B=256):
+    """Pure-NumPy reference for quality_ensemble: exact integer
+    arithmetic, same bucket/percentile/blend definitions."""
+    n, k = vals.shape
+    pcts = np.zeros((n, k), dtype=np.int64)
+    for j in range(k):
+        x = vals[:, j].astype(object)  # python ints: no int64 overflow
+        mn, mx = min(x), max(x)
+        span = mx - mn + 1
+        b = np.array([((v - mn) * B) // span for v in x], dtype=np.int64)
+        for i in range(n):
+            at = int((b == b[i]).sum())
+            below = int((b < b[i]).sum())
+            worse = below if higher[j] else n - below - at
+            pcts[i, j] = (worse * 10000) // n
+    blend = np.array(
+        [int(pcts[i].sum()) // k for i in range(n)], dtype=np.int64
+    )
+    return pcts, blend
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        (17, 3),
+        elements=st.integers(-(10**7), 10**7),
+    ),
+    higher=st.tuples(st.booleans(), st.booleans(), st.booleans()),
+)
+def test_quality_ensemble_matches_reference(spark, vals, higher):
+    import pandas as pd
+
+    from flechasdb_spark.operators.sampling import quality_ensemble
+
+    cols = ["s0", "s1", "s2"]
+    pdf = pd.DataFrame(vals, columns=cols)
+    pdf.insert(0, "doc_id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    got = (
+        quality_ensemble(df, list(zip(cols, higher)))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pcts, blend = _ensemble_reference(vals, list(higher))
+    for j, c in enumerate(cols):
+        assert got[f"{c}_pct"].tolist() == pcts[:, j].tolist(), c
+    assert got["blend_bp"].tolist() == blend.tolist()
+    # invariants: bounded basis points; better raw value never ranks
+    # strictly worse on its own signal
+    assert got["blend_bp"].between(0, 10000).all()
+    for j, c in enumerate(cols):
+        order = np.argsort(vals[:, j], kind="stable")
+        p = got[f"{c}_pct"].to_numpy()[order]
+        if not higher[j]:
+            p = p[::-1]
+        assert (np.diff(p) >= 0).all(), f"{c}: pct not monotone in value"
