@@ -503,6 +503,7 @@ def main() -> None:
         "nb_classifier_report",
         "nb_margin_calibration",
         "lang_id_report",
+        "lang_id_confidence",
         "quality_ensemble_rank",
     ]
     names = [n for n in names if n in REGISTRY]

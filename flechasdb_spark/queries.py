@@ -4904,6 +4904,61 @@ def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_confidence",
+    f"""
+WITH d AS (SELECT doc_id, lang, {_DD_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> list_contains({_SW["en"]}, t))) AS c_en,
+         len(list_filter(toks, t -> list_contains({_SW["de"]}, t))) AS c_de,
+         len(list_filter(toks, t -> list_contains({_SW["fr"]}, t))) AS c_fr,
+         len(list_filter(toks, t -> list_contains({_SW["es"]}, t))) AS c_es
+  FROM d),
+pred AS (SELECT lang,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+            WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+            ELSE 'fr' END AS predicted,
+       greatest(c_en, c_de, c_fr, c_es)::BIGINT AS hits
+  FROM c),
+m AS (SELECT least(hits // 2, 9)::BIGINT AS bin,
+             (predicted = lang) AS correct FROM pred),
+bins AS (SELECT bin, count(*)::BIGINT AS n,
+                sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT
+                  AS n_correct
+         FROM m GROUP BY bin)
+SELECT bin, (bin * 2)::BIGINT AS margin_lo, n, n_correct,
+       round(n_correct::DOUBLE / n, 4) AS accuracy
+FROM bins ORDER BY bin
+""",
+)
+def q_lang_id_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second consumer of ``margin_calibration``: the stopword
+    identifier's native confidence is its hit COUNT, so binning
+    accuracy by hits (width 2, capped open top bin) answers "how many
+    stopword hits before the routing is trustworthy" — the same
+    threshold-picking read as the NB margin row, over a completely
+    different confidence signal. Accuracy here is against the real
+    ``lang`` labels, so the zh/unknown blind spot keeps every bin
+    honest (confident-looking English hits on a zh doc count as
+    wrong)."""
+    from flechasdb_spark.operators.eval import margin_calibration
+    from flechasdb_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        F.col("stopword_hits"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
+    )
+    return margin_calibration(
+        scored, margin_col="stopword_hits", bin_width=2
+    ).orderBy("bin")
+
+
+@query(
     "doc_fingerprint",
     f"""
 WITH d AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
@@ -7677,6 +7732,8 @@ DRIVER_ORDER = [
     # [reliability bins over the exact integer top-2 score margin —
     # the evidence behind a confidence-threshold corpus filter],
     # lang_id_report [the report reused against real lang labels],
+    # lang_id_confidence [margin_calibration reused over stopword-hit
+    # confidence vs real labels],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].
