@@ -505,6 +505,7 @@ def main() -> None:
         "lang_id_report",
         "lang_id_confidence",
         "quality_ensemble_rank",
+        "embedding_centroid_report",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

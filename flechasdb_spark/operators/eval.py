@@ -14,6 +14,7 @@ __all__ = [
     "rank_metrics",
     "classification_report",
     "margin_calibration",
+    "embedding_centroid_report",
 ]
 
 
@@ -303,4 +304,97 @@ def margin_calibration(
             ),
         )
         .orderBy("bin")
+    )
+
+
+def embedding_centroid_report(
+    df: DataFrame,
+    by: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-geometry health report per group: vector count, mean
+    squared norm, and the cosine of the group centroid to the global
+    centroid — the drift monitor an embedding pipeline runs when a
+    model version, encoder shard, or source starts emitting vectors
+    whose scale or direction silently changed (all downstream ANN
+    recall quietly degrades before anything errors).
+
+    Engine-exact construction (every value reproducible by the DuckDB
+    oracle bit-for-bit):
+
+    - components quantize SHIFTED: q = round((x + 64) * 1e6), so every
+      integer division below has a NON-NEGATIVE dividend — Spark's
+      ``div`` truncates toward zero while DuckDB's ``//`` floors, and
+      they only agree on non-negatives; the shift un-does exactly
+      because (a + k*n) DIV n = a DIV n + k for integer k.
+    - per-(group, pos) component sums and squared-norm sums accumulate
+      as DECIMAL(38,0) (order-independent integer sums that cannot
+      overflow long at corpus scale; DuckDB's SUM(BIGINT) is already
+      exact int128).
+    - centroid components floor to micro-units (s DIV n - 64e6), so
+      dot products and squared norms of centroids stay EXACT longs
+      (|c| <= ~1e7 -> dot <= dims * 1e14); the only float is the final
+      cosine, one fixed-shape expression over exact integers.
+
+    Plan: ONE corpus-grain posexplode + partial-agg shuffle to
+    O(groups * dims) rows; everything after is arithmetic over that
+    tiny table (global centroid = re-agg of the group sums). Returns
+    (by, n_vectors, mean_norm2_micro2, cos_to_global), cosine 0.0 for
+    a zero centroid.
+    """
+    SHIFT = 64_000_000  # 64.0 in micro-units
+    q = F.transform(
+        F.col(vec_col),
+        # explicit double BEFORE adding the shift: a float32 + 64 in
+        # single precision loses every bit below ~7.6e-6 (the DuckDB
+        # oracle's FLOAT + INTEGER addition did exactly that)
+        lambda x: F.round((x.cast("double") + 64.0) * 1e6).cast("long"),
+    )
+    ex = df.select(F.col(by), F.posexplode(q).alias("pos", "qs")).select(
+        by,
+        "pos",
+        F.col("qs"),
+        ((F.col("qs") - SHIFT) * (F.col("qs") - SHIFT)).alias("q2"),
+    )
+    comp = ex.groupBy(by, "pos").agg(
+        F.sum(F.col("qs").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("q2").cast("decimal(38,0)")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = comp.select(
+        by,
+        "pos",
+        "n",
+        (F.expr("CAST(s DIV n AS BIGINT)") - SHIFT).alias("c"),
+        F.col("s2"),
+        F.col("s"),
+    )
+    glob = comp.groupBy("pos").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    ).select(
+        "pos", (F.expr("CAST(gs DIV gn AS BIGINT)") - SHIFT).alias("g")
+    )
+    joined = cent.join(F.broadcast(glob), "pos")
+    per_group = joined.groupBy(by).agg(
+        F.max("n").alias("n_vectors"),
+        F.sum(F.col("c") * F.col("g")).alias("dot"),
+        F.sum(F.col("c") * F.col("c")).alias("na"),
+        F.sum(F.col("g") * F.col("g")).alias("nb"),
+        F.sum("s2").alias("s2tot"),
+    )
+    return per_group.select(
+        by,
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr("CAST(s2tot DIV n_vectors AS BIGINT)").alias(
+            "mean_norm2_micro2"
+        ),
+        F.round(
+            F.when(
+                (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+            ).otherwise(
+                F.col("dot")
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+            ),
+            4,
+        ).alias("cos_to_global"),
     )

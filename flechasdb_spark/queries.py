@@ -4904,6 +4904,51 @@ def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroid_report",
+    """
+WITH e AS (SELECT label, embedding AS v FROM embeddings),
+x AS (SELECT label, unnest(v) AS xv, generate_subscripts(v, 1) AS pos
+      FROM e),
+q AS (SELECT label, pos, round((xv::DOUBLE + 64) * 1e6)::BIGINT AS qs
+     FROM x),
+comp AS (SELECT label, pos, sum(qs) AS s,
+                sum((qs - 64000000) * (qs - 64000000)) AS s2,
+                count(*)::BIGINT AS n
+         FROM q GROUP BY label, pos),
+cent AS (SELECT label, pos, n, (s // n - 64000000)::BIGINT AS c, s2
+         FROM comp),
+gl AS (SELECT pos, (sum(s) // sum(n) - 64000000)::BIGINT AS g
+       FROM comp GROUP BY pos),
+pg AS (SELECT c.label,
+              max(c.n)::BIGINT AS n_vectors,
+              sum(c.c * g.g)::BIGINT AS dot,
+              sum(c.c * c.c)::BIGINT AS na,
+              sum(g.g * g.g)::BIGINT AS nb,
+              sum(c.s2) AS s2tot
+       FROM cent c JOIN gl g USING (pos) GROUP BY c.label)
+SELECT label, n_vectors,
+       (s2tot // n_vectors)::BIGINT AS mean_norm2_micro2,
+       round(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE dot / (sqrt(na) * sqrt(nb)) END, 4) AS cos_to_global
+FROM pg ORDER BY label
+""",
+)
+def q_embedding_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-geometry health report: count, mean squared
+    norm (micro^2 units), and centroid-to-global-centroid cosine — the
+    drift monitor for encoder/version/source changes that silently
+    rescale or rotate vectors (ANN recall degrades long before anything
+    errors). Shift-quantized so every integer division has a
+    non-negative dividend (Spark div truncates, DuckDB // floors —
+    they only agree there); decimal component sums; the only float is
+    the one fixed-shape cosine over exact integer dot products."""
+    from flechasdb_spark.operators.eval import embedding_centroid_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_report(emb).orderBy("label")
+
+
+@query(
     "lang_id_confidence",
     f"""
 WITH d AS (SELECT doc_id, lang, {_DD_TOKS} AS toks FROM documents),
@@ -7733,7 +7778,9 @@ DRIVER_ORDER = [
     # the evidence behind a confidence-threshold corpus filter],
     # lang_id_report [the report reused against real lang labels],
     # lang_id_confidence [margin_calibration reused over stopword-hit
-    # confidence vs real labels],
+    # confidence vs real labels], embedding_centroid_report
+    # [per-group embedding-geometry drift: centroid-to-global cosine
+    # + norm stats, integer-exact],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].
