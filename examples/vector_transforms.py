@@ -82,6 +82,20 @@ def main() -> None:
     )
     err = float(((x - rec) ** 2).mean())
     print(f"OPQ per-vector mean reconstruction error on 4 samples: {err:.3f}")
+
+    # 4) geometry health check before trusting any of the transforms:
+    # per-label centroid direction vs the global centroid + norm scale
+    # (a drifting encoder shows up here before recall numbers move)
+    from flechasdb_spark.operators.eval import embedding_centroid_report
+
+    rep = embedding_centroid_report(emb).orderBy("cos_to_global")
+    lo = rep.first()
+    n_groups = rep.count()
+    print(
+        f"centroid report: {n_groups} labels, most drifted label "
+        f"{lo['label']} (cos to global {lo['cos_to_global']}, "
+        f"mean |v|^2 {lo['mean_norm2_micro2'] / 1e12:.3f})"
+    )
     spark.stop()
 
 
