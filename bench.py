@@ -506,6 +506,7 @@ def main() -> None:
         "lang_id_confidence",
         "quality_ensemble_rank",
         "embedding_centroid_report",
+        "kfold_assign",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

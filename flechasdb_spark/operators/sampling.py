@@ -31,6 +31,7 @@ __all__ = [
     "cluster_balanced_sample",
     "weighted_sample_topk",
     "quality_ensemble",
+    "kfold_assign",
     "SPLIT_BUCKETS",
 ]
 
@@ -834,3 +835,56 @@ def quality_ensemble(
         *pct_cols,
         F.expr(f"({blend_sum}) DIV {k}").alias("blend_bp"),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    n_folds: int,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment — the split
+    family's third member (named fractions: ``hash_split``; held-out
+    eval: ``leakage_safe_split``; CV folds: here). fold =
+    md5(salt:rep) % k, so the assignment is a map-only projection,
+    stable across runs/engines/cluster sizes, and every fold is an
+    unbiased ~1/k sample.
+
+    With ``pairs`` (any near-dup edge list), documents are keyed by
+    their connected-component representative, so a near-dup CLUSTER
+    lands in ONE fold — without this, k-fold CV leaks: a crawl copy of
+    a validation doc trains the model in k-1 of the k rounds and the
+    CV score overstates generalization. Same construction as
+    ``leakage_safe_split`` (CC over the dup graph + broadcast attach);
+    without ``pairs`` the representative is the document itself.
+
+    Returns (id_col, rep, fold), fold in [0, n_folds).
+    """
+    k = int(n_folds)
+    if k < 2:
+        raise ValueError(f"n_folds {k} < 2")
+    if pairs is not None:
+        from flechasdb_spark.operators.dedup import connected_components
+
+        comps = connected_components(pairs, src=src, dst=dst)
+        labeled = (
+            df.select(id_col)
+            .join(
+                comps.select(F.col("node").alias(id_col), "component"),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.coalesce(F.col("component"), F.col(id_col)).alias("rep"),
+            )
+        )
+    else:
+        labeled = df.select(id_col, F.col(id_col).alias("rep"))
+    h = md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col("rep").cast("string"))
+    )
+    return labeled.select(id_col, "rep", (h % k).cast("long").alias("fold"))

@@ -4904,6 +4904,29 @@ def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kfold_assign",
+    f"""
+SELECT doc_id, doc_id AS rep,
+       ({_DD_MD5H.format(x="'fold:' || doc_id::VARCHAR")} % 5)::BIGINT
+         AS fold
+FROM documents ORDER BY doc_id
+""",
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment — the split
+    family's third member (named fractions / held-out eval / CV
+    folds): fold = md5(salt:rep) % k, map-only, engine-exact. The
+    cluster-aware variant (near-dup clusters pinned to one fold so CV
+    cannot leak train copies of validation docs) is pytest-gated on a
+    crafted dup graph (tests/test_sampling.py)."""
+    from flechasdb_spark.operators.sampling import kfold_assign
+
+    return kfold_assign(
+        _t(spark, sf_dir, "documents"), n_folds=5
+    ).orderBy("doc_id")
+
+
+@query(
     "embedding_centroid_report",
     """
 WITH e AS (SELECT label, embedding AS v FROM embeddings),
@@ -7780,7 +7803,8 @@ DRIVER_ORDER = [
     # lang_id_confidence [margin_calibration reused over stopword-hit
     # confidence vs real labels], embedding_centroid_report
     # [per-group embedding-geometry drift: centroid-to-global cosine
-    # + norm stats, integer-exact],
+    # + norm stats, integer-exact], kfold_assign [deterministic CV
+    # folds; cluster-aware variant pytest-gated],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].

@@ -361,3 +361,52 @@ def test_weighted_sample_plan_is_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_kfold_assign_matches_oracle_and_balances(spark):
+    from flechasdb_spark.operators.sampling import kfold_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = kfold_assign(docs, n_folds=5).toPandas()
+    assert set(out["fold"].unique()) <= set(range(5))
+    assert (out["rep"] == out["doc_id"]).all()
+    # deterministic across calls
+    again = kfold_assign(docs, n_folds=5).toPandas()
+    assert out.sort_values("doc_id")["fold"].tolist() == again.sort_values(
+        "doc_id"
+    )["fold"].tolist()
+    # every fold is a ~1/k sample (loose bound for the fixture size)
+    counts = out.groupby("fold").size()
+    assert counts.min() > 0.5 * len(out) / 5
+    assert counts.max() < 1.6 * len(out) / 5
+
+
+def test_kfold_assign_cluster_aware_never_splits_a_cluster(spark):
+    """The leakage invariant: with a dup-pair edge list, every member
+    of a connected component gets the SAME fold (a crawl copy of a
+    validation doc must not train the model in the other folds)."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.sampling import kfold_assign
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # chains 0-1-2, 10-11, 20-21-22-23; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = kfold_assign(docs, n_folds=4, pairs=pairs).toPandas()
+    byid = dict(zip(out["doc_id"], out["fold"]))
+    rep = dict(zip(out["doc_id"], out["rep"]))
+    for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({byid[i] for i in cluster}) == 1, cluster
+        assert {rep[i] for i in cluster} == {min(cluster)}, cluster
+    # singletons keep themselves as rep
+    assert rep[99] == 99
+    # and the assignment is identical to hashing the rep directly
+    direct = kfold_assign(
+        docs.select(F.col("doc_id")), n_folds=4
+    ).toPandas()
+    d = dict(zip(direct["doc_id"], direct["fold"]))
+    assert byid[0] == byid[1] == byid[2] == d[0]
+    assert byid[99] == d[99]
