@@ -507,6 +507,7 @@ def main() -> None:
         "quality_ensemble_rank",
         "embedding_centroid_report",
         "kfold_assign",
+        "join_skew_report",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

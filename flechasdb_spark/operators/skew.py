@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "write_bucketed", "zorder_key", "zorder_write"]
+__all__ = [
+    "salted_join",
+    "join_skew_report",
+    "write_bucketed",
+    "zorder_key",
+    "zorder_write",
+]
 
 
 def salted_join(
@@ -148,4 +154,46 @@ def zorder_write(
         .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def join_skew_report(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Measure join-key skew BEFORE paying for it: the top-N hottest
+    keys with their corpus share, skew factor (rows-at-key / mean
+    rows-per-key — 1.0 means uniform), and the salt factor
+    ``salted_join`` would need to spread that key over average-sized
+    shuffle partitions. This closes the skew loop: SCALING prescribes
+    salting for hot keys; this is the operator that finds them and
+    sizes the salt with evidence instead of folklore.
+
+    Plan: one partial-aggregable shuffle to O(distinct keys) counts, a
+    1-row broadcast summary, and a TakeOrderedAndProject top-N (count
+    desc, key asc — deterministic ties). recommended_salt is exact
+    integer ceiling arithmetic: (n * n_keys + total - 1) DIV total.
+
+    Returns (key string, n, share, skew_factor, recommended_salt).
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    summary = counts.agg(
+        F.sum("n").alias("__tot"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__k") / F.col("__tot"), 4
+            ).alias("skew_factor"),
+            F.expr("(n * __k + __tot - 1) DIV __tot")
+            .cast("long")
+            .alias("recommended_salt"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(int(top))
     )

@@ -4904,6 +4904,33 @@ def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_report",
+    """
+WITH c AS (SELECT event_type::VARCHAR AS key, count(*)::BIGINT AS n
+           FROM events GROUP BY event_type),
+s AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS k FROM c)
+SELECT key, n,
+       round(n::DOUBLE / tot, 6) AS share,
+       round(n::DOUBLE * k / tot, 4) AS skew_factor,
+       ((n * k + tot - 1) // tot)::BIGINT AS recommended_salt
+FROM c, s
+ORDER BY n DESC, key ASC
+LIMIT 10
+""",
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for the hottest event types: corpus
+    share, skew factor vs uniform, and the exact-integer-ceiling salt
+    factor ``salted_join`` would need — the measurement that turns
+    SCALING's "salt the hot keys" prescription into sized evidence.
+    One partial-agg shuffle to O(keys) + broadcast summary +
+    TakeOrderedAndProject (deterministic ties: count desc, key asc)."""
+    from flechasdb_spark.operators.skew import join_skew_report
+
+    return join_skew_report(_t(spark, sf_dir, "events"), "event_type")
+
+
+@query(
     "kfold_assign",
     f"""
 SELECT doc_id, doc_id AS rep,
@@ -7804,7 +7831,8 @@ DRIVER_ORDER = [
     # confidence vs real labels], embedding_centroid_report
     # [per-group embedding-geometry drift: centroid-to-global cosine
     # + norm stats, integer-exact], kfold_assign [deterministic CV
-    # folds; cluster-aware variant pytest-gated],
+    # folds; cluster-aware variant pytest-gated], join_skew_report
+    # [hot-key diagnosis sizing salted_join's salt factor],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].

@@ -464,3 +464,12 @@ def test_quality_ensemble_lookups_are_broadcast(spark):
     assert "ExistingRDD" in plan, "percentile lookup must be materialized"
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_skew_report_topk_plan(spark):
+    """The top-N must compile to TakeOrderedAndProject (partial top-k
+    per partition over the O(keys) count table), with the 1-row
+    summary broadcast — never a global sort of the counts."""
+    plan = _plan(spark, "join_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
