@@ -29,6 +29,8 @@ __all__ = [
     "kmv_distinct",
     "kmv_set_ops",
     "hll_distinct",
+    "hll_register_exprs",
+    "hll_estimate_from_registers",
     "histogram_quantiles",
     "cms_build",
     "cms_estimate",
@@ -195,29 +197,48 @@ def hll_distinct(
     if not 2 <= p <= 12:
         raise ValueError(f"p must be in [2, 12], got {p}")
     group_cols = group_cols or []
+    idx, rank = hll_register_exprs(value_col, p)
+    regs = (
+        df.select(*group_cols, idx.alias("__idx"), rank.alias("__rank"))
+        .groupBy(*group_cols, "__idx")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_register_exprs(value_col: str | Column, p: int) -> tuple:
+    """(register index, rank) column expressions over the shared
+    60-bit md5 hash — the per-ROW half of the HLL, factored out so a
+    STREAMING windowed register-max (``streaming.stream_hll_users``)
+    can reuse the identical arithmetic the batch/oracle form uses."""
     m = 1 << p
     w = 60 - p  # bits remaining after the register index
     max_rank = w + 1
-    # alpha_m per the paper: 16 -> 0.673, 32 -> 0.697, 64 -> 0.709,
-    # m >= 128 -> 0.7213 / (1 + 1.079 / m). Constant double; both
-    # engines parse the same literal.
-    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
-        p, 0.7213 / (1.0 + 1.079 / m)
-    )
     c = F.col(value_col) if isinstance(value_col, str) else value_col
     h = md5_long(c.cast("string"))
     rest = h.bitwiseAND(F.lit((1 << w) - 1))
     rank = F.when(rest == 0, F.lit(max_rank)).otherwise(
         F.lit(max_rank) - F.length(F.bin(rest))
     )
-    regs = (
-        df.select(
-            *group_cols,
-            F.shiftright(h, w).alias("__idx"),
-            rank.alias("__rank"),
-        )
-        .groupBy(*group_cols, "__idx")
-        .agg(F.max("__rank").alias("__m"))
+    return F.shiftright(h, w), rank
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int
+) -> DataFrame:
+    """The estimate half of ``hll_distinct``: from (group_cols...,
+    __idx, __m) register-max rows to the per-group estimate. Register
+    maxes are idempotent and mergeable, so this runs unchanged over
+    registers materialized by a streaming windowed max — merging
+    batch and stream sketches is a further max over the same rows."""
+    m = 1 << p
+    w = 60 - p
+    max_rank = w + 1
+    # alpha_m per the paper: 16 -> 0.673, 32 -> 0.697, 64 -> 0.709,
+    # m >= 128 -> 0.7213 / (1 + 1.079 / m). Constant double; both
+    # engines parse the same literal.
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(
+        p, 0.7213 / (1.0 + 1.079 / m)
     )
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n_present"),

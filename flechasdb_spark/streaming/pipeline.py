@@ -54,6 +54,8 @@ __all__ = [
     "stream_rate_anomaly",
     "stream_stream_join",
     "stateful_session_count",
+    "stream_media_ingest",
+    "stream_hll_users",
     "run_available_now",
 ]
 
@@ -757,6 +759,62 @@ def stream_media_ingest(
     feats = decode_image(imgs.select("doc_id", "payload"), fake=fake)
     return (
         feats.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_hll_users(
+    events: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 6,
+):
+    """Streaming distinct-user HLL per event-time window: each event
+    contributes one (window, register, rank) row via the SAME
+    register arithmetic the batch/oracle ``hll_distinct`` uses
+    (``sketch.hll_register_exprs``); the windowed ``max(rank)`` per
+    register is the entire streaming state — O(windows * 2^p) rows,
+    bounded by the watermark, regardless of event volume. Append mode
+    emits each window's finalized registers to ``output_path`` once
+    the watermark passes; ``sketch.hll_estimate_from_registers`` then
+    turns the materialized registers into estimates batch-side (and
+    because register maxes are mergeable, a later backfill merges by
+    just re-maxing the same rows).
+
+    This is the streaming member of the sketch family: exact distinct
+    per window would hold every user id in state; the HLL holds 2^p
+    longs per window and is engine-exact, unlike
+    ``approx_count_distinct_duration``'s private HLL++.
+
+    Returns the streaming query handle (availableNow — drain what
+    exists, then stop)."""
+    from flechasdb_spark.operators.sketch import hll_register_exprs
+
+    idx, rank = hll_register_exprs(value_col, p)
+    regs = (
+        events.withWatermark(ts_col, watermark)
+        # group by the window STRUCT itself — projecting win.start
+        # before the agg severs the watermark linkage and append mode
+        # rejects the aggregation
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            idx.alias("__idx"),
+        )
+        .agg(F.max(rank).alias("__m"))
+        .select(
+            F.col("win.start").alias("window_start"), "__idx", "__m"
+        )
+    )
+    return (
+        regs.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")

@@ -759,3 +759,68 @@ def test_stream_media_ingest_incremental_exactly_once(spark, tmp_path):
     assert batch["doc_id"].tolist() == got2["doc_id"].tolist()
     for a, b in zip(batch["features"], got2["features"]):
         assert np.allclose(np.array(a), np.array(b))
+
+
+def test_stream_hll_users_equals_batch_sketch(spark, tmp_path):
+    """Streamed windowed register-maxes, estimated batch-side, must
+    equal hll_distinct computed directly over the same events grouped
+    by the same event-time window."""
+    from flechasdb_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+    from flechasdb_spark.session import normalize_event_ts
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_hll_users,
+    )
+
+    src = str(tmp_path / "events")
+    events = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    # event-time timestamps for the streaming window
+    with_ts = events.withColumn(
+        "event_time", F.expr("timestamp_micros(ts div 1000)")
+    ).select("event_time", "user_id")
+    with_ts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_time timestamp, user_id long"
+    ).parquet(src)
+    out = str(tmp_path / "regs")
+    q = stream_hll_users(
+        stream,
+        out,
+        str(tmp_path / "ckpt"),
+        window_duration="1 hour",
+        watermark="0 seconds",
+        ts_col="event_time",
+    )
+    run_available_now(q)
+    regs = spark.read.parquet(out)
+    got = (
+        hll_estimate_from_registers(regs, ["window_start"], p=6)
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    want = (
+        hll_distinct(
+            with_ts.withColumn(
+                "window_start",
+                F.window("event_time", "1 hour")["start"],
+            ),
+            "user_id",
+            group_cols=["window_start"],
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # availableNow + watermark 0: every window finalizes except possibly
+    # the last open one; compare the common prefix (must be non-trivial)
+    n = len(got)
+    assert n >= max(1, len(want) - 1)
+    assert got["window_start"].tolist() == want["window_start"].tolist()[:n]
+    assert got["hll_estimate"].tolist() == want["hll_estimate"].tolist()[:n]
+    assert got["v_zero"].tolist() == want["v_zero"].tolist()[:n]
