@@ -6663,6 +6663,110 @@ _STREAM_RUN_COUNTER = [0]
 
 
 @query(
+    "stream_hll_users",
+    f"""
+WITH ev AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+                   user_id FROM events),
+r AS (
+  SELECT window_start, hh >> 54 AS idx,
+         CASE WHEN (hh & 18014398509481983) = 0 THEN 55
+              ELSE 55 - length(bin(hh & 18014398509481983)) END AS rank
+  FROM (SELECT window_start,
+               {_DD_MD5H.format(x="user_id::VARCHAR")} AS hh
+        FROM ev)),
+regs AS (SELECT window_start, idx, max(rank) AS m FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT window_start, count(*) AS n_present,
+         sum(1::BIGINT << (55 - m)::INT)::BIGINT AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT window_start, (64 - n_present)::BIGINT AS v_zero,
+         1.0462993238608057e+20
+           / (s_present + (64 - n_present) * 36028797018963968)::DOUBLE
+           AS raw
+  FROM agg)
+SELECT e.window_start, e.v_zero,
+       round(CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+                  THEN 64.0 * (round(ln(64.0 / e.v_zero) * 1e6) / 1e6)
+                  ELSE e.raw END, 4) AS hll_estimate,
+       (CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+             THEN 1 ELSE 0 END)::INT AS used_linear,
+       x.n_exact
+FROM est e JOIN (SELECT epoch(date_trunc('hour', ts))::BIGINT
+                   AS window_start,
+                 count(DISTINCT user_id) AS n_exact
+                 FROM events GROUP BY 1) x USING (window_start)
+ORDER BY e.window_start
+""",
+)
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED windowed HLL distinct users vs the oracle's batch
+    recompute of every register: the streaming state is O(windows*64)
+    register maxes, never user ids. Determinism of which windows
+    finalize: a sentinel event 2 hours past the max event time is
+    appended to the stream input, so the watermark provably passes
+    every real window's end regardless of the engine's <= vs <
+    eviction boundary; the sentinel's own window is the only one that
+    never finalizes and is therefore absent from the sink by
+    construction (and carries user_id -1, touching no real window)."""
+    _ensure_conf(spark)
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.operators.sketch import (
+        hll_estimate_from_registers,
+    )
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_hll_users,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    src = f"{tmp}/src"
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+        "user_id",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    mx = ev.agg(F.max("event_time")).first()[0]
+    spark.createDataFrame(
+        [(mx, -1)], "event_time timestamp, user_id long"
+    ).withColumn(
+        "event_time", F.col("event_time") + F.expr("INTERVAL 2 HOURS")
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_time timestamp, user_id long"
+    ).parquet(src)
+    q = stream_hll_users(
+        stream,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        watermark="0 seconds",
+        ts_col="event_time",
+    )
+    run_available_now(q)
+    regs = spark.read.parquet(f"{tmp}/out")
+    est = hll_estimate_from_registers(regs, ["window_start"], p=6)
+    exact = ev.groupBy(
+        F.date_trunc("hour", "event_time").alias("window_start")
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    out = (
+        est.join(exact, "window_start")
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "v_zero",
+            "hll_estimate",
+            "used_linear",
+            "n_exact",
+        )
+        .orderBy("window_start")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@query(
     "stream_windowed_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
@@ -7833,6 +7937,8 @@ DRIVER_ORDER = [
     # + norm stats, integer-exact], kfold_assign [deterministic CV
     # folds; cluster-aware variant pytest-gated], join_skew_report
     # [hot-key diagnosis sizing salted_join's salt factor],
+    # stream_hll_users [streaming windowed HLL registers, full
+    # register-recompute oracle, sentinel-deterministic finalization],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].
