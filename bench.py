@@ -508,6 +508,7 @@ def main() -> None:
         "embedding_centroid_report",
         "kfold_assign",
         "join_skew_report",
+        "events_value_psi",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

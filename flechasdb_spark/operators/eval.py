@@ -15,6 +15,7 @@ __all__ = [
     "classification_report",
     "margin_calibration",
     "embedding_centroid_report",
+    "psi_report",
 ]
 
 
@@ -397,4 +398,88 @@ def embedding_centroid_report(
             ),
             4,
         ).alias("cos_to_global"),
+    )
+
+
+def psi_report(
+    cur: DataFrame,
+    ref: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Population Stability Index per group — the standard production
+    drift metric for a numeric distribution (scores, features,
+    quality signals) against a reference snapshot: PSI =
+    sum_bins (p_cur - p_ref) * ln(p_cur / p_ref), with the usual
+    reading <0.1 stable / 0.1-0.25 drifting / >0.25 shifted. The
+    monitoring sibling of ``embedding_centroid_report`` for scalar
+    columns.
+
+    Engine-exact: fixed-grid clamped buckets (the
+    ``histogram_quantiles`` idiom — identical double expression both
+    engines), add-one smoothing over the dense bin grid so empty bins
+    are defined, proportions as single divisions of exact integers,
+    and each bin's term quantized to integer NANO-units before the
+    sum (a float sum over bins would be order-dependent; the term
+    (p-q)*ln(p/q) is always >= 0, so the rounding has no sign edge).
+
+    Plan: one partial-agg pass per side to O(groups * bins) counts, a
+    dense grid from the O(groups) spine (never data-sized), broadcast
+    joins, O(groups) output. Returns (group_cols..., n_cur, n_ref,
+    psi).
+    """
+    group_cols = group_cols or []
+    B = int(n_bins)
+    width = (hi - lo) / B
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(B - 1),
+    ).cast("long")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(*group_cols, b.alias("__b")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    cc = side(cur, "__cc")
+    cr = side(ref, "__cr")
+    spine = (
+        cur.select(*group_cols)
+        .union(ref.select(*group_cols))
+        .distinct()
+        .select(
+            *group_cols,
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+        )
+    )
+    keys = [*group_cols, "__b"]
+    joined = (
+        spine.join(cc, keys, "left")
+        .join(cr, keys, "left")
+        .select(
+            *group_cols,
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        )
+    )
+    tot = joined.groupBy(*group_cols).agg(
+        F.sum("__cc").alias("__nc"), F.sum("__cr").alias("__nr")
+    )
+    pc = (F.col("__cc") + 1) / (F.col("__nc") + B)
+    pr = (F.col("__cr") + 1) / (F.col("__nr") + B)
+    term_q = F.round((pc - pr) * F.log(pc / pr) * 1e9).cast("long")
+    return (
+        joined.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__nc").cast("long").alias("n_cur"),
+            F.max("__nr").cast("long").alias("n_ref"),
+            F.round(F.sum(term_q) / 1e9, 6).alias("psi"),
+        )
     )

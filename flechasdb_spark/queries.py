@@ -4904,6 +4904,60 @@ def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_psi",
+    """
+WITH cur AS (SELECT event_type,
+        least(greatest(floor((value - 0.0) / 31.25), 0), 15)::BIGINT AS b
+      FROM events WHERE event_id % 2 = 1),
+ref AS (SELECT event_type,
+        least(greatest(floor((value - 0.0) / 31.25), 0), 15)::BIGINT AS b
+      FROM events WHERE event_id % 2 = 0),
+cc AS (SELECT event_type, b, count(*)::BIGINT AS c FROM cur GROUP BY 1, 2),
+cr AS (SELECT event_type, b, count(*)::BIGINT AS c FROM ref GROUP BY 1, 2),
+spine AS (SELECT event_type, gs.b
+          FROM (SELECT event_type FROM cur
+                UNION SELECT event_type FROM ref) g
+          CROSS JOIN (SELECT unnest(range(16)) AS b) gs),
+j AS (SELECT s.event_type, s.b,
+             coalesce(cc.c, 0)::BIGINT AS cc,
+             coalesce(cr.c, 0)::BIGINT AS cr
+      FROM spine s
+      LEFT JOIN cc ON s.event_type = cc.event_type AND s.b = cc.b
+      LEFT JOIN cr ON s.event_type = cr.event_type AND s.b = cr.b),
+t AS (SELECT event_type, sum(cc)::BIGINT AS nc, sum(cr)::BIGINT AS nr
+      FROM j GROUP BY 1),
+q AS (SELECT j.event_type,
+             round(((j.cc + 1) / (t.nc + 16) - (j.cr + 1) / (t.nr + 16))
+                   * ln(((j.cc + 1) / (t.nc + 16))
+                        / ((j.cr + 1) / (t.nr + 16))) * 1e9)::BIGINT
+               AS tq,
+             t.nc, t.nr
+      FROM j JOIN t USING (event_type))
+SELECT event_type, max(nc)::BIGINT AS n_cur, max(nr)::BIGINT AS n_ref,
+       round(sum(tq) / 1e9, 6) AS psi
+FROM q GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution per
+    type, odd event_ids (current) vs even (reference snapshot) — the
+    standard production drift metric (<0.1 stable / 0.1-0.25 drifting
+    / >0.25 shifted), computed engine-exactly: fixed-grid clamped
+    buckets, add-one smoothing over the dense 16-bin grid, per-bin
+    terms quantized to integer nano-units before the sum (the term is
+    always >= 0, so the rounding has no sign edge). One partial-agg
+    pass per side; everything after is O(types x 16)."""
+    from flechasdb_spark.operators.eval import psi_report
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_report(
+        ev.where(F.col("event_id") % 2 == 1),
+        ev.where(F.col("event_id") % 2 == 0),
+        group_cols=["event_type"],
+    ).orderBy("event_type")
+
+
+@query(
     "join_skew_report",
     """
 WITH c AS (SELECT event_type::VARCHAR AS key, count(*)::BIGINT AS n
@@ -7939,6 +7993,8 @@ DRIVER_ORDER = [
     # [hot-key diagnosis sizing salted_join's salt factor],
     # stream_hll_users [streaming windowed HLL registers, full
     # register-recompute oracle, sentinel-deterministic finalization],
+    # events_value_psi [PSI distribution-drift monitor, nano-unit
+    # integer term sums],
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].
