@@ -1269,15 +1269,31 @@ def normalized_text(col: Column | str) -> Column:
     """Canonical text for NORMALIZED exact dedup (the CCNet/Dolma
     "fuzzy exact" step: hash after normalization so trivial variants —
     case, runs of whitespace, punctuation — collapse to one group):
-    lowercase, strip every char outside [a-z0-9 ] (after lowering),
-    collapse whitespace runs, trim. Each regex is an engine-portable
-    class (Java and RE2 agree), mirrored verbatim by the oracle (with
-    DuckDB's explicit 'g' flag)."""
+    lowercase, keep only Unicode letters/digits and whitespace
+    (``\\p{L}\\p{N}`` — Latin-only classes silently emptied non-Latin
+    scripts, ADVICE r6), collapse whitespace runs, trim. Each regex is
+    an engine-portable class (Java and RE2 both support the Unicode
+    categories), mirrored verbatim by the oracle (with DuckDB's
+    explicit 'g' flag)."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(c)
-    s = F.regexp_replace(s, "[^a-z0-9 \\t\\n]", "")
+    s = F.regexp_replace(s, "[^\\p{L}\\p{N} \\t\\n]", "")
     s = F.regexp_replace(s, "\\s+", " ")
     return F.trim(s)
+
+
+def normalized_hash(
+    text_col: str = "text",
+) -> Column:
+    """md5 over the normalized text, with the empty-normalization
+    guard: a document whose normalization is EMPTY (all-symbol /
+    all-punctuation content) falls back to hashing its RAW text, so
+    distinct symbol-only documents never collapse into one "duplicate"
+    group (silent-loss edge, ADVICE r6). Mirrored in the oracle."""
+    norm = normalized_text(text_col)
+    return F.when(
+        norm == "", F.md5(F.concat(F.lit("__RAW__"), F.col(text_col)))
+    ).otherwise(F.md5(norm))
 
 
 def dedup_exact_normalized(
@@ -1286,8 +1302,10 @@ def dedup_exact_normalized(
     """`dedup_exact` over the normalized text: (id, content_hash, keep)
     where hash groups also capture case/whitespace/punctuation variants
     of the same content. Map-only hash + one window per hash group —
-    the same two-stage shape as the raw form."""
-    h = F.md5(normalized_text(text_col))
+    the same two-stage shape as the raw form. Unicode-aware
+    normalization + raw-hash fallback for empty normalizations (see
+    `normalized_text` / `normalized_hash`)."""
+    h = normalized_hash(text_col)
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
         df.select(id_col, h.alias("content_hash"))

@@ -449,15 +449,25 @@ def psi_report(
 
     cc = side(cur, "__cc")
     cr = side(ref, "__cr")
-    spine = (
-        cur.select(*group_cols)
-        .union(ref.select(*group_cols))
-        .distinct()
-        .select(
-            *group_cols,
-            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__b"),
+    if group_cols:
+        spine = (
+            cur.select(*group_cols)
+            .union(ref.select(*group_cols))
+            .distinct()
+            .select(
+                *group_cols,
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(B - 1))
+                ).alias("__b"),
+            )
         )
-    )
+    else:
+        # Ungrouped: the spine is the literal bin grid — a zero-column
+        # select()/join-on-[] would be degenerate (ADVICE r6), so build
+        # the B-row grid from range() and cross-join the 1-row totals.
+        spine = cur.sparkSession.range(B).select(
+            F.col("id").cast("long").alias("__b")
+        )
     keys = [*group_cols, "__b"]
     joined = (
         spine.join(cc, keys, "left")
@@ -474,12 +484,13 @@ def psi_report(
     pc = (F.col("__cc") + 1) / (F.col("__nc") + B)
     pr = (F.col("__cr") + 1) / (F.col("__nr") + B)
     term_q = F.round((pc - pr) * F.log(pc / pr) * 1e9).cast("long")
-    return (
+    withtot = (
         joined.join(F.broadcast(tot), group_cols)
-        .groupBy(*group_cols)
-        .agg(
-            F.max("__nc").cast("long").alias("n_cur"),
-            F.max("__nr").cast("long").alias("n_ref"),
-            F.round(F.sum(term_q) / 1e9, 6).alias("psi"),
-        )
+        if group_cols
+        else joined.crossJoin(F.broadcast(tot))
+    )
+    return withtot.groupBy(*group_cols).agg(
+        F.max("__nc").cast("long").alias("n_cur"),
+        F.max("__nr").cast("long").alias("n_ref"),
+        F.round(F.sum(term_q) / 1e9, 6).alias("psi"),
     )

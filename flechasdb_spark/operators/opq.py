@@ -92,6 +92,7 @@ def opq_train(
     lloyd_iters: int = 5,
     sample_n: int = 10_000,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 7,
 ) -> OPQModel:
     """Non-parametric OPQ on a bounded deterministic sample.
@@ -100,10 +101,12 @@ def opq_train(
     loss and every later round's improvement is measurable); each
     round then updates R by Procrustes and re-fits codebooks
     warm-started — both steps non-increasing in the joint objective.
+    ``id_col`` names the deterministic-sample ranking key (matches
+    ``itq_train``'s signature — it was hardcoded, ADVICE r6).
     """
     from flechasdb_spark.operators.itq import sample_to_driver
 
-    x = sample_to_driver(vectors, vec_col, "vec_id", sample_n, f"opq{seed}")
+    x = sample_to_driver(vectors, vec_col, id_col, sample_n, f"opq{seed}")
     n = x.shape[1]
     d = num_divisions
     if n % d != 0:

@@ -121,7 +121,12 @@ def interval_overlap_join(
     w = int(bucket_width)
 
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
+        # drop EMPTY half-open intervals (lo >= hi) before the bucket
+        # explode: they overlap nothing by definition, but Spark's
+        # sequence((hi-1) div w < lo div w) is DESCENDING (non-empty),
+        # so an unfiltered [5,5) produced spurious bucket rows that
+        # survived the a_lo<b_hi predicate (ADVICE r6)
+        return df.where(F.col(lo) < F.col(hi)).withColumn(
             "__b",
             F.explode(
                 F.sequence(

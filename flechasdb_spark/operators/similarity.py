@@ -632,14 +632,19 @@ def mmr_rerank(
             selected.append(d)
             rows.append((qid, d, rank, rel[d], round(score, 5)))
         return pd.DataFrame(
-            rows, columns=[qcol, "vec_id", "mmr_rank", "rel", "mmr_score"]
+            rows, columns=[qcol, id_col, "mmr_rank", "rel", "mmr_score"]
         )
 
+    # derive the Arrow-batch output schema from the INPUT dtypes so
+    # string/int ids and non-default id_col names survive (hardcoding
+    # 'vec_id long' broke both, ADVICE r6)
+    qtype = dict(queries.dtypes)[query_id_col]
+    idtype = dict(df.dtypes)[id_col]
     return (
         pairs.groupBy(qcol)
         .applyInPandas(
             _greedy,
-            schema=f"{qcol} long, vec_id long, mmr_rank long, "
+            schema=f"{qcol} {qtype}, {id_col} {idtype}, mmr_rank long, "
             "rel double, mmr_score double",
         )
     )

@@ -2254,13 +2254,18 @@ WITH pert AS (
               WHEN doc_id % 4 = 0 THEN replace(text, ' ', '  ')
               ELSE text || '.' END AS text
   FROM documents),
+norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+               '[^\\p{L}\\p{N} \\t\\n]', '', 'g'), '\\s+', ' ', 'g'))
+           AS nt
+  FROM pert),
 hashes AS (
   SELECT doc_id,
          md5(text) AS raw_hash,
-         md5(trim(regexp_replace(regexp_replace(lower(text),
-               '[^a-z0-9 \\t\\n]', '', 'g'), '\\s+', ' ', 'g')))
-           AS norm_hash
-  FROM pert)
+         CASE WHEN nt = '' THEN md5('__RAW__' || text)
+              ELSE md5(nt) END AS norm_hash
+  FROM norm)
 SELECT doc_id,
        (row_number() OVER (PARTITION BY raw_hash ORDER BY doc_id) = 1)
          AS keep_raw,

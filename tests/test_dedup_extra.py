@@ -687,3 +687,36 @@ def test_minhash_estimate_error_identical_and_disjoint(spark):
         assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) <= 1e-4
         assert round(r.est_jaccard * 16) == r.est_jaccard * 16
         assert 0.0 <= r.exact_jaccard <= 1.0
+
+
+def test_normalized_dedup_keeps_distinct_nonlatin_docs(spark):
+    """Unicode-awareness fix (ADVICE r6): non-Latin-script documents
+    must keep their letters through normalization — an ASCII-only
+    class emptied them all into ONE hash group and silently dropped
+    every distinct zh/ru/el doc but one. Symbol-only docs (empty
+    normalization) must also stay distinct via the raw-hash
+    fallback."""
+    from flechasdb_spark.operators.dedup import dedup_exact_normalized
+
+    docs = spark.createDataFrame(
+        [
+            (1, "机器学习 很 有趣"),
+            (2, "深度学习 改变 世界"),   # distinct zh content
+            (3, "机器学习, 很 有趣!"),   # punct variant of 1 -> dup
+            (4, "Привет мир"),
+            (5, "!!! ???"),              # empty normalization
+            (6, "$$$ %%%"),              # empty normalization, distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_exact_normalized(docs).collect()}
+    # 3 is the punctuation variant of 1: same group, 1 kept first
+    assert got[3].content_hash == got[1].content_hash
+    assert got[1].keep and not got[3].keep
+    # distinct non-Latin docs keep distinct hashes and all survive
+    assert got[2].content_hash != got[1].content_hash
+    assert got[4].content_hash != got[2].content_hash
+    assert got[2].keep and got[4].keep
+    # symbol-only docs fall back to raw hashes: distinct, both kept
+    assert got[5].content_hash != got[6].content_hash
+    assert got[5].keep and got[6].keep

@@ -946,3 +946,40 @@ def test_kmv_set_ops_exact_when_sets_fit(spark):
 
     with _pt.raises(ValueError):
         kmv_set_ops(df, "v", "g", k=2)
+
+
+def test_psi_report_ungrouped_default(spark):
+    """ADVICE r6: psi_report's default group_cols=None crashed (the
+    spine was a zero-column select and the totals joined on an empty
+    key list). The ungrouped path must return ONE row whose psi equals
+    the grouped computation collapsed onto a constant group, and be
+    exactly 0 when cur == ref."""
+    from flechasdb_spark.operators.eval import psi_report
+    import pyspark.sql.functions as F
+
+    cur = spark.range(200).select((F.col("id") % 50).cast("double").alias("value"))
+    ref = spark.range(200).select(((F.col("id") * 7) % 100).cast("double").alias("value"))
+
+    out = psi_report(cur, ref, lo=0.0, hi=100.0, n_bins=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_cur == 200 and row.n_ref == 200
+    assert row.psi > 0.0
+
+    # identical distributions -> psi exactly 0
+    same = psi_report(cur, cur, lo=0.0, hi=100.0, n_bins=8).collect()[0]
+    assert same.psi == 0.0
+
+    # equals the grouped path collapsed to one constant group
+    g = (
+        psi_report(
+            cur.withColumn("g", F.lit("all")),
+            ref.withColumn("g", F.lit("all")),
+            group_cols=["g"],
+            lo=0.0,
+            hi=100.0,
+            n_bins=8,
+        )
+        .collect()[0]
+    )
+    assert g.psi == row.psi and g.n_cur == row.n_cur

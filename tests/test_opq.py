@@ -86,3 +86,23 @@ def test_train_deterministic(vdf):
 def test_train_validates(vdf):
     with pytest.raises(ValueError):
         opq_train(vdf, num_divisions=3, num_codes=4)  # 8 % 3 != 0
+
+
+def test_opq_train_custom_id_col(spark):
+    """opq_train must accept a non-default id column for its
+    deterministic sample ranking (ADVICE r6: it was hardcoded to
+    'vec_id' and failed on any other schema)."""
+    import numpy as np
+    from flechasdb_spark.operators.opq import opq_train
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(v) for v in rng.normal(size=8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "item_id long, embedding array<double>")
+    m = opq_train(
+        df, num_divisions=2, num_codes=4, iters=2, sample_n=64,
+        id_col="item_id",
+    )
+    r = m.rotation_np()
+    assert np.allclose(r @ r.T, np.eye(8), atol=1e-8)

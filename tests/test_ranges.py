@@ -140,3 +140,24 @@ def test_interval_overlap_join_unique_meeting_and_semantics(spark):
             "a_lo", "a_hi", "a_lo", "a_hi",
             bucket_width=10,
         )
+
+
+def test_interval_overlap_join_skips_empty_intervals(spark):
+    """ADVICE r6: an EMPTY half-open interval [5,5) overlaps nothing,
+    but the unfiltered bucket explode generated a descending sequence
+    for it and emitted a spurious pair against [4,6). Empty intervals
+    on either side must produce zero output rows."""
+    from flechasdb_spark.operators.ranges import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 5, 5), (2, 4, 6)], "lid long, a_lo long, a_hi long"
+    )
+    right = spark.createDataFrame(
+        [(10, 4, 6), (11, 7, 7)], "rid long, b_lo long, b_hi long"
+    )
+    out = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=4
+    ).collect()
+    # only the genuine overlap [4,6)x[4,6) survives; both empty
+    # intervals ([5,5) left, [7,7) right) emit nothing
+    assert [(r.lid, r.rid) for r in out] == [(2, 10)]

@@ -359,3 +359,36 @@ def test_mmr_rerank_accepts_external_candidates(spark):
             emb, qs, k=2, n_candidates=2,
             candidates=cands.drop("rel"),
         )
+
+
+def test_mmr_rerank_string_ids_and_custom_id_col(spark):
+    """ADVICE r6: the applyInPandas output schema was hardcoded to
+    '... long' and the literal name 'vec_id'; string ids or a renamed
+    id column crashed or mislabeled the output. Both must now flow
+    through from the input dtypes."""
+    from flechasdb_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.9, 0.1]),
+            ("c", [0.0, 1.0]),
+        ],
+        "doc long string, embedding array<double>".replace("doc long", "doc"),
+    )
+    qs = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "qid string, qvector array<double>"
+    )
+    out = mmr_rerank(
+        emb,
+        qs,
+        k=2,
+        n_candidates=3,
+        id_col="doc",
+        query_id_col="qid",
+    )
+    assert out.columns == ["qid", "doc", "mmr_rank", "rel", "mmr_score"]
+    rows = out.orderBy("mmr_rank").collect()
+    # a first (rel=1); then b vs c tie at score 0 -> ascending id -> b
+    assert [r.doc for r in rows] == ["a", "b"]
+    assert rows[0].qid == "q1"
