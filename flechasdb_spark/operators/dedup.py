@@ -508,7 +508,24 @@ def minhash_estimate_error(
     cand = _capped_candidates(
         df, num_hashes, bands, max_bucket, text_col, id_col
     ).localCheckpoint(eager=True)
-    sig = minhash_signature(df, num_hashes, text_col, id_col)
+    # semi-join the signature/token tables down to docs that appear in
+    # a candidate pair, then materialize ONCE: sig feeds two join
+    # branches (sa/sb) and toks three (ta/tb/sizes), and each branch
+    # would otherwise re-derive the full corpus scan + minhash /
+    # tokenize pipeline (different join keys, so exchange reuse never
+    # kicks in — VERDICT r6 #3). The reduced tables are
+    # O(candidate_docs * H) / O(candidate_docs * tokens): bounded by
+    # banding + max_bucket, tiny next to the corpus at scale.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sig = (
+        minhash_signature(df, num_hashes, text_col, id_col)
+        .join(ids, id_col, "semi")
+        .localCheckpoint(eager=True)
+    )
     sa = sig.select(
         F.col(id_col).alias("id_a"), "j", F.col("minhash").alias("__ma")
     )
@@ -525,8 +542,13 @@ def minhash_estimate_error(
             ).alias("__n_match")
         )
     )
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .join(ids, id_col, "semi")
+        .localCheckpoint(eager=True)
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
@@ -587,10 +609,26 @@ def minhash_verified_pairs(
     of docs, and an uncapped bucket is a quadratic blowup (measured:
     74 s at sf0.1 without the cap). Docs in dropped buckets still meet
     in their other, more selective bands."""
-    cand = _capped_candidates(df, num_hashes, bands, max_bucket, text_col, id_col)
-
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    # materialize the bounded candidate list once, then semi-join the
+    # token table down to candidate docs and materialize THAT once:
+    # toks feeds three branches (ta/tb/sizes) which would each re-run
+    # the corpus tokenize pipeline (VERDICT r6 #3; same shape as
+    # minhash_estimate_error)
+    cand = _capped_candidates(
+        df, num_hashes, bands, max_bucket, text_col, id_col
+    ).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .join(ids, id_col, "semi")
+        .localCheckpoint(eager=True)
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")

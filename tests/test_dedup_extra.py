@@ -720,3 +720,32 @@ def test_normalized_dedup_keeps_distinct_nonlatin_docs(spark):
     # symbol-only docs fall back to raw hashes: distinct, both kept
     assert got[5].content_hash != got[6].content_hash
     assert got[5].keep and got[6].keep
+
+
+def test_minhash_error_single_signature_pass(spark, sf_dir):
+    """Scan-count gate (VERDICT r6 #3): minhash_estimate_error /
+    minhash_verified_pairs semi-join the signature and token tables
+    down to candidate docs and materialize them ONCE, so the consuming
+    plan is fed entirely from checkpointed RDDs — the a/b join
+    branches must NOT re-derive the corpus scan (before the fix each
+    branch re-ran the minhash/tokenize pipeline from parquet: 2 extra
+    full passes per table). Gate: zero parquet scans in the final
+    plan."""
+    from flechasdb_spark.operators.dedup import (
+        minhash_estimate_error,
+        minhash_verified_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for out in (
+        minhash_estimate_error(docs, num_hashes=16, bands=4),
+        minhash_verified_pairs(docs, num_hashes=16, bands=4, threshold=0.5),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan, (
+            "corpus re-scan in the consuming plan — a join branch is "
+            "re-deriving the signature/token pipeline:\n" + plan[:2000]
+        )
+        assert out.count() >= 0
