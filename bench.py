@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {slowest warm rows}, "sf": ...} — kept under 1900 chars so
+the driver's 2000-char stdout tail stores it parseable (VERDICT r6
+#2). The FULL record (every warm+cold row, smoke block, warm-run
+samples with loadavg) is written to $SPARK_GRAFT_BENCH_FILE (default
+BENCH_local.json next to this file) and committed per round.
 
 The headline set covers every engine surface: vector kernels, exact and
 batch kNN, the deterministic IVF/PQ relational pipeline, the full
@@ -33,10 +37,12 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
-def ann_lifecycle(spark, sf_dir, timings):
-    """Full lifecycle: build seeded IVF+PQ index, batch-query 100
+def ann_lifecycle(spark, sf_dir, timings, extras: dict | None = None):
+    """Full lifecycle: build seeded IVF+PQ index, batch-query 500
     vectors cold, then re-query warm (the serving-path comparable to
     the reference's warm-cache latency — BASELINE.md)."""
+    import statistics
+
     from pyspark.sql import functions as F
 
     from flechasdb_spark.operators.build import IndexConfig, build_index
@@ -47,22 +53,36 @@ def ann_lifecycle(spark, sf_dir, timings):
     t0 = time.perf_counter()
     model = build_index(emb, cfg)
     timings["ann_build"] = round(time.perf_counter() - t0, 3)
-    qs = [
+    # 500-query warm batch, median-of-5 with per-measurement loadavg
+    # (VERDICT r6 #4: the 100-query batch was short enough that one
+    # noisy scheduling window swung the recorded qps 107-239 across
+    # idle runs; a 5x batch amortizes fixed job overhead and the
+    # median ignores tail outliers in both directions)
+    all_qs = [
         (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.where(F.col("vec_id") < 100).collect()
+        for r in emb.where(F.col("vec_id") < 500).collect()
     ]
+    # cold / rerank / distprobe / fused keep the 100-query batch for
+    # round-over-round comparability; only the warm-throughput gate
+    # moves to the long batch
+    qs = [q for q in all_qs if q[0] < 100]
+    nq = len(all_qs)
     t0 = time.perf_counter()
     ann_query(model, qs, k=10, nprobe=5).collect()
     timings["ann_query_cold"] = round(time.perf_counter() - t0, 3)
-    # serving throughput is the BASELINE.md headline comparable: min of
-    # three warm repeats so one contended sample can't halve the
-    # recorded qps (r4: driver recorded 228 q/s vs 287-312 idle-host)
-    warm = min(
-        _timed(lambda: ann_query(model, qs, k=10, nprobe=5).collect())
-        for _ in range(3)
-    )
-    timings["ann_query_warm"] = round(warm, 3)
-    timings["ann_warm_qps"] = round(100 / warm, 1)
+    runs, loads = [], []
+    for _ in range(5):
+        loads.append(round(os.getloadavg()[0], 2))
+        runs.append(
+            _timed(lambda: ann_query(model, all_qs, k=10, nprobe=5).collect())
+        )
+    warm = statistics.median(runs)
+    timings["ann_query_warm_500"] = round(warm, 3)
+    timings["ann_warm_qps"] = round(nq / warm, 1)
+    if extras is not None:
+        extras["ann_warm_runs_sec"] = [round(r, 3) for r in runs]
+        extras["ann_warm_load_1m"] = loads
+        extras["ann_warm_batch"] = nq
     # the recall-lifting exact re-rank refinement (adds one broadcast
     # join against the original vectors — measure its marginal cost)
     t0 = time.perf_counter()
@@ -539,11 +559,12 @@ def main() -> None:
             lambda: REGISTRY[name](spark, SF_DIR).collect()
         )
 
+    extras: dict = {}
     fused_encode(spark, SF_DIR, timings)
     fused_rq_encode(spark, SF_DIR, timings)
     fused_lsh_multitable(spark, SF_DIR, timings)
     fused_semantic(spark, SF_DIR, timings)
-    ann_lifecycle(spark, SF_DIR, timings)
+    ann_lifecycle(spark, SF_DIR, timings, extras)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -556,6 +577,7 @@ def main() -> None:
             "end": round(os.getloadavg()[0], 2),
         },
         "sf": _sf_label(SF_DIR),
+        **extras,
     }
     # 200k-vector production-shape lifecycle (examples/scale_smoke.py
     # promoted to metrics, r3 VERDICT #7); on by default so the
@@ -567,7 +589,58 @@ def main() -> None:
     result["value"] = round(
         sum(v for k, v in timings.items() if k != "ann_warm_qps"), 3
     )
-    print(json.dumps(result))
+    # The driver keeps only the LAST ~2000 chars of stdout, so the full
+    # record (~8 KB with 100+ query rows) was unparseable in BENCH_r05/
+    # r06 (VERDICT r6 #2). Persist the FULL record to a committed file
+    # and print ONE compact line (<1900 chars) that survives the tail:
+    # headline total, warm-serving gate, slowest warm rows, condensed
+    # smoke block, pointer to the full record.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local.json"),
+    )
+    with open(full_path, "w") as fh:
+        json.dump(result, fh)
+        fh.write("\n")
+    slow = sorted(
+        ((k, v) for k, v in timings.items() if k != "ann_warm_qps"),
+        key=lambda kv: -kv[1],
+    )
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(names),
+        "host_load_1m": result["host_load_1m"],
+        "ann_warm_qps": timings.get("ann_warm_qps"),
+        "ann_warm_runs_sec": extras.get("ann_warm_runs_sec"),
+        "full_record": os.path.basename(full_path),
+        "queries": {},
+    }
+    if "smoke" in result:
+        s = result["smoke"]
+        compact["smoke"] = {
+            k: s[k]
+            for k in (
+                "n_vectors",
+                "build_vec_per_sec",
+                "encode_vec_per_sec",
+                "warm_qps",
+                "replica_recall_at_10",
+                "minhash_dedup_docs_per_sec",
+                "segment_dedup_docs_per_sec",
+            )
+            if k in s
+        }
+    for k, v in slow:
+        trial = dict(compact["queries"])
+        trial[k] = v
+        if len(json.dumps({**compact, "queries": trial})) > 1800:
+            break
+        compact["queries"] = trial
+    print(json.dumps(compact))
     spark.stop()
 
 
