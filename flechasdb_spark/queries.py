@@ -8003,61 +8003,96 @@ DRIVER_ORDER = [
     # quality_ensemble_rank [rank-averaged multi-signal quality
     # composite via exact integer percentile buckets — the
     # DataComp/Nemotron ensemble-scoring practice].
+    # r7 rotation (VERDICT r6 #1): the r6 cohort gets driver
+    # visibility, led by the classifier-and-audit loop. 23 rows swap
+    # in; every retired row had >= 3 rounds of green driver evidence
+    # (noted in parentheses) and its family keeps >= 1 window row:
+    # sq_knn(5)/rq_knn(3)/bq_hamming_knn(3) -> quantizer_report spans
+    # all four quantizer families and pca_reduced_knn joins the
+    # transform side; ann_ivfpq_frozen(5)/ann_frozen_filtered(5) ->
+    # ann_ivfpq keeps build+recall, ann_frozen_distprobe keeps
+    # save/load+probe, ann_ivfpq_rerank_fused keeps Q5;
+    # maintenance_upsert_delete(5) -> index_merge_query keeps
+    # maintenance; segment_dedup(5) -> cdc_chunk_dedup is its
+    # shift-robust successor; lsh_neardup_multitable(3) ->
+    # image_dhash_neardup keeps banded-Hamming LSH; doc_novelty(3) ->
+    # cross_source_dup_matrix keeps cross-corpus provenance;
+    # token_stats(6) -> gopher keeps per-doc text stats;
+    # length_bucket_batches(3) -> sequence_pack_fragments keeps
+    # packing; corpus_shard_shuffle(3) -> training_shard_roundtrip
+    # keeps shards; quality_stratified_sample(3)/dsir_select(3) ->
+    # weighted_sample_topk + quality_ensemble_rank keep quality
+    # selection; image_features(5) -> image_dhash_neardup +
+    # video_frame_features keep image/video decode (audio_features
+    # keeps audio); tpch_q5(6) -> tpch_q2 keeps TPC-H;
+    # events_value_bands(3) -> events_incident_overlap keeps bucketed
+    # range joins; kmv_distinct_users(3) -> hll_distinct_users +
+    # kmv_audience_overlap keep sketches (cms_user_counts stays);
+    # bloom_decontam_prefilter(3) -> stays bench+pytest-gated;
+    # hybrid_rrf(3) -> retrieval_rank_metrics + hard_negative_mining
+    # + mmr_diverse_topk + phrase_search_topk keep retrieval;
+    # source_mix_report(3) -> cross_source_dup_matrix keeps
+    # provenance; stream_windowed_agg(5)/stream_session_counts(4) ->
+    # stream_rate_anomaly + stream_hll_users join stream_minhash_dedup
+    # (3 streaming rows). events_sessionize stays: it is the window-
+    # functions evidence row. All retired rows remain oracle-gated in
+    # pytest (tests/test_oracle.py runs the FULL registry) and in
+    # bench.py's headline set.
     "flat_knn",
     "vector_norms",
     "pq_permuted_encode",
     "quantizer_report",
     "ann_ivfpq",
-    "ann_ivfpq_frozen",
     "ann_ivfpq_rerank_fused",
-    "ann_frozen_filtered",
     "ann_frozen_distprobe",
-    "sq_knn",
-    "rq_knn",
-    "bq_hamming_knn",
+    "pca_project_residual",
+    "pca_reduced_knn",
     "attr_map_fetch",
-    "maintenance_upsert_delete",
     "index_merge_query",
     "index_partition_stats",
     "orc_source_knn",
     "bm25_topk",
     # dedup / similarity
-    "segment_dedup",
     "minhash_dedup",
     "leakage_safe_split",
-    "lsh_neardup_multitable",
-    "doc_novelty",
+    "cdc_chunk_dedup",
+    "image_dhash_neardup",
+    "cross_source_dup_matrix",
     # text / training-data pipeline
-    "token_stats",
+    "nb_source_classifier",
+    "nb_classifier_report",
+    "nb_margin_calibration",
     "gopher_quality_filter",
     "unigram_ppl_score",
     "ccnet_ppl_bands",
+    "bigram_lm_score",
+    "kneser_ney_lm_score",
     "token_id_encode",
-    "length_bucket_batches",
-    "corpus_shard_shuffle",
     "training_shard_roundtrip",
     "sequence_pack_fragments",
-    "quality_stratified_sample",
-    "dsir_select",
+    "weighted_sample_topk",
+    "quality_ensemble_rank",
     # multimodal
-    "image_features",
     "audio_features",
+    "video_frame_features",
     # relational SQL surface
-    "source_mix_report",
     "tpch_q2",
-    "tpch_q5",
-    "hybrid_rrf",
     "retrieval_rank_metrics",
+    "hard_negative_mining",
+    "mmr_diverse_topk",
+    "phrase_search_topk",
     "events_sessionize",
-    "events_value_bands",
+    "events_incident_overlap",
+    "events_retention_cohorts",
+    "events_value_psi",
     "zorder_key_events",
-    "kmv_distinct_users",
+    "hll_distinct_users",
+    "kmv_audience_overlap",
     "cms_user_counts",
-    "bloom_decontam_prefilter",
     # streaming
-    "stream_windowed_agg",
-    "stream_session_counts",
     "stream_minhash_dedup",
+    "stream_rate_anomaly",
+    "stream_hll_users",
 ]
 
 
