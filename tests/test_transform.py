@@ -138,3 +138,106 @@ def test_divisibility_validated(emb):
         build_transformed_index(
             emb, pca_k=30, cfg=IndexConfig(num_divisions=8)
         )
+
+
+# --- OPQ-rotated IVF+PQ lifecycle (VERDICT r6 #5) -----------------------
+
+
+def _correlated_vectors(n=2000, dim=16, seed=11):
+    """Anisotropic + cross-subspace-correlated Gaussian: the data shape
+    OPQ exists for (a decaying spectrum mixed through a random
+    orthogonal basis, so energy straddles the contiguous PQ subspace
+    boundaries plain PQ uses)."""
+    rng = np.random.default_rng(seed)
+    spectrum = np.exp(-np.arange(dim) / 3.0)
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    x = rng.normal(size=(n, dim)) * spectrum
+    return x @ q.T
+
+
+@pytest.fixture(scope="module")
+def corr_df(spark):
+    x = _correlated_vectors()
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).persist()
+
+
+def _recall_at_10(spark, result_df, x, qids):
+    """recall@10 of (query_id, vector_id) pairs vs exact L2 in the
+    ORIGINAL space (orthonormal rotations preserve it)."""
+    got = {}
+    for r in result_df.collect():
+        got.setdefault(r.query_id, set()).add(r.vector_id)
+    hits = 0
+    for qid in qids:
+        d = ((x - x[qid]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d, kind="stable")[:10].tolist())
+        hits += len(exact & got.get(qid, set()))
+    return hits / (10 * len(qids))
+
+
+def test_opq_recall_ge_plain_pq_on_correlated_data(spark, corr_df):
+    """Equal-budget gate: OPQ{4},IVF{4},PQ{4x16} must match or beat
+    plain IVF{4},PQ{4x16} recall@10 on correlated data — the rotation
+    only re-aligns subspaces, so at worst it ties (property-gated on a
+    frozen seed; losses[0] is the plain-PQ loss so the training-side
+    improvement is also asserted)."""
+    from flechasdb_spark.operators.build import build_index
+    from flechasdb_spark.plans.ivf import ann_query
+    from flechasdb_spark.plans.transform import (
+        build_opq_index,
+        opq_ann_query,
+    )
+
+    x = _correlated_vectors()
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=16, seed=7)
+    qids = list(range(30))
+    qs = [(i, [float(v) for v in x[i]]) for i in qids]
+
+    plain = build_index(corr_df, cfg)
+    plain_recall = _recall_at_10(
+        spark, ann_query(plain, qs, k=10, nprobe=4), x, qids
+    )
+
+    oi = build_opq_index(corr_df, cfg, opq_iters=8, opq_sample_n=2000)
+    opq_recall = _recall_at_10(
+        spark, opq_ann_query(oi, qs, k=10, nprobe=4), x, qids
+    )
+    # training objective: the OPQ loop must improve on its own round-0
+    # plain-PQ fit
+    assert oi.losses[-1] < oi.losses[0]
+    assert opq_recall >= plain_recall, (
+        f"OPQ recall {opq_recall} < plain PQ {plain_recall} at equal budget"
+    )
+
+
+def test_opq_save_load_query_equality(spark, corr_df, tmp_path):
+    """Persisted OPQ index must answer queries identically to the
+    in-memory one (rotation survives the manifest round-trip
+    bit-for-bit as JSON doubles)."""
+    from flechasdb_spark.plans.transform import (
+        build_opq_index,
+        load_opq_index,
+        opq_ann_query,
+        save_opq_index,
+    )
+
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=7)
+    oi = build_opq_index(corr_df, cfg, opq_iters=3, opq_sample_n=500)
+    x = _correlated_vectors()
+    qs = [(i, [float(v) for v in x[i]]) for i in range(5)]
+    before = sorted(
+        (r.query_id, r.vector_id, round(r.squared_distance, 6), r.rank)
+        for r in opq_ann_query(oi, qs, k=5, nprobe=4).collect()
+    )
+    path = str(tmp_path / "opqidx")
+    save_opq_index(oi, path)
+    loaded = load_opq_index(spark, path)
+    assert loaded.rotation == oi.rotation
+    after = sorted(
+        (r.query_id, r.vector_id, round(r.squared_distance, 6), r.rank)
+        for r in opq_ann_query(loaded, qs, k=5, nprobe=4).collect()
+    )
+    assert before == after
