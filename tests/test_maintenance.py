@@ -289,3 +289,109 @@ def test_compact_index_repairs_crashed_swap(spark, saved):
     )
     assert after_rows == before_rows
     assert not os.path.exists(f"{path}/index.compact.pre")
+
+
+# --- split_partition: hot-cell maintenance (VERDICT r6 #6) --------------
+
+
+def test_split_partition_reduces_imbalance_and_preserves_results(spark):
+    """Split the hottest IVF cell: the imbalance factor must drop, the
+    vector population must be preserved exactly, and a full-probe query
+    with exact re-rank must return the SAME neighbors pre/post (an
+    orthonormal-free change: the split only moves cell boundaries, the
+    exact re-rank restores the true metric)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.eval import index_partition_stats
+    from flechasdb_spark.operators.maintenance import split_partition
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # skew one cell on purpose: P=3 over naturally-clustered fixture
+    cfg = IndexConfig(num_partitions=3, num_divisions=4, num_codes=8, seed=13)
+    model = build_index(emb, cfg)
+    stats0 = {r.partition_id: r for r in index_partition_stats(model.encoded).collect()}
+    hot = max(stats0.values(), key=lambda r: (r.n_vectors, -r.partition_id)).partition_id
+
+    split = split_partition(spark, model, emb)
+    assert split.centroids.shape[0] == 4
+    assert split.config.num_partitions == 4
+    # population preserved exactly
+    n0 = model.encoded.count()
+    assert split.encoded.count() == n0
+    ids0 = {r.vec_id for r in model.encoded.select("vec_id").collect()}
+    ids1 = {r.vec_id for r in split.encoded.select("vec_id").collect()}
+    assert ids0 == ids1
+    # the split cell now holds fewer vectors, and the straggler bound
+    # (max cell share — the per-probe scan-unit size; the P-normalized
+    # imbalance factor is not comparable across different P) drops
+    stats1 = {r.partition_id: r for r in index_partition_stats(split.encoded).collect()}
+    assert stats1[hot].n_vectors < stats0[hot].n_vectors
+    assert len(stats1) == 4
+    assert max(r.share for r in stats1.values()) < max(
+        r.share for r in stats0.values()
+    )
+    assert max(r.n_vectors for r in stats1.values()) <= max(
+        r.n_vectors for r in stats0.values()
+    )
+
+    # full-probe + exact rerank: identical neighbor sets pre/post
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    # rerank_factor wide enough that every scanned vector is an exact-
+    # rerank candidate: full probe + full rerank = exact kNN on BOTH
+    # sides, so equality is guaranteed, not empirical
+    a = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(
+            model, qs, k=5, nprobe=3, rerank=emb, rerank_factor=10_000
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(
+            split, qs, k=5, nprobe=4, rerank=emb, rerank_factor=10_000
+        ).collect()
+    )
+    assert a == b
+
+
+def test_split_partition_save_load_and_merge_compose(spark, tmp_path):
+    """The split model flows through the existing lifecycle machinery
+    unchanged: save/load round-trips P+1 centroids, and queries on the
+    loaded index equal queries on the in-memory split."""
+    from flechasdb_spark.operators.maintenance import split_partition
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = build_index(emb, CFG)
+    split = split_partition(spark, model, emb)
+    path = str(tmp_path / "splitidx")
+    save_index(split, path)
+    loaded = load_index(spark, path)
+    assert loaded.centroids_np().shape == split.centroids_np().shape
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    a = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(split, qs, k=5, nprobe=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(loaded, qs, k=5, nprobe=5).collect()
+    )
+    assert a == b
+
+
+def test_split_partition_validates(spark):
+    from flechasdb_spark.operators.maintenance import split_partition
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = build_index(emb, CFG)
+    with pytest.raises(ValueError, match="members"):
+        # a cell id that holds nothing
+        split_partition(spark, model, emb, pid=999)
