@@ -6951,6 +6951,119 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hll_stream_batch_merge",
+    f"""
+WITH ev AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+                   user_id FROM events),
+r AS (
+  SELECT window_start, hh >> 54 AS idx,
+         CASE WHEN (hh & 18014398509481983) = 0 THEN 55
+              ELSE 55 - length(bin(hh & 18014398509481983)) END AS rank
+  FROM (SELECT window_start,
+               {_DD_MD5H.format(x="user_id::VARCHAR")} AS hh
+        FROM ev)),
+regs AS (SELECT window_start, idx, max(rank) AS m FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT window_start, count(*) AS n_present,
+         sum(1::BIGINT << (55 - m)::INT)::BIGINT AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT window_start, (64 - n_present)::BIGINT AS v_zero,
+         1.0462993238608057e+20
+           / (s_present + (64 - n_present) * 36028797018963968)::DOUBLE
+           AS raw
+  FROM agg)
+SELECT e.window_start, e.v_zero,
+       round(CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+                  THEN 64.0 * (round(ln(64.0 / e.v_zero) * 1e6) / 1e6)
+                  ELSE e.raw END, 4) AS hll_estimate,
+       (CASE WHEN e.v_zero > 0 AND e.raw <= 160.0
+             THEN 1 ELSE 0 END)::INT AS used_linear
+FROM est e ORDER BY e.window_start
+""",
+)
+def q_hll_stream_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine STREAM+BATCH HLL merge (VERDICT r6 #8): half the
+    events (even user_id) flow through the streaming windowed
+    register-max sink, the other half (odd user_id — a batch backfill
+    arriving later) through the batch register pass; merging is ONE
+    further max over the unioned register rows, and the result must
+    equal the oracle's full recompute over ALL events — the
+    mergeability property that makes HLL state lambda-architecture-
+    safe (a replayed window or late backfill just re-maxes; no
+    double-count, no id retention). Same sentinel-finalization
+    contract as `stream_hll_users`."""
+    _ensure_conf(spark)
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_register_exprs,
+    )
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_hll_users,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    tmp = tempfile.mkdtemp(prefix="stream_hllmerge_")
+    src = f"{tmp}/src"
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+        "user_id",
+    )
+    ev.where(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    mx = ev.agg(F.max("event_time")).first()[0]
+    spark.createDataFrame(
+        [(mx, -1)], "event_time timestamp, user_id long"
+    ).withColumn(
+        "event_time", F.col("event_time") + F.expr("INTERVAL 2 HOURS")
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "event_time timestamp, user_id long"
+    ).parquet(src)
+    q = stream_hll_users(
+        stream,
+        f"{tmp}/out",
+        f"{tmp}/ckpt",
+        watermark="0 seconds",
+        ts_col="event_time",
+    )
+    run_available_now(q)
+    streamed = spark.read.parquet(f"{tmp}/out")
+    # batch backfill registers over the SAME arithmetic
+    idx, rank = hll_register_exprs("user_id", 6)
+    backfill = (
+        ev.where(F.col("user_id") % 2 == 1)
+        .select(
+            F.date_trunc("hour", "event_time").alias("window_start"),
+            idx.alias("__idx"),
+            rank.alias("__rank"),
+        )
+        .groupBy("window_start", "__idx")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    merged = (
+        streamed.unionByName(backfill)
+        .groupBy("window_start", "__idx")
+        .agg(F.max("__m").alias("__m"))
+    )
+    out = (
+        hll_estimate_from_registers(merged, ["window_start"], p=6)
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "v_zero",
+            "hll_estimate",
+            "used_linear",
+        )
+        .orderBy("window_start")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@query(
     "stream_windowed_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
