@@ -529,6 +529,10 @@ def main() -> None:
         "kfold_assign",
         "join_skew_report",
         "events_value_psi",
+        # r7 additions: hot-cell split lifecycle, frozen-rotation OPQ
+        # encode
+        "index_split_query",
+        "opq_rotated_encode",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -440,6 +440,87 @@ def q_pq_permuted_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "opq_rotated_encode",
+    f"""
+WITH {_DD_CODEBOOKS},
+rot AS (
+  SELECT vec_id,
+         flatten(list_transform(generate_series(1, 32),
+           i -> [0.6*x[2*i-1] - 0.8*x[2*i],
+                 0.8*x[2*i-1] + 0.6*x[2*i]])) AS y
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)),
+scored AS (
+  SELECT r.vec_id, cb.division, cb.code,
+         row_number() OVER (
+           PARTITION BY r.vec_id, cb.division
+           ORDER BY {_DD_SQL2.format(
+               a=f"list_slice(r.y, cb.division * {_PQ_W} + 1, "
+                 f"(cb.division + 1) * {_PQ_W})",
+               b="cb.center")},
+                    cb.code) AS rn
+  FROM rot r CROSS JOIN codebooks cb)
+SELECT vec_id, division::BIGINT AS division, code::BIGINT AS code
+FROM scored WHERE rn = 1 ORDER BY vec_id, division
+""",
+)
+def q_opq_rotated_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ROTATED encode with a frozen orthonormal rotation — the
+    oracle-exact member of the learned-rotation family
+    (operators/opq.py::opq_encode; the TRAINED Procrustes rotation is
+    property-gated in tests/test_opq.py and composed into the index
+    lifecycle in plans/transform.py::build_opq_index). The frozen R is
+    block-diagonal Givens (cos .6 / sin .8 per dimension pair): every
+    rotated element is a TWO-term expression, so the BLAS matmul and
+    DuckDB's elementwise form agree bit-for-bit (zero summands are
+    exact; two-term sums have no reassociation), and the encode is
+    fully recomputable — rotate, slice, argmin vs the F3 codebooks.
+    This is the `pq_permuted_encode` upgrade: a permutation only
+    reorders dimensions; the rotation mixes them, which is what OPQ
+    buys (Ge et al. 2013, reference split: /root/reference/src/vector.rs:154-174)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.opq import OPQModel, opq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _PQ_D * _PQ_W
+    r = np.zeros((n, n), dtype=np.float64)
+    for k in range(n // 2):
+        r[2 * k, 2 * k] = 0.6
+        r[2 * k + 1, 2 * k] = -0.8
+        r[2 * k, 2 * k + 1] = 0.8
+        r[2 * k + 1, 2 * k + 1] = 0.6
+    cb = np.array(
+        [
+            [
+                [
+                    np.float32((c - 3.5) * 0.1 + d * 0.01 * j)
+                    for j in range(_PQ_W)
+                ]
+                for c in range(_PQ_C)
+            ]
+            for d in range(_PQ_D)
+        ],
+        dtype=np.float64,
+    )
+    model = OPQModel(
+        rotation=tuple(tuple(float(e) for e in row) for row in r),
+        codebooks=tuple(
+            tuple(tuple(float(e) for e in ctr) for ctr in div) for div in cb
+        ),
+        losses=(),
+    )
+    return (
+        opq_encode(emb, model)
+        .select(
+            "vec_id",
+            F.col("division").cast("long").alias("division"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .orderBy("vec_id", "division")
+    )
+
+
+@query(
     "pq_adc_topk",
     f"""
 WITH {_DD_CODEBOOKS},
