@@ -86,6 +86,22 @@ def word_ngrams(col: Column | str, n: int) -> Column:
     )
 
 
+def _parallel_scan(df: DataFrame) -> DataFrame:
+    """Defensive input widening for the inverted-index operators: the
+    shingle explode inflates each row by O(tokens), so a pathologically
+    narrow scan (a single-row-group parquet file reads as ONE
+    partition) serializes the whole explode+self-join onto one core —
+    measured 2.5 s -> ~22 s on `ngram_containment` at sf0.1 (SCALING
+    §r6; VERDICT r6 called it the real 100x-scale caveat). Repartition
+    ONLY when the scan is far below the session's shuffle width; a
+    well-partitioned 100 TB input passes through untouched (no extra
+    shuffle)."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() * 4 < sp:
+        return df.repartition(sp)
+    return df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -113,6 +129,7 @@ def ngram_jaccard_pairs(
     No caching: the shingle pipeline is recomputed per use (3 map-only
     scans) — cheaper at scale than materializing the exploded corpus.
     """
+    df = _parallel_scan(df)
     exploded = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("shingles")
     ).select(
@@ -1423,6 +1440,7 @@ def ngram_containment_pairs(
     containment is a lower bound); each undirected intersection emits
     both directions, filtered independently.
     """
+    df = _parallel_scan(df)
     exploded = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("shingles")
     ).select(
@@ -1505,6 +1523,7 @@ def boilerplate_fraction(
     map-side-combinable agg. Docs too short for any n-gram report
     fraction 0.
     """
+    df = _parallel_scan(df)
     sh = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("shingles")
     ).select(

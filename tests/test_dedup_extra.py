@@ -749,3 +749,43 @@ def test_minhash_error_single_signature_pass(spark, sf_dir):
             "re-deriving the signature/token pipeline:\n" + plan[:2000]
         )
         assert out.count() >= 0
+
+
+def test_ngram_ops_widen_single_partition_input(spark, tmp_path):
+    """Partitioning-sensitivity guard (VERDICT r6 plan audit): a
+    single-row-group parquet input read as ONE partition must not
+    serialize the inverted-index explode — the operators widen the
+    scan to the session shuffle width. Results must be identical to
+    the well-partitioned run."""
+    from flechasdb_spark.operators.dedup import (
+        _parallel_scan,
+        ngram_containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(60)
+        ]
+        + [(1000, " ".join(f"w{(0 * 7 + j) % 23}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = _parallel_scan(narrow)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert widened.rdd.getNumPartitions() == sp
+    # already-wide inputs pass through with no extra shuffle
+    wide = narrow.repartition(sp)
+    assert _parallel_scan(wide) is wide
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_containment_pairs(narrow, n=3, threshold=0.8).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in ngram_containment_pairs(wide, n=3, threshold=0.8).collect()
+    )
+    assert got == want and (0, 1000) in got
