@@ -6899,6 +6899,68 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_shard_merge",
+    f"""
+WITH cells AS (
+  SELECT j.j AS row,
+         {_DD_MD5H.format(x="'cms' || j.j::VARCHAR || ':' || user_id::VARCHAR")}
+           % 256 AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, range(4) j(j) GROUP BY 1, 2),
+v AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+k AS (
+  SELECT v.user_id, j.j AS row,
+         {_DD_MD5H.format(x="'cms' || j.j::VARCHAR || ':' || v.user_id::VARCHAR")}
+           % 256 AS bucket
+  FROM v, range(4) j(j)),
+ex AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events
+       WHERE user_id < 20 GROUP BY user_id)
+SELECT k.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est,
+       any_value(ex.n_exact) AS n_exact
+FROM k LEFT JOIN cells c USING (row, bucket) JOIN ex USING (user_id)
+GROUP BY k.user_id ORDER BY user_id
+""",
+)
+def q_cms_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS SHARD-MERGE algebra proof (the count-min sibling of
+    `hll_stream_batch_merge`'s register-max): CMS cells are ADDITIVE,
+    so two sketches built independently over disjoint event shards
+    (even/odd timestamp) merge by one cell-wise SUM — and the merged
+    estimates must equal the oracle's single full-corpus build
+    cell-for-cell. The property that lets 1000 executors sketch their
+    shards independently and combine at O(depth * width) cost — no
+    re-scan, no id movement."""
+    from flechasdb_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    shard_a = cms_build(ev.where(F.col("ts") % 2 == 0), "user_id",
+                        width=256, depth=4)
+    shard_b = cms_build(ev.where(F.col("ts") % 2 == 1), "user_id",
+                        width=256, depth=4)
+    merged = (
+        shard_a.unionByName(shard_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    vals = ev.select("user_id").where(F.col("user_id") < 20).distinct()
+    est = cms_estimate(merged, vals, "user_id", width=256, depth=4)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est").cast("long").alias("est"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "events_tumbling_agg",
     """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
