@@ -55,6 +55,7 @@ __all__ = [
     "segment_dedup",
     "cdc_chunk_dedup",
     "banded_hamming_pairs",
+    "repeated_ngram_spans",
 ]
 
 
@@ -1557,4 +1558,103 @@ def boilerplate_fraction(
             ).alias("hot_fraction"),
         )
         .orderBy(id_col)
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    window_words: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash",
+) -> DataFrame:
+    """Maximal cross-corpus duplicated spans at ANY word alignment —
+    the detection half of ExactSubstr dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), with the suffix array replaced by overlapping
+    sliding windows. `segment_dedup` only sees duplicates that land on
+    its fixed segment grid; this operator slides a ``window_words``-word
+    window one word at a time, flags every window whose content occurs
+    more than once in the corpus (any document, any offset, including
+    elsewhere in the same document), and merges overlapping/touching
+    duplicated windows per document into maximal spans.
+
+    Exactness at word granularity: a duplicated substring of >= L words
+    has ALL of its L-word windows duplicated, and every duplicated
+    L-window is itself a duplicated substring — so the union of
+    flagged windows equals the union of maximal duplicated substrings
+    of length >= L, and the gaps-and-islands merge recovers exactly
+    the connected components of that union.
+
+    Returns one row per span: ``(id_col, span_start, span_end_excl,
+    span_words, n_windows)`` with word positions 0-based and the end
+    exclusive. Documents shorter than ``window_words`` words emit no
+    windows (they cannot contain a >= L-word duplicate).
+
+    Scale (100 TB): exactly two shuffles, zero joins. Window
+    generation is map-only; the duplicate flag is one count-window
+    keyed on the window content; the span merge moves only the
+    flagged rows, keyed on the document. ``key_mode``:
+
+    - ``"hash"`` (production default): windows are reduced map-side to
+      ``xxhash64`` keys, so the first shuffle carries ~24 bytes/row
+      (id, pos, key) instead of an L-word string — at L=15 that is a
+      ~30-60x shuffle-byte cut on typical English text.
+    - ``"text"``: groups on the window string itself — the
+      collision-free oracle form (DuckDB recomputes it verbatim;
+      xxhash64 is not portable). tests/test_dedup_spans.py pins
+      hash == text on the fixture corpus.
+    """
+    if key_mode not in ("hash", "text"):
+        raise ValueError(f"key_mode must be 'hash' or 'text': {key_mode!r}")
+    L = int(window_words)
+    words = F.split(F.col(text_col), " ")
+    wins = (
+        docs.where(F.size(words) >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - L),
+                    lambda i: F.array_join(F.slice(words, i + 1, L), " "),
+                )
+            ).alias("pos", "win"),
+        )
+    )
+    key = F.xxhash64("win") if key_mode == "hash" else F.col("win")
+    # Drop the window text BEFORE the shuffle in hash mode — the
+    # count-window then moves only (id, pos, key).
+    keyed = wins.select(id_col, "pos", key.alias("__k"))
+    dup = keyed.withColumn(
+        "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
+    ).where("__dup")
+    # Gaps-and-islands: windows at pos p cover words [p, p+L); a new
+    # span starts when the gap to the previous flagged window exceeds
+    # L (touching intervals [p0,p0+L) + [p0+L,p0+2L) union contiguously).
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(wd).isNull(), 1)
+        .when(F.col("pos") > F.lag("pos").over(wd) + L, 1)
+        .otherwise(0)
+    )
+    grp = dup.withColumn(
+        "__grp",
+        F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grp.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end_excl"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long"),
+            F.col("span_end_excl").cast("long"),
+            (F.col("span_end_excl") - F.col("span_start")).alias(
+                "span_words"
+            ),
+            F.col("n_windows").cast("long"),
+        )
     )

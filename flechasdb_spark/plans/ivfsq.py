@@ -1,0 +1,157 @@
+"""IVF + scalar-quantized residuals — the FAISS index-factory shape
+``IVF{P},SQ8`` on Spark: coarse k-means cells (plans/ivf.py) with each
+member stored as an 8-bit scalar-quantized RESIDUAL (operators/sq.py)
+instead of PQ codes.
+
+Where it sits in the quantizer family: SQ8 keeps one code PER DIMENSION
+(n bytes/vector, distortion only from 256-level rounding of each axis),
+vs PQ's one code per SUBSPACE (D bytes/vector, distortion from a
+learned 2^B-cell Voronoi partition of each subspace). IVF+SQ8 is the
+standard choice when recall matters more than memory: 4x the footprint
+of PQ8 but near-exact distances, and the scan is pure element
+arithmetic — no codebook lookups, so it whole-stage-codegens.
+
+Quantizing RESIDUALS (v - centroid) rather than raw vectors matters:
+residual coordinates concentrate near 0 with per-cell spread much
+smaller than the corpus spread, so the 256 levels cover a tighter range
+-> smaller step size -> lower distortion than raw-vector SQ at equal
+bits (the same reason the reference PQ-encodes residuals,
+/root/reference/src/db/build.rs:85-129).
+
+Scale (100 TB): the build is ivf_assign's one broadcast-join argmin
+(map-side combined, one shuffle keyed by vec_id) + ONE O(dim)-row
+bounds aggregation + a map-only encode; no extra shuffle vs plain IVF.
+The query scans only probed cells (Parquet partition pruning when the
+encoded table is written partitionBy(partition_id)), computes
+``sum_j (q_j - c_j - decode(code_j))^2`` per candidate inside codegen,
+and ends in one TakeOrderedAndProject. All relational — a DuckDB
+oracle recomputes the full lifecycle exactly under frozen centroids
+(queries.py::ivfsq_knn).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flechasdb_spark.functions.linalg import squared_l2
+from flechasdb_spark.operators.knn import flat_knn
+from flechasdb_spark.operators.sq import (
+    _lit_arr,
+    sq_bounds,
+    sq_decode,
+    sq_encode_expr,
+)
+from flechasdb_spark.plans.ivf import cent_col_name, ivf_assign
+
+__all__ = [
+    "IVFSQModel",
+    "build_ivfsq",
+    "ivfsq_residuals",
+    "ivfsq_query",
+]
+
+
+@dataclass
+class IVFSQModel:
+    """centroids: (partition_id, centroid) DataFrame; lo/hi: residual
+    SQ bounds (length dim); encoded: (id, partition_id, codes)."""
+
+    centroids: DataFrame
+    lo: list
+    hi: list
+    encoded: DataFrame
+
+
+def ivfsq_residuals(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, partition_id, residual): nearest-centroid assignment + the
+    per-row residual v - centroid. One broadcast-join argmin (the
+    ivf_assign shape) followed by one more broadcast join to subtract
+    the winning centroid — both map-side, one shuffle total."""
+    cc = cent_col_name(centroids)
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    back = assigned.join(F.broadcast(centroids), "partition_id")
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col(cc).cast("array<double>"),
+        lambda a, b: a - b,
+    )
+    return back.select(
+        id_col, "partition_id", resid.alias("residual")
+    )
+
+
+def build_ivfsq(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFSQModel:
+    """Assign, train residual bounds (one O(dim)-row pass), encode.
+    ``centroids`` come from the caller — kmeans_fit on a sample
+    (operators/build.py) in production, a frozen table in the oracle."""
+    resid = ivfsq_residuals(vectors, centroids, id_col, vec_col)
+    lo, hi = sq_bounds(resid, vec_col="residual")
+    enc = resid.select(
+        id_col,
+        "partition_id",
+        sq_encode_expr("residual", lo, hi).alias("codes"),
+    )
+    return IVFSQModel(centroids=centroids, lo=lo, hi=hi, encoded=enc)
+
+
+def _recon(codes_col: Column | str, cent_col: Column | str, lo, hi) -> Column:
+    """centroid + decoded residual, element-wise (array<double>)."""
+    cc = F.col(cent_col) if isinstance(cent_col, str) else cent_col
+    return F.zip_with(
+        cc.cast("array<double>"),
+        sq_decode(codes_col, lo, hi),
+        lambda c, r: c + r,
+    )
+
+
+def ivfsq_query(
+    model: IVFSQModel,
+    query_vector: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Asymmetric search: exact query vs (centroid + decoded residual),
+    scanning only the ``nprobe`` nearest cells. Probe selection is the
+    O(P) flat_knn over centroids; the candidate scan is one semi-join
+    (partition pruning at rest) + codegen'd element arithmetic +
+    TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4)."""
+    cc = cent_col_name(model.centroids)
+    probes = flat_knn(
+        model.centroids,
+        query_vector,
+        k=nprobe,
+        id_col="partition_id",
+        vec_col=cc,
+    ).select("partition_id")
+    cands = (
+        model.encoded.join(F.broadcast(probes), "partition_id", "left_semi")
+        .join(F.broadcast(model.centroids), "partition_id")
+    )
+    qA = _lit_arr([float(x) for x in query_vector])
+    dist = squared_l2(qA, _recon("codes", cc, model.lo, model.hi))
+    out = (
+        cands.select(F.col(id_col), F.col("partition_id"), dist.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    score = (
+        F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
+    )
+    return out.select(id_col, "partition_id", score.alias("squared_distance"))

@@ -8223,6 +8223,55 @@ def q_attr_map_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return get_attributes(attrs, req).orderBy("vec_id")
 
 
+@query(
+    "repeated_ngram_spans",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15),
+d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c FROM w),
+f AS (SELECT doc_id, pos FROM d WHERE c > 1),
+g AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+             THEN 1 ELSE 0 END AS brk
+      FROM f),
+i AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS grp
+      FROM g)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + 15)::BIGINT AS span_end_excl,
+       (max(pos) + 15 - min(pos))::BIGINT AS span_words,
+       count(*)::BIGINT AS n_windows
+FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start
+""",
+)
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al.,
+    arXiv:2107.06499) at word granularity: maximal spans whose every
+    15-word window recurs somewhere in the corpus, at ANY alignment —
+    the any-offset sibling of `segment_dedup`'s grid-aligned removal.
+    Registry form pins `key_mode="text"` (group on the window string,
+    collision-free, DuckDB-recomputable verbatim); the production
+    default hashes windows map-side to xxhash64 so the only corpus
+    shuffle carries ~24 bytes/row — equality of the two modes is
+    pytest-gated (tests/test_dedup_spans.py)."""
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, window_words=15, key_mode="text").orderBy(
+        "doc_id", "span_start"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (entry point)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,123 @@
+"""repeated_ngram_spans: ExactSubstr-at-word-granularity span
+detection (Lee et al., arXiv:2107.06499). Gates:
+
+1. hand-built corpus with planted duplicates at NON-aligned offsets —
+   exact span boundaries, island merges, same-doc repeats, and the
+   too-short guard;
+2. hash key_mode == text key_mode on the fixture corpus (the
+   production xxhash64 path must agree with the collision-free oracle
+   form the registry pins);
+3. a brute-force python oracle over every L-window on the sf fixture.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end_excl, r.span_words, r.n_windows)
+        for r in df.collect()
+    )
+
+
+def test_planted_duplicate_any_alignment(spark):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    dup = " ".join(f"d{i}" for i in range(5))  # 5-word duplicated run
+    a_words = [f"a{i}" for i in range(7)] + dup.split() + ["a7", "a8"]
+    # same run at a DIFFERENT word offset (3) in doc 2 — a segment grid
+    # of width 5 would never align these
+    b_words = [f"b{i}" for i in range(3)] + dup.split() + [
+        f"b{i}" for i in range(3, 9)
+    ]
+    df = _mk(spark, [(1, " ".join(a_words)), (2, " ".join(b_words))])
+    got = _spans(repeated_ngram_spans(df, window_words=5, key_mode="text"))
+    # exactly one 5-word window (the run itself) is duplicated per doc
+    assert got == [(1, 7, 12, 5, 1), (2, 3, 8, 5, 1)]
+
+
+def test_island_merge_and_same_doc_repeat(spark):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    run = [f"r{i}" for i in range(8)]  # 8-word duplicated run, L=5
+    # doc 1 contains the run twice (same-doc repetition counts);
+    # doc 2 once. With L=5 an 8-word duplicated run covers windows at
+    # offsets 0..3 inside the run -> ONE merged span of 8 words.
+    d1 = ["x0", "x1"] + run + ["x2", "x3", "x4", "x5", "x6"] + run + ["x7"]
+    d2 = ["y0"] + run + ["y1", "y2", "y3", "y4", "y5"]
+    df = _mk(spark, [(1, " ".join(d1)), (2, " ".join(d2))])
+    got = _spans(repeated_ngram_spans(df, window_words=5, key_mode="text"))
+    assert got == [
+        (1, 2, 10, 8, 4),
+        (1, 15, 23, 8, 4),
+        (2, 1, 9, 8, 4),
+    ]
+
+
+def test_short_docs_emit_nothing(spark):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    df = _mk(spark, [(1, "a b c"), (2, "a b c")])  # 3 words < L=5
+    assert repeated_ngram_spans(df, window_words=5).count() == 0
+
+
+def test_bad_key_mode_raises(spark):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    with pytest.raises(ValueError):
+        repeated_ngram_spans(_mk(spark, [(1, "a")]), key_mode="xx")
+
+
+def test_hash_mode_equals_text_mode_on_fixture(spark, sf_dir):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t = _spans(repeated_ngram_spans(docs, window_words=15, key_mode="text"))
+    h = _spans(repeated_ngram_spans(docs, window_words=15, key_mode="hash"))
+    assert len(t) > 0  # the fixture corpus contains planted duplicates
+    assert t == h
+
+
+def test_matches_bruteforce_python_oracle(spark, sf_dir):
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    L = 15
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = docs.select("doc_id", "text").collect()
+    counts: Counter = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        ps = []
+        for i in range(len(ws) - L + 1):
+            w = " ".join(ws[i : i + L])
+            counts[w] += 1
+            ps.append((i, w))
+        per_doc[r.doc_id] = ps
+    want = []
+    for doc_id, ps in per_doc.items():
+        dup = [i for i, w in ps if counts[w] > 1]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p > prev + L:
+                want.append((doc_id, start, prev + L, prev + L - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        want.append((doc_id, start, prev + L, prev + L - start, n))
+    got = _spans(repeated_ngram_spans(docs, window_words=L, key_mode="hash"))
+    assert got == sorted(want)
