@@ -1,0 +1,115 @@
+"""IVF+SQ8 (plans/ivfsq.py): residual scalar quantization under the
+IVF coarse partitioner. Gates:
+
+1. numpy recompute of the full pipeline (assign -> residual bounds ->
+   encode -> probe -> asymmetric distance) matches ivfsq_query exactly;
+2. nprobe=P degenerates to a full scan: result == brute-force top-k
+   over ALL reconstructed vectors;
+3. residual-quantized distances track exact distances: recall@10 vs
+   flat_knn is high at modest nprobe (the reason to quantize residuals
+   rather than raw vectors);
+4. encoded table schema/bounds invariants.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+P = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def cent(emb):
+    return emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+
+
+@pytest.fixture(scope="module")
+def model(emb, cent):
+    from flechasdb_spark.plans.ivfsq import build_ivfsq
+
+    return build_ivfsq(emb, cent)
+
+
+def _np_pipeline(emb, qv):
+    """Brute-force numpy recompute of the whole IVF+SQ lifecycle."""
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = X[:P]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    pid = d2.argmin(axis=1)
+    R = X - C[pid]
+    lo, hi = R.min(axis=0), R.max(axis=0)
+    span = hi - lo
+    safe = np.where(span == 0, 1.0, span)
+    codes = np.clip(np.floor((R - lo) * 255.0 / safe), 0, 255)
+    codes = np.where(span == 0, 0, codes)
+    recon = C[pid] + lo + codes * span / 255.0
+    dist = ((np.asarray(qv, dtype=np.float64) - recon) ** 2).sum(axis=1)
+    return ids, pid, dist
+
+
+def test_matches_numpy_recompute(spark, emb, model):
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    ids, pid, dist = _np_pipeline(emb, qv)
+    qd = {r.vec_id: (r.partition_id, r.squared_distance)
+          for r in ivfsq_query(model, qv, k=10, nprobe=P).collect()}
+    # nprobe=P scans everything -> global top-10 of the numpy distances
+    order = np.lexsort((ids, dist))[:10]
+    assert set(qd) == set(ids[order])
+    for i in order:
+        got_pid, got_d = qd[ids[i]]
+        assert got_pid == pid[i]
+        assert got_d == pytest.approx(dist[i], rel=1e-9, abs=1e-9)
+
+
+def test_full_probe_equals_reconstructed_bruteforce(spark, emb, model):
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    full = ivfsq_query(model, qv, k=5, nprobe=P, round_to=6).collect()
+    ids, _, dist = _np_pipeline(emb, qv)
+    order = np.lexsort((ids, dist))[:5]
+    assert [r.vec_id for r in full] == list(ids[order])
+
+
+def test_recall_vs_exact(spark, emb, model):
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
+    got = {r.vec_id for r in ivfsq_query(model, qv, k=10, nprobe=6).collect()}
+    # SQ8 residual quantization is near-lossless, so recall is probe-
+    # limited; the fixture "centroids" are frozen arbitrary vectors
+    # (not k-means fits), so cells are ill-shaped — nprobe=6/8 keeps
+    # the true neighbors covered
+    assert len(exact & got) >= 8
+
+
+def test_encoded_invariants(model):
+    enc = model.encoded
+    assert set(enc.columns) == {"vec_id", "partition_id", "codes"}
+    row = enc.select(
+        F.min(F.array_min("codes")).alias("mn"),
+        F.max(F.array_max("codes")).alias("mx"),
+        F.countDistinct("partition_id").alias("np"),
+    ).first()
+    assert 0 <= row.mn and row.mx <= 255 and row.np <= P
+    assert len(model.lo) == len(model.hi)
+    assert all(l <= h for l, h in zip(model.lo, model.hi))
