@@ -56,6 +56,7 @@ __all__ = [
     "cdc_chunk_dedup",
     "banded_hamming_pairs",
     "repeated_ngram_spans",
+    "repeated_span_removal",
 ]
 
 
@@ -1605,56 +1606,150 @@ def repeated_ngram_spans(
       xxhash64 is not portable). tests/test_dedup_spans.py pins
       hash == text on the fixture corpus.
     """
+    keyed = _window_keys(docs, window_words, id_col, text_col, key_mode)
+    dup = keyed.withColumn(
+        "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
+    ).where("__dup")
+    return _merge_spans(dup, int(window_words), id_col).select(
+        id_col,
+        "span_start",
+        "span_end_excl",
+        (F.col("span_end_excl") - F.col("span_start")).alias("span_words"),
+        "n_windows",
+    )
+
+
+def _window_keys(
+    docs: DataFrame,
+    window_words: int,
+    id_col: str,
+    text_col: str,
+    key_mode: str,
+) -> DataFrame:
+    """(id, pos, __k): every sliding L-word window of every document,
+    keyed for the duplicate shuffle. Hash mode drops the window text
+    BEFORE the shuffle so the exchange carries only (id, pos, key)."""
     if key_mode not in ("hash", "text"):
         raise ValueError(f"key_mode must be 'hash' or 'text': {key_mode!r}")
     L = int(window_words)
     words = F.split(F.col(text_col), " ")
-    wins = (
-        docs.where(F.size(words) >= L)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - L),
-                    lambda i: F.array_join(F.slice(words, i + 1, L), " "),
-                )
-            ).alias("pos", "win"),
-        )
+    wins = docs.where(F.size(words) >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - L),
+                lambda i: F.array_join(F.slice(words, i + 1, L), " "),
+            )
+        ).alias("pos", "win"),
     )
     key = F.xxhash64("win") if key_mode == "hash" else F.col("win")
-    # Drop the window text BEFORE the shuffle in hash mode — the
-    # count-window then moves only (id, pos, key).
-    keyed = wins.select(id_col, "pos", key.alias("__k"))
-    dup = keyed.withColumn(
-        "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
-    ).where("__dup")
-    # Gaps-and-islands: windows at pos p cover words [p, p+L); a new
-    # span starts when the gap to the previous flagged window exceeds
-    # L (touching intervals [p0,p0+L) + [p0+L,p0+2L) union contiguously).
+    return wins.select(id_col, "pos", key.alias("__k"))
+
+
+def _merge_spans(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands over flagged window positions: windows at pos p
+    cover words [p, p+L); a new span starts when the gap to the
+    previous flagged window exceeds L (touching intervals
+    [p0,p0+L) + [p0+L,p0+2L) union contiguously). Returns one row per
+    maximal span: (id, span_start, span_end_excl, n_windows), longs."""
     wd = Window.partitionBy(id_col).orderBy("pos")
     brk = (
         F.when(F.lag("pos").over(wd).isNull(), 1)
         .when(F.col("pos") > F.lag("pos").over(wd) + L, 1)
         .otherwise(0)
     )
-    grp = dup.withColumn(
+    grp = flagged.withColumn(
         "__grp",
         F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
         grp.groupBy(id_col, "__grp")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + L).alias("span_end_excl"),
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L).cast("long").alias("span_end_excl"),
             F.count(F.lit(1)).alias("n_windows"),
         )
-        .select(
-            id_col,
-            F.col("span_start").cast("long"),
-            F.col("span_end_excl").cast("long"),
-            (F.col("span_end_excl") - F.col("span_start")).alias(
-                "span_words"
-            ),
-            F.col("n_windows").cast("long"),
+        .select(id_col, "span_start", "span_end_excl", "n_windows")
+    )
+
+
+def repeated_span_removal(
+    docs: DataFrame,
+    window_words: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al.,
+    arXiv:2107.06499): every duplicated ``window_words``-word window
+    keeps its globally FIRST occurrence (ordered by (doc, pos)); later
+    copies are merged into maximal removal spans per document and the
+    surviving words are stitched back. The any-alignment counterpart
+    of `segment_dedup`'s grid-aligned removal — a duplicate shifted by
+    one word still dies here.
+
+    Returns one row per input document: ``(id_col, n_words,
+    removed_words, n_spans, clean_text)`` — documents without
+    removals pass through with ``removed_words = 0`` and their
+    original text.
+
+    Scale (100 TB): the same two shuffles as `repeated_ngram_spans`
+    (window key, then doc key) plus ONE doc-keyed join to attach the
+    bounded per-doc span list back to the corpus; reconstruction is a
+    map-only array filter (O(words x spans) per doc, spans tiny). The
+    first-occurrence rule is `min(struct(doc, pos))` over the window
+    key — the same partially-safe lexicographic order key
+    `segment_dedup` uses, no packed-bigint overflow."""
+    L = int(window_words)
+    keyed = _window_keys(docs, L, id_col, text_col, key_mode)
+    okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    wk = Window.partitionBy("__k")
+    marked = keyed.select(
+        id_col,
+        "pos",
+        (
+            (F.count(F.lit(1)).over(wk) > 1)
+            & (okey != F.min(okey).over(wk))
+        ).alias("__rm"),
+    ).where("__rm")
+    spans = (
+        _merge_spans(marked, L, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end_excl")
+            ).alias("__spans"),
+            F.sum(
+                F.col("span_end_excl") - F.col("span_start")
+            ).alias("removed_words"),
+            F.count(F.lit(1)).alias("n_spans"),
         )
+    )
+    words = F.split(F.col(text_col), " ")
+    empty = F.array().cast(
+        "array<struct<span_start: bigint, span_end_excl: bigint>>"
+    )
+    sp = F.coalesce(F.col("__spans"), empty)
+    kept = F.filter(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(0), F.size(words) - 1),
+            lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+        ),
+        lambda x: ~F.exists(
+            sp,
+            lambda s: (x["i"] >= s["span_start"])
+            & (x["i"] < s["span_end_excl"]),
+        ),
+    )
+    return docs.join(spans, id_col, "left").select(
+        id_col,
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce("removed_words", F.lit(0)).cast("long").alias(
+            "removed_words"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.array_join(
+            F.transform(kept, lambda x: x["w"]), " "
+        ).alias("clean_text"),
     )

@@ -7502,6 +7502,84 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_span_decontam",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+refw AS (
+  SELECT DISTINCT array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15 AND doc_id >= 250),
+sw AS (
+  SELECT doc_id, array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15 AND doc_id < 200),
+hit AS (SELECT DISTINCT sw.doc_id FROM sw JOIN refw USING (win))
+SELECT doc_id FROM documents
+WHERE doc_id < 200 AND doc_id NOT IN (SELECT doc_id FROM hit)
+ORDER BY doc_id
+""",
+)
+def q_stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ExactSubstr decontamination drained over a bounded
+    two-batch replay (docs 0-99 arrive, then 100-199): documents
+    sharing ANY 15-word span with the frozen reference corpus (docs
+    >= 250 — the 'protected' benchmark set) are quarantined at ingest
+    (streaming/pipeline.py stream_span_decontam). The gate is
+    stateless per batch, so the drained union equals the batch
+    computation and the oracle replays it in one SQL pass. Registry
+    form pins key_mode='text'; production hashes windows to xxhash64
+    (hash==text gated in tests/test_dedup_spans.py for the batch
+    machinery both modes share)."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_span_decontam,
+    )
+
+    docs_all = _t(spark, sf_dir, "documents")
+    ref_keys = (
+        _window_keys(
+            docs_all.where(F.col("doc_id") >= 250), 15, "doc_id", "text",
+            "text",
+        )
+        .select("__k")
+        .distinct()
+    )
+    docs = docs_all.select("doc_id", "text").where(F.col("doc_id") < 200)
+    tmp = tempfile.mkdtemp(prefix="stream_spand_")
+    src = f"{tmp}/src"
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/b0")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_span_decontam(
+        stream, ref_keys, f"{tmp}/kept", key_mode="text"
+    )
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/kept").select("doc_id").orderBy("doc_id")
+    )
+
+
+@query(
     "stream_token_drift",
     f"""
 WITH ref AS (SELECT unnest({_DD_TOKS}) AS token FROM documents),
@@ -8273,6 +8351,70 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repeated_span_removal",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15),
+m AS (SELECT doc_id, pos,
+        count(*) OVER (PARTITION BY win) AS c,
+        row_number() OVER (PARTITION BY win
+                           ORDER BY doc_id, pos) AS rn
+      FROM w),
+r AS (SELECT doc_id, pos FROM m WHERE c > 1 AND rn > 1),
+g AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 15
+             THEN 1 ELSE 0 END AS brk
+      FROM r),
+i AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS grp
+      FROM g),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+          FROM i GROUP BY doc_id, grp),
+agg AS (SELECT doc_id, sum(e - s)::BIGINT AS removed_words,
+               count(*)::BIGINT AS n_spans
+        FROM spans GROUP BY doc_id),
+p AS (SELECT b.doc_id, t.p AS p, b.words[t.p + 1] AS wd
+      FROM base b,
+           LATERAL (SELECT unnest(range(len(b.words))) AS p) t),
+kept AS (SELECT p.doc_id, p.p, p.wd FROM p WHERE NOT EXISTS
+           (SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id AND p.p >= s.s AND p.p < s.e)),
+ct AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT b.doc_id, len(b.words)::BIGINT AS n_words,
+       coalesce(a.removed_words, 0)::BIGINT AS removed_words,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(ct.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id) LEFT JOIN ct USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: each duplicated 15-word
+    window keeps its globally first (doc, pos) occurrence; later
+    copies merge into maximal spans that are cut from the text, and
+    the oracle re-stitches every document word-for-word (including
+    fully-surviving docs and the removed-span bookkeeping). Registry
+    form pins the collision-free text-key mode; production hashes
+    (tests/test_dedup_spans.py gates equality)."""
+    from flechasdb_spark.operators.dedup import repeated_span_removal
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_span_removal(docs, window_words=15, key_mode="text").orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "ivfsq_knn",
     f"""
 WITH cent AS (
@@ -8507,7 +8649,13 @@ DRIVER_ORDER = [
     # QUEUED for the r8 rotation (new in r7, oracle-gated in pytest
     # now): index_split_query [hot-IVF-cell split maintenance — the
     # full frozen-split recomputation oracle; closes the loop
-    # index_partition_stats opens]; plus the r6/r7 rows still outside
+    # index_partition_stats opens], repeated_ngram_spans /
+    # repeated_span_removal [any-alignment ExactSubstr detect+remove,
+    # full re-stitch oracles], ivfsq_knn [IVF+SQ8 lifecycle under
+    # frozen centroids], stream_span_decontam [ingest-time span gate
+    # vs a frozen reference], opq_rotated_encode [frozen-Givens OPQ
+    # encode], hll_stream_batch_merge / cms_shard_merge [sketch
+    # mergeability algebra]; plus the r6/r7 rows still outside
     # the window, strongest first: ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],
     # embedding_centroid_report [embedding-geometry drift],

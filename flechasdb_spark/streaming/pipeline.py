@@ -50,6 +50,7 @@ __all__ = [
     "stream_dedup",
     "stream_minhash_dedup",
     "stream_quality_filter",
+    "stream_span_decontam",
     "stream_token_drift",
     "stream_rate_anomaly",
     "stream_stream_join",
@@ -651,6 +652,76 @@ def stream_quality_filter(
             id_col,
             "left_semi",
         )
+        kept.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_span_decontam(
+    docs: DataFrame,
+    reference_keys: DataFrame,
+    output_path: str,
+    window_words: int = 15,
+    max_hit_windows: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash",
+):
+    """Ingest-time ExactSubstr decontamination: drop (quarantine)
+    documents of a stream that share any ``window_words``-word span
+    with a FROZEN reference corpus — the streaming composition of
+    `repeated_ngram_spans`' window machinery, and the exact-match
+    sibling of `bloom_decontam_prefilter` (hash equi-join against the
+    reference's window-key table instead of a probabilistic membership
+    test, so there are no false positives at the gate).
+
+    ``reference_keys`` is the offline-built DISTINCT window-key table
+    of the protected corpus (eval benchmarks, held-out splits):
+    ``dedup._window_keys(ref, L, ...).select("__k").distinct()`` —
+    O(ref windows) rows of 8-byte hashes, persisted once and reused
+    across batches. A doc survives iff at most ``max_hit_windows`` of
+    its windows hit the reference (0 = any shared span kills).
+
+    Stateless per batch (the reference never updates in-stream), so
+    delivery is `stream_quality_filter`'s simple contract: each batch
+    writes under ``ingest_batch=<id>`` in overwrite mode; a committed
+    batch's replay is an exact no-op (_SUCCESS check).
+
+    Scale: per batch ONE map-only window expansion (hash keys, ~24
+    bytes/row shuffled) + one equi-join against the reference keys
+    (broadcastable while the protected set is small; shuffle-join
+    keyed on the 8-byte hash beyond that) + a per-doc count. The
+    reference side never rescans its corpus — it is pre-reduced to
+    keys.
+    Returns the streaming query handle (caller drains/stops).
+    """
+    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out_dir = f"{output_path}/ingest_batch={batch_id}"
+        spark = batch.sparkSession
+        marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a committed batch: exact no-op
+        keys = _window_keys(
+            batch, window_words, id_col, text_col, key_mode
+        )
+        hits = (
+            keys.join(reference_keys, "__k", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .where(F.col("__hits") > max_hit_windows)
+            .select(id_col)
+        )
+        kept = batch.join(hits, id_col, "left_anti")
         kept.write.mode("overwrite").parquet(out_dir)
 
     return (

@@ -121,3 +121,86 @@ def test_matches_bruteforce_python_oracle(spark, sf_dir):
         want.append((doc_id, start, prev + L, prev + L - start, n))
     got = _spans(repeated_ngram_spans(docs, window_words=L, key_mode="hash"))
     assert got == sorted(want)
+
+
+# --- repeated_span_removal (the removal half of ExactSubstr) ---
+
+
+def test_removal_keeps_first_occurrence(spark):
+    from flechasdb_spark.operators.dedup import repeated_span_removal
+
+    run = [f"r{i}" for i in range(5)]
+    d1 = ["a0", "a1"] + run + ["a2"]            # first occurrence (doc 1)
+    d2 = ["b0"] + run + ["b1", "b2", "b3"]      # later copy -> removed
+    df = _mk(spark, [(1, " ".join(d1)), (2, " ".join(d2))])
+    got = {
+        r.doc_id: (r.n_words, r.removed_words, r.n_spans, r.clean_text)
+        for r in repeated_span_removal(
+            df, window_words=5, key_mode="text"
+        ).collect()
+    }
+    assert got[1] == (8, 0, 0, " ".join(d1))          # survives intact
+    assert got[2] == (9, 5, 1, "b0 b1 b2 b3")         # run cut out
+
+
+def test_removal_same_doc_repeat_and_full_removal(spark):
+    from flechasdb_spark.operators.dedup import repeated_span_removal
+
+    run = [f"r{i}" for i in range(5)]
+    # doc 1 repeats the run back-to-back: the first copy survives, the
+    # second is removed; doc 2 is EXACTLY the run -> fully removed
+    d1 = run + run + ["x0"]
+    df = _mk(spark, [(1, " ".join(d1)), (2, " ".join(run))])
+    got = {
+        r.doc_id: (r.n_words, r.removed_words, r.n_spans, r.clean_text)
+        for r in repeated_span_removal(
+            df, window_words=5, key_mode="text"
+        ).collect()
+    }
+    assert got[1] == (11, 5, 1, " ".join(run) + " x0")
+    assert got[2] == (5, 5, 1, "")
+
+
+def test_removal_short_docs_pass_through(spark):
+    from flechasdb_spark.operators.dedup import repeated_span_removal
+
+    df = _mk(spark, [(1, "a b"), (2, "a b")])
+    got = {r.doc_id: (r.removed_words, r.clean_text)
+           for r in repeated_span_removal(df, window_words=5).collect()}
+    assert got == {1: (0, "a b"), 2: (0, "a b")}
+
+
+def test_removal_hash_equals_text_on_fixture(spark, sf_dir):
+    from flechasdb_spark.operators.dedup import repeated_span_removal
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t = sorted(
+        (r.doc_id, r.n_words, r.removed_words, r.n_spans, r.clean_text)
+        for r in repeated_span_removal(docs, key_mode="text").collect()
+    )
+    h = sorted(
+        (r.doc_id, r.n_words, r.removed_words, r.n_spans, r.clean_text)
+        for r in repeated_span_removal(docs, key_mode="hash").collect()
+    )
+    assert t == h
+    assert any(row[2] > 0 for row in t)  # fixture contains removals
+
+
+def test_removal_consistent_with_span_detection(spark, sf_dir):
+    """Removal spans are a subset of detection spans (first occurrences
+    are detected but not removed), and the surviving word count checks
+    out per document."""
+    from flechasdb_spark.operators.dedup import (
+        repeated_ngram_spans,
+        repeated_span_removal,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    det: dict[int, list[tuple[int, int]]] = {}
+    for r in repeated_ngram_spans(docs, key_mode="hash").collect():
+        det.setdefault(r.doc_id, []).append((r.span_start, r.span_end_excl))
+    for r in repeated_span_removal(docs, key_mode="hash").collect():
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert n_clean == r.n_words - r.removed_words
+        if r.n_spans > 0:
+            assert r.doc_id in det  # removed spans imply detected spans

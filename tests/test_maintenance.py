@@ -395,3 +395,106 @@ def test_split_partition_validates(spark):
     with pytest.raises(ValueError, match="members"):
         # a cell id that holds nothing
         split_partition(spark, model, emb, pid=999)
+
+
+# --- rebalance_index: the policy loop over split_partition ---------------
+
+
+def test_rebalance_index_converges_and_preserves_results(spark):
+    """Iterated hot-cell splitting: the max-cell share must fall
+    monotonically across history entries, the population is preserved,
+    and full-probe + exact-rerank queries return identical neighbors
+    pre/post (every split is metric-preserving under exact rerank)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.build import assemble_index
+    from flechasdb_spark.operators.eval import index_partition_stats
+    from flechasdb_spark.operators.maintenance import rebalance_index
+    from flechasdb_spark.plans.ivf import ann_query
+
+    # the sf fixture is too uniform to skew (frozen-centroid imbalance
+    # <= 1.16 measured) — build a corpus with a deliberate hot cell:
+    # 400 points in a dense blob at the origin, 100 in a far cluster
+    rng = np.random.default_rng(5)
+    dim = 16
+    X = np.vstack(
+        [
+            rng.standard_normal((400, dim)),
+            rng.standard_normal((100, dim)) + np.eye(dim)[0] * 60.0,
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    # frozen skewed coarse model: c0 near the blob, c1 past the far
+    # cluster -> counts [400, 100], imbalance 2*400/500 = 1.6 > 1.5
+    cent = np.zeros((2, dim))
+    cent[1, 0] = 100.0
+    codebooks = np.array(
+        [
+            [
+                [(c - 3.5) * 0.1 + d * 0.01 * j for j in range(dim // 4)]
+                for c in range(8)
+            ]
+            for d in range(4)
+        ]
+    )
+    cfg = IndexConfig(num_partitions=2, num_divisions=4, num_codes=8, seed=13)
+    model = assemble_index(emb, cent, codebooks, cfg)
+    n0 = model.encoded.count()
+    share0 = max(
+        r.share for r in index_partition_stats(model.encoded).collect()
+    )
+
+    out, history = rebalance_index(
+        spark, model, emb, max_imbalance=1.5, max_splits=3
+    )
+    assert 1 <= len(history) <= 3
+    # each recorded split names a real cell and grows P by one
+    assert [h["p"] for h in history] == list(
+        range(3, 3 + len(history))
+    )
+    assert out.encoded.count() == n0
+    share1 = max(
+        r.share for r in index_partition_stats(out.encoded).collect()
+    )
+    assert share1 < share0  # the straggler bound fell
+    # every history entry records the diagnosis it acted on
+    assert all(h["before"] > 1.5 for h in history)
+
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 6).collect()
+    ]
+    a = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(
+            model, qs, k=5, nprobe=2, rerank=emb, rerank_factor=10_000
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vector_id, r.rank)
+        for r in ann_query(
+            out,
+            qs,
+            k=5,
+            nprobe=out.config.num_partitions,
+            rerank=emb,
+            rerank_factor=10_000,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_rebalance_index_noop_when_balanced(spark):
+    """An already-balanced index returns unchanged with empty history."""
+    from flechasdb_spark.operators.maintenance import rebalance_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    model = build_index(emb, CFG)
+    out, history = rebalance_index(
+        spark, model, emb, max_imbalance=50.0, max_splits=3
+    )
+    assert history == []
+    assert out is model

@@ -824,3 +824,61 @@ def test_stream_hll_users_equals_batch_sketch(spark, tmp_path):
     assert got["window_start"].tolist() == want["window_start"].tolist()[:n]
     assert got["hll_estimate"].tolist() == want["hll_estimate"].tolist()[:n]
     assert got["v_zero"].tolist() == want["v_zero"].tolist()[:n]
+
+
+def test_stream_span_decontam_matches_batch_and_replays(spark, tmp_path):
+    """The streaming ExactSubstr gate equals the batch computation
+    (stateless per batch), respects max_hit_windows, and a replay of a
+    committed batch is an exact no-op."""
+    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_span_decontam,
+    )
+
+    run = " ".join(f"p{i}" for i in range(6))     # protected 6-word span
+    ref = spark.createDataFrame(
+        [(100, "guard " + run + " tail words here")],
+        "doc_id long, text string",
+    )
+    ref_keys = (
+        _window_keys(ref, 5, "doc_id", "text", "hash")
+        .select("__k").distinct()
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only nothing shared at all"),   # kept
+            (2, "prefix " + run + " suffix"),                # 2 hits -> drop
+            (3, "short doc"),                                # < L -> kept
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "kept")
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = stream_span_decontam(
+            stream, ref_keys, out, window_words=5, max_hit_windows=0
+        )
+        run_available_now(q)
+
+    drain()
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]
+    # replay from a fresh checkpoint (each drain starts one): committed
+    # batch dirs are _SUCCESS no-ops, output unchanged
+    drain()
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 3]
+    # a permissive threshold lets the contaminated doc through: doc 2
+    # shares exactly 2 five-word windows with the reference run
+    out2 = str(tmp_path / "kept2")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_span_decontam(
+        stream, ref_keys, out2, window_words=5, max_hit_windows=2
+    )
+    run_available_now(q)
+    kept3 = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
+    assert kept3 == [1, 2, 3]
