@@ -51,6 +51,8 @@ __all__ = [
     "build_ivfsq",
     "ivfsq_residuals",
     "ivfsq_query",
+    "save_ivfsq",
+    "load_ivfsq",
 ]
 
 
@@ -155,3 +157,52 @@ def ivfsq_query(
         F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
     )
     return out.select(id_col, "partition_id", score.alias("squared_distance"))
+
+
+def save_ivfsq(model: IVFSQModel, path: str) -> None:
+    """Persist the index: encoded codes partitioned by cell (so a
+    probed query reads only its cells' directories — Parquet partition
+    pruning, the same at-rest layout as the IVF+PQ index), centroids
+    as one small parquet, residual bounds in the manifest JSON."""
+    import os
+
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    spark = model.encoded.sparkSession
+    (
+        model.encoded.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(path, "index"))
+    )
+    model.centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    write_manifest_json(
+        spark,
+        os.path.join(path, "ivfsq.json"),
+        {
+            "kind": "ivfsq",
+            "lo": [float(x) for x in model.lo],
+            "hi": [float(x) for x in model.hi],
+        },
+    )
+
+
+def load_ivfsq(spark, path: str) -> IVFSQModel:
+    """Load a persisted IVF+SQ index. The encoded side stays lazy — a
+    query's probe semi-join prunes to the probed ``partition_id=``
+    directories (plan-gated in tests/test_ivfsq.py)."""
+    import os
+
+    from flechasdb_spark.sources.manifest import read_manifest_json
+
+    t = read_manifest_json(spark, os.path.join(path, "ivfsq.json"))
+    if t is None or t.get("kind") != "ivfsq":
+        raise ValueError(f"not an ivfsq index: {path}")
+    return IVFSQModel(
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        lo=[float(x) for x in t["lo"]],
+        hi=[float(x) for x in t["hi"]],
+        encoded=spark.read.parquet(os.path.join(path, "index")),
+    )

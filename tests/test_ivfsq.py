@@ -113,3 +113,39 @@ def test_encoded_invariants(model):
     assert 0 <= row.mn and row.mx <= 255 and row.np <= P
     assert len(model.lo) == len(model.hi)
     assert all(l <= h for l, h in zip(model.lo, model.hi))
+
+
+def test_save_load_query_equality_and_pruning(spark, emb, model, tmp_path):
+    """Persist -> load -> query returns exactly the in-memory result,
+    and the loaded query's scan prunes to the probed partition_id=
+    directories (PartitionFilters in the parquet scan node)."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    path = str(tmp_path / "ivfsq_idx")
+    save_ivfsq(model, path)
+    loaded = load_ivfsq(spark, path)
+    assert loaded.lo == pytest.approx(model.lo)
+    assert loaded.hi == pytest.approx(model.hi)
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    a = [
+        (r.vec_id, r.partition_id, r.squared_distance)
+        for r in ivfsq_query(model, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    b = [
+        (r.vec_id, r.partition_id, r.squared_distance)
+        for r in ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    assert a == b
+
+    plan = (
+        ivfsq_query(loaded, qv, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "partition_id" in plan
