@@ -417,6 +417,20 @@ def scale_smoke_metrics(spark, sf_dir, reps: int) -> dict:
     )
     out["segment_dedup_200k_sec"] = round(dt, 3)
     out["segment_dedup_docs_per_sec"] = round(out["dedup_n_docs"] / dt, 1)
+    # any-alignment ExactSubstr spans (r7) over the same replicated
+    # corpus: every replica pair shares its full text at offset 0, so
+    # the window count-dedup and island merge do real work on 200k
+    # docs. Summing span_words forces the whole pipeline (production
+    # hash key mode — the ~24 B/row shuffle path).
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    dt = _min2(
+        lambda: repeated_ngram_spans(bigdocs)
+        .select(F.sum("span_words"))
+        .collect()
+    )
+    out["repeated_spans_200k_sec"] = round(dt, 3)
+    out["repeated_spans_docs_per_sec"] = round(out["dedup_n_docs"] / dt, 1)
     # Bloom-prefilter A/B at corpus shape (r5 VERDICT #8): the driver
     # row pins impl='relational' on a narrow fixture where relational
     # wins; this entry probes the 200k-doc text-carrying corpus — the
@@ -688,6 +702,7 @@ def main() -> None:
                 "replica_recall_at_10",
                 "minhash_dedup_docs_per_sec",
                 "segment_dedup_docs_per_sec",
+                "repeated_spans_docs_per_sec",
             )
             if k in s
         }

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from flechasdb_spark.operators.dedup import (
-    _window_keys,
+    window_keys,
     repeated_ngram_spans,
     repeated_span_removal,
 )
@@ -56,7 +56,7 @@ def main() -> None:
     # (8-byte hashes) and gate an incoming stream against it, so new
     # near-copies of kept content never re-enter.
     ref_keys = (
-        _window_keys(
+        window_keys(
             survivors.select("doc_id", F.col("clean_text").alias("text")),
             L, "doc_id", "text", "hash",
         )

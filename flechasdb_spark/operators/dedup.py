@@ -57,6 +57,7 @@ __all__ = [
     "banded_hamming_pairs",
     "repeated_ngram_spans",
     "repeated_span_removal",
+    "window_keys",
 ]
 
 
@@ -1606,7 +1607,7 @@ def repeated_ngram_spans(
       xxhash64 is not portable). tests/test_dedup_spans.py pins
       hash == text on the fixture corpus.
     """
-    keyed = _window_keys(docs, window_words, id_col, text_col, key_mode)
+    keyed = window_keys(docs, window_words, id_col, text_col, key_mode)
     dup = keyed.withColumn(
         "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
     ).where("__dup")
@@ -1619,7 +1620,7 @@ def repeated_ngram_spans(
     )
 
 
-def _window_keys(
+def window_keys(
     docs: DataFrame,
     window_words: int,
     id_col: str,
@@ -1701,7 +1702,7 @@ def repeated_span_removal(
     key — the same partially-safe lexicographic order key
     `segment_dedup` uses, no packed-bigint overflow."""
     L = int(window_words)
-    keyed = _window_keys(docs, L, id_col, text_col, key_mode)
+    keyed = window_keys(docs, L, id_col, text_col, key_mode)
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     wk = Window.partitionBy("__k")
     marked = keyed.select(

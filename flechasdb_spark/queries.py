@@ -7541,7 +7541,7 @@ def q_stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time
 
-    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.operators.dedup import window_keys
     from flechasdb_spark.streaming.pipeline import (
         run_available_now,
         stream_span_decontam,
@@ -7549,7 +7549,7 @@ def q_stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs_all = _t(spark, sf_dir, "documents")
     ref_keys = (
-        _window_keys(
+        window_keys(
             docs_all.where(F.col("doc_id") >= 250), 15, "doc_id", "text",
             "text",
         )

@@ -682,7 +682,7 @@ def stream_span_decontam(
 
     ``reference_keys`` is the offline-built DISTINCT window-key table
     of the protected corpus (eval benchmarks, held-out splits):
-    ``dedup._window_keys(ref, L, ...).select("__k").distinct()`` —
+    ``dedup.window_keys(ref, L, ...).select("__k").distinct()`` —
     O(ref windows) rows of 8-byte hashes, persisted once and reused
     across batches. A doc survives iff at most ``max_hit_windows`` of
     its windows hit the reference (0 = any shared span kills).
@@ -700,7 +700,7 @@ def stream_span_decontam(
     keys.
     Returns the streaming query handle (caller drains/stops).
     """
-    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.operators.dedup import window_keys
     from flechasdb_spark.sources.manifest import _fs_path
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -711,7 +711,7 @@ def stream_span_decontam(
         marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
         if fs.exists(marker):
             return  # replay of a committed batch: exact no-op
-        keys = _window_keys(
+        keys = window_keys(
             batch, window_words, id_col, text_col, key_mode
         )
         hits = (

@@ -830,7 +830,7 @@ def test_stream_span_decontam_matches_batch_and_replays(spark, tmp_path):
     """The streaming ExactSubstr gate equals the batch computation
     (stateless per batch), respects max_hit_windows, and a replay of a
     committed batch is an exact no-op."""
-    from flechasdb_spark.operators.dedup import _window_keys
+    from flechasdb_spark.operators.dedup import window_keys
     from flechasdb_spark.streaming.pipeline import (
         run_available_now,
         stream_span_decontam,
@@ -842,7 +842,7 @@ def test_stream_span_decontam_matches_batch_and_replays(spark, tmp_path):
         "doc_id long, text string",
     )
     ref_keys = (
-        _window_keys(ref, 5, "doc_id", "text", "hash")
+        window_keys(ref, 5, "doc_id", "text", "hash")
         .select("__k").distinct()
     )
     docs = spark.createDataFrame(
