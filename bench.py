@@ -582,6 +582,7 @@ def main() -> None:
         "cms_shard_merge",
         "repeated_ngram_spans",
         "repeated_span_removal",
+        "cross_source_span_matrix",
         "ivfsq_knn",
         # r7 additions: hot-cell split lifecycle, frozen-rotation OPQ
         # encode

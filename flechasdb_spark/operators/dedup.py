@@ -57,6 +57,7 @@ __all__ = [
     "banded_hamming_pairs",
     "repeated_ngram_spans",
     "repeated_span_removal",
+    "cross_source_span_matrix",
     "window_keys",
 ]
 
@@ -1626,16 +1627,23 @@ def window_keys(
     id_col: str,
     text_col: str,
     key_mode: str,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, pos, __k): every sliding L-word window of every document,
-    keyed for the duplicate shuffle. Hash mode drops the window text
-    BEFORE the shuffle so the exchange carries only (id, pos, key)."""
+    """(id, pos, __k[, carry...]): every sliding L-word window of every
+    document, keyed for the duplicate shuffle. Hash mode drops the
+    window text BEFORE the shuffle so the exchange carries only
+    (id, pos, key). ``carry_cols`` ride along per window (e.g. source
+    for provenance attribution) — cheaper than joining them back onto
+    the window table afterwards (that join would re-shuffle every
+    window row by doc id)."""
     if key_mode not in ("hash", "text"):
         raise ValueError(f"key_mode must be 'hash' or 'text': {key_mode!r}")
+    carry = list(carry_cols or [])
     L = int(window_words)
     words = F.split(F.col(text_col), " ")
     wins = docs.where(F.size(words) >= L).select(
         F.col(id_col),
+        *carry,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - L),
@@ -1644,7 +1652,7 @@ def window_keys(
         ).alias("pos", "win"),
     )
     key = F.xxhash64("win") if key_mode == "hash" else F.col("win")
-    return wins.select(id_col, "pos", key.alias("__k"))
+    return wins.select(id_col, *carry, "pos", key.alias("__k"))
 
 
 def _merge_spans(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
@@ -1753,4 +1761,56 @@ def repeated_span_removal(
         F.array_join(
             F.transform(kept, lambda x: x["w"]), " "
         ).alias("clean_text"),
+    )
+
+
+def cross_source_span_matrix(
+    docs: DataFrame,
+    window_words: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    key_mode: str = "hash",
+) -> DataFrame:
+    """Window-level copy-provenance: for every duplicated
+    ``window_words``-word window, attribute its LATER occurrences to
+    the source of its globally-first occurrence — "whose content
+    reappears where". The span-granular sibling of
+    `cross_source_dup_matrix` (whole-doc hashes): a page that quotes
+    one paragraph from another source shows up here and not there.
+
+    Returns one row per (origin, copier) pair — including the
+    diagonal, self-copying within a source:
+    ``(src_first, src_later, n_windows, n_docs)`` where n_windows
+    counts later-occurrence windows and n_docs the distinct copying
+    documents.
+
+    Scale: the same ONE window-key shuffle as `repeated_ngram_spans`
+    (hash mode ships (id, pos, source, key)); first-source attribution
+    is `first_value(source)` over the key ordered by (doc, pos) —
+    engine-portable (DuckDB `first_value` mirrors it) — and the final
+    matrix is an O(sources^2)-row aggregate."""
+    keyed_src = window_keys(
+        docs.select(id_col, text_col, source_col),
+        window_words, id_col, text_col, key_mode,
+        carry_cols=[source_col],
+    )
+    wk = Window.partitionBy("__k")
+    wk_ord = wk.orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    marked = keyed_src.select(
+        id_col,
+        F.col(source_col).alias("src_later"),
+        F.first(source_col).over(wk_ord).alias("src_first"),
+        (
+            (F.count(F.lit(1)).over(wk) > 1)
+            & (okey != F.min(okey).over(wk))
+        ).alias("__later"),
+    ).where("__later")
+    return (
+        marked.groupBy("src_first", "src_later")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
     )

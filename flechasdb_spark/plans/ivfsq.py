@@ -53,6 +53,7 @@ __all__ = [
     "ivfsq_query",
     "save_ivfsq",
     "load_ivfsq",
+    "train_ivfsq",
 ]
 
 
@@ -206,3 +207,35 @@ def load_ivfsq(spark, path: str) -> IVFSQModel:
         hi=[float(x) for x in t["hi"]],
         encoded=spark.read.parquet(os.path.join(path, "index")),
     )
+
+
+def train_ivfsq(
+    vectors: DataFrame,
+    num_partitions: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_n: int = 100_000,
+) -> IVFSQModel:
+    """Production one-call build: coarse k-means on a bounded
+    deterministic sample (the build_index training pattern —
+    operators/build.py), then `build_ivfsq` against the trained
+    centroids. The oracle row keeps the frozen-centroid path."""
+    import numpy as np
+
+    from flechasdb_spark.operators.itq import sample_to_driver
+    from flechasdb_spark.operators.kmeans_np import kmeans_fit
+
+    x = sample_to_driver(
+        vectors, vec_col, id_col, sample_n, f"ivfsq{seed}"
+    )
+    cent, _ = kmeans_fit(x, int(num_partitions), seed=seed)
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [
+            (int(i), [float(v) for v in row])
+            for i, row in enumerate(np.asarray(cent))
+        ],
+        "partition_id int, centroid array<double>",
+    )
+    return build_ivfsq(vectors, cent_df, id_col=id_col, vec_col=vec_col)

@@ -8415,6 +8415,47 @@ def q_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_span_matrix",
+    """
+WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS words
+              FROM documents),
+w AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15),
+m AS (SELECT doc_id, source, pos,
+        count(*) OVER (PARTITION BY win) AS c,
+        row_number() OVER (PARTITION BY win
+                           ORDER BY doc_id, pos) AS rn,
+        first_value(source) OVER (PARTITION BY win
+                                  ORDER BY doc_id, pos) AS src_first
+      FROM w)
+SELECT src_first, source AS src_later, count(*)::BIGINT AS n_windows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM m WHERE c > 1 AND rn > 1
+GROUP BY 1, 2 ORDER BY src_first, src_later
+""",
+)
+def q_cross_source_span_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-level copy-provenance (the span-granular sibling of
+    `cross_source_dup_matrix`'s whole-doc hashes): every duplicated
+    15-word window's LATER occurrences attributed to the source of its
+    globally-first occurrence — which source's content reappears
+    where, counted in windows and in distinct copying docs. One window
+    shuffle with first_value attribution (engine-portable); registry
+    pins the text-key oracle form, production hashes."""
+    from flechasdb_spark.operators.dedup import cross_source_span_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_span_matrix(docs, window_words=15, key_mode="text").orderBy(
+        "src_first", "src_later"
+    )
+
+
+@query(
     "ivfsq_knn",
     f"""
 WITH cent AS (
@@ -8651,7 +8692,8 @@ DRIVER_ORDER = [
     # full frozen-split recomputation oracle; closes the loop
     # index_partition_stats opens], repeated_ngram_spans /
     # repeated_span_removal [any-alignment ExactSubstr detect+remove,
-    # full re-stitch oracles], ivfsq_knn [IVF+SQ8 lifecycle under
+    # full re-stitch oracles], cross_source_span_matrix [window-level
+    # copy provenance], ivfsq_knn [IVF+SQ8 lifecycle under
     # frozen centroids], stream_span_decontam [ingest-time span gate
     # vs a frozen reference], opq_rotated_encode [frozen-Givens OPQ
     # encode], hll_stream_batch_merge / cms_shard_merge [sketch

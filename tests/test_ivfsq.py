@@ -149,3 +149,18 @@ def test_save_load_query_equality_and_pruning(spark, emb, model, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "partition_id" in plan
+
+
+def test_train_ivfsq_end_to_end_recall(spark, emb):
+    """Trained coarse path: k-means cells are better-shaped than the
+    frozen arbitrary centroids, so recall@10 at nprobe=P/2 must be
+    at least as good as the frozen fixture's probe-limited result."""
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, train_ivfsq
+
+    model = train_ivfsq(emb, num_partitions=P, seed=3)
+    assert model.encoded.count() == emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
+    got = {r.vec_id for r in ivfsq_query(model, qv, k=10, nprobe=P // 2).collect()}
+    assert len(exact & got) >= 8
