@@ -45,6 +45,18 @@ def main() -> None:
     dup_words = spans.agg(F.sum("span_words")).first()[0] or 0
     print(f"docs={n0} duplicated_spans={n_spans} dup_words={dup_words}")
 
+    # 1b. Attribute: whose content is being repeated? (window-level
+    # copy provenance — the diagonal is self-repetition within a source)
+    from flechasdb_spark.operators.dedup import cross_source_span_matrix
+
+    matrix = cross_source_span_matrix(docs, window_words=L)
+    top = matrix.orderBy(F.col("n_windows").desc()).limit(3).collect()
+    for r in top:
+        print(
+            f"provenance: {r.src_first} -> {r.src_later} "
+            f"({r.n_windows} windows, {r.n_docs} docs)"
+        )
+
     # 2. Remove: keep each duplicated window's first occurrence, cut
     # the rest, re-stitch.
     cleaned = repeated_span_removal(docs, window_words=L).cache()

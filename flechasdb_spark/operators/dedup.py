@@ -1594,13 +1594,20 @@ def repeated_ngram_spans(
     exclusive. Documents shorter than ``window_words`` words emit no
     windows (they cannot contain a >= L-word duplicate).
 
-    Scale (100 TB): exactly two shuffles, zero joins. Window
-    generation is map-only; the duplicate flag is one count-window
-    keyed on the window content; the span merge moves only the
-    flagged rows, keyed on the document. ``key_mode``:
+    Scale (100 TB): window generation is map-only; the duplicate flag
+    is a map-side-combined key count (`_dup_keys` — the agg's exchange
+    carries one (key, partial count) row per key per task, ~16 bytes)
+    filtered to the SMALL duplicated-key table, then a semi-join back —
+    AQE broadcasts it when real duplication is bounded, making the
+    flag map-only, and splits skewed partitions otherwise. A
+    count-window over the key would pin every copy of a hot
+    boilerplate window into ONE task (window functions have neither
+    partial aggregation nor AQE skew mitigation) — that was the v1
+    shape, replaced. The span merge then moves only the flagged rows,
+    keyed on the document. ``key_mode``:
 
     - ``"hash"`` (production default): windows are reduced map-side to
-      ``xxhash64`` keys, so the first shuffle carries ~24 bytes/row
+      ``xxhash64`` keys, so shuffled rows carry ~24 bytes
       (id, pos, key) instead of an L-word string — at L=15 that is a
       ~30-60x shuffle-byte cut on typical English text.
     - ``"text"``: groups on the window string itself — the
@@ -1609,9 +1616,7 @@ def repeated_ngram_spans(
       hash == text on the fixture corpus.
     """
     keyed = window_keys(docs, window_words, id_col, text_col, key_mode)
-    dup = keyed.withColumn(
-        "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
-    ).where("__dup")
+    dup = keyed.join(_dup_keys(keyed).select("__k"), "__k", "left_semi")
     return _merge_spans(dup, int(window_words), id_col).select(
         id_col,
         "span_start",
@@ -1653,6 +1658,21 @@ def window_keys(
     )
     key = F.xxhash64("win") if key_mode == "hash" else F.col("win")
     return wins.select(id_col, *carry, "pos", key.alias("__k"))
+
+
+def _dup_keys(keyed: DataFrame) -> DataFrame:
+    """Keys occurring more than once — a map-side-combined aggregation
+    (hash agg with partial counts, so a hot boilerplate key arrives at
+    the reducer as a handful of partial rows, never raw copies),
+    filtered to the small true-duplication table. Joining THIS back to
+    the window table (AQE: broadcast when small, skew-split when not)
+    replaces a count-window that would serialize every copy of a hot
+    key into one task."""
+    return (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+    )
 
 
 def _merge_spans(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
@@ -1702,25 +1722,30 @@ def repeated_span_removal(
     removals pass through with ``removed_words = 0`` and their
     original text.
 
-    Scale (100 TB): the same two shuffles as `repeated_ngram_spans`
-    (window key, then doc key) plus ONE doc-keyed join to attach the
-    bounded per-doc span list back to the corpus; reconstruction is a
-    map-only array filter (O(words x spans) per doc, spans tiny). The
-    first-occurrence rule is `min(struct(doc, pos))` over the window
-    key — the same partially-safe lexicographic order key
-    `segment_dedup` uses, no packed-bigint overflow."""
+    Scale (100 TB): the same skew-safe flag shape as
+    `repeated_ngram_spans` — the first-occurrence rule is a map-side-
+    combined ``min(struct(doc, pos))`` PER DUPLICATED KEY (partially
+    aggregable, the `segment_dedup` order key; no packed-bigint
+    overflow), computed in the `_dup_keys` aggregation and joined back
+    (AQE broadcast/skew-split) instead of an ordered window that would
+    serialize hot keys — then the doc-keyed island merge over flagged
+    rows and ONE doc-keyed join to attach the bounded per-doc span
+    list; reconstruction is a map-only array filter (O(words x spans)
+    per doc, spans tiny)."""
     L = int(window_words)
     keyed = window_keys(docs, L, id_col, text_col, key_mode)
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    wk = Window.partitionBy("__k")
-    marked = keyed.select(
-        id_col,
-        "pos",
-        (
-            (F.count(F.lit(1)).over(wk) > 1)
-            & (okey != F.min(okey).over(wk))
-        ).alias("__rm"),
-    ).where("__rm")
+    firsts = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min(okey).alias("__first"))
+        .where(F.col("__c") > 1)
+        .select("__k", "__first")
+    )
+    marked = (
+        keyed.join(firsts, "__k")
+        .where(okey != F.col("__first"))
+        .select(id_col, "pos")
+    )
     spans = (
         _merge_spans(marked, L, id_col)
         .groupBy(id_col)
@@ -1785,28 +1810,37 @@ def cross_source_span_matrix(
     counts later-occurrence windows and n_docs the distinct copying
     documents.
 
-    Scale: the same ONE window-key shuffle as `repeated_ngram_spans`
-    (hash mode ships (id, pos, source, key)); first-source attribution
-    is `first_value(source)` over the key ordered by (doc, pos) —
-    engine-portable (DuckDB `first_value` mirrors it) — and the final
-    matrix is an O(sources^2)-row aggregate."""
+    Scale: the same skew-safe flag shape as `repeated_ngram_spans` —
+    first-occurrence (doc, pos) AND its source are map-side-combined
+    per-key aggregates (`min(struct)` / `min_by(source, struct)`,
+    both partially aggregable), filtered to the small duplicated-key
+    table and joined back under AQE (broadcast when small, skew-split
+    when a boilerplate window is hot; the DuckDB oracle's
+    `first_value` window is the semantics statement, not the plan).
+    The final matrix is an O(sources^2)-row aggregate."""
     keyed_src = window_keys(
         docs.select(id_col, text_col, source_col),
         window_words, id_col, text_col, key_mode,
         carry_cols=[source_col],
     )
-    wk = Window.partitionBy("__k")
-    wk_ord = wk.orderBy(F.col(id_col).asc(), F.col("pos").asc())
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    marked = keyed_src.select(
-        id_col,
-        F.col(source_col).alias("src_later"),
-        F.first(source_col).over(wk_ord).alias("src_first"),
-        (
-            (F.count(F.lit(1)).over(wk) > 1)
-            & (okey != F.min(okey).over(wk))
-        ).alias("__later"),
-    ).where("__later")
+    firsts = (
+        keyed_src.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(okey).alias("__first"),
+            F.min_by(F.col(source_col), okey).alias("src_first"),
+        )
+        .where(F.col("__c") > 1)
+        .select("__k", "__first", "src_first")
+    )
+    marked = (
+        keyed_src.join(firsts, "__k")
+        .where(okey != F.col("__first"))
+        .select(
+            id_col, F.col(source_col).alias("src_later"), "src_first"
+        )
+    )
     return (
         marked.groupBy("src_first", "src_later")
         .agg(

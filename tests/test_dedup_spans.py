@@ -259,3 +259,26 @@ def test_span_matrix_hash_equals_text_and_counts_align(spark, sf_dir):
         F.sum(F.col("count") - 1)
     ).first()[0]
     assert sum(r[2] for r in t) == later_total
+
+
+def test_hash_mode_shuffle_carries_only_narrow_schema(spark, sf_dir):
+    """The 100 TB contract of hash key_mode: the window-key Exchange
+    moves (doc_id, pos, __k) — never the L-word window string. Gate it
+    in the physical plan: the first Exchange's input schema must not
+    contain the `win` column, and xxhash64 must be projected below it."""
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = (
+        repeated_ngram_spans(docs, key_mode="hash")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    # every Exchange line lists its output columns; none may carry win
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, "expected shuffle exchanges in the plan"
+    assert all("win#" not in ln for ln in plan.splitlines() if "Exchange" in ln)
