@@ -1570,6 +1570,7 @@ def repeated_ngram_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     key_mode: str = "hash",
+    flag_mode: str = "window",
 ) -> DataFrame:
     """Maximal cross-corpus duplicated spans at ANY word alignment —
     the detection half of ExactSubstr dedup (Lee et al.,
@@ -1594,17 +1595,28 @@ def repeated_ngram_spans(
     exclusive. Documents shorter than ``window_words`` words emit no
     windows (they cannot contain a >= L-word duplicate).
 
-    Scale (100 TB): window generation is map-only; the duplicate flag
-    is a map-side-combined key count (`_dup_keys` — the agg's exchange
-    carries one (key, partial count) row per key per task, ~16 bytes)
-    filtered to the SMALL duplicated-key table, then a semi-join back —
-    AQE broadcasts it when real duplication is bounded, making the
-    flag map-only, and splits skewed partitions otherwise. A
-    count-window over the key would pin every copy of a hot
-    boilerplate window into ONE task (window functions have neither
-    partial aggregation nor AQE skew mitigation) — that was the v1
-    shape, replaced. The span merge then moves only the flagged rows,
-    keyed on the document. ``key_mode``:
+    Scale (100 TB): window generation is map-only; shuffled rows carry
+    ~24 bytes in hash ``key_mode`` (see below). The duplicate flag has
+    two measured plans (``flag_mode``, both semantics-identical and
+    equality-gated in pytest):
+
+    - ``"window"`` (default): ONE shuffle of the window table keyed on
+      the window, count over the key partition. Fastest when
+      duplication is pervasive but per-key copy counts are modest
+      (200k-doc replicated smoke: 39-46k docs/s vs 27k for "join") —
+      the cost is that window functions have no partial aggregation
+      and no AQE skew handling, so ONE window repeated millions of
+      times (hot boilerplate) serializes its copies into one task.
+    - ``"join"``: map-side-combined per-key count filtered to the
+      duplicated-key table, semi-joined back (AQE: broadcast when the
+      dup-key table is small, skew-split sort-merge otherwise —
+      verified BroadcastHashJoin LeftSemi on the fixture). Straggler-
+      proof, but when duplication is pervasive the dup-key table is
+      nearly as big as the window table and the join re-shuffles the
+      windows — two big shuffles vs one, measured ~1.6x slower on the
+      smoke corpus. Choose it when the corpus carries hot boilerplate.
+
+    ``key_mode``:
 
     - ``"hash"`` (production default): windows are reduced map-side to
       ``xxhash64`` keys, so shuffled rows carry ~24 bytes
@@ -1616,7 +1628,7 @@ def repeated_ngram_spans(
       hash == text on the fixture corpus.
     """
     keyed = window_keys(docs, window_words, id_col, text_col, key_mode)
-    dup = keyed.join(_dup_keys(keyed).select("__k"), "__k", "left_semi")
+    dup = _flag_dup(keyed, flag_mode)
     return _merge_spans(dup, int(window_words), id_col).select(
         id_col,
         "span_start",
@@ -1660,19 +1672,68 @@ def window_keys(
     return wins.select(id_col, *carry, "pos", key.alias("__k"))
 
 
-def _dup_keys(keyed: DataFrame) -> DataFrame:
-    """Keys occurring more than once — a map-side-combined aggregation
-    (hash agg with partial counts, so a hot boilerplate key arrives at
-    the reducer as a handful of partial rows, never raw copies),
-    filtered to the small true-duplication table. Joining THIS back to
-    the window table (AQE: broadcast when small, skew-split when not)
-    replaces a count-window that would serialize every copy of a hot
-    key into one task."""
-    return (
-        keyed.groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1)
-    )
+def _flag_dup(keyed: DataFrame, flag_mode: str) -> DataFrame:
+    """Rows of the window-key table whose key occurs more than once.
+    Two measured plans with identical semantics — see
+    `repeated_ngram_spans`' docstring for the trade: "window" = one
+    shuffle, hot-key straggler risk; "join" = map-side-combined agg +
+    AQE semi-join back, straggler-proof but a second big shuffle when
+    duplication is pervasive."""
+    if flag_mode == "window":
+        return keyed.withColumn(
+            "__dup", F.count(F.lit(1)).over(Window.partitionBy("__k")) > 1
+        ).where("__dup").drop("__dup")
+    if flag_mode == "join":
+        dup_keys = (
+            keyed.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select("__k")
+        )
+        return keyed.join(dup_keys, "__k", "left_semi")
+    raise ValueError(f"flag_mode must be 'window' or 'join': {flag_mode!r}")
+
+
+def _first_occurrence(
+    keyed: DataFrame,
+    okey: Column,
+    flag_mode: str,
+    extra_aggs: list | None = None,
+):
+    """Later occurrences of duplicated keys: rows where ``okey`` is not
+    the key's ``min(okey)``, restricted to keys with count > 1 — under
+    either flag plan. Returns the keyed rows joined/annotated with
+    ``__first`` (and any ``extra_aggs``, e.g. the first occurrence's
+    source), filtered to later occurrences."""
+    aggs = extra_aggs or []  # list of (aggregate Column, output name)
+    if flag_mode == "window":
+        wk = Window.partitionBy("__k")
+        cols = [F.min(okey).over(wk).alias("__first")] + [
+            a.over(wk).alias(name) for a, name in aggs
+        ]
+        return (
+            keyed.select("*", *cols)
+            .withColumn(
+                "__later",
+                (F.count(F.lit(1)).over(wk) > 1)
+                & (okey != F.col("__first")),
+            )
+            .where("__later")
+            .drop("__later")
+        )
+    if flag_mode == "join":
+        firsts = (
+            keyed.groupBy("__k")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(okey).alias("__first"),
+                *[a.alias(name) for a, name in aggs],
+            )
+            .where(F.col("__c") > 1)
+            .drop("__c")
+        )
+        return keyed.join(firsts, "__k").where(okey != F.col("__first"))
+    raise ValueError(f"flag_mode must be 'window' or 'join': {flag_mode!r}")
 
 
 def _merge_spans(flagged: DataFrame, L: int, id_col: str) -> DataFrame:
@@ -1708,6 +1769,7 @@ def repeated_span_removal(
     id_col: str = "doc_id",
     text_col: str = "text",
     key_mode: str = "hash",
+    flag_mode: str = "window",
 ) -> DataFrame:
     """The removal half of ExactSubstr dedup (Lee et al.,
     arXiv:2107.06499): every duplicated ``window_words``-word window
@@ -1722,30 +1784,19 @@ def repeated_span_removal(
     removals pass through with ``removed_words = 0`` and their
     original text.
 
-    Scale (100 TB): the same skew-safe flag shape as
-    `repeated_ngram_spans` — the first-occurrence rule is a map-side-
-    combined ``min(struct(doc, pos))`` PER DUPLICATED KEY (partially
-    aggregable, the `segment_dedup` order key; no packed-bigint
-    overflow), computed in the `_dup_keys` aggregation and joined back
-    (AQE broadcast/skew-split) instead of an ordered window that would
-    serialize hot keys — then the doc-keyed island merge over flagged
-    rows and ONE doc-keyed join to attach the bounded per-doc span
-    list; reconstruction is a map-only array filter (O(words x spans)
-    per doc, spans tiny)."""
+    Scale (100 TB): the first-occurrence rule is ``min(struct(doc,
+    pos))`` per duplicated key (the `segment_dedup` order key; no
+    packed-bigint overflow), computed under either ``flag_mode`` plan
+    — see `repeated_ngram_spans`' docstring for the measured
+    window-vs-join trade (`_first_occurrence` implements both, pytest
+    pins their equality) — then the doc-keyed island merge over
+    flagged rows and ONE doc-keyed join to attach the bounded per-doc
+    span list; reconstruction is a map-only array filter
+    (O(words x spans) per doc, spans tiny)."""
     L = int(window_words)
     keyed = window_keys(docs, L, id_col, text_col, key_mode)
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    firsts = (
-        keyed.groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("__c"), F.min(okey).alias("__first"))
-        .where(F.col("__c") > 1)
-        .select("__k", "__first")
-    )
-    marked = (
-        keyed.join(firsts, "__k")
-        .where(okey != F.col("__first"))
-        .select(id_col, "pos")
-    )
+    marked = _first_occurrence(keyed, okey, flag_mode).select(id_col, "pos")
     spans = (
         _merge_spans(marked, L, id_col)
         .groupBy(id_col)
@@ -1796,6 +1847,7 @@ def cross_source_span_matrix(
     text_col: str = "text",
     source_col: str = "source",
     key_mode: str = "hash",
+    flag_mode: str = "window",
 ) -> DataFrame:
     """Window-level copy-provenance: for every duplicated
     ``window_words``-word window, attribute its LATER occurrences to
@@ -1810,12 +1862,10 @@ def cross_source_span_matrix(
     counts later-occurrence windows and n_docs the distinct copying
     documents.
 
-    Scale: the same skew-safe flag shape as `repeated_ngram_spans` —
-    first-occurrence (doc, pos) AND its source are map-side-combined
-    per-key aggregates (`min(struct)` / `min_by(source, struct)`,
-    both partially aggregable), filtered to the small duplicated-key
-    table and joined back under AQE (broadcast when small, skew-split
-    when a boilerplate window is hot; the DuckDB oracle's
+    Scale: first-occurrence (doc, pos) AND its source come from
+    `min(struct)` / `min_by(source, struct)` per duplicated key,
+    under either ``flag_mode`` plan (see `repeated_ngram_spans` for
+    the measured window-vs-join trade; the DuckDB oracle's
     `first_value` window is the semantics statement, not the plan).
     The final matrix is an O(sources^2)-row aggregate."""
     keyed_src = window_keys(
@@ -1824,23 +1874,12 @@ def cross_source_span_matrix(
         carry_cols=[source_col],
     )
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    firsts = (
-        keyed_src.groupBy("__k")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.min(okey).alias("__first"),
-            F.min_by(F.col(source_col), okey).alias("src_first"),
-        )
-        .where(F.col("__c") > 1)
-        .select("__k", "__first", "src_first")
-    )
-    marked = (
-        keyed_src.join(firsts, "__k")
-        .where(okey != F.col("__first"))
-        .select(
-            id_col, F.col(source_col).alias("src_later"), "src_first"
-        )
-    )
+    marked = _first_occurrence(
+        keyed_src,
+        okey,
+        flag_mode,
+        extra_aggs=[(F.min_by(F.col(source_col), okey), "src_first")],
+    ).select(id_col, F.col(source_col).alias("src_later"), "src_first")
     return (
         marked.groupBy("src_first", "src_later")
         .agg(

@@ -282,3 +282,41 @@ def test_hash_mode_shuffle_carries_only_narrow_schema(spark, sf_dir):
     ]
     assert exchanges, "expected shuffle exchanges in the plan"
     assert all("win#" not in ln for ln in plan.splitlines() if "Exchange" in ln)
+
+
+def test_flag_modes_are_equivalent(spark, sf_dir):
+    """window (1-shuffle, default) and join (skew-safe) flag plans are
+    semantics-identical across all three span operators."""
+    from flechasdb_spark.operators.dedup import (
+        cross_source_span_matrix,
+        repeated_ngram_spans,
+        repeated_span_removal,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = _spans(repeated_ngram_spans(docs, flag_mode="window"))
+    b = _spans(repeated_ngram_spans(docs, flag_mode="join"))
+    assert a == b and len(a) > 0
+    ra = sorted(
+        (r.doc_id, r.removed_words, r.clean_text)
+        for r in repeated_span_removal(docs, flag_mode="window").collect()
+    )
+    rb = sorted(
+        (r.doc_id, r.removed_words, r.clean_text)
+        for r in repeated_span_removal(docs, flag_mode="join").collect()
+    )
+    assert ra == rb
+    ma = sorted(
+        (r.src_first, r.src_later, r.n_windows, r.n_docs)
+        for r in cross_source_span_matrix(docs, flag_mode="window").collect()
+    )
+    mb = sorted(
+        (r.src_first, r.src_later, r.n_windows, r.n_docs)
+        for r in cross_source_span_matrix(docs, flag_mode="join").collect()
+    )
+    assert ma == mb
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_ngram_spans(docs, flag_mode="bogus").collect()
