@@ -684,7 +684,10 @@ def stream_span_decontam(
     of the protected corpus (eval benchmarks, held-out splits):
     ``dedup.window_keys(ref, L, ...).select("__k").distinct()`` —
     O(ref windows) rows of 8-byte hashes, persisted once and reused
-    across batches. A doc survives iff at most ``max_hit_windows`` of
+    across batches. It MUST be built with the same ``key_mode`` (and
+    window length) passed here: a text-keyed reference joined against
+    hashed batch keys matches nothing and the gate silently admits
+    everything. A doc survives iff at most ``max_hit_windows`` of
     its windows hit the reference (0 = any shared span kills).
 
     Stateless per batch (the reference never updates in-stream), so
@@ -702,6 +705,18 @@ def stream_span_decontam(
     """
     from flechasdb_spark.operators.dedup import window_keys
     from flechasdb_spark.sources.manifest import _fs_path
+
+    # a mode mismatch between the reference table and this gate would
+    # match nothing and silently admit everything — the key dtype
+    # reveals how the reference was built, so fail loudly instead
+    want = "bigint" if key_mode == "hash" else "string"
+    got = dict(reference_keys.dtypes).get("__k")
+    if got != want:
+        raise ValueError(
+            f"reference_keys.__k is {got!r} but key_mode={key_mode!r} "
+            f"expects {want!r} — build the reference with the same "
+            "key_mode (dedup.window_keys)"
+        )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -882,3 +882,26 @@ def test_stream_span_decontam_matches_batch_and_replays(spark, tmp_path):
     run_available_now(q)
     kept3 = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
     assert kept3 == [1, 2, 3]
+
+
+def test_stream_span_decontam_rejects_mode_mismatch(spark, tmp_path):
+    """A text-keyed reference against a hash-mode gate would silently
+    admit everything; the dtype guard fails loudly instead."""
+    from flechasdb_spark.operators.dedup import window_keys
+    from flechasdb_spark.streaming.pipeline import stream_span_decontam
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    text_keys = (
+        window_keys(ref, 5, "doc_id", "text", "text")
+        .select("__k").distinct()
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="key_mode"):
+        stream_span_decontam(
+            stream, text_keys, str(tmp_path / "out"), window_words=5,
+            key_mode="hash",
+        )
