@@ -7580,6 +7580,94 @@ def q_stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_span_dedup",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE doc_id < 200),
+w AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(words[i : i + 14], ' ') AS win
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(base.words) - 14))
+                AS i) s
+  WHERE len(words) >= 15),
+w1 AS (SELECT * FROM w WHERE doc_id < 100),
+m1 AS (SELECT doc_id, win,
+         count(*) OVER (PARTITION BY win) AS c,
+         first_value(doc_id) OVER (PARTITION BY win
+                                   ORDER BY doc_id, pos) AS fd
+       FROM w1),
+bad1 AS (SELECT DISTINCT doc_id FROM m1 WHERE c > 1 AND fd <> doc_id),
+kept1 AS (SELECT doc_id FROM documents WHERE doc_id < 100
+          AND doc_id NOT IN (SELECT doc_id FROM bad1)),
+s1 AS (SELECT DISTINCT win FROM w1 JOIN kept1 USING (doc_id)),
+w2 AS (SELECT * FROM w WHERE doc_id >= 100),
+m2 AS (SELECT doc_id, win,
+         count(*) OVER (PARTITION BY win) AS c,
+         first_value(doc_id) OVER (PARTITION BY win
+                                   ORDER BY doc_id, pos) AS fd
+       FROM w2),
+bad2 AS (
+  SELECT DISTINCT doc_id FROM m2 WHERE c > 1 AND fd <> doc_id
+  UNION
+  SELECT DISTINCT doc_id FROM w2 WHERE win IN (SELECT win FROM s1)),
+kept2 AS (SELECT doc_id FROM documents
+          WHERE doc_id >= 100 AND doc_id < 200
+          AND doc_id NOT IN (SELECT doc_id FROM bad2))
+SELECT doc_id FROM kept1 UNION ALL SELECT doc_id FROM kept2
+ORDER BY doc_id
+""",
+)
+def q_stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ExactSubstr corpus construction drained over a bounded
+    two-batch replay (docs 0-99 arrive, then 100-199; order pinned via
+    mtimes): a doc survives iff every duplicated 15-word window it
+    contains first occurs within itself — no hit on the kept-window
+    store, no earlier in-batch origin (streaming/pipeline.py
+    stream_span_dedup). The origin rule is one-pass-decidable, so the
+    oracle replays both phases in plain SQL with no recursion (unlike
+    the minhash row's component CTE). Registry pins key_mode='text';
+    production hashes windows (hash==text machinery gated in
+    tests/test_dedup_spans.py)."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_span_dedup,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 200)
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_spdd_")
+    src = f"{tmp}/src"
+    docs.where(F.col("doc_id") < 100).coalesce(1).write.parquet(f"{src}/b0")
+    docs.where(F.col("doc_id") >= 100).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_span_dedup(
+        stream, f"{tmp}/store", f"{tmp}/kept", key_mode="text"
+    )
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/kept").select("doc_id").orderBy("doc_id")
+    )
+
+
+@query(
     "stream_token_drift",
     f"""
 WITH ref AS (SELECT unnest({_DD_TOKS}) AS token FROM documents),
@@ -8694,7 +8782,8 @@ DRIVER_ORDER = [
     # repeated_span_removal [any-alignment ExactSubstr detect+remove,
     # full re-stitch oracles], cross_source_span_matrix [window-level
     # copy provenance], ivfsq_knn [IVF+SQ8 lifecycle under
-    # frozen centroids], stream_span_decontam [ingest-time span gate
+    # frozen centroids], stream_span_dedup [online ExactSubstr corpus
+    # construction], stream_span_decontam [ingest-time span gate
     # vs a frozen reference], opq_rotated_encode [frozen-Givens OPQ
     # encode], hll_stream_batch_merge / cms_shard_merge [sketch
     # mergeability algebra]; plus the r6/r7 rows still outside

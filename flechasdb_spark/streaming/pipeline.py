@@ -51,6 +51,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_quality_filter",
     "stream_span_decontam",
+    "stream_span_dedup",
     "stream_token_drift",
     "stream_rate_anomaly",
     "stream_stream_join",
@@ -742,6 +743,116 @@ def stream_span_decontam(
     return (
         docs.writeStream.outputMode("append")
         .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_span_dedup(
+    docs: DataFrame,
+    store_path: str,
+    output_path: str,
+    window_words: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_mode: str = "hash",
+):
+    """Online ExactSubstr corpus construction — the exact-span sibling
+    of `stream_minhash_dedup`: the output corpus never holds two
+    documents sharing a ``window_words``-word span, enforced at ingest
+    with NO false positives (window-key equality, not sketch
+    collision). Per micro-batch a document survives iff every
+    duplicated window it contains FIRST OCCURS WITHIN ITSELF — i.e.
+    none of its windows hit the store (content kept in an earlier
+    batch) and none first-occur in a lower-(doc, pos) document of the
+    same batch. Survivors are appended to ``output_path`` and their
+    window keys to the store. The origin-rule is deliberately
+    one-pass-decidable (min(struct(doc, pos)) per key), unlike a
+    transitive-component policy — so both the streaming job and the
+    SQL oracle compute it without iteration/recursion.
+
+    Delivery matches `stream_minhash_dedup`: both sinks write under
+    ``ingest_batch=<id>`` in overwrite mode, survivors first, store
+    keys (the commit marker) last; a replay of a committed batch is an
+    exact no-op (_SUCCESS check on the store subdir). Store absence is
+    distinguished from read failure (AnalysisException on an
+    uncommitted root -> no store yet; other errors propagate and fail
+    the batch).
+
+    Scale: per batch ONE map-only window expansion (~24 B/row keys in
+    hash mode) + one agg for in-batch first occurrences + one
+    equi-join against the store keys (the store is O(kept windows) —
+    8-byte rows at rest, pruned to matching keys by the join).
+    Returns the streaming query handle (caller drains/stops)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from flechasdb_spark.operators.dedup import window_keys
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        store_batch_dir = f"{store_path}/ingest_batch={batch_id}"
+        marker, fs = _fs_path(spark, f"{store_batch_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a fully committed batch: exact no-op
+        keys = window_keys(
+            batch, window_words, id_col, text_col, key_mode
+        ).persist()
+        try:
+            okey = F.struct(
+                F.col(id_col).alias("d"), F.col("pos").alias("p")
+            )
+            # in-batch: docs containing a duplicated window that first
+            # occurs in ANOTHER doc
+            bad_batch = (
+                keys.select(id_col, "pos", "__k")
+                .join(
+                    keys.groupBy("__k").agg(
+                        F.count(F.lit(1)).alias("__c"),
+                        F.min(okey).alias("__first"),
+                    ),
+                    "__k",
+                )
+                .where(
+                    (F.col("__c") > 1)
+                    & (F.col("__first.d") != F.col(id_col))
+                )
+                .select(id_col)
+                .distinct()
+            )
+            # store: any hit means the content was kept earlier
+            root, rfs = _fs_path(spark, store_path)
+            store = None
+            if rfs.exists(root):
+                try:
+                    store = spark.read.parquet(store_path)
+                except AnalysisException:
+                    store = None  # exists but holds no committed data
+            bad = bad_batch
+            if store is not None:
+                hit = (
+                    keys.join(
+                        store.select("__k"), "__k", "left_semi"
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                bad = bad.unionByName(hit).distinct()
+            kept = batch.join(bad, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{output_path}/ingest_batch={batch_id}"
+            )
+            keys.join(bad, id_col, "left_anti").select(
+                id_col, "__k"
+            ).write.mode("overwrite").parquet(store_batch_dir)
+        finally:
+            keys.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{output_path}__checkpoint")
         .trigger(availableNow=True)
         .start()
     )

@@ -905,3 +905,69 @@ def test_stream_span_decontam_rejects_mode_mismatch(spark, tmp_path):
             stream, text_keys, str(tmp_path / "out"), window_words=5,
             key_mode="hash",
         )
+
+
+def test_stream_span_dedup_policy_and_replay(spark, tmp_path):
+    """Online ExactSubstr dedup: in-batch origin rule, cross-batch
+    store, short-doc passthrough, and replay idempotence."""
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_span_dedup,
+    )
+
+    run = " ".join(f"r{i}" for i in range(5))
+    b0 = spark.createDataFrame(
+        [
+            (1, "a0 " + run + " a1"),   # origin of the run -> kept
+            (2, "b0 b1 " + run),        # in-batch later copy -> dropped
+            (3, "tiny"),                # < L words -> kept
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, run + " c0 c1"),                        # store hit -> dropped
+            (11, "fresh unique words nothing shared"),    # kept
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    import glob
+    import os as _os
+    import time as _time
+
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    now = _time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in glob.glob(f"{src}/{d}/*.parquet"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "kept")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_span_dedup(stream, store, out, window_words=5)
+        run_available_now(q)
+
+    drain()
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3, 11]
+    # replay (fresh checkpoint): committed batches are no-ops
+    import shutil
+
+    shutil.rmtree(out + "__checkpoint")
+    drain()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 3, 11]
+    # the store holds only survivors' window keys (doc 3 is shorter
+    # than L and emits none; dropped docs 2/10 must not appear)
+    sk = spark.read.parquet(store)
+    assert sorted(
+        r.doc_id for r in sk.select("doc_id").distinct().collect()
+    ) == [1, 11]
