@@ -92,6 +92,19 @@ def main() -> None:
         run_available_now(q)
         kept = spark.read.parquet(f"{tmp}/kept").count()
         print(f"ingest_batch=200 passed_gate={kept} quarantined={200 - kept}")
+
+        # 4. Or build the deduped corpus ONLINE from scratch: the
+        # kept-window store grows per batch, so the output never holds
+        # two docs sharing an L-word span (stream_span_dedup).
+        from flechasdb_spark.streaming.pipeline import stream_span_dedup
+
+        stream2 = spark.readStream.schema(incoming.schema).parquet(src)
+        q2 = stream_span_dedup(
+            stream2, f"{tmp}/store", f"{tmp}/corpus", window_words=L
+        )
+        run_available_now(q2)
+        n_corpus = spark.read.parquet(f"{tmp}/corpus").count()
+        print(f"online_dedup: 200 in -> {n_corpus} span-unique kept")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
