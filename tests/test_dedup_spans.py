@@ -320,3 +320,88 @@ def test_flag_modes_are_equivalent(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         repeated_ngram_spans(docs, flag_mode="bogus").collect()
+
+
+def _py_spans(texts: dict[int, str], L: int):
+    """Pure-python reference for repeated_ngram_spans (shared by the
+    fixture brute-force test and the randomized corpora below)."""
+    counts: Counter = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text in texts.items():
+        ws = text.split(" ")
+        ps = []
+        for i in range(len(ws) - L + 1):
+            w = " ".join(ws[i : i + L])
+            counts[w] += 1
+            ps.append((i, w))
+        per_doc[doc_id] = ps
+    want = []
+    for doc_id, ps in per_doc.items():
+        dup = [i for i, w in ps if counts[w] > 1]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p > prev + L:
+                want.append((doc_id, start, prev + L, prev + L - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        want.append((doc_id, start, prev + L, prev + L - start, n))
+    return sorted(want)
+
+
+def test_adversarial_shapes_match_python_oracle(spark):
+    """Degenerate inputs: a single repeated word (every window of the
+    doc identical — one whole-doc span), multi-space runs (empty
+    tokens), exact-L docs, and a doc duplicated verbatim."""
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    L = 5
+    texts = {
+        1: " ".join(["a"] * 30),            # all windows identical
+        2: " ".join(["a"] * 30),            # verbatim duplicate of 1
+        3: "x  y   z " + " ".join(f"w{i}" for i in range(8)),  # empty toks
+        4: "p0 p1 p2 p3 p4",                # exactly L words
+        5: "p0 p1 p2 p3 p4",                # its duplicate
+        6: "solo words that repeat nowhere else at all",
+    }
+    df = _mk(spark, list(texts.items()))
+    got = _spans(repeated_ngram_spans(df, window_words=L, key_mode="text"))
+    assert got == _py_spans(texts, L)
+    # doc 1/2: one maximal whole-doc span each; doc 4/5 one span each
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r[0], []).append(r)
+    assert by_doc[1] == [(1, 0, 30, 30, 26)]
+    assert by_doc[4] == [(4, 0, 5, 5, 1)]
+
+
+def test_randomized_corpora_match_python_oracle(spark):
+    """Seeded random corpora with planted duplication at random
+    offsets, random doc lengths (including < L), and a shared
+    boilerplate sentence — Spark (hash mode) vs the python oracle."""
+    import numpy as np
+
+    from flechasdb_spark.operators.dedup import repeated_ngram_spans
+
+    rng = np.random.default_rng(17)
+    L = 6
+    boiler = " ".join(f"b{i}" for i in range(L + 2))
+    texts: dict[int, str] = {}
+    doc_id = 0
+    for _ in range(40):
+        n = int(rng.integers(1, 60))
+        words = [f"t{int(rng.integers(0, 300))}" for _ in range(n)]
+        if rng.random() < 0.3 and n > L:
+            pos = int(rng.integers(0, n - L))
+            words[pos : pos + L + 2] = boiler.split(" ")
+        texts[doc_id] = " ".join(words)
+        doc_id += 1
+        if rng.random() < 0.15:  # verbatim duplicate at a new id
+            texts[doc_id] = texts[doc_id - 1]
+            doc_id += 1
+    df = _mk(spark, list(texts.items()))
+    got = _spans(repeated_ngram_spans(df, window_words=L, key_mode="hash"))
+    assert got == _py_spans(texts, L)
