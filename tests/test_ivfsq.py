@@ -164,3 +164,54 @@ def test_train_ivfsq_end_to_end_recall(spark, emb):
     exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
     got = {r.vec_id for r in ivfsq_query(model, qv, k=10, nprobe=P // 2).collect()}
     assert len(exact & got) >= 8
+
+
+def test_ivfsq_recall_at_least_pq_at_equal_nprobe(spark, emb, cent, model):
+    """The family trade made checkable: SQ8 keeps a code per DIMENSION
+    (near-lossless distances), PQ a code per subspace — at equal coarse
+    partitioning and probe budget, IVF+SQ8 recall@10 must be >= IVF+PQ
+    recall@10 (both against exact flat search, same frozen centroids)."""
+    import numpy as np
+
+    from flechasdb_spark.operators.build import IndexConfig, assemble_index
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivf import ann_query
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    cent_np = np.array(
+        [r.centroid for r in cent.orderBy("partition_id").collect()],
+        dtype=np.float64,
+    )
+    dim = cent_np.shape[1]
+    codebooks = np.array(
+        [
+            [
+                [(c - 3.5) * 0.1 + d * 0.01 * j for j in range(dim // 4)]
+                for c in range(8)
+            ]
+            for d in range(4)
+        ]
+    )
+    cfg = IndexConfig(num_partitions=P, num_divisions=4, num_codes=8, seed=0)
+    pq = assemble_index(emb.select("vec_id", "embedding"), cent_np, codebooks, cfg)
+
+    hits_sq = hits_pq = total = 0
+    for qid in (3, 11, 23):
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
+        sq = {
+            r.vec_id
+            for r in ivfsq_query(model, qv, k=10, nprobe=4).collect()
+        }
+        pqr = {
+            r.vector_id
+            for r in ann_query(pq, [(qid, qv)], k=10, nprobe=4).collect()
+        }
+        hits_sq += len(exact & sq)
+        hits_pq += len(exact & pqr)
+        total += 10
+    assert hits_sq >= hits_pq
+    assert hits_sq >= int(0.6 * total)  # probe-limited floor
