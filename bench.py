@@ -5,7 +5,9 @@ compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 the driver's 2000-char stdout tail stores it parseable (VERDICT r6
 #2). The FULL record (every warm+cold row, smoke block, warm-run
 samples with loadavg) is written to $SPARK_GRAFT_BENCH_FILE (default
-BENCH_local.json next to this file) and committed per round.
+BENCH_last_run.json next to this file, gitignored); the builder
+promotes an idle-host in-fair-band run to the committed
+BENCH_local.json each round (VERDICT r7 #4).
 
 The headline set covers every engine surface: vector kernels, exact and
 batch kNN, the deterministic IVF/PQ relational pipeline, the full
@@ -588,6 +590,7 @@ def main() -> None:
         # encode
         "index_split_query",
         "opq_rotated_encode",
+        "hll_stream_batch_merge",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings
@@ -664,10 +667,17 @@ def main() -> None:
     # and print ONE compact line (<1900 chars) that survives the tail:
     # headline total, warm-serving gate, slowest warm rows, condensed
     # smoke block, pointer to the full record.
+    # Default to an UNcommitted scratch file (VERDICT r7 #2/#4): the
+    # driver's per-round run used to overwrite the committed
+    # BENCH_local.json with whatever host window it got (r7: loadavg
+    # 6.07, canary 138.7 — below the fair band). BENCH_local.json is
+    # now builder-managed only: after an idle-host run whose canary is
+    # in the fair band, copy BENCH_last_run.json over it (the record
+    # carries its own canary + loadavg stamp for the gate).
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FILE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_local.json"),
+                     "BENCH_last_run.json"),
     )
     with open(full_path, "w") as fh:
         json.dump(result, fh)

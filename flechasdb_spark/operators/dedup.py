@@ -100,7 +100,16 @@ def _parallel_scan(df: DataFrame) -> DataFrame:
     ONLY when the scan is far below the session's shuffle width; a
     well-partitioned 100 TB input passes through untouched (no extra
     shuffle)."""
-    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        sp = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        # AQE-managed sessions may set the conf to a non-numeric value
+        # (e.g. "auto") — the runtime is re-sizing partitions itself, so
+        # skip both the rdd probe (a full plan-to-RDD conversion) and
+        # the corrective repartition (ADVICE r7)
+        return df
     if df.rdd.getNumPartitions() * 4 < sp:
         return df.repartition(sp)
     return df
@@ -1571,6 +1580,7 @@ def repeated_ngram_spans(
     text_col: str = "text",
     key_mode: str = "hash",
     flag_mode: str = "window",
+    token_col: str | None = None,
 ) -> DataFrame:
     """Maximal cross-corpus duplicated spans at ANY word alignment —
     the detection half of ExactSubstr dedup (Lee et al.,
@@ -1626,8 +1636,14 @@ def repeated_ngram_spans(
       collision-free oracle form (DuckDB recomputes it verbatim;
       xxhash64 is not portable). tests/test_dedup_spans.py pins
       hash == text on the fixture corpus.
+
+    ``token_col``: slide over a caller-tokenized array column instead
+    of space-split words (see `window_keys`); span positions are then
+    token positions.
     """
-    keyed = window_keys(docs, window_words, id_col, text_col, key_mode)
+    keyed = window_keys(
+        docs, window_words, id_col, text_col, key_mode, token_col=token_col
+    )
     dup = _flag_dup(keyed, flag_mode)
     return _merge_spans(dup, int(window_words), id_col).select(
         id_col,
@@ -1645,6 +1661,7 @@ def window_keys(
     text_col: str,
     key_mode: str,
     carry_cols: list[str] | None = None,
+    token_col: str | None = None,
 ) -> DataFrame:
     """(id, pos, __k[, carry...]): every sliding L-word window of every
     document, keyed for the duplicate shuffle. Hash mode drops the
@@ -1652,22 +1669,44 @@ def window_keys(
     (id, pos, key). ``carry_cols`` ride along per window (e.g. source
     for provenance attribution) — cheaper than joining them back onto
     the window table afterwards (that join would re-shuffle every
-    window row by doc id)."""
+    window row by doc id).
+
+    ``token_col`` (VERDICT r7 #5): when set, windows slide over the
+    caller-tokenized ``array<...>`` column (BPE ids from
+    `text.encode_token_ids`, characters, code tokens) instead of
+    ``split(text_col, ' ')`` — Lee et al.'s token-level semantics for
+    corpora where space tokenization is wrong (CJK, code). Hash mode
+    hashes the window slice directly (`xxhash64` accepts arrays);
+    "text" mode keys on the slice itself — arrays group/join exactly
+    in both engines, so the oracle form carries over unchanged."""
     if key_mode not in ("hash", "text"):
         raise ValueError(f"key_mode must be 'hash' or 'text': {key_mode!r}")
     carry = list(carry_cols or [])
     L = int(window_words)
-    words = F.split(F.col(text_col), " ")
-    wins = docs.where(F.size(words) >= L).select(
-        F.col(id_col),
-        *carry,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - L),
-                lambda i: F.array_join(F.slice(words, i + 1, L), " "),
-            )
-        ).alias("pos", "win"),
-    )
+    if token_col is not None:
+        toks = F.col(token_col)
+        wins = docs.where(F.size(toks) >= L).select(
+            F.col(id_col),
+            *carry,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - L),
+                    lambda i: F.slice(toks, i + 1, L),
+                )
+            ).alias("pos", "win"),
+        )
+    else:
+        words = F.split(F.col(text_col), " ")
+        wins = docs.where(F.size(words) >= L).select(
+            F.col(id_col),
+            *carry,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - L),
+                    lambda i: F.array_join(F.slice(words, i + 1, L), " "),
+                )
+            ).alias("pos", "win"),
+        )
     key = F.xxhash64("win") if key_mode == "hash" else F.col("win")
     return wins.select(id_col, *carry, "pos", key.alias("__k"))
 
@@ -1770,6 +1809,7 @@ def repeated_span_removal(
     text_col: str = "text",
     key_mode: str = "hash",
     flag_mode: str = "window",
+    token_col: str | None = None,
 ) -> DataFrame:
     """The removal half of ExactSubstr dedup (Lee et al.,
     arXiv:2107.06499): every duplicated ``window_words``-word window
@@ -1784,6 +1824,13 @@ def repeated_span_removal(
     removals pass through with ``removed_words = 0`` and their
     original text.
 
+    ``token_col`` (VERDICT r7 #5): dedupe over a caller-tokenized
+    ``array<...>`` column (BPE ids, characters for no-space scripts,
+    code tokens) instead of space-split words. The output is then
+    ``(id_col, n_tokens, removed_tokens, n_spans, clean_tokens)`` with
+    ``clean_tokens`` the surviving token array — the caller owns
+    detokenization, exactly as it owned tokenization.
+
     Scale (100 TB): the first-occurrence rule is ``min(struct(doc,
     pos))`` per duplicated key (the `segment_dedup` order key; no
     packed-bigint overflow), computed under either ``flag_mode`` plan
@@ -1794,9 +1841,12 @@ def repeated_span_removal(
     span list; reconstruction is a map-only array filter
     (O(words x spans) per doc, spans tiny)."""
     L = int(window_words)
-    keyed = window_keys(docs, L, id_col, text_col, key_mode)
+    keyed = window_keys(
+        docs, L, id_col, text_col, key_mode, token_col=token_col
+    )
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     marked = _first_occurrence(keyed, okey, flag_mode).select(id_col, "pos")
+    unit = "token" if token_col is not None else "word"
     spans = (
         _merge_spans(marked, L, id_col)
         .groupBy(id_col)
@@ -1806,19 +1856,23 @@ def repeated_span_removal(
             ).alias("__spans"),
             F.sum(
                 F.col("span_end_excl") - F.col("span_start")
-            ).alias("removed_words"),
+            ).alias(f"removed_{unit}s"),
             F.count(F.lit(1)).alias("n_spans"),
         )
     )
-    words = F.split(F.col(text_col), " ")
+    seq = (
+        F.col(token_col)
+        if token_col is not None
+        else F.split(F.col(text_col), " ")
+    )
     empty = F.array().cast(
         "array<struct<span_start: bigint, span_end_excl: bigint>>"
     )
     sp = F.coalesce(F.col("__spans"), empty)
     kept = F.filter(
         F.zip_with(
-            words,
-            F.sequence(F.lit(0), F.size(words) - 1),
+            seq,
+            F.sequence(F.lit(0), F.size(seq) - 1),
             lambda w, i: F.struct(w.alias("w"), i.alias("i")),
         ),
         lambda x: ~F.exists(
@@ -1827,16 +1881,21 @@ def repeated_span_removal(
             & (x["i"] < s["span_end_excl"]),
         ),
     )
+    clean = (
+        F.transform(kept, lambda x: x["w"]).alias("clean_tokens")
+        if token_col is not None
+        else F.array_join(
+            F.transform(kept, lambda x: x["w"]), " "
+        ).alias("clean_text")
+    )
     return docs.join(spans, id_col, "left").select(
         id_col,
-        F.size(words).cast("long").alias("n_words"),
-        F.coalesce("removed_words", F.lit(0)).cast("long").alias(
-            "removed_words"
+        F.size(seq).cast("long").alias(f"n_{unit}s"),
+        F.coalesce(f"removed_{unit}s", F.lit(0)).cast("long").alias(
+            f"removed_{unit}s"
         ),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-        F.array_join(
-            F.transform(kept, lambda x: x["w"]), " "
-        ).alias("clean_text"),
+        clean,
     )
 
 
@@ -1848,6 +1907,7 @@ def cross_source_span_matrix(
     source_col: str = "source",
     key_mode: str = "hash",
     flag_mode: str = "window",
+    token_col: str | None = None,
 ) -> DataFrame:
     """Window-level copy-provenance: for every duplicated
     ``window_words``-word window, attribute its LATER occurrences to
@@ -1868,10 +1928,14 @@ def cross_source_span_matrix(
     the measured window-vs-join trade; the DuckDB oracle's
     `first_value` window is the semantics statement, not the plan).
     The final matrix is an O(sources^2)-row aggregate."""
+    sel = [id_col, source_col] + (
+        [token_col] if token_col is not None else [text_col]
+    )
     keyed_src = window_keys(
-        docs.select(id_col, text_col, source_col),
+        docs.select(*sel),
         window_words, id_col, text_col, key_mode,
         carry_cols=[source_col],
+        token_col=token_col,
     )
     okey = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     marked = _first_occurrence(

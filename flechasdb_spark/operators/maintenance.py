@@ -559,8 +559,21 @@ def rebalance_index(
         tot = sum(counts.values())
         mx = max(counts.values())
         hot = min(q for q, c in counts.items() if c == mx)
-        return len(counts) * mx / tot, int(hot), int(mx)
+        # P is the CONFIGURED partition count, matching
+        # eval.index_partition_stats — len(counts) undercounts when a
+        # cell is empty and the loop would stop early/late relative to
+        # the stats row it claims to converge (ADVICE r7)
+        return m.config.num_partitions * mx / tot, int(hot), int(mx)
 
+    def _release(old: IndexModel, new: IndexModel) -> None:
+        # each split persists a fresh encoded union; once the new one
+        # is materialized (the count above), the superseded copy only
+        # holds executor memory — but never unpersist the CALLER's
+        # model, whose cache we did not create (ADVICE r7)
+        if old is not model_in and old.encoded is not new.encoded:
+            old.encoded.unpersist()
+
+    model_in = model
     history: list[dict] = []
     imb, hot, mx = _imbalance_and_hot(model)
     for _ in range(int(max_splits)):
@@ -579,7 +592,9 @@ def rebalance_index(
             }
         )
         if new_mx >= mx:
+            _release(model, new_model)
             model = new_model  # keep the split, but stop: no progress
             break
+        _release(model, new_model)
         model, imb, hot, mx = new_model, new_imb, new_hot, new_mx
     return model, history

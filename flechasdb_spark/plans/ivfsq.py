@@ -149,9 +149,19 @@ def ivfsq_query(
     )
     qA = _lit_arr([float(x) for x in query_vector])
     dist = squared_l2(qA, _recon("codes", cc, model.lo, model.hi))
+    # When the caller asks for rounded output, RANK on the rounded
+    # score too (id tie-break): ordering full-precision __d while
+    # emitting round(__d) lets a sub-5e-5 cross-engine float divergence
+    # flip the selected ids vs the oracle — the other frozen rows'
+    # ranking convention (ADVICE r7).
+    rank = (
+        F.round(F.col("__d"), round_to)
+        if round_to is not None
+        else F.col("__d")
+    )
     out = (
         cands.select(F.col(id_col), F.col("partition_id"), dist.alias("__d"))
-        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .orderBy(rank.asc(), F.col(id_col).asc())
         .limit(k)
     )
     score = (

@@ -556,7 +556,15 @@ def stream_minhash_dedup(
             store = None
             if rfs.exists(root):
                 try:
-                    store = spark.read.parquet(band_store_path)
+                    # exclude THIS batch's own subdir: a replay of a
+                    # batch whose prior store write failed after some
+                    # task-committed files landed (no _SUCCESS, e.g.
+                    # committer v2) must not see its own keys and mark
+                    # its docs as duplicates of themselves
+                    store = spark.read.parquet(band_store_path).where(
+                        F.col("ingest_batch").cast("long")
+                        != F.lit(int(batch_id))
+                    )
                 except AnalysisException:
                     store = None  # exists but holds no committed data
             fresh = keys
@@ -827,7 +835,14 @@ def stream_span_dedup(
             store = None
             if rfs.exists(root):
                 try:
-                    store = spark.read.parquet(store_path)
+                    # exclude THIS batch's own subdir: a replay after a
+                    # partial (no-_SUCCESS) store write must not see the
+                    # batch's own keys as store hits and drop first
+                    # occurrences (ADVICE r7)
+                    store = spark.read.parquet(store_path).where(
+                        F.col("ingest_batch").cast("long")
+                        != F.lit(int(batch_id))
+                    )
                 except AnalysisException:
                     store = None  # exists but holds no committed data
             bad = bad_batch

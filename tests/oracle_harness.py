@@ -70,9 +70,28 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         ):
             a = a.astype(np.float64)
             b = b.astype(np.float64)
+            # Signbit-exact (VERDICT r7 #2): the driver hashes
+            # STRINGIFIED values, and str(-0.0) != str(0.0) even though
+            # -0.0 == 0.0. Equal nonzero floats share a signbit, so the
+            # extra clause only bites at zero — exactly the r7
+            # `pca_project_residual` blind spot.
             bad = ~(
-                (np.isnan(a) & np.isnan(b)) | (a == b)
+                (np.isnan(a) & np.isnan(b))
+                | ((a == b) & (np.signbit(a) == np.signbit(b)))
             )
+            # Registry-wide negative-zero sweep: even an AGREEING -0.0
+            # pair is a latent hazard (one engine's round() flipping it
+            # later breaks the hash silently), so any -0.0 in either
+            # engine's output fails the gate outright.
+            negz = ((a == 0.0) & np.signbit(a)) | ((b == 0.0) & np.signbit(b))
+            if negz.any():
+                i = int(np.argmax(negz))
+                issues.append(
+                    f"column {c}: negative zero present in {int(negz.sum())} "
+                    f"cells (first at row {i}: spark={a[i]!r} "
+                    f"oracle={b[i]!r}) — normalize with `+ 0.0` after "
+                    "round() or integer-quantize"
+                )
         else:
             bad = a != b
         if bad.any():

@@ -405,3 +405,160 @@ def test_randomized_corpora_match_python_oracle(spark):
     df = _mk(spark, list(texts.items()))
     got = _spans(repeated_ngram_spans(df, window_words=L, key_mode="hash"))
     assert got == _py_spans(texts, L)
+
+
+# ---------------------------------------------------------------------------
+# token granularity (VERDICT r7 #5): caller-supplied tokenization
+# ---------------------------------------------------------------------------
+
+
+def test_token_mode_dedups_no_space_text(spark):
+    """CJK/code boundary: text with NO spaces is one 'word' to the
+    space tokenizer — word granularity is structurally blind to a
+    duplicated run inside it. Character tokens (caller-supplied) catch
+    it at the exact boundaries, and the removal re-stitch keeps the
+    first occurrence token-for-token."""
+    from flechasdb_spark.operators.dedup import (
+        repeated_ngram_spans,
+        repeated_span_removal,
+    )
+
+    run = "甲乙丙丁戊己"  # 6-char duplicated run
+    t1 = "一二三" + run + "四五"  # run at char offset 3
+    t2 = "六七" + run + "八九十拾"  # run at char offset 2
+    df = spark.createDataFrame(
+        [(1, t1, list(t1)), (2, t2, list(t2))],
+        "doc_id long, text string, toks array<string>",
+    )
+    # word granularity: each doc is a single token -> nothing found
+    assert repeated_ngram_spans(df, window_words=6, key_mode="text").count() == 0
+    for km in ("text", "hash"):
+        got = _spans(
+            repeated_ngram_spans(
+                df, window_words=6, key_mode=km, token_col="toks"
+            )
+        )
+        assert got == [(1, 3, 9, 6, 1), (2, 2, 8, 6, 1)], (km, got)
+    # removal: first occurrence is (doc 1, pos 3) -> doc 1 intact,
+    # doc 2 loses exactly the run's chars
+    out = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.n_spans, list(r.clean_tokens))
+        for r in repeated_span_removal(
+            df, window_words=6, key_mode="text", token_col="toks"
+        ).collect()
+    }
+    assert out[1] == (11, 0, 0, list(t1))
+    assert out[2] == (12, 6, 1, ["六", "七", "八", "九", "十", "拾"])
+
+
+def test_token_mode_matches_word_mode_on_space_tokenized_text(spark, sf_dir):
+    """Consistency gate: feeding the span family its OWN tokenization
+    (split on space) through token_col must reproduce word mode
+    exactly — spans, counts, and the re-stitched text."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.dedup import (
+        repeated_ngram_spans,
+        repeated_span_removal,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    toked = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
+    )
+    sw = _spans(repeated_ngram_spans(docs, key_mode="hash"))
+    st = _spans(
+        repeated_ngram_spans(toked, key_mode="hash", token_col="toks")
+    )
+    assert sw == st and len(sw) > 0
+    rw = {
+        r.doc_id: (r.n_words, r.removed_words, r.n_spans, r.clean_text)
+        for r in repeated_span_removal(docs).collect()
+    }
+    rt = {
+        r.doc_id: (
+            r.n_tokens,
+            r.removed_tokens,
+            r.n_spans,
+            " ".join(r.clean_tokens),
+        )
+        for r in repeated_span_removal(toked, token_col="toks").collect()
+    }
+    assert rw == rt
+
+
+# ---------------------------------------------------------------------------
+# flag_mode skew gate (VERDICT r7 #8): the window-vs-join trade, pinned
+# on a hot-key fixture instead of narrated
+# ---------------------------------------------------------------------------
+
+
+def test_flag_mode_join_is_skew_safe_on_hot_key(spark):
+    """A boilerplate window repeated across thousands of documents is
+    the span family's 100x skew hazard. Pin both halves of the trade:
+
+    - results are identical under both plans on the hot fixture;
+    - the "window" plan physically contains a Window over __k, and a
+      hash exchange on __k provably serializes EVERY copy of the hot
+      key into one partition (the single-task straggler);
+    - the "join" plan contains NO Window; its duplicate-key table is
+      collapsed by a map-side-combined partial aggregate to ONE row
+      per duplicated window (O(distinct keys), never O(copies)), so
+      the join back is AQE-splittable / broadcastable.
+    """
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.dedup import (
+        _flag_dup,
+        repeated_ngram_spans,
+        window_keys,
+    )
+
+    hot = " ".join(f"h{i}" for i in range(5))  # the million-copy stand-in
+    n_hot, n_uniq = 3000, 300
+    rows = [
+        (i, f"u{i}a u{i}b {hot} u{i}c u{i}d") for i in range(n_hot)
+    ] + [
+        (n_hot + j, " ".join(f"q{j}w{k}" for k in range(9)))
+        for j in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _spans(repeated_ngram_spans(docs, window_words=5, flag_mode="window"))
+    b = _spans(repeated_ngram_spans(docs, window_words=5, flag_mode="join"))
+    assert a == b and len(a) == n_hot  # one hot span per hot doc
+
+    keyed = window_keys(docs, 5, "doc_id", "text", "hash")
+    win_plan = (
+        _flag_dup(keyed, "window")._jdf.queryExecution().executedPlan().toString()
+    )
+    join_plan = (
+        _flag_dup(keyed, "join")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in win_plan
+    assert "Window" not in join_plan
+    # join mode's count is map-side combined (partial_count below the
+    # exchange), so the hot key ships <= one row per map task
+    assert "partial_count" in join_plan
+    # the window plan's exchange puts ALL copies of the hot key in one
+    # partition: simulate it with the same hashpartitioning(__k)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    per_part = (
+        keyed.repartition(sp, "__k")
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+    )
+    max_rows = per_part.agg(F.max("count")).first()[0]
+    # each hot doc contributes exactly one copy of the hot window; all
+    # land in one partition (plus whatever else hashes there)
+    assert max_rows >= n_hot
+    # join mode's dup-key table is O(distinct duplicated windows):
+    # the hot key collapses to ONE row before the join back
+    dup_keys = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    assert dup_keys.count() == 1  # only the hot window is duplicated

@@ -89,3 +89,33 @@ def test_canon_fails_on_array_column_like_driver():
     pdf = pd.DataFrame({"doc_id": [2, 1], "token_ids": [[1, 2], [3]]})
     with pytest.raises(TypeError, match="unhashable"):
         _canon(pdf)
+
+
+def test_compare_is_signbit_exact_like_driver(spark):
+    """VERDICT r7 #2 'done' criterion: the exact shape that shipped the
+    r7 red row — Spark emits +0.0 where the oracle emits -0.0
+    (numerically equal, string-hash-distinct at the driver) — must FAIL
+    the local gate; and even an AGREEING -0.0 pair is flagged by the
+    registry-wide sweep as a latent hazard."""
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1], "c2": [0.0, 1.5]})
+    )
+    odf = pd.DataFrame({"vec_id": [0, 1], "c2": [-0.0, 1.5]})
+    issues = compare(sdf, odf)
+    assert issues and any("c2" in i for i in issues), issues
+
+    sdf2 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "c2": [-0.0]})
+    )
+    odf2 = pd.DataFrame({"vec_id": [0], "c2": [-0.0]})
+    issues2 = compare(sdf2, odf2)
+    assert issues2 and any("negative zero" in i for i in issues2), issues2
+
+    # and the clean shape still passes
+    sdf3 = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1], "c2": [0.0, -1.5]})
+    )
+    odf3 = pd.DataFrame({"vec_id": [0, 1], "c2": [0.0, -1.5]})
+    assert compare(sdf3, odf3) == []
