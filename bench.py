@@ -591,6 +591,9 @@ def main() -> None:
         "index_split_query",
         "opq_rotated_encode",
         "hll_stream_batch_merge",
+        # r8 additions: token-granularity ExactSubstr, per-cell SQ bounds
+        "token_span_removal",
+        "ivfsq_cell_knn",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -34,9 +34,14 @@ from pyspark.sql import functions as F
 __all__ = [
     "sq_train",
     "sq_bounds",
+    "sq_train_grouped",
+    "sq_train_quantile",
+    "sq_bounds_quantile",
     "sq_encode_expr",
+    "sq_encode_cols_expr",
     "sq_encode",
     "sq_decode",
+    "sq_decode_cols",
     "sq_knn",
 ]
 
@@ -60,6 +65,158 @@ def sq_bounds(
     driver-side footprint as a single query vector."""
     rows = sq_train(vectors, vec_col).orderBy("dim").collect()
     return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def sq_train_grouped(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "partition_id",
+    q_lo: float | None = None,
+    q_hi: float | None = None,
+    num_buckets: int = 512,
+) -> DataFrame:
+    """Per-GROUP per-dimension bounds — the per-cell variant (VERDICT
+    r7 #6): IVF residuals concentrate near 0 with a per-cell spread
+    much smaller than the global residual spread (the same argument
+    that justifies quantizing residuals at all), so training (lo, hi)
+    per cell tightens the 256-level range cell by cell at O(P * dim)
+    extra state. Returns ``(group_col, lo array<double>,
+    hi array<double>)``.
+
+    ``q_lo``/``q_hi`` (VERDICT r7 #7): min/max bounds are
+    outlier-fragile — ONE extreme residual coordinate inflates the
+    step size for every vector in the group. When set, bounds come
+    from a fixed-grid histogram quantile instead (two passes: min/max
+    grid, then per-(group, dim) bucket counts + cumulative
+    interpolation — the `sketch.histogram_quantiles` arithmetic, plain
+    double ops on integer counts so it stays engine-exact). Values
+    outside the clipped range saturate to code 0/255, which is exactly
+    the SQ clipping semantics (FAISS QT_8bit's RS_quantile analogue).
+
+    Scale: both passes are partial-aggregated explodes — shuffles
+    carry O(groups * dim [* buckets]) rows, never the corpus; the
+    returned table is O(P) rows and broadcasts."""
+    from pyspark.sql import Window
+
+    vals = vectors.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    mm = vals.groupBy(group_col, "dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    if q_lo is not None or q_hi is not None:
+        ql = 0.0 if q_lo is None else float(q_lo)
+        qh = 1.0 if q_hi is None else float(q_hi)
+        if not (0.0 <= ql < qh <= 1.0):
+            raise ValueError(f"need 0 <= q_lo < q_hi <= 1, got {ql}, {qh}")
+        B = int(num_buckets)
+        j = vals.join(F.broadcast(mm), [group_col, "dim"])
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("x") - F.col("lo")) / width), F.lit(0)
+                ),
+                F.lit(B - 1),
+            )
+        ).cast("long")
+        counts = j.groupBy(group_col, "dim", b.alias("__b")).agg(
+            F.count(F.lit(1)).cast("double").alias("__cnt"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+        w_cum = Window.partitionBy(group_col, "dim").orderBy("__b")
+        w_all = Window.partitionBy(group_col, "dim")
+        cum = counts.select(
+            group_col,
+            "dim",
+            "__b",
+            "__cnt",
+            "lo",
+            "hi",
+            F.sum("__cnt").over(w_cum).alias("__cum"),
+            F.sum("__cnt").over(w_all).alias("__n"),
+        )
+        width2 = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+
+        def _q(p: float, name: str) -> DataFrame:
+            # p=0 / p=1 short-circuit to the exact min/max grid edges;
+            # otherwise interpolate inside the first bucket whose
+            # cumulative count reaches p*n, clamped to the grid edges
+            # (the histogram_quantiles arithmetic).
+            if p == 0.0:
+                return mm.select(group_col, "dim", F.col("lo").alias(name))
+            t = F.lit(p) * F.col("__n")
+            est = F.col("lo") + width2 * (
+                F.col("__b")
+                + (t - (F.col("__cum") - F.col("__cnt"))) / F.col("__cnt")
+            )
+            picked = cum.where(
+                (F.col("__cum") >= t)
+                & ((F.col("__cum") - F.col("__cnt")) < t)
+            )
+            return picked.groupBy(group_col, "dim").agg(
+                F.min(
+                    F.greatest(F.col("lo"), F.least(F.col("hi"), est))
+                ).alias(name)
+            )
+
+        lo_t = _q(ql, "qlo")
+        hi_t = (
+            mm.select(group_col, "dim", F.col("hi").alias("qhi"))
+            if qh == 1.0
+            else _q(qh, "qhi")
+        )
+        mm = (
+            lo_t.join(hi_t, [group_col, "dim"])
+            .select(
+                group_col,
+                "dim",
+                F.col("qlo").alias("lo"),
+                # a degenerate clip (all mass in one bucket) can invert
+                # the pair; keep lo <= hi so the encode guard holds
+                F.greatest(F.col("qhi"), F.col("qlo")).alias("hi"),
+            )
+        )
+    packed = mm.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "lo"))).alias("__l"),
+        F.array_sort(F.collect_list(F.struct("dim", "hi"))).alias("__h"),
+    )
+    return packed.select(
+        group_col,
+        F.transform("__l", lambda s: s["lo"]).alias("lo"),
+        F.transform("__h", lambda s: s["hi"]).alias("hi"),
+    )
+
+
+def sq_train_quantile(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    q_lo: float = 0.001,
+    q_hi: float = 0.999,
+    num_buckets: int = 512,
+) -> DataFrame:
+    """Global (ungrouped) quantile-clipped per-dimension bounds —
+    `sq_train` with outlier clipping (VERDICT r7 #7). One synthetic
+    group folds the grouped machinery down to the global case."""
+    g = vectors.select(F.lit(0).alias("__g"), F.col(vec_col))
+    return sq_train_grouped(
+        g, vec_col, "__g", q_lo=q_lo, q_hi=q_hi, num_buckets=num_buckets
+    ).drop("__g")
+
+
+def sq_bounds_quantile(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    q_lo: float = 0.001,
+    q_hi: float = 0.999,
+    num_buckets: int = 512,
+) -> tuple[list[float], list[float]]:
+    """Driver-side (lo, hi) lists from `sq_train_quantile` — drop-in
+    for `sq_bounds` wherever outliers would inflate the step size."""
+    r = sq_train_quantile(vectors, vec_col, q_lo, q_hi, num_buckets).first()
+    return [float(x) for x in r["lo"]], [float(x) for x in r["hi"]]
 
 
 def _lit_arr(xs: list[float]) -> Column:
@@ -87,6 +244,44 @@ def sq_encode_expr(
         lambda x, i: _code(
             x, F.element_at(loA, i + F.lit(1)), F.element_at(hiA, i + F.lit(1))
         ),
+    )
+
+
+def sq_encode_cols_expr(
+    vec_col: Column | str, lo_col: Column | str, hi_col: Column | str
+) -> Column:
+    """`sq_encode_expr` with the bounds coming from COLUMNS (per-row
+    array<double>, e.g. per-cell bounds joined on partition_id) instead
+    of driver literals. Same clamp/floor arithmetic — values outside
+    [lo, hi] saturate to code 0/255, which is what makes quantile-
+    clipped bounds legal."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    loA = F.col(lo_col) if isinstance(lo_col, str) else lo_col
+    hiA = F.col(hi_col) if isinstance(hi_col, str) else hi_col
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x, i: _code(
+            x, F.element_at(loA, i + F.lit(1)), F.element_at(hiA, i + F.lit(1))
+        ),
+    )
+
+
+def sq_decode_cols(
+    codes_col: Column | str, lo_col: Column | str, hi_col: Column | str
+) -> Column:
+    """`sq_decode` with column-borne bounds (per-cell variant)."""
+    col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    loA = F.col(lo_col) if isinstance(lo_col, str) else lo_col
+    hiA = F.col(hi_col) if isinstance(hi_col, str) else hi_col
+    return F.transform(
+        col,
+        lambda c, i: F.element_at(loA, i + F.lit(1))
+        + c.cast("double")
+        * (
+            F.element_at(hiA, i + F.lit(1))
+            - F.element_at(loA, i + F.lit(1))
+        )
+        / 255.0,
     )
 
 

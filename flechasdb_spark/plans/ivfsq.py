@@ -41,8 +41,12 @@ from flechasdb_spark.operators.knn import flat_knn
 from flechasdb_spark.operators.sq import (
     _lit_arr,
     sq_bounds,
+    sq_bounds_quantile,
     sq_decode,
+    sq_decode_cols,
+    sq_encode_cols_expr,
     sq_encode_expr,
+    sq_train_grouped,
 )
 from flechasdb_spark.plans.ivf import cent_col_name, ivf_assign
 
@@ -59,13 +63,18 @@ __all__ = [
 
 @dataclass
 class IVFSQModel:
-    """centroids: (partition_id, centroid) DataFrame; lo/hi: residual
-    SQ bounds (length dim); encoded: (id, partition_id, codes)."""
+    """centroids: (partition_id, centroid) DataFrame; lo/hi: GLOBAL
+    residual SQ bounds (length dim, None under per-cell bounds);
+    encoded: (id, partition_id, codes); cell_bounds: optional
+    (partition_id, lo array, hi array) table — per-cell bounds
+    (VERDICT r7 #6), O(P * dim) state that broadcasts into every
+    encode/decode join."""
 
     centroids: DataFrame
-    lo: list
-    hi: list
+    lo: list | None
+    hi: list | None
     encoded: DataFrame
+    cell_bounds: DataFrame | None = None
 
 
 def ivfsq_residuals(
@@ -98,12 +107,60 @@ def build_ivfsq(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bounds: str = "global",
+    clip: tuple[float, float] | None = None,
 ) -> IVFSQModel:
-    """Assign, train residual bounds (one O(dim)-row pass), encode.
-    ``centroids`` come from the caller — kmeans_fit on a sample
-    (operators/build.py) in production, a frozen table in the oracle."""
+    """Assign, train residual bounds, encode. ``centroids`` come from
+    the caller — kmeans_fit on a sample (operators/build.py) in
+    production, a frozen table in the oracle.
+
+    ``bounds`` (VERDICT r7 #6):
+
+    - ``"global"`` (default, the oracle form): one (lo, hi) pair per
+      dimension over ALL residuals — one O(dim)-row pass, bounds ride
+      as plan literals.
+    - ``"per_cell"``: (lo, hi) per (cell, dimension) — residuals
+      concentrate per cell far tighter than globally, so each cell's
+      256 levels cover its own spread (smaller step -> lower
+      distortion -> recall >= the global variant at equal nprobe,
+      property-gated in tests/test_ivfsq.py). Costs O(P * dim) model
+      state and one broadcast join at encode/decode.
+
+    ``clip`` (VERDICT r7 #7): optional (q_lo, q_hi) quantiles — bounds
+    from a fixed-grid histogram quantile instead of min/max, so one
+    outlier coordinate cannot inflate the step size for every vector;
+    out-of-range values saturate to code 0/255. Composes with either
+    ``bounds`` mode; distortion improvement on heavy-tailed residuals
+    is property-gated in tests/test_sq.py."""
+    if bounds not in ("global", "per_cell"):
+        raise ValueError(f"bounds must be 'global' or 'per_cell': {bounds!r}")
     resid = ivfsq_residuals(vectors, centroids, id_col, vec_col)
-    lo, hi = sq_bounds(resid, vec_col="residual")
+    if bounds == "per_cell":
+        cb = sq_train_grouped(
+            resid,
+            vec_col="residual",
+            group_col="partition_id",
+            q_lo=clip[0] if clip else None,
+            q_hi=clip[1] if clip else None,
+        ).localCheckpoint(eager=True)  # O(P) rows; cut the train lineage
+        enc = resid.join(F.broadcast(cb), "partition_id").select(
+            id_col,
+            "partition_id",
+            sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
+        )
+        return IVFSQModel(
+            centroids=centroids,
+            lo=None,
+            hi=None,
+            encoded=enc,
+            cell_bounds=cb,
+        )
+    if clip is not None:
+        lo, hi = sq_bounds_quantile(
+            resid, vec_col="residual", q_lo=clip[0], q_hi=clip[1]
+        )
+    else:
+        lo, hi = sq_bounds(resid, vec_col="residual")
     enc = resid.select(
         id_col,
         "partition_id",
@@ -148,7 +205,16 @@ def ivfsq_query(
         .join(F.broadcast(model.centroids), "partition_id")
     )
     qA = _lit_arr([float(x) for x in query_vector])
-    dist = squared_l2(qA, _recon("codes", cc, model.lo, model.hi))
+    if model.cell_bounds is not None:
+        cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
+        recon = F.zip_with(
+            F.col(cc).cast("array<double>"),
+            sq_decode_cols("codes", "lo", "hi"),
+            lambda c, r: c + r,
+        )
+        dist = squared_l2(qA, recon)
+    else:
+        dist = squared_l2(qA, _recon("codes", cc, model.lo, model.hi))
     # When the caller asks for rounded output, RANK on the rounded
     # score too (id tie-break): ordering full-precision __d while
     # emitting round(__d) lets a sub-5e-5 cross-engine float divergence
@@ -189,15 +255,17 @@ def save_ivfsq(model: IVFSQModel, path: str) -> None:
     model.centroids.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    write_manifest_json(
-        spark,
-        os.path.join(path, "ivfsq.json"),
-        {
-            "kind": "ivfsq",
-            "lo": [float(x) for x in model.lo],
-            "hi": [float(x) for x in model.hi],
-        },
-    )
+    meta: dict = {"kind": "ivfsq"}
+    if model.cell_bounds is not None:
+        meta["bounds"] = "per_cell"
+        model.cell_bounds.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "cell_bounds")
+        )
+    else:
+        meta["bounds"] = "global"
+        meta["lo"] = [float(x) for x in model.lo]
+        meta["hi"] = [float(x) for x in model.hi]
+    write_manifest_json(spark, os.path.join(path, "ivfsq.json"), meta)
 
 
 def load_ivfsq(spark, path: str) -> IVFSQModel:
@@ -211,6 +279,16 @@ def load_ivfsq(spark, path: str) -> IVFSQModel:
     t = read_manifest_json(spark, os.path.join(path, "ivfsq.json"))
     if t is None or t.get("kind") != "ivfsq":
         raise ValueError(f"not an ivfsq index: {path}")
+    if t.get("bounds") == "per_cell":
+        return IVFSQModel(
+            centroids=spark.read.parquet(os.path.join(path, "centroids")),
+            lo=None,
+            hi=None,
+            encoded=spark.read.parquet(os.path.join(path, "index")),
+            cell_bounds=spark.read.parquet(
+                os.path.join(path, "cell_bounds")
+            ),
+        )
     return IVFSQModel(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         lo=[float(x) for x in t["lo"]],
@@ -226,6 +304,8 @@ def train_ivfsq(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_n: int = 100_000,
+    bounds: str = "global",
+    clip: tuple[float, float] | None = None,
 ) -> IVFSQModel:
     """Production one-call build: coarse k-means on a bounded
     deterministic sample (the build_index training pattern —
@@ -248,4 +328,7 @@ def train_ivfsq(
         ],
         "partition_id int, centroid array<double>",
     )
-    return build_ivfsq(vectors, cent_df, id_col=id_col, vec_col=vec_col)
+    return build_ivfsq(
+        vectors, cent_df, id_col=id_col, vec_col=vec_col,
+        bounds=bounds, clip=clip,
+    )

@@ -8689,7 +8689,7 @@ scored AS (
          {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
   FROM recon, q)
 SELECT vec_id, partition_id, round(d, 4) AS squared_distance
-FROM scored ORDER BY d, vec_id LIMIT 10
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
 """,
 )
 def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8709,6 +8709,84 @@ def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid"),
     )
     model = build_ivfsq(emb, cent)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
+
+
+@query(
+    "ivfsq_cell_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT partition_id, unnest(r) AS x, generate_subscripts(r, 1) AS j
+       FROM resid),
+rb AS (SELECT partition_id, j, min(x) AS lo, max(x) AS hi
+       FROM re GROUP BY partition_id, j),
+rba AS (SELECT partition_id,
+               list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+        FROM rb GROUP BY partition_id),
+codes AS (
+  SELECT resid.vec_id, resid.partition_id, resid.cv,
+         list_transform(resid.r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid JOIN rba USING (partition_id)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id)
+       JOIN rba USING (partition_id)),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 with PER-CELL residual bounds (VERDICT r7 #6; FAISS
+    trains ScalarQuantizer state per inverted list for the same
+    reason): each cell's 256 levels cover only that cell's residual
+    spread — the residual-concentration argument applied once more,
+    at O(P * dim) extra state. The oracle recomputes the per-cell
+    (lo, hi) training, encode, probe, and asymmetric decode-distance
+    verbatim. Distortion-vs-global and recall gates live in
+    tests/test_ivfsq.py; the quantile-clipped variant (r7 #7) is
+    property-gated in tests/test_sq.py (clipping quantiles are not
+    worth a second oracle lifecycle)."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bounds="per_cell")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
 
@@ -8901,6 +8979,11 @@ DRIVER_ORDER = [
     # retrieval; cms_user_counts(3) -> cms_shard_merge keeps CMS.
     # All retired rows stay oracle-gated in pytest (tests/
     # test_oracle.py runs the FULL registry) and in bench.py.
+    # QUEUED for the r9 rotation (new in r8, oracle-gated in pytest
+    # now): token_span_removal [token-granularity ExactSubstr over a
+    # frozen hash vocabulary — the CJK/code boundary closer],
+    # ivfsq_cell_knn [IVF+SQ8 with per-cell residual bounds, full
+    # per-cell train/encode/probe/decode oracle].
     # STILL QUEUED (r6/r7 rows outside the window, strongest first):
     # ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],

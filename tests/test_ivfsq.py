@@ -215,3 +215,106 @@ def test_ivfsq_recall_at_least_pq_at_equal_nprobe(spark, emb, cent, model):
         total += 10
     assert hits_sq >= hits_pq
     assert hits_sq >= int(0.6 * total)  # probe-limited floor
+
+
+# ---------------------------------------------------------------------------
+# per-cell bounds (VERDICT r7 #6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def model_cell(emb, cent):
+    from flechasdb_spark.plans.ivfsq import build_ivfsq
+
+    return build_ivfsq(emb, cent, bounds="per_cell")
+
+
+def _mse(emb, model):
+    """Mean squared reconstruction error of an IVF+SQ model."""
+    from flechasdb_spark.operators.sq import sq_decode_cols
+    from flechasdb_spark.plans.ivf import cent_col_name
+    from flechasdb_spark.plans.ivfsq import _recon
+
+    cc = cent_col_name(model.centroids)
+    c = model.encoded.join(F.broadcast(model.centroids), "partition_id")
+    if model.cell_bounds is not None:
+        c = c.join(F.broadcast(model.cell_bounds), "partition_id")
+        rec = F.zip_with(
+            F.col(cc).cast("array<double>"),
+            sq_decode_cols("codes", "lo", "hi"),
+            lambda a, b: a + b,
+        )
+    else:
+        rec = _recon("codes", cc, model.lo, model.hi)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            rec,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        c.join(emb, "vec_id").select(err.alias("e")).agg(F.avg("e")).first()[0]
+    )
+
+
+def test_per_cell_bounds_recall_and_distortion_gate(
+    spark, emb, model, model_cell
+):
+    """The per-cell trade, property-gated (the r7 IVF+SQ8-vs-PQ gate
+    pattern): at EQUAL nprobe, per-cell bounds recall@10 >= global
+    bounds recall@10 (summed over queries), and reconstruction MSE is
+    strictly lower — each cell's 256 levels cover only its own
+    residual spread."""
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    for nprobe in (2, 4):
+        hits_c = hits_g = 0
+        for qid in (3, 11, 23):
+            qv = [
+                float(x)
+                for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+            ]
+            exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
+            got_g = {
+                r.vec_id
+                for r in ivfsq_query(model, qv, k=10, nprobe=nprobe).collect()
+            }
+            got_c = {
+                r.vec_id
+                for r in ivfsq_query(
+                    model_cell, qv, k=10, nprobe=nprobe
+                ).collect()
+            }
+            hits_g += len(exact & got_g)
+            hits_c += len(exact & got_c)
+        assert hits_c >= hits_g, (nprobe, hits_c, hits_g)
+    assert _mse(emb, model_cell) < _mse(emb, model)
+
+
+def test_per_cell_save_load_roundtrip(spark, emb, model_cell, tmp_path):
+    """Persist -> load -> query equality for the per-cell variant; the
+    manifest records the bounds mode and the bounds table rides along."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    path = str(tmp_path / "ivfsq_cell_idx")
+    save_ivfsq(model_cell, path)
+    loaded = load_ivfsq(spark, path)
+    assert loaded.lo is None and loaded.cell_bounds is not None
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    a = [
+        (r.vec_id, r.partition_id, r.squared_distance)
+        for r in ivfsq_query(model_cell, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    b = [
+        (r.vec_id, r.partition_id, r.squared_distance)
+        for r in ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    assert a == b
