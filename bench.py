@@ -591,9 +591,12 @@ def main() -> None:
         "index_split_query",
         "opq_rotated_encode",
         "hll_stream_batch_merge",
-        # r8 additions: token-granularity ExactSubstr, per-cell SQ bounds
+        # r8 additions: token-granularity ExactSubstr, per-cell SQ bounds,
+        # batch+filtered SQ serving, matryoshka truncation sweep
         "token_span_removal",
         "ivfsq_cell_knn",
+        "ivfsq_batch_knn",
+        "matryoshka_recall_curve",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flechasdb_spark.functions.linalg import squared_l2
+
 __all__ = [
     "recall_at_k",
     "index_partition_stats",
@@ -16,7 +18,68 @@ __all__ = [
     "margin_calibration",
     "embedding_centroid_report",
     "psi_report",
+    "prefix_dim_recall_curve",
 ]
+
+
+def prefix_dim_recall_curve(
+    vectors: DataFrame,
+    query_vector: list,
+    k: int,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. 2022, MRL): for
+    each prefix width d' in ``dims``, exact top-k by squared L2 over
+    the FIRST d' dimensions, scored against the full-dimension exact
+    top-k — "how many dims can serving truncate away before recall
+    falls off". MRL-trained embeddings stay near 1.0 well below full
+    width; conventional embeddings decay fast — this measurement is
+    how a 100 TB store decides whether to keep a cheap truncated
+    serving tier (a d'/N scan-byte and ADC-table cut with NO
+    re-encode, orthogonal to the SQ/PQ choice).
+
+    Returns one row per arm: ``(dims, k, n_hit)`` with n_hit =
+    |prefix top-k ∩ full top-k| — integer-exact, engine-portable.
+
+    Scale: each arm is a map-only prefix-slice distance +
+    TakeOrderedAndProject over the same scan (no shuffle, no join);
+    the intersection joins two O(k)-row driver-sized sets. Arms run
+    from one cached scan in a single union plan."""
+    full_dim = len(list(query_vector))
+    q = [float(x) for x in query_vector]
+
+    def _topk(d: int) -> DataFrame:
+        qd = F.array(*[F.lit(x) for x in q[:d]])
+        vd = (
+            F.col(vec_col).cast("array<double>")
+            if d == full_dim
+            else F.slice(F.col(vec_col).cast("array<double>"), 1, d)
+        )
+        dist = squared_l2(qd, vd)
+        return (
+            vectors.select(F.col(id_col), dist.alias("__d"))
+            .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+            .limit(int(k))
+            .select(id_col)
+        )
+
+    exact = _topk(full_dim)
+    arms = None
+    for d in dims:
+        hit = (
+            _topk(int(d))
+            .join(exact, id_col, "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .select(
+                F.lit(int(d)).cast("long").alias("dims"),
+                F.lit(int(k)).cast("long").alias("k"),
+                F.col("n_hit").cast("long"),
+            )
+        )
+        arms = hit if arms is None else arms.unionByName(hit)
+    return arms
 
 
 def recall_at_k(

@@ -55,6 +55,7 @@ __all__ = [
     "build_ivfsq",
     "ivfsq_residuals",
     "ivfsq_query",
+    "ivfsq_query_batch",
     "save_ivfsq",
     "load_ivfsq",
     "train_ivfsq",
@@ -234,6 +235,111 @@ def ivfsq_query(
         F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
     )
     return out.select(id_col, "partition_id", score.alias("squared_distance"))
+
+
+def ivfsq_query_batch(
+    model: IVFSQModel,
+    queries: list[tuple[int, list]],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+    where=None,
+) -> DataFrame:
+    """Batch IVF+SQ8 kNN — serving parity with the PQ side's
+    `plans.ivf.ann_query`: one job for Q queries instead of Q jobs.
+    Returns ``(query_id, id_col, partition_id, squared_distance,
+    rank)``.
+
+    Phase 1 is O(Q * P) driver NumPy over the collected centroids (the
+    `select_probes` shape — P <= ~1e5 is MBs; past that, compose
+    `select_probes_df`). The probe list ships as a broadcast
+    (query_id, partition_id) table whose semi-join prunes the encoded
+    scan to the union of probed cells (Parquet partition pruning at
+    rest); query vectors ride a second broadcast join; per-query top-k
+    is a row_number window the optimizer runs as WindowGroupLimit, so
+    the rank exchange carries O(Q * k * tasks) rows, never the scan.
+
+    ``where``: optional pre-filter predicate (Column or SQL string)
+    over the encoded rows' columns, applied BEFORE scoring — each
+    query still returns up to k rows, all satisfying it (the filtered
+    search mode of `ann_query`).
+
+    ``round_to``: output rounding; ranking then orders by the ROUNDED
+    score with id tie-break (the frozen-row convention — see
+    `ivfsq_query`)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    spark = model.encoded.sparkSession
+    cc = cent_col_name(model.centroids)
+    crows = model.centroids.orderBy("partition_id").collect()
+    pids = np.array([r["partition_id"] for r in crows])
+    C = np.array([list(r[cc]) for r in crows], dtype=np.float64)
+    qids = [int(q) for q, _ in queries]
+    Q = np.array([[float(x) for x in v] for _, v in queries])
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_rows = [
+        (qid, int(pids[j]))
+        for qi, qid in enumerate(qids)
+        for j in np.argsort(d2[qi], kind="stable")[: int(nprobe)]
+    ]
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "query_id long, partition_id int"
+        )
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in v]) for qid, v in queries],
+            "query_id long, __qv array<double>",
+        )
+    )
+    cands = model.encoded
+    if where is not None:
+        cands = cands.where(where)
+    cands = (
+        cands.join(probes, "partition_id")
+        .join(F.broadcast(model.centroids), "partition_id")
+        .join(qdf, "query_id")
+    )
+    if model.cell_bounds is not None:
+        cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
+        recon = F.zip_with(
+            F.col(cc).cast("array<double>"),
+            sq_decode_cols("codes", "lo", "hi"),
+            lambda c, r: c + r,
+        )
+    else:
+        recon = _recon("codes", cc, model.lo, model.hi)
+    dist = squared_l2(F.col("__qv"), recon)
+    scored = cands.select(
+        "query_id", F.col(id_col), F.col("partition_id"), dist.alias("__d")
+    )
+    rank_col = (
+        F.round(F.col("__d"), round_to)
+        if round_to is not None
+        else F.col("__d")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        rank_col.asc(), F.col(id_col).asc()
+    )
+    out_score = (
+        F.round(F.col("__d"), round_to)
+        if round_to is not None
+        else F.col("__d")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            id_col,
+            "partition_id",
+            out_score.alias("squared_distance"),
+            "rank",
+        )
+    )
 
 
 def save_ivfsq(model: IVFSQModel, path: str) -> None:

@@ -8791,6 +8791,137 @@ def q_ivfsq_cell_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
 
 
+@query(
+    "ivfsq_batch_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 11, 23)),
+probes AS (
+  SELECT query_id, partition_id FROM (
+    SELECT q.query_id, c.partition_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT q.query_id, co.vec_id, co.partition_id,
+         {_DD_SQL2.format(
+             a="q.qv",
+             b="list_transform(list_zip(co.cv, co.cs), (z, i) -> "
+               "z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0)",
+         )} AS d
+  FROM codes co
+       JOIN probes USING (partition_id)
+       JOIN q USING (query_id), rba
+  WHERE co.vec_id % 2 = 0),
+ranked AS (
+  SELECT query_id, vec_id, partition_id, round(d, 4) AS squared_distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(d, 4), vec_id) AS rank
+  FROM recon)
+SELECT query_id, vec_id, partition_id, squared_distance, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ivfsq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched + FILTERED IVF+SQ8 serving (`ivfsq_query_batch`) — the
+    SQ side's parity with `ann_query`'s batch/filtered modes: three
+    frozen queries in ONE job (driver probe selection, broadcast probe
+    + query tables, WindowGroupLimit per-query top-k) with an
+    attribute pre-filter (even ids only) applied before scoring, so
+    every query still returns k qualifying rows. The oracle recomputes
+    the whole lifecycle per query under frozen centroids."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 11, 23))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return ivfsq_query_batch(
+        model,
+        qs,
+        k=5,
+        nprobe=3,
+        round_to=4,
+        where=F.col("vec_id") % 2 == 0,
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "matryoshka_recall_curve",
+    f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+arms AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+scored AS (
+  SELECT a.dims, e.vec_id,
+         {_DD_SQL2.format(a="list_slice(e.v, 1, a.dims)", b="list_slice(q.qv, 1, a.dims)")} AS d
+  FROM base e, q, arms a),
+topk AS (
+  SELECT dims, vec_id FROM (
+    SELECT dims, vec_id,
+           row_number() OVER (PARTITION BY dims
+                              ORDER BY d, vec_id) AS rn
+    FROM scored) s WHERE rn <= 10),
+exact AS (SELECT vec_id FROM topk WHERE dims = 64)
+SELECT t.dims::BIGINT AS dims, 10::BIGINT AS k,
+       count(e.vec_id)::BIGINT AS n_hit
+FROM topk t LEFT JOIN exact e USING (vec_id)
+GROUP BY t.dims ORDER BY t.dims
+""",
+)
+def q_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/MRL truncation sweep (`eval.prefix_dim_recall_curve`,
+    Kusupati et al. 2022): exact top-10 by the FIRST d' in {{8, 16, 32,
+    64}} dimensions vs the full-width exact top-10 — the measurement a
+    100 TB embedding store runs before deciding whether a truncated
+    serving tier (d'/64 of the scan bytes, no re-encode) keeps enough
+    recall. Integer n_hit cells keep the row engine-exact; each arm is
+    a map-only prefix-slice distance + TakeOrderedAndProject over one
+    scan."""
+    from flechasdb_spark.operators.eval import prefix_dim_recall_curve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return prefix_dim_recall_curve(
+        emb, qv, k=10, dims=[8, 16, 32, 64]
+    ).orderBy("dims")
+
+
 # ---------------------------------------------------------------------------
 # Flagship (entry point)
 # ---------------------------------------------------------------------------
@@ -8983,7 +9114,11 @@ DRIVER_ORDER = [
     # now): token_span_removal [token-granularity ExactSubstr over a
     # frozen hash vocabulary — the CJK/code boundary closer],
     # ivfsq_cell_knn [IVF+SQ8 with per-cell residual bounds, full
-    # per-cell train/encode/probe/decode oracle].
+    # per-cell train/encode/probe/decode oracle], ivfsq_batch_knn
+    # [batched + attribute-filtered SQ serving — parity with
+    # ann_query's batch/filtered modes], matryoshka_recall_curve
+    # [MRL prefix-dimension truncation sweep — the
+    # keep-a-truncated-serving-tier measurement].
     # STILL QUEUED (r6/r7 rows outside the window, strongest first):
     # ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],

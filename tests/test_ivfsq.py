@@ -318,3 +318,63 @@ def test_per_cell_save_load_roundtrip(spark, emb, model_cell, tmp_path):
         for r in ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=6).collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# batch + filtered serving (r8): parity with ann_query's modes
+# ---------------------------------------------------------------------------
+
+
+def test_batch_query_matches_per_query_loop(spark, emb, model, model_cell):
+    """ivfsq_query_batch(Q queries) == Q ivfsq_query calls, under both
+    bounds modes; the per-query top-k runs as WindowGroupLimit so the
+    rank exchange is candidate-bounded."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, ivfsq_query_batch
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(3, 11, 23))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for m in (model, model_cell):
+        batch = ivfsq_query_batch(m, qs, k=5, nprobe=3, round_to=6)
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.partition_id, r.squared_distance)
+            for r in batch.collect()
+        }
+        for qid, qv in qs:
+            solo = ivfsq_query(m, qv, k=5, nprobe=3, round_to=6).collect()
+            for rank, r in enumerate(solo, start=1):
+                assert got[(qid, rank)] == (
+                    r.vec_id,
+                    r.partition_id,
+                    r.squared_distance,
+                ), (qid, rank)
+    plan = (
+        ivfsq_query_batch(model, qs, k=5, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_batch_query_filtered_returns_k_qualifying(spark, emb, model):
+    """The where pre-filter applies BEFORE scoring: every returned row
+    satisfies it and each query still fills k ranks (pre-filtering,
+    not post-filtering a top-k)."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query_batch
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 11)).collect()
+    ]
+    rows = ivfsq_query_batch(
+        model, qs, k=5, nprobe=4, where=F.col("vec_id") % 2 == 0
+    ).collect()
+    assert all(r.vec_id % 2 == 0 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

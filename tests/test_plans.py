@@ -473,3 +473,24 @@ def test_join_skew_report_topk_plan(spark):
     plan = _plan(spark, "join_skew_report")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_dim_recall_curve_invariants(spark, sf_dir):
+    """Matryoshka sweep (eval.prefix_dim_recall_curve): the full-width
+    arm recovers itself exactly (n_hit == k), every arm is bounded by
+    k, and each arm's plan is a map-only TakeOrderedAndProject (no
+    shuffle of the corpus)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.eval import prefix_dim_recall_curve
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    out = prefix_dim_recall_curve(emb, qv, k=10, dims=[8, 32, 64])
+    rows = {r.dims: r.n_hit for r in out.collect()}
+    assert rows[64] == 10
+    assert all(0 <= v <= 10 for v in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
