@@ -194,15 +194,24 @@ def ivfsq_query(
     (partition pruning at rest) + codegen'd element arithmetic +
     TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4)."""
     cc = cent_col_name(model.centroids)
-    probes = flat_knn(
-        model.centroids,
-        query_vector,
-        k=nprobe,
-        id_col="partition_id",
-        vec_col=cc,
-    ).select("partition_id")
+    # Probe selection collects O(nprobe) ids (one tiny job over the
+    # O(P) centroid table) so the cell filter is a LITERAL isin — a
+    # static Parquet PartitionFilter on the at-rest layout. The former
+    # semi-join against the lazy probe DataFrame never became a
+    # partition filter (DPP does not fire on this shape): the scan
+    # read every cell and the join discarded nprobe-1/P of it.
+    probe_ids = [
+        int(r["partition_id"])
+        for r in flat_knn(
+            model.centroids,
+            query_vector,
+            k=nprobe,
+            id_col="partition_id",
+            vec_col=cc,
+        ).collect()
+    ]
     cands = (
-        model.encoded.join(F.broadcast(probes), "partition_id", "left_semi")
+        model.encoded.where(F.col("partition_id").isin(probe_ids))
         .join(F.broadcast(model.centroids), "partition_id")
     )
     qA = _lit_arr([float(x) for x in query_vector])
@@ -295,7 +304,11 @@ def ivfsq_query_batch(
             "query_id long, __qv array<double>",
         )
     )
-    cands = model.encoded
+    # the union of probed cells is driver-known — apply it as a
+    # LITERAL isin so it lands in the Parquet PartitionFilters (the
+    # per-query assignment still comes from the probes join)
+    all_probed = sorted({pid for _, pid in probe_rows})
+    cands = model.encoded.where(F.col("partition_id").isin(all_probed))
     if where is not None:
         cands = cands.where(where)
     cands = (

@@ -148,7 +148,18 @@ def test_save_load_query_equality_and_pruning(spark, emb, model, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PartitionFilters" in plan and "partition_id" in plan
+    # a LITERAL probe filter must reach the partitioned scan — the
+    # former semi-join-only gate passed on a vacuous isnotnull while
+    # the scan read every cell (caught r8)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters: [" in ln
+    ]  # (tmp_path is truncated out of the plan string at 100 chars,
+    # so match on the filter itself; only the index scan is partitioned)
+    assert scan_lines, plan
+    assert any(
+        "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
+        for ln in scan_lines
+    ), scan_lines
 
 
 def test_train_ivfsq_end_to_end_recall(spark, emb):
@@ -378,3 +389,36 @@ def test_batch_query_filtered_returns_k_qualifying(spark, emb, model):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_batch_query_prunes_partitions_at_rest(spark, emb, model, tmp_path):
+    """The batch path's union-of-probes filter is a LITERAL isin, so a
+    saved index's scan prunes to the probed partition_id= directories
+    (PartitionFilters carries the IN list, not just isnotnull)."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_query_batch,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    path = str(tmp_path / "ivfsq_batch_idx")
+    save_ivfsq(model, path)
+    loaded = load_ivfsq(spark, path)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 11)).collect()
+    ]
+    plan = (
+        ivfsq_query_batch(loaded, qs, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters: [" in ln
+    ]
+    assert scan_lines, plan
+    assert any(
+        "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
+        for ln in scan_lines
+    ), scan_lines
