@@ -82,20 +82,26 @@ def ivf_flat_query(
     probe the nprobe nearest centroids, scan only vectors assigned to the
     probed partitions, exact distance within candidates, global top-k.
 
-    With an index at rest partitioned by partition_id the semi-join
-    becomes Parquet partition pruning; here assignment is computed inline
-    so the whole query is oracle-checkable end to end."""
+    Assignment is computed inline here (so the whole query is
+    oracle-checkable end to end); the probe cut is a LITERAL isin from
+    the collected O(nprobe) probe ids — on an index at rest
+    partitioned by partition_id the same literal lands in the Parquet
+    PartitionFilters (a lazy probe-DataFrame semi-join never does —
+    DPP doesn't fire on that shape; see plans/ivfsq.py r8 note)."""
     from flechasdb_spark.operators.knn import flat_knn
 
-    probes = flat_knn(
-        centroids,
-        query_vector,
-        k=nprobe,
-        id_col="partition_id",
-        vec_col=cent_col_name(centroids),
-    ).select("partition_id")
+    probe_ids = [
+        int(r["partition_id"])
+        for r in flat_knn(
+            centroids,
+            query_vector,
+            k=nprobe,
+            id_col="partition_id",
+            vec_col=cent_col_name(centroids),
+        ).collect()
+    ]
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    candidates = assigned.join(F.broadcast(probes), "partition_id", "left_semi")
+    candidates = assigned.where(F.col("partition_id").isin(probe_ids))
     qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
     dist = squared_l2(F.col(vec_col), qv)
     out = (
