@@ -8882,6 +8882,91 @@ def q_ivfsq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ivfsq_encode",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT partition_id, unnest(r) AS x, generate_subscripts(r, 1) AS j
+       FROM resid),
+rb AS (SELECT partition_id, j, min(x) AS lo, max(x) AS hi
+       FROM re GROUP BY partition_id, j),
+rba AS (SELECT partition_id,
+               list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+        FROM rb GROUP BY partition_id),
+codes AS (
+  SELECT resid.vec_id, resid.partition_id,
+         list_transform(resid.r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid JOIN rba USING (partition_id))
+SELECT vec_id, partition_id,
+       generate_subscripts(cs, 1) - 1 AS dim, unnest(cs) AS code
+FROM codes ORDER BY vec_id, dim
+""",
+)
+def q_stream_ivfsq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental IVF+SQ8 encode (the SQ sibling of
+    `stream_incremental_encode`): the per-cell model is trained
+    offline (frozen centroids vec_id<8, deterministic per-cell
+    min/max bounds over the full fixture), then the SAME vectors
+    arrive as a file stream and are assigned + encoded per
+    micro-batch into the partition_id layout `load_ivfsq` reads.
+    Frozen bounds make codes batch-order independent, so the appended
+    parquet must hold exactly what the oracle's batch recompute
+    produces — streamed == batch encode, driver-gated."""
+    _ensure_conf(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.plans.ivfsq import build_ivfsq
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_ivfsq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bounds="per_cell")
+    tmp = tempfile.mkdtemp(prefix="stream_sq_encode_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    shutil.copy(f"{sf_dir}/embeddings.parquet", f"{tmp}/in/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(f"{tmp}/in")
+    q = stream_ivfsq_encode(
+        model, stream, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    run_available_now(q)
+    enc = spark.read.parquet(f"{tmp}/idx/index")
+    return enc.select(
+        "vec_id",
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.posexplode(F.col("codes").cast("array<bigint>")).alias(
+            "dim", "code"
+        ),
+    ).orderBy("vec_id", "dim")
+
+
+@query(
     "matryoshka_recall_curve",
     f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -9118,7 +9203,9 @@ DRIVER_ORDER = [
     # [batched + attribute-filtered SQ serving — parity with
     # ann_query's batch/filtered modes], matryoshka_recall_curve
     # [MRL prefix-dimension truncation sweep — the
-    # keep-a-truncated-serving-tier measurement].
+    # keep-a-truncated-serving-tier measurement], stream_ivfsq_encode
+    # [streaming incremental SQ encode against the frozen per-cell
+    # model — streamed == batch, driver-gated].
     # STILL QUEUED (r6/r7 rows outside the window, strongest first):
     # ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],

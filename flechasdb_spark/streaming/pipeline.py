@@ -187,6 +187,75 @@ def incremental_encode(
     )
 
 
+def stream_ivfsq_encode(
+    model,
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """The IVF+SQ8 sibling of `incremental_encode`: continuously
+    assign + scalar-quantize arriving vectors against a FROZEN
+    `plans.ivfsq.IVFSQModel` (centroids + residual bounds trained
+    offline — global or per-cell) and append into the same
+    ``<index_path>/index`` partition_id layout `load_ivfsq` reads.
+    Returns the streaming query handle.
+
+    Per batch this is the batch build's map-only encode: one
+    broadcast-join argmin for assignment, one broadcast join to
+    subtract the winning centroid (plus one more for per-cell bounds),
+    zero shuffles beyond the partitioned write. Frozen bounds make
+    the codes batch-order independent — streamed == batch encode is
+    the pytest/oracle gate. ``compact_every`` as in
+    `incremental_encode` (appends accumulate small files)."""
+    from flechasdb_spark.operators.maintenance import compact_index
+    from flechasdb_spark.operators.sq import (
+        sq_encode_cols_expr,
+        sq_encode_expr,
+    )
+    from flechasdb_spark.plans.ivfsq import ivfsq_residuals
+
+    state = {"appends": 0}
+
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        resid = ivfsq_residuals(batch, model.centroids, id_col, vec_col)
+        if model.cell_bounds is not None:
+            enc = resid.join(
+                F.broadcast(model.cell_bounds), "partition_id"
+            ).select(
+                id_col,
+                "partition_id",
+                sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
+            )
+        else:
+            enc = resid.select(
+                id_col,
+                "partition_id",
+                sq_encode_expr("residual", model.lo, model.hi).alias(
+                    "codes"
+                ),
+            )
+        (
+            enc.write.mode("append")
+            .partitionBy("partition_id")
+            .parquet(f"{index_path}/index")
+        )
+        state["appends"] += 1
+        if compact_every and state["appends"] % compact_every == 0:
+            compact_index(batch.sparkSession, index_path)
+
+    return (
+        vectors.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_knn(
     queries: DataFrame,
     corpus: DataFrame,

@@ -971,3 +971,69 @@ def test_stream_span_dedup_policy_and_replay(spark, tmp_path):
     assert sorted(
         r.doc_id for r in sk.select("doc_id").distinct().collect()
     ) == [1, 11]
+
+
+def test_stream_ivfsq_encode_matches_batch_and_serves(spark, tmp_path):
+    """The SQ sibling of incremental_encode (r8): streaming vectors
+    through a FROZEN per-cell IVF+SQ model appends exactly the codes
+    the batch build produces (frozen bounds make codes batch-order
+    independent), and the streamed layout serves queries identically
+    to the in-memory model."""
+    import os
+    import shutil
+
+    from flechasdb_spark.plans.ivfsq import (
+        IVFSQModel,
+        build_ivfsq,
+        ivfsq_query,
+    )
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_ivfsq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bounds="per_cell")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{src}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    q = stream_ivfsq_encode(
+        model,
+        stream,
+        index_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_available_now(q)
+
+    streamed = spark.read.parquet(str(tmp_path / "idx" / "index"))
+    batch = {
+        (r.vec_id): (r.partition_id, list(r.codes))
+        for r in model.encoded.collect()
+    }
+    got = {
+        (r.vec_id): (r.partition_id, list(r.codes))
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+    served = IVFSQModel(
+        centroids=model.centroids,
+        lo=None,
+        hi=None,
+        encoded=streamed,
+        cell_bounds=model.cell_bounds,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    a = [(r.vec_id, r.squared_distance)
+         for r in ivfsq_query(model, qv, k=10, nprobe=3, round_to=6).collect()]
+    b = [(r.vec_id, r.squared_distance)
+         for r in ivfsq_query(served, qv, k=10, nprobe=3, round_to=6).collect()]
+    assert a == b
