@@ -53,6 +53,8 @@ from flechasdb_spark.plans.ivf import cent_col_name, ivf_assign
 __all__ = [
     "IVFSQModel",
     "build_ivfsq",
+    "assemble_ivfsq",
+    "merge_ivfsq",
     "ivfsq_residuals",
     "ivfsq_query",
     "ivfsq_query_batch",
@@ -244,6 +246,92 @@ def ivfsq_query(
         F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
     )
     return out.select(id_col, "partition_id", score.alias("squared_distance"))
+
+
+def assemble_ivfsq(
+    vectors: DataFrame,
+    model: IVFSQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFSQModel:
+    """Encode a corpus SHARD against a FROZEN IVF+SQ model — the
+    train-once / encode-everywhere half of the 100 TB build shape
+    (`operators/build.py::assemble_index`'s SQ sibling): train
+    centroids + bounds once on a bounded sample, `assemble_ivfsq`
+    each shard independently (embarrassingly parallel, no cross-shard
+    traffic), then `merge_ivfsq`. One broadcast-join argmin + map-only
+    encode; no bounds pass (they are inputs)."""
+    resid = ivfsq_residuals(vectors, model.centroids, id_col, vec_col)
+    if model.cell_bounds is not None:
+        enc = resid.join(
+            F.broadcast(model.cell_bounds), "partition_id"
+        ).select(
+            id_col,
+            "partition_id",
+            sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
+        )
+    else:
+        enc = resid.select(
+            id_col,
+            "partition_id",
+            sq_encode_expr("residual", model.lo, model.hi).alias("codes"),
+        )
+    return IVFSQModel(
+        centroids=model.centroids,
+        lo=model.lo,
+        hi=model.hi,
+        encoded=enc,
+        cell_bounds=model.cell_bounds,
+    )
+
+
+def merge_ivfsq(
+    base: IVFSQModel,
+    other: IVFSQModel,
+    id_col: str = "vec_id",
+    prefer: str = "other",
+    assume_disjoint: bool = False,
+) -> IVFSQModel:
+    """Merge two IVF+SQ shards ENCODED WITH THE SAME FROZEN MODEL
+    (`maintenance.merge_indexes`' SQ sibling): codes produced under
+    identical centroids AND bounds are directly comparable, so a
+    disjoint merge is a pure plan union — no shuffle, no scan.
+    Overlapping ids cost one id-keyed anti-join (``prefer`` picks the
+    winner, "other" = last-write-wins). Raises when the frozen state
+    differs: global bounds are compared element-wise; per-cell bounds
+    must be the SAME DataFrame object (they came from the one frozen
+    training pass by construction — comparing two bounds tables would
+    cost a job and a false negative merges incomparable codes)."""
+    if prefer not in ("base", "other"):
+        raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
+    if (base.cell_bounds is None) != (other.cell_bounds is None):
+        raise ValueError("cannot merge global-bounds with per-cell-bounds")
+    if base.cell_bounds is not None:
+        if base.cell_bounds is not other.cell_bounds:
+            raise ValueError(
+                "per-cell merge requires the SAME frozen bounds table "
+                "(assemble both shards from one model)"
+            )
+    else:
+        if list(base.lo) != list(other.lo) or list(base.hi) != list(
+            other.hi
+        ):
+            raise ValueError(
+                "bounds differ — codes are not comparable across shards"
+            )
+    a, b = base.encoded, other.encoded
+    if not assume_disjoint:
+        if prefer == "other":
+            a = a.join(b.select(id_col), id_col, "left_anti")
+        else:
+            b = b.join(a.select(id_col), id_col, "left_anti")
+    return IVFSQModel(
+        centroids=base.centroids,
+        lo=base.lo,
+        hi=base.hi,
+        encoded=a.unionByName(b),
+        cell_bounds=base.cell_bounds,
+    )
 
 
 def ivfsq_query_batch(

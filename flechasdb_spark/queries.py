@@ -8882,6 +8882,91 @@ def q_ivfsq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfsq_merge_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT partition_id, unnest(r) AS x, generate_subscripts(r, 1) AS j
+       FROM resid),
+rb AS (SELECT partition_id, j, min(x) AS lo, max(x) AS hi
+       FROM re GROUP BY partition_id, j),
+rba AS (SELECT partition_id,
+               list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi
+        FROM rb GROUP BY partition_id),
+codes AS (
+  SELECT resid.vec_id, resid.partition_id, resid.cv,
+         list_transform(resid.r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid JOIN rba USING (partition_id)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id)
+       JOIN rba USING (partition_id)),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel SQ build proven equivalent: train the per-cell
+    model ONCE (frozen centroids + bounds), `assemble_ivfsq` the even
+    and odd halves of the corpus INDEPENDENTLY (no cross-shard
+    traffic — the 100 TB build shape), `merge_ivfsq` them (disjoint:
+    a pure plan union, no shuffle), and query. The oracle recomputes
+    the WHOLE-corpus build+query — split-build-merge-query must equal
+    whole-build-query exactly, the `index_merge_query` contract on
+    the SQ side. Overlap/guard paths are pytest-gated
+    (tests/test_ivfsq.py)."""
+    from flechasdb_spark.plans.ivfsq import (
+        assemble_ivfsq,
+        build_ivfsq,
+        ivfsq_query,
+        merge_ivfsq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bounds="per_cell")
+    even = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 0), model)
+    odd = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 1), model)
+    merged = merge_ivfsq(even, odd, assume_disjoint=True)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_query(merged, qv, k=10, nprobe=3, round_to=4)
+
+
+@query(
     "stream_ivfsq_encode",
     f"""
 WITH cent AS (
@@ -9205,7 +9290,9 @@ DRIVER_ORDER = [
     # [MRL prefix-dimension truncation sweep — the
     # keep-a-truncated-serving-tier measurement], stream_ivfsq_encode
     # [streaming incremental SQ encode against the frozen per-cell
-    # model — streamed == batch, driver-gated].
+    # model — streamed == batch, driver-gated], ivfsq_merge_query
+    # [shard-parallel assemble+merge ≡ whole-build — the
+    # index_merge_query contract on the SQ side].
     # STILL QUEUED (r6/r7 rows outside the window, strongest first):
     # ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],

