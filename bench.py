@@ -597,6 +597,7 @@ def main() -> None:
         "ivfsq_cell_knn",
         "ivfsq_batch_knn",
         "matryoshka_recall_curve",
+        "ivfsq_merge_query",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings
