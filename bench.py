@@ -598,6 +598,7 @@ def main() -> None:
         "ivfsq_batch_knn",
         "matryoshka_recall_curve",
         "ivfsq_merge_query",
+        "edit_distance_neardup",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

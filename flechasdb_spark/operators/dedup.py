@@ -59,6 +59,7 @@ __all__ = [
     "repeated_span_removal",
     "cross_source_span_matrix",
     "window_keys",
+    "edit_distance_neardup",
 ]
 
 
@@ -1330,6 +1331,94 @@ def cdc_chunk_dedup(
             ),
             " ",
         ).alias("clean_text"),
+    )
+
+
+def edit_distance_neardup(
+    docs: DataFrame,
+    max_dist: int = 20,
+    prefix_len: int = 16,
+    max_block: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs with prefix blocking —
+    the record-linkage member of the dedup family: unlike MinHash /
+    SimHash (token/bit sketches, probabilistic), a kept pair carries a
+    HARD guarantee (levenshtein <= max_dist on the normalized text),
+    which is the contract deduplication-of-near-identical-records
+    pipelines (log dedup, form/spam variants, template families) ask
+    for.
+
+    Candidate generation is classic blocking: documents meet only
+    within their normalized ``prefix_len``-char prefix block (the
+    sorted-neighborhood/blocking trade — a pair differing inside the
+    prefix is missed; the candidate set is bounded by block sizes,
+    never all-pairs), plus the length lower bound
+    ``|len(a) - len(b)| <= max_dist`` (any edit changes length by at
+    most 1) applied BEFORE the quadratic verify. Blocks larger than
+    ``max_block`` are dropped deterministically (hot boilerplate
+    prefixes carry no linkage signal — the `max_df`/`max_bucket`
+    practice, mirrored exactly in the oracle).
+
+    Returns ``(id_a, id_b, edit_distance, len_a, len_b)`` with
+    id_a < id_b — integer columns only, engine-exact (Spark and DuckDB
+    implement the same unit-cost Levenshtein DP).
+
+    Scale: one block-keyed shuffle for the self-join; verify cost is
+    O(len * max_dist) per candidate under Spark >= 3.5's banded
+    ``levenshtein(l, r, threshold)`` (falls back to the full
+    O(len^2) DP on older runtimes — results identical: the banded
+    form returns the exact distance whenever it is <= threshold)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    b = docs.select(
+        F.col(id_col),
+        norm.alias("__t"),
+        F.substring(norm, 1, int(prefix_len)).alias("__blk"),
+        F.length(norm).alias("__len"),
+    )
+    if max_block is not None:
+        small = (
+            b.groupBy("__blk")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= int(max_block))
+            .select("__blk")
+        )
+        b = b.join(small, "__blk", "left_semi")
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__t").alias("__ta"),
+        F.col("__blk"),
+        F.col("__len").alias("len_a"),
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__t").alias("__tb"),
+        F.col("__blk"),
+        F.col("__len").alias("len_b"),
+    )
+    pairs = (
+        a.join(c, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(int(max_dist))
+        )
+    )
+    try:
+        d = F.levenshtein("__ta", "__tb", int(max_dist))  # banded DP
+        pairs = pairs.withColumn("edit_distance", d).where(
+            F.col("edit_distance") >= 0  # -1 = above threshold
+        )
+    except TypeError:  # pre-3.5 runtime: full DP + post-filter
+        pairs = pairs.withColumn(
+            "edit_distance", F.levenshtein("__ta", "__tb")
+        ).where(F.col("edit_distance") <= int(max_dist))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("edit_distance").cast("long"),
+        F.col("len_a").cast("long"),
+        F.col("len_b").cast("long"),
     )
 
 

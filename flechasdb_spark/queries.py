@@ -2519,6 +2519,45 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "edit_distance_neardup",
+    """
+WITH n AS (
+  SELECT doc_id,
+         lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents),
+b0 AS (SELECT doc_id, t, substr(t, 1, 16) AS blk, length(t) AS len
+       FROM n),
+ok AS (SELECT blk FROM b0 GROUP BY blk HAVING count(*) <= 100),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (blk)),
+p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             levenshtein(a.t, c.t) AS d,
+             a.len AS len_a, c.len AS len_b
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      WHERE abs(a.len - c.len) <= 20)
+SELECT id_a, id_b, d::BIGINT AS edit_distance,
+       len_a::BIGINT AS len_a, len_b::BIGINT AS len_b
+FROM p WHERE d <= 20 ORDER BY id_a, id_b
+""",
+)
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs with prefix blocking
+    (operators/dedup.py::edit_distance_neardup) — the record-linkage
+    member of the dedup family: every kept pair carries the HARD
+    guarantee levenshtein(norm_a, norm_b) <= 20, unlike the
+    probabilistic sketch families. Candidates are bounded by
+    16-char-prefix blocks (<= 100 members, the max_df/max_bucket
+    practice) plus the |len_a - len_b| <= max_dist lower bound BEFORE
+    the quadratic verify; both engines run the same unit-cost
+    Levenshtein DP, so the integer distances hash-match exactly."""
+    from flechasdb_spark.operators.dedup import edit_distance_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_neardup(
+        docs, max_dist=20, prefix_len=16, max_block=100
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "cross_source_dup_matrix",
     """
 WITH hs AS (
@@ -9292,7 +9331,10 @@ DRIVER_ORDER = [
     # [streaming incremental SQ encode against the frozen per-cell
     # model — streamed == batch, driver-gated], ivfsq_merge_query
     # [shard-parallel assemble+merge ≡ whole-build — the
-    # index_merge_query contract on the SQ side].
+    # index_merge_query contract on the SQ side],
+    # edit_distance_neardup [prefix-blocked levenshtein-verified
+    # near-dup — the hard-guarantee record-linkage member of the
+    # dedup family].
     # STILL QUEUED (r6/r7 rows outside the window, strongest first):
     # ann_nprobe_recall_curve [the FAISS
     # tuning sweep], minhash_jaccard_error [sketch-accuracy audit],

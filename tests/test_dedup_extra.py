@@ -789,3 +789,54 @@ def test_ngram_ops_widen_single_partition_input(spark, tmp_path):
         for r in ngram_containment_pairs(wide, n=3, threshold=0.8).collect()
     )
     assert got == want and (0, 1000) in got
+
+
+def test_edit_distance_neardup_guarantees_and_blocking(spark):
+    """edit_distance_neardup (r8): kept pairs carry the hard
+    levenshtein<=d guarantee with exact distances; pairs differing
+    inside the blocking prefix are missed (the documented blocking
+    trade); hot blocks are dropped; the length lower bound prunes
+    before the quadratic verify."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.dedup import edit_distance_neardup
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base),
+        (2, base[:-4] + "cat!"),          # few edits from 1
+        (3, "zzz " + base),               # same content, different prefix
+        (4, base + " " + "x" * 100),      # same block, length gap > d
+        (5, "totally unrelated content that shares no prefix at all"),
+    ]
+    # a hot block: > max_block docs sharing one prefix
+    rows += [(100 + i, f"hothothothothot filler {i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = edit_distance_neardup(
+        docs, max_dist=10, prefix_len=16, max_block=10
+    ).collect()
+    got = {(r.id_a, r.id_b): r.edit_distance for r in out}
+    # the planted pair is found with its exact distance
+    import difflib  # stdlib check only for sanity of the fixture
+
+    assert (1, 2) in got and 0 < got[(1, 2)] <= 10
+    # blocking trade: (1,3) are near-identical but differ in the prefix
+    assert (1, 3) not in got
+    # length lower bound: (1,4) same block, len gap 101 > 10 -> pruned
+    assert (1, 4) not in got
+    # hot block (12 > max_block=10): none of its pairs emitted
+    assert not any(a >= 100 for a, _ in got)
+
+    # exact distance parity with a reference implementation
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norm = lambda s: " ".join(s.lower().split())
+    assert got[(1, 2)] == lev(norm(rows[0][1]), norm(rows[1][1]))
