@@ -817,8 +817,6 @@ def test_edit_distance_neardup_guarantees_and_blocking(spark):
     ).collect()
     got = {(r.id_a, r.id_b): r.edit_distance for r in out}
     # the planted pair is found with its exact distance
-    import difflib  # stdlib check only for sanity of the fixture
-
     assert (1, 2) in got and 0 < got[(1, 2)] <= 10
     # blocking trade: (1,3) are near-identical but differ in the prefix
     assert (1, 3) not in got
