@@ -177,3 +177,31 @@ def test_ivfsq_clip_composes_with_per_cell(spark, sf_dir):
     rows = ivfsq_query(m, qv, k=10, nprobe=4).collect()
     assert len(rows) == 10
     assert all(r.squared_distance >= 0 for r in rows)
+
+
+def test_quantile_bounds_containment_and_nesting(spark):
+    """Structural invariants over randomized corpora (3 seeds):
+    quantile bounds always lie WITHIN the min/max bounds, tighter
+    clips nest inside looser ones, and lo <= hi per dimension."""
+    import random
+
+    from flechasdb_spark.operators.sq import sq_bounds, sq_bounds_quantile
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        dim = rng.choice([4, 8])
+        df = spark.createDataFrame(
+            [
+                (i, [rng.uniform(-5, 5) * (j + 1) for j in range(dim)])
+                for i in range(800)
+            ],
+            "vec_id long, v array<double>",
+        )
+        lo_mm, hi_mm = sq_bounds(df, "v")
+        lo_w, hi_w = sq_bounds_quantile(df, "v", q_lo=0.01, q_hi=0.99)
+        lo_t, hi_t = sq_bounds_quantile(df, "v", q_lo=0.05, q_hi=0.95)
+        eps = 1e-9
+        for j in range(dim):
+            assert lo_mm[j] - eps <= lo_w[j] <= lo_t[j] + eps, (seed, j)
+            assert hi_t[j] - eps <= hi_w[j] <= hi_mm[j] + eps, (seed, j)
+            assert lo_w[j] <= hi_w[j] and lo_t[j] <= hi_t[j], (seed, j)
