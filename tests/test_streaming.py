@@ -1037,3 +1037,55 @@ def test_stream_ivfsq_encode_matches_batch_and_serves(spark, tmp_path):
     b = [(r.vec_id, r.squared_distance)
          for r in ivfsq_query(served, qv, k=10, nprobe=3, round_to=6).collect()]
     assert a == b
+
+
+def test_stream_ivfsq_encode_auto_compaction(spark, tmp_path):
+    """The SQ sibling of incremental_encode's compaction contract:
+    compact_every=1 over a multi-file stream leaves one file per
+    partition directory, and the compacted layout still holds exactly
+    the batch-encode rows."""
+    import glob
+
+    from flechasdb_spark.plans.ivfsq import build_ivfsq
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_ivfsq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    arriving = emb.select("vec_id", "embedding")
+    stream_src = str(tmp_path / "arrivals")
+    arriving.repartition(4).write.parquet(stream_src)
+    vec_stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    index_path = str(tmp_path / "idx")
+    q = stream_ivfsq_encode(
+        model,
+        vec_stream,
+        index_path,
+        str(tmp_path / "ckpt"),
+        compact_every=1,
+    )
+    run_available_now(q)
+
+    files = glob.glob(f"{index_path}/index/partition_id=*/*.parquet")
+    pids = {f.split("partition_id=")[1].split("/")[0] for f in files}
+    assert len(files) == len(pids)  # one file per partition dir
+    streamed = spark.read.parquet(f"{index_path}/index")
+    batch = {
+        r.vec_id: (r.partition_id, list(r.codes))
+        for r in model.encoded.collect()
+    }
+    got = {
+        r.vec_id: (r.partition_id, list(r.codes))
+        for r in streamed.collect()
+    }
+    assert got == batch
