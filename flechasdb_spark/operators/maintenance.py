@@ -35,6 +35,9 @@ __all__ = [
     "compact_index",
     "split_partition",
     "rebalance_index",
+    "compact_ingest_store",
+    "repair_ingest_store",
+    "ingest_batch_committed",
 ]
 
 _DYN = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
@@ -598,3 +601,193 @@ def rebalance_index(
         _release(model, new_model)
         model, imb, hot, mx = new_model, new_imb, new_hot, new_mx
     return model, history
+
+
+# ---------------------------------------------------------------------------
+# Ingest-batch store compaction (VERDICT r8 #4 / ADVICE r8 #2): the
+# streaming sinks that write one ``ingest_batch=<id>`` subdirectory per
+# micro-batch (stream_span_dedup / stream_minhash_dedup key stores,
+# stream_ivfsq_encode's index) accumulate directories forever — the
+# listing-creep sibling of the small-file problem compact_index solves
+# for the batch index. These helpers fold all COMMITTED batches
+# strictly older than the in-flight one into a single reserved
+# ``ingest_batch=-1`` directory, atomically, while preserving the two
+# properties the at-least-once replay guard needs:
+#
+# 1. the ``ingest_batch`` column survives (folded rows read back as -1,
+#    which no real batch id equals, so a replaying batch's
+#    "exclude my own prior keys" filter still keeps all folded rows);
+# 2. a batch id whose directory (and its ``_SUCCESS`` marker) was
+#    folded away remains provably committed via a ledger
+#    (``ingest_batch=-1/_compacted.json``) that commits ATOMICALLY
+#    with the folded data — the directory-swap rename is the commit
+#    point for both, so no crash ordering can claim a batch committed
+#    whose keys are gone, or fold keys while forgetting the claim.
+# ---------------------------------------------------------------------------
+
+COMPACTED_LEDGER = "_compacted.json"
+
+
+def ingest_batch_committed(
+    spark: SparkSession, root: str, batch_id: int
+) -> bool:
+    """True iff ``ingest_batch=<id>`` under ``root`` is fully
+    committed: its own ``_SUCCESS`` marker exists, or the id appears in
+    the compaction ledger (the directory was folded into
+    ``ingest_batch=-1``). The streaming sinks' replay no-op check."""
+    from flechasdb_spark.sources.manifest import _fs_path, read_manifest_json
+
+    marker, fs = _fs_path(
+        spark, f"{root}/ingest_batch={int(batch_id)}/_SUCCESS"
+    )
+    if fs.exists(marker):
+        return True
+    led = read_manifest_json(
+        spark, f"{root}/ingest_batch=-1/{COMPACTED_LEDGER}"
+    )
+    return bool(led) and int(batch_id) in {
+        int(x) for x in led.get("batch_ids", [])
+    }
+
+
+def repair_ingest_store(spark: SparkSession, root: str) -> None:
+    """Crash repair for a `compact_ingest_store` interrupted mid-swap.
+    Roll FORWARD (drop the holding area) when the swap's commit point —
+    the ``ingest_batch=-1`` rename — already happened; roll BACK
+    (restore the held directories) otherwise. Idempotent; the writer
+    calls it at the top of every micro-batch (one fs.exists when
+    healthy) and at the top of every compaction.
+
+    Ordering invariants shared with `compact_ingest_store`: the old
+    ``-1`` directory is moved into the holding area FIRST and restored
+    LAST, so "``root/ingest_batch=-1`` exists while the holding area
+    exists" is true exactly when the new folded directory landed —
+    a re-crash mid-rollback can never be misread as a completed swap.
+    """
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    prep, fs = _fs_path(spark, f"{root}/.compact.pre")
+    tmpp, _ = _fs_path(spark, f"{root}/.compact.tmp")
+    if fs.exists(prep):
+        m1, _ = _fs_path(spark, f"{root}/ingest_batch=-1")
+        if fs.exists(m1):
+            fs.delete(prep, True)  # commit point passed: roll forward
+        else:
+            kids = sorted(
+                (st.getPath() for st in fs.listStatus(prep)),
+                # -1 restored LAST (see invariant above)
+                key=lambda p: (p.getName() == "ingest_batch=-1", p.getName()),
+            )
+            for src in kids:
+                dst, _ = _fs_path(spark, f"{root}/{src.getName()}")
+                if fs.exists(dst):  # re-run of a partial rollback
+                    fs.delete(src, True)
+                elif not fs.rename(src, dst):
+                    raise IOError(
+                        f"ingest-store rollback: rename {src} -> {dst} failed"
+                    )
+            fs.delete(prep, True)
+    if fs.exists(tmpp):
+        fs.delete(tmpp, True)  # stale staging from a crashed write
+
+
+def compact_ingest_store(
+    spark: SparkSession,
+    root: str,
+    exclude_batch_ids=(),
+    inner_partition_cols: list[str] | None = None,
+    target_files: int | None = None,
+) -> dict:
+    """Fold the committed ``ingest_batch=<id>`` subdirectories of
+    ``root`` (all except ``exclude_batch_ids`` — the caller passes the
+    in-flight batch, whose checkpoint is not yet committed and which
+    may therefore replay) plus any prior ``ingest_batch=-1`` into ONE
+    fresh ``ingest_batch=-1``, with the ledger of folded ids riding
+    inside it (see module comment). Single-writer assumed, like
+    `compact_index` — the streaming sinks call this inline from their
+    own foreachBatch, so no reader can observe the swap window.
+
+    ``inner_partition_cols``: preserve an inner partitionBy layout
+    (the IVF+SQ index keeps ``partition_id=`` dirs, one file per cell
+    dir after the repartition); when None (key stores) the folded rows
+    are coalesced to at most ``target_files`` plain parquet files
+    (default: the session's shuffle-partition count).
+
+    Returns ``{"folded_batches": n, "ledger_ids": total}``; a no-op
+    (fewer than two foldable directories) returns folded_batches=0."""
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.sources.manifest import (
+        _fs_path,
+        read_manifest_json,
+        write_manifest_json,
+    )
+
+    repair_ingest_store(spark, root)
+    rootp, fs = _fs_path(spark, root)
+    if not fs.exists(rootp):
+        return {"folded_batches": 0, "ledger_ids": 0}
+    dirs: dict[int, object] = {}
+    for st in fs.listStatus(rootp):
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch="):
+            try:
+                dirs[int(name.split("=", 1)[1])] = st.getPath()
+            except ValueError:
+                continue
+    excl = {int(b) for b in exclude_batch_ids}
+    fold = {i: p for i, p in dirs.items() if i not in excl}
+    if len(fold) < 2:
+        return {"folded_batches": 0, "ledger_ids": 0}
+    led = read_manifest_json(
+        spark, f"{root}/ingest_batch=-1/{COMPACTED_LEDGER}"
+    ) or {"batch_ids": []}
+    new_ids = sorted(
+        {int(x) for x in led["batch_ids"]} | {i for i in fold if i != -1}
+    )
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(*[str(p) for p in fold.values()])
+        .drop("ingest_batch")
+    )
+    tmp = f"{root}/.compact.tmp"
+    if inner_partition_cols:
+        writer = (
+            df.repartition(*[F.col(c) for c in inner_partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*inner_partition_cols)
+        )
+    else:
+        n = int(
+            target_files
+            or spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        writer = df.coalesce(max(1, n)).write.mode("overwrite")
+    writer.parquet(tmp)
+    write_manifest_json(
+        spark, f"{tmp}/{COMPACTED_LEDGER}", {"batch_ids": new_ids}
+    )
+    pre = f"{root}/.compact.pre"
+    prep, _ = _fs_path(spark, pre)
+    fs.mkdirs(prep)
+    # move the old -1 FIRST (the repair invariant), then the rest
+    for i in sorted(fold, key=lambda x: (x != -1, x)):
+        src = fold[i]
+        dst, _ = _fs_path(spark, f"{pre}/{src.getName()}")
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"ingest-store compaction: rename {src} -> {dst} failed"
+            )
+    tmpp, _ = _fs_path(spark, tmp)
+    m1p, _ = _fs_path(spark, f"{root}/ingest_batch=-1")
+    if not fs.rename(tmpp, m1p):  # the commit point
+        # restore rather than leave the store headless; -1 goes LAST
+        repair_ingest_store(spark, root)
+        raise IOError(
+            f"ingest-store compaction: rename {tmp} -> ingest_batch=-1 failed"
+        )
+    fs.delete(prep, True)
+    return {
+        "folded_batches": len([i for i in fold if i != -1]),
+        "ledger_ids": len(new_ids),
+    }

@@ -61,6 +61,8 @@ __all__ = [
     "save_ivfsq",
     "load_ivfsq",
     "train_ivfsq",
+    "encode_frozen_residuals",
+    "cell_bounds_fingerprint",
 ]
 
 
@@ -248,11 +250,69 @@ def ivfsq_query(
     return out.select(id_col, "partition_id", score.alias("squared_distance"))
 
 
+def encode_frozen_residuals(
+    resid: DataFrame,
+    model: IVFSQModel,
+    id_col: str = "vec_id",
+    missing_cell: str = "error",
+) -> DataFrame:
+    """Encode (id, partition_id, residual) rows against a FROZEN
+    model's bounds — the shared kernel of `assemble_ivfsq` and
+    `streaming.stream_ivfsq_encode`.
+
+    Under per-cell bounds the join is a LEFT join: a vector assigned
+    to a cell that had zero training residuals (possible once the
+    model is frozen from a sample and applied to unseen data) has no
+    bounds row, and the former INNER join silently dropped it from
+    the index (ADVICE r8 #1). ``missing_cell`` decides instead:
+
+    - ``"error"`` (default): fail the job loudly, naming the cell —
+      an arrival can never vanish silently.
+    - ``"zero"``: fall back to zero-width bounds (codes all 0, decode
+      reconstructs the bare centroid) — lossy for that vector but it
+      stays findable, the degraded-service option for a long-running
+      ingest that must not stop."""
+    if missing_cell not in ("error", "zero"):
+        raise ValueError(
+            f"missing_cell must be 'error' or 'zero': {missing_cell!r}"
+        )
+    if model.cell_bounds is None:
+        return resid.select(
+            id_col,
+            "partition_id",
+            sq_encode_expr("residual", model.lo, model.hi).alias("codes"),
+        )
+    joined = resid.join(F.broadcast(model.cell_bounds), "partition_id", "left")
+    codes = sq_encode_cols_expr("residual", "lo", "hi")
+    if missing_cell == "error":
+        guarded = F.when(
+            F.col("lo").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ivfsq: no frozen bounds row for cell "
+                    ),
+                    F.col("partition_id").cast("string"),
+                    F.lit(
+                        " — assemble with missing_cell='zero' or retrain"
+                    ),
+                )
+            ),
+        ).otherwise(codes)
+    else:
+        zeros = F.array_repeat(
+            F.lit(0).cast("smallint"), F.size(F.col("residual"))
+        )
+        guarded = F.when(F.col("lo").isNull(), zeros).otherwise(codes)
+    return joined.select(id_col, "partition_id", guarded.alias("codes"))
+
+
 def assemble_ivfsq(
     vectors: DataFrame,
     model: IVFSQModel,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    missing_cell: str = "error",
 ) -> IVFSQModel:
     """Encode a corpus SHARD against a FROZEN IVF+SQ model — the
     train-once / encode-everywhere half of the 100 TB build shape
@@ -260,22 +320,12 @@ def assemble_ivfsq(
     centroids + bounds once on a bounded sample, `assemble_ivfsq`
     each shard independently (embarrassingly parallel, no cross-shard
     traffic), then `merge_ivfsq`. One broadcast-join argmin + map-only
-    encode; no bounds pass (they are inputs)."""
+    encode; no bounds pass (they are inputs). ``missing_cell``: see
+    `encode_frozen_residuals` — a cell absent from the frozen per-cell
+    bounds errors loudly (default) or degrades to centroid-only codes,
+    never a silent drop."""
     resid = ivfsq_residuals(vectors, model.centroids, id_col, vec_col)
-    if model.cell_bounds is not None:
-        enc = resid.join(
-            F.broadcast(model.cell_bounds), "partition_id"
-        ).select(
-            id_col,
-            "partition_id",
-            sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
-        )
-    else:
-        enc = resid.select(
-            id_col,
-            "partition_id",
-            sq_encode_expr("residual", model.lo, model.hi).alias("codes"),
-        )
+    enc = encode_frozen_residuals(resid, model, id_col, missing_cell)
     return IVFSQModel(
         centroids=model.centroids,
         lo=model.lo,
@@ -285,12 +335,34 @@ def assemble_ivfsq(
     )
 
 
+def cell_bounds_fingerprint(cell_bounds: DataFrame) -> int:
+    """Order-independent content fingerprint of a per-cell bounds
+    table: sum of per-row xxhash64(partition_id, lo, hi) (64-bit
+    wraparound). One O(P)-row job — cheap by construction (the table
+    broadcasts), and it lets two shards RELOADED from disk prove they
+    share the one frozen training pass (ADVICE r8 #5: object identity
+    rejected the realistic multi-job 100 TB build, where each shard is
+    assembled after save/load in its own driver)."""
+    row = cell_bounds.select(
+        # bit_xor, not sum: order-independent AND overflow-free (ANSI
+        # mode makes a bigint sum overflow throw); the row count rides
+        # along so two tables differing only by duplicated rows (which
+        # XOR out) still compare unequal
+        F.expr("bit_xor(xxhash64(partition_id, lo, hi))").alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return (int(row["fp"]) if row["fp"] is not None else 0) ^ (
+        int(row["n"]) << 1
+    )
+
+
 def merge_ivfsq(
     base: IVFSQModel,
     other: IVFSQModel,
     id_col: str = "vec_id",
     prefer: str = "other",
     assume_disjoint: bool = False,
+    assume_same_bounds: bool = False,
 ) -> IVFSQModel:
     """Merge two IVF+SQ shards ENCODED WITH THE SAME FROZEN MODEL
     (`maintenance.merge_indexes`' SQ sibling): codes produced under
@@ -299,19 +371,29 @@ def merge_ivfsq(
     Overlapping ids cost one id-keyed anti-join (``prefer`` picks the
     winner, "other" = last-write-wins). Raises when the frozen state
     differs: global bounds are compared element-wise; per-cell bounds
-    must be the SAME DataFrame object (they came from the one frozen
-    training pass by construction — comparing two bounds tables would
-    cost a job and a false negative merges incomparable codes)."""
+    accept the SAME DataFrame object for free, else compare an O(P)
+    content fingerprint (ADVICE r8 #5: identity alone rejected shards
+    assembled after save/load — the realistic multi-driver 100 TB
+    build — even though their frozen bounds are identical).
+    ``assume_same_bounds=True`` skips even the fingerprint jobs when
+    the caller has out-of-band proof (e.g. both loaded from the same
+    manifest path)."""
     if prefer not in ("base", "other"):
         raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
     if (base.cell_bounds is None) != (other.cell_bounds is None):
         raise ValueError("cannot merge global-bounds with per-cell-bounds")
     if base.cell_bounds is not None:
-        if base.cell_bounds is not other.cell_bounds:
-            raise ValueError(
-                "per-cell merge requires the SAME frozen bounds table "
-                "(assemble both shards from one model)"
-            )
+        if (
+            not assume_same_bounds
+            and base.cell_bounds is not other.cell_bounds
+        ):
+            if cell_bounds_fingerprint(
+                base.cell_bounds
+            ) != cell_bounds_fingerprint(other.cell_bounds):
+                raise ValueError(
+                    "per-cell bounds differ — codes are not comparable "
+                    "across shards (assemble both from one frozen model)"
+                )
     else:
         if list(base.lo) != list(other.lo) or list(base.hi) != list(
             other.hi
@@ -342,20 +424,37 @@ def ivfsq_query_batch(
     id_col: str = "vec_id",
     round_to: int | None = None,
     where=None,
+    collect_centroids: bool = True,
 ) -> DataFrame:
     """Batch IVF+SQ8 kNN — serving parity with the PQ side's
     `plans.ivf.ann_query`: one job for Q queries instead of Q jobs.
     Returns ``(query_id, id_col, partition_id, squared_distance,
     rank)``.
 
-    Phase 1 is O(Q * P) driver NumPy over the collected centroids (the
-    `select_probes` shape — P <= ~1e5 is MBs; past that, compose
-    `select_probes_df`). The probe list ships as a broadcast
-    (query_id, partition_id) table whose semi-join prunes the encoded
-    scan to the union of probed cells (Parquet partition pruning at
-    rest); query vectors ride a second broadcast join; per-query top-k
-    is a row_number window the optimizer runs as WindowGroupLimit, so
-    the rank exchange carries O(Q * k * tasks) rows, never the scan.
+    Phase 1 (probe selection), ``collect_centroids`` (VERDICT r8 #2 —
+    parity with the PQ side's huge-P mode, `plans.ivf.ann_query`):
+
+    - ``True`` (default): O(Q * P) driver arithmetic over the
+      collected centroids — P <= ~1e5 is MBs. The accumulation runs
+      dimension-by-dimension (``acc + diff^2`` per dim), the exact
+      left-fold the engine's ``squared_l2`` aggregate performs, so
+      near-tie centroid distances order IDENTICALLY to `ivfsq_query`
+      and the distributed path (ADVICE r8 #3: NumPy's pairwise-summed
+      ``.sum(axis=2)`` could flip probed cells on ties).
+    - ``False``: probe selection as a DISTRIBUTED job
+      (`plans.ivf.select_probes_df` — broadcast queries x centroid
+      scan, per-query top-nprobe via WindowGroupLimit); only the
+      O(Q * nprobe) winning (query, cell) pairs are collected. Use
+      past ~1e5 partitions, where the centroid table stops fitting on
+      the driver.
+
+    Either way the probe list ships as a broadcast (query_id,
+    partition_id) table whose semi-join prunes the encoded scan to the
+    union of probed cells, applied as a LITERAL isin so it lands in
+    the Parquet PartitionFilters at rest; query vectors ride a second
+    broadcast join; per-query top-k is a row_number window the
+    optimizer runs as WindowGroupLimit, so the rank exchange carries
+    O(Q * k * tasks) rows, never the scan.
 
     ``where``: optional pre-filter predicate (Column or SQL string)
     over the encoded rows' columns, applied BEFORE scoring — each
@@ -370,17 +469,44 @@ def ivfsq_query_batch(
 
     spark = model.encoded.sparkSession
     cc = cent_col_name(model.centroids)
-    crows = model.centroids.orderBy("partition_id").collect()
-    pids = np.array([r["partition_id"] for r in crows])
-    C = np.array([list(r[cc]) for r in crows], dtype=np.float64)
     qids = [int(q) for q, _ in queries]
+    if not qids:
+        # an empty batch is a legal call (ADVICE r8 #3) — return an
+        # empty frame with the contract schema instead of raising in
+        # np.array shape inference
+        id_type = model.encoded.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id long, {id_col} {id_type}, partition_id int, "
+            "squared_distance double, rank int",
+        )
     Q = np.array([[float(x) for x in v] for _, v in queries])
-    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    probe_rows = [
-        (qid, int(pids[j]))
-        for qi, qid in enumerate(qids)
-        for j in np.argsort(d2[qi], kind="stable")[: int(nprobe)]
-    ]
+    if collect_centroids:
+        crows = model.centroids.orderBy("partition_id").collect()
+        pids = np.array([r["partition_id"] for r in crows])
+        C = np.array([list(r[cc]) for r in crows], dtype=np.float64)
+        # dimension-major accumulation == the engine's aggregate fold
+        # ((0 + d_0^2) + d_1^2) + ... — bit-identical tie behavior
+        d2 = np.zeros((Q.shape[0], C.shape[0]))
+        for j in range(C.shape[1]):
+            diff = Q[:, j, None] - C[None, :, j]
+            d2 += diff * diff
+        probe_rows = [
+            (qid, int(pids[j]))
+            for qi, qid in enumerate(qids)
+            for j in np.argsort(d2[qi], kind="stable")[: int(nprobe)]
+        ]
+    else:
+        from flechasdb_spark.plans.ivf import select_probes_df
+
+        probe_rows = [
+            (int(r["query_id"]), int(r["partition_id"]))
+            for r in select_probes_df(
+                model.centroids, Q, int(nprobe), query_ids=qids
+            )
+            .select("query_id", "partition_id")
+            .collect()
+        ]
     probes = F.broadcast(
         spark.createDataFrame(
             probe_rows, "query_id long, partition_id int"

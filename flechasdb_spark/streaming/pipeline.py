@@ -195,58 +195,80 @@ def stream_ivfsq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    missing_cell: str = "error",
 ):
     """The IVF+SQ8 sibling of `incremental_encode`: continuously
     assign + scalar-quantize arriving vectors against a FROZEN
     `plans.ivfsq.IVFSQModel` (centroids + residual bounds trained
-    offline — global or per-cell) and append into the same
-    ``<index_path>/index`` partition_id layout `load_ivfsq` reads.
-    Returns the streaming query handle.
+    offline — global or per-cell) into a
+    ``<index_path>/index/ingest_batch=<id>/partition_id=<p>`` layout
+    `load_ivfsq` reads (the extra ``ingest_batch`` partition column is
+    inert to queries; ``partition_id`` still lands in the Parquet
+    PartitionFilters at any directory level). Returns the streaming
+    query handle.
 
     Per batch this is the batch build's map-only encode: one
     broadcast-join argmin for assignment, one broadcast join to
     subtract the winning centroid (plus one more for per-cell bounds),
     zero shuffles beyond the partitioned write. Frozen bounds make
     the codes batch-order independent — streamed == batch encode is
-    the pytest/oracle gate. ``compact_every`` as in
-    `incremental_encode` (appends accumulate small files)."""
-    from flechasdb_spark.operators.maintenance import compact_index
-    from flechasdb_spark.operators.sq import (
-        sq_encode_cols_expr,
-        sq_encode_expr,
+    the pytest/oracle gate.
+
+    Delivery (ADVICE r8 #2 — the former plain append duplicated codes
+    under a foreachBatch replay): each batch writes its own
+    ``ingest_batch=<id>`` subdirectory in OVERWRITE mode; a replay of
+    a committed batch is an exact no-op
+    (`maintenance.ingest_batch_committed`: the subdir's ``_SUCCESS``
+    marker, or the compaction ledger once the subdir was folded), and
+    a replay of a PARTIALLY written batch overwrites its own
+    directory with identical rows instead of appending beside them.
+
+    ``missing_cell`` (ADVICE r8 #1): a vector assigned to a cell
+    absent from frozen per-cell bounds errors loudly by default
+    ("zero" degrades to centroid-only codes) — see
+    `plans.ivfsq.encode_frozen_residuals`.
+
+    ``compact_every``: every N processed batches, fold the committed
+    older ``ingest_batch=`` directories into one reserved
+    ``ingest_batch=-1`` (one file per cell directory), bounding the
+    directory creep of a long-running ingest
+    (`maintenance.compact_ingest_store` — atomic swap, replay guard
+    preserved)."""
+    from flechasdb_spark.operators.maintenance import (
+        compact_ingest_store,
+        ingest_batch_committed,
+        repair_ingest_store,
     )
-    from flechasdb_spark.plans.ivfsq import ivfsq_residuals
+    from flechasdb_spark.plans.ivfsq import (
+        encode_frozen_residuals,
+        ivfsq_residuals,
+    )
 
     state = {"appends": 0}
+    root = f"{index_path}/index"
 
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
+        repair_ingest_store(spark, root)
+        if ingest_batch_committed(spark, root, batch_id):
+            return  # replay of a fully committed batch: exact no-op
         resid = ivfsq_residuals(batch, model.centroids, id_col, vec_col)
-        if model.cell_bounds is not None:
-            enc = resid.join(
-                F.broadcast(model.cell_bounds), "partition_id"
-            ).select(
-                id_col,
-                "partition_id",
-                sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
-            )
-        else:
-            enc = resid.select(
-                id_col,
-                "partition_id",
-                sq_encode_expr("residual", model.lo, model.hi).alias(
-                    "codes"
-                ),
-            )
+        enc = encode_frozen_residuals(resid, model, id_col, missing_cell)
         (
-            enc.write.mode("append")
+            enc.write.mode("overwrite")
             .partitionBy("partition_id")
-            .parquet(f"{index_path}/index")
+            .parquet(f"{root}/ingest_batch={batch_id}")
         )
         state["appends"] += 1
         if compact_every and state["appends"] % compact_every == 0:
-            compact_index(batch.sparkSession, index_path)
+            compact_ingest_store(
+                spark,
+                root,
+                exclude_batch_ids={int(batch_id)},
+                inner_partition_cols=["partition_id"],
+            )
 
     return (
         vectors.writeStream.foreachBatch(encode_batch)
@@ -549,6 +571,7 @@ def stream_minhash_dedup(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """Online near-dup filtering: each micro-batch keeps only documents
     that are NOVEL — no LSH band key in common with any previously-kept
@@ -590,22 +613,36 @@ def stream_minhash_dedup(
     the store (shuffle keyed on band_key — the store side prunes to
     matching keys; at rest the store is just parquet, O(bands) rows per
     kept doc) plus the intra-batch component pass (O(cluster diameter)
-    rounds over only the batch's colliding docs).
+    rounds over only the batch's colliding docs). ``compact_every``
+    (VERDICT r8 #4): every N processed batches, fold the committed
+    older ``ingest_batch=`` store subdirectories into one reserved
+    ``ingest_batch=-1`` so a long-running ingest's store listing stays
+    O(recent batches) — `maintenance.compact_ingest_store` preserves
+    both the ``ingest_batch`` column (folded rows read back as -1,
+    never equal to a replaying batch's id) and the committed-batch
+    claim (ledger inside the folded dir, atomic with the swap).
     Returns the streaming query handle (caller drains/stops).
     """
     from flechasdb_spark.operators.dedup import (
         connected_components,
         minhash_band_keys,
     )
+    from flechasdb_spark.operators.maintenance import (
+        compact_ingest_store,
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
     from flechasdb_spark.sources.manifest import _fs_path
+
+    state = {"batches": 0}
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
         store_batch_dir = f"{band_store_path}/ingest_batch={batch_id}"
-        marker, fs = _fs_path(spark, f"{store_batch_dir}/_SUCCESS")
-        if fs.exists(marker):
+        repair_ingest_store(spark, band_store_path)
+        if ingest_batch_committed(spark, band_store_path, batch_id):
             return  # replay of a fully committed batch: exact no-op
         keys = minhash_band_keys(
             batch, num_hashes, bands, text_col, id_col
@@ -673,6 +710,13 @@ def stream_minhash_dedup(
                 "overwrite"
             ).parquet(store_batch_dir)
             kept_keys.unpersist()
+            state["batches"] += 1
+            if compact_every and state["batches"] % compact_every == 0:
+                compact_ingest_store(
+                    spark,
+                    band_store_path,
+                    exclude_batch_ids={int(batch_id)},
+                )
         finally:
             keys.unpersist()
 
@@ -833,6 +877,7 @@ def stream_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     key_mode: str = "hash",
+    compact_every: int | None = None,
 ):
     """Online ExactSubstr corpus construction — the exact-span sibling
     of `stream_minhash_dedup`: the output corpus never holds two
@@ -860,19 +905,33 @@ def stream_span_dedup(
     hash mode) + one agg for in-batch first occurrences + one
     equi-join against the store keys (the store is O(kept windows) —
     8-byte rows at rest, pruned to matching keys by the join).
+    ``compact_every`` (VERDICT r8 #4): every N processed batches, fold
+    the committed older ``ingest_batch=`` store subdirectories into
+    one reserved ``ingest_batch=-1``
+    (`maintenance.compact_ingest_store`), bounding a long-running
+    ingest's store-listing creep while preserving the replay guard
+    (the ``ingest_batch`` column and the committed-batch claim both
+    survive the fold).
     Returns the streaming query handle (caller drains/stops)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from flechasdb_spark.operators.dedup import window_keys
+    from flechasdb_spark.operators.maintenance import (
+        compact_ingest_store,
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
     from flechasdb_spark.sources.manifest import _fs_path
+
+    state = {"batches": 0}
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
         store_batch_dir = f"{store_path}/ingest_batch={batch_id}"
-        marker, fs = _fs_path(spark, f"{store_batch_dir}/_SUCCESS")
-        if fs.exists(marker):
+        repair_ingest_store(spark, store_path)
+        if ingest_batch_committed(spark, store_path, batch_id):
             return  # replay of a fully committed batch: exact no-op
         keys = window_keys(
             batch, window_words, id_col, text_col, key_mode
@@ -931,6 +990,13 @@ def stream_span_dedup(
             keys.join(bad, id_col, "left_anti").select(
                 id_col, "__k"
             ).write.mode("overwrite").parquet(store_batch_dir)
+            state["batches"] += 1
+            if compact_every and state["batches"] % compact_every == 0:
+                compact_ingest_store(
+                    spark,
+                    store_path,
+                    exclude_batch_ids={int(batch_id)},
+                )
         finally:
             keys.unpersist()
 

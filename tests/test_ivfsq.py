@@ -452,9 +452,27 @@ def test_merge_overlap_and_guards(spark, emb, cent, model_cell):
     mg = build_ivfsq(emb, cent)  # global bounds
     with pytest.raises(ValueError, match="global-bounds with per-cell"):
         merge_ivfsq(mg, model_cell)
+    # a DIFFERENT bounds DataFrame object with IDENTICAL content (an
+    # independent training pass over the same frozen inputs — the
+    # save/load/multi-driver shape, ADVICE r8 #5) merges via the O(P)
+    # content fingerprint instead of object identity
     other_cell = build_ivfsq(emb, cent, bounds="per_cell")
-    with pytest.raises(ValueError, match="SAME frozen bounds table"):
-        merge_ivfsq(model_cell, other_cell)
+    assert other_cell.cell_bounds is not model_cell.cell_bounds
+    same = merge_ivfsq(model_cell, other_cell, prefer="other")
+    assert same.encoded.count() == emb.count()
+    # genuinely different per-cell bounds (trained on a subset) refuse
+    diff_cell = build_ivfsq(
+        emb.where(F.col("vec_id") < 100), cent, bounds="per_cell"
+    )
+    with pytest.raises(ValueError, match="per-cell bounds differ"):
+        merge_ivfsq(model_cell, diff_cell)
+    # ... unless the caller asserts same-bounds out of band
+    assert (
+        merge_ivfsq(
+            model_cell, diff_cell, assume_same_bounds=True, prefer="other"
+        ).encoded
+        is not None
+    )
     mg2 = build_ivfsq(
         emb.where(F.col("vec_id") < 100), cent
     )  # different global bounds
@@ -475,3 +493,156 @@ def test_disjoint_merge_is_pure_union(spark, emb, model_cell):
     lp = merged.encoded._jdf.queryExecution().logical().toString()
     assert lp.startswith("Union") or "\nUnion" in lp.splitlines()[0] or "Union" in lp.splitlines()[0]
     assert merged.encoded.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# r9: frozen-encode missing-cell guard, fingerprint merge after
+# save/load, batch-serving hardening (empty batch, distributed probes)
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_missing_cell_guard(spark, emb, model_cell):
+    """ADVICE r8 #1: a vector assigned to a cell with no frozen bounds
+    row must never vanish silently — error mode fails loudly naming
+    the cell; zero mode keeps it with centroid-only codes."""
+    from flechasdb_spark.plans.ivfsq import IVFSQModel, assemble_ivfsq
+
+    # freeze a model whose bounds table LACKS cell 0 (the shape that
+    # arises when the bounds were trained on a sample that left a
+    # cell empty, then the frozen model meets unseen data)
+    holey = IVFSQModel(
+        centroids=model_cell.centroids,
+        lo=None,
+        hi=None,
+        encoded=model_cell.encoded,
+        cell_bounds=model_cell.cell_bounds.where("partition_id != 0"),
+    )
+    arrivals = emb  # vec_id 0 IS centroid 0 -> lands in cell 0
+    with pytest.raises(Exception, match="no frozen bounds row for cell"):
+        assemble_ivfsq(arrivals, holey).encoded.collect()
+    # zero mode: nothing dropped, the affected rows carry all-zero
+    # codes (decode reconstructs the bare centroid)
+    enc = assemble_ivfsq(arrivals, holey, missing_cell="zero").encoded
+    assert enc.count() == emb.count()
+    hit = enc.where("partition_id = 0")
+    assert hit.count() > 0
+    assert (
+        hit.where(
+            F.exists(F.col("codes"), lambda c: c != F.lit(0))
+        ).count()
+        == 0
+    )
+    # untouched cells encode exactly as the intact model does
+    ref = {
+        r.vec_id: list(r.codes)
+        for r in model_cell.encoded.where("partition_id != 0").collect()
+    }
+    got = {
+        r.vec_id: list(r.codes)
+        for r in enc.where("partition_id != 0").collect()
+    }
+    assert got == ref
+
+
+def test_merge_after_save_load(spark, emb, cent, tmp_path):
+    """The realistic 100 TB multi-driver build (ADVICE r8 #5): shards
+    assembled from the SAME frozen model but reloaded from disk in
+    separate sessions carry distinct bounds DataFrames — the content
+    fingerprint lets them merge; the merged index answers queries
+    identically to the single-shot build."""
+    from flechasdb_spark.plans.ivfsq import (
+        assemble_ivfsq,
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        merge_ivfsq,
+        save_ivfsq,
+    )
+
+    model = build_ivfsq(emb, cent, bounds="per_cell")
+    even = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 0), model)
+    odd = assemble_ivfsq(emb.where(F.col("vec_id") % 2 == 1), model)
+    pa, pb = str(tmp_path / "shard_a"), str(tmp_path / "shard_b")
+    save_ivfsq(even, pa)
+    save_ivfsq(odd, pb)
+    la, lb = load_ivfsq(spark, pa), load_ivfsq(spark, pb)
+    assert la.cell_bounds is not lb.cell_bounds
+    merged = merge_ivfsq(la, lb, assume_disjoint=True)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    want = [
+        (r.vec_id, r.squared_distance)
+        for r in ivfsq_query(model, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    got = [
+        (r.vec_id, r.squared_distance)
+        for r in ivfsq_query(merged, qv, k=10, nprobe=3, round_to=6).collect()
+    ]
+    assert got == want
+
+
+def test_batch_empty_queries(spark, model):
+    """ADVICE r8 #3: an empty batch is a legal call — empty result
+    with the contract schema, no numpy shape error."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query_batch
+
+    out = ivfsq_query_batch(model, [], k=5, nprobe=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "vec_id",
+        "partition_id",
+        "squared_distance",
+        "rank",
+    ]
+
+
+def test_batch_distributed_probe_parity(spark, emb, model, model_cell, tmp_path):
+    """VERDICT r8 #2: probe selection as a distributed job
+    (collect_centroids=False composes plans.ivf.select_probes_df)
+    returns EXACTLY the driver-selected result — same probes under
+    the shared left-fold summation, same ranks — and the scan still
+    prunes at rest via the literal IN PartitionFilter."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_query_batch,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(0, 11, 42)).collect()
+    ]
+    for m in (model, model_cell):
+        a = ivfsq_query_batch(m, qs, k=7, nprobe=3, round_to=6).collect()
+        b = ivfsq_query_batch(
+            m, qs, k=7, nprobe=3, round_to=6, collect_centroids=False
+        ).collect()
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(
+            [(r.query_id, r.vec_id, r.squared_distance, r.rank) for r in a]
+        ) == sorted(
+            [(r.query_id, r.vec_id, r.squared_distance, r.rank) for r in b]
+        )
+    # pruning gate on the distributed-probe path over the at-rest index
+    path = str(tmp_path / "ivfsq_distprobe_idx")
+    save_ivfsq(model, path)
+    loaded = load_ivfsq(spark, path)
+    plan = (
+        ivfsq_query_batch(
+            loaded, qs, k=5, nprobe=2, collect_centroids=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters: [" in ln
+    ]
+    assert scan_lines, plan
+    assert any(
+        "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
+        for ln in scan_lines
+    ), scan_lines

@@ -1076,9 +1076,16 @@ def test_stream_ivfsq_encode_auto_compaction(spark, tmp_path):
     )
     run_available_now(q)
 
-    files = glob.glob(f"{index_path}/index/partition_id=*/*.parquet")
+    # folded layout: all but the most recent batches live under the
+    # reserved ingest_batch=-1 directory, one file per cell dir
+    files = glob.glob(
+        f"{index_path}/index/ingest_batch=-1/partition_id=*/*.parquet"
+    )
     pids = {f.split("partition_id=")[1].split("/")[0] for f in files}
-    assert len(files) == len(pids)  # one file per partition dir
+    assert len(files) == len(pids) > 0  # one file per partition dir
+    # directory creep is bounded: -1 plus at most the last two batches
+    batch_dirs = glob.glob(f"{index_path}/index/ingest_batch=*")
+    assert len(batch_dirs) <= 3
     streamed = spark.read.parquet(f"{index_path}/index")
     batch = {
         r.vec_id: (r.partition_id, list(r.codes))
@@ -1089,3 +1096,109 @@ def test_stream_ivfsq_encode_auto_compaction(spark, tmp_path):
         for r in streamed.collect()
     }
     assert got == batch
+
+
+def test_stream_span_dedup_store_compaction_replay(spark, tmp_path):
+    """VERDICT r8 #4: folding older ingest_batch= store subdirectories
+    into the reserved ingest_batch=-1 (compact_every) changes NOTHING
+    observable: store content equals the uncompacted run's, folded
+    keys still drop later duplicates, a fresh-checkpoint replay of
+    folded batches is a no-op (the ledger carries the committed claim
+    after their _SUCCESS markers are folded away), and a replayed
+    LAST batch still excludes its own keys post-compaction."""
+    import glob
+    import os as _os
+    import shutil
+    import time as _time
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_span_dedup,
+    )
+
+    runA = " ".join(f"a{i}" for i in range(5))
+    runB = " ".join(f"b{i}" for i in range(5))
+    runC = " ".join(f"c{i}" for i in range(5))
+    batches = [
+        [(1, "x0 " + runA + " x1"), (2, "y0 y1 " + runA)],  # 2 in-batch dup
+        [(10, runA + " q0 q1"), (11, runB + " kept here")],  # 10 store hit
+        [(20, runB + " later copy"), (21, runC + " novel run")],
+        # 30 duplicates runA whose keys were FOLDED into -1 by now
+        [(30, "z0 " + runA + " z9"), (31, "wholly fresh unique words")],
+    ]
+    src = str(tmp_path / "src")
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in glob.glob(f"{src}/b{i}/*.parquet"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    def drain(store, out, compact_every):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_span_dedup(
+            stream, store, out, window_words=5, compact_every=compact_every
+        )
+        run_available_now(q)
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "kept")
+    drain(store, out, compact_every=1)
+    ref_store, ref_out = str(tmp_path / "store2"), str(tmp_path / "kept2")
+    drain(ref_store, ref_out, compact_every=None)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 11, 21, 31]
+    assert kept == sorted(
+        r.doc_id for r in spark.read.parquet(ref_out).collect()
+    )
+    # store CONTENT equality across compaction (ingest_batch values
+    # legitimately differ: folded rows read back as -1)
+    got_keys = {
+        (r["doc_id"], r["__k"])
+        for r in spark.read.parquet(store).select("doc_id", "__k").collect()
+    }
+    ref_keys = {
+        (r["doc_id"], r["__k"])
+        for r in spark.read.parquet(ref_store)
+        .select("doc_id", "__k")
+        .collect()
+    }
+    assert got_keys == ref_keys
+    # directories actually folded: -1 plus at most the last two batches
+    dirs = {
+        _os.path.basename(p)
+        for p in glob.glob(f"{store}/ingest_batch=*")
+    }
+    assert "ingest_batch=-1" in dirs and len(dirs) <= 3
+
+    # fresh-checkpoint replay: every batch no-ops (folded batches via
+    # the ledger, recent ones via their _SUCCESS marker)
+    shutil.rmtree(out + "__checkpoint")
+    drain(store, out, compact_every=1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 11, 21, 31]
+    assert {
+        (r["doc_id"], r["__k"])
+        for r in spark.read.parquet(store).select("doc_id", "__k").collect()
+    } == got_keys
+
+    # partial-write replay of the LAST batch post-compaction: fresh
+    # checkpoint + its store _SUCCESS marker removed (the committer-v2
+    # crash shape: task-committed files exist, no job marker) — the
+    # re-run must not see its own surviving keys as store hits (doc 31
+    # survives again) while the folded keys still drop 30
+    shutil.rmtree(out + "__checkpoint")
+    _os.remove(f"{store}/ingest_batch=3/_SUCCESS")
+    drain(store, out, compact_every=1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 11, 21, 31]
+    assert {
+        (r["doc_id"], r["__k"])
+        for r in spark.read.parquet(store).select("doc_id", "__k").collect()
+    } == got_keys
