@@ -37,6 +37,12 @@ __all__ = [
     "save_transformed_index",
     "load_transformed_index",
     "OPQIndex",
+    "TransformedIVFSQ",
+    "build_transformed_ivfsq",
+    "transformed_ivfsq_query",
+    "transformed_ivfsq_query_batch",
+    "save_transformed_ivfsq",
+    "load_transformed_ivfsq",
     "opq_rotate",
     "build_opq_index",
     "opq_ann_query",
@@ -285,4 +291,145 @@ def load_opq_index(
         rotation=tuple(tuple(float(x) for x in row) for row in t["rotation"]),
         losses=tuple(float(x) for x in t["losses"]),
         index=load_index(spark, path, **load_kwargs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA-pretransformed IVF+SQ8 — the FAISS factory shape
+# ``PCAR{k},IVF{P},SQ8`` (VERDICT r8 #3): the same learned linear
+# pretransform the PQ composition above uses, in front of the IVF+SQ8
+# lifecycle (plans/ivfsq.py). Unlike PQ there is NO divisibility
+# constraint on k' (SQ8 quantizes per DIMENSION, not per subspace), so
+# any k' <= n is legal; everything else mirrors TransformedIndex —
+# train PCA once, project map-only into the build, project queries
+# driver-side, persist the transform beside the index manifest.
+#
+# Why it matters at 100 TB: the SQ index stores k' bytes/vector and the
+# scan computes k' element ops/candidate — a 1536 -> 256 PCAR cuts both
+# 6x while the residual+SQ8 fidelity argument is unchanged in the
+# projected metric.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TransformedIVFSQ:
+    pca: PCAModel
+    whiten: bool
+    model: object  # plans.ivfsq.IVFSQModel
+
+
+def build_transformed_ivfsq(
+    df: DataFrame,
+    pca_k: int,
+    num_partitions: int = 10,
+    whiten: bool = False,
+    bounds: str = "global",
+    clip: tuple[float, float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_n: int = 100_000,
+    centroids: DataFrame | None = None,
+) -> TransformedIVFSQ:
+    """Train PCA(k') on ``df[vec_col]``, project (map-only, fused into
+    the build scan), build the IVF+SQ8 index in the projected space.
+    ``centroids`` (already in the PROJECTED space) freezes the coarse
+    quantizer for oracle-exact tests; otherwise `train_ivfsq` fits
+    k-means on a bounded sample. ``bounds``/``clip`` pass through to
+    the SQ residual bounds (global / per_cell, quantile clipping)."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, train_ivfsq
+
+    pt = pca_train(df, k=int(pca_k), vec_col=vec_col)
+    proj = pca_project(df, pt, vec_col=vec_col, out_col="__tv", whiten=whiten)
+    tdf = proj.drop(vec_col).withColumnRenamed("__tv", vec_col)
+    if centroids is not None:
+        m = build_ivfsq(
+            tdf, centroids, id_col=id_col, vec_col=vec_col,
+            bounds=bounds, clip=clip,
+        )
+    else:
+        m = train_ivfsq(
+            tdf,
+            num_partitions=num_partitions,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            sample_n=sample_n,
+            bounds=bounds,
+            clip=clip,
+        )
+    return TransformedIVFSQ(pca=pt, whiten=whiten, model=m)
+
+
+def transformed_ivfsq_query(
+    ti: TransformedIVFSQ,
+    query_vector,
+    k: int,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """ivfsq_query in the projected space (query projected driver-side
+    with the same arithmetic family as pca_project — `_query_matrix`
+    is transform-only, so it reuses the PQ composition's helper)."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query
+
+    (_, qv), = _query_matrix(ti, [(0, list(query_vector))])
+    return ivfsq_query(ti.model, qv, k=k, nprobe=nprobe, **kwargs)
+
+
+def transformed_ivfsq_query_batch(
+    ti: TransformedIVFSQ,
+    queries,
+    k: int,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """ivfsq_query_batch in the projected space — one job for Q
+    queries; composes with collect_centroids=False for huge P."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query_batch
+
+    return ivfsq_query_batch(
+        ti.model, _query_matrix(ti, queries), k=k, nprobe=nprobe, **kwargs
+    )
+
+
+def save_transformed_ivfsq(ti: TransformedIVFSQ, path: str) -> None:
+    """Persist index (save_ivfsq layout) + transform.json — one unit,
+    the same on-disk contract as `save_transformed_index`."""
+    from flechasdb_spark.plans.ivfsq import save_ivfsq
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    save_ivfsq(ti.model, path)
+    spark = ti.model.encoded.sparkSession
+    write_manifest_json(
+        spark,
+        os.path.join(path, TRANSFORM_NAME),
+        {
+            "kind": "pca",
+            "whiten": bool(ti.whiten),
+            "mean": list(ti.pca.mean),
+            "components": [list(r) for r in ti.pca.components],
+            "eigvals": list(ti.pca.eigvals),
+        },
+    )
+
+
+def load_transformed_ivfsq(spark: SparkSession, path: str) -> TransformedIVFSQ:
+    from flechasdb_spark.plans.ivfsq import load_ivfsq
+    from flechasdb_spark.sources.manifest import read_manifest_json
+
+    t = read_manifest_json(spark, os.path.join(path, TRANSFORM_NAME))
+    if t is None or t.get("kind") != "pca":
+        raise ValueError(
+            f"unknown transform kind: {(t or {}).get('kind')!r}"
+        )
+    pca = PCAModel(
+        mean=tuple(float(x) for x in t["mean"]),
+        components=tuple(
+            tuple(float(x) for x in row) for row in t["components"]
+        ),
+        eigvals=tuple(float(x) for x in t["eigvals"]),
+    )
+    return TransformedIVFSQ(
+        pca=pca, whiten=bool(t["whiten"]), model=load_ivfsq(spark, path)
     )

@@ -10377,3 +10377,111 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return rate_zscores(ev).orderBy("event_type", "bucket_epoch")
+
+
+# ---------------------------------------------------------------------------
+# r9: PCAR{k},IVF{P},SQ8 — the learned-pretransform composition for the
+# SQ family (plans/transform.py TransformedIVFSQ, VERDICT r8 #3): the
+# full lifecycle in the PROJECTED space, recomputed end-to-end by the
+# oracle under the frozen Gram-Schmidt basis (the same basis machinery
+# as pca_reduced_knn) and frozen projected centroids.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pcar_ivfsq_knn",
+    f"""
+WITH {_pca_gs_ctes()},
+pe AS (
+  SELECT e.vec_id,
+         list_value({', '.join(_dd_dot('e.ex', f'b{j}.b') for j in range(1, _PCA_K + 1))}) AS y
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ex FROM embeddings) e,
+       {_PCA_FROMS}),
+cent AS (SELECT vec_id::INT AS partition_id, y AS cv FROM pe WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT p.vec_id, p.y AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY {_DD_SQL2.format(a="p.y", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM pe p CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT y AS qv FROM pe WHERE vec_id = {_IVF_QID}),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_pcar_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PCAR{{k}},IVF{{P}},SQ8`` lifecycle (plans/transform.py
+    TransformedIVFSQ): project every vector onto the frozen
+    4-dim orthonormal basis (operators/pca.py gram_schmidt — the
+    pca_reduced_knn machinery), then run the COMPLETE IVF+SQ8 build +
+    query in the projected space (frozen projected centroids 0..7,
+    global residual bounds, nprobe=3, asymmetric distance, top-10).
+    The query's coefficients are read back from the engine's own
+    projection so both sides rank identical arithmetic (the
+    pca_reduced_knn convention); the numpy driver-side query
+    projection of `transformed_ivfsq_query` is equivalence-gated in
+    tests/test_transform.py. Unlike the PQ composition there is no
+    divisibility constraint — SQ8 codes one code per projected
+    dimension."""
+    from flechasdb_spark.operators.pca import PCAModel, pca_project
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+    from flechasdb_spark.plans.transform import TransformedIVFSQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    basis = _frozen_pca_basis(emb)
+    dim = len(basis[0])
+    pm = PCAModel(
+        mean=tuple(0.0 for _ in range(dim)),
+        components=tuple(tuple(b) for b in basis),
+        eigvals=tuple(1.0 for _ in basis),
+    )
+    proj = (
+        pca_project(emb, pm, out_col="__tv")
+        .drop("embedding")
+        .withColumnRenamed("__tv", "embedding")
+    )
+    cent = proj.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    ti = TransformedIVFSQ(
+        pca=pm, whiten=False, model=build_ivfsq(proj, cent)
+    )
+    qy = [
+        float(x)
+        for x in proj.where(F.col("vec_id") == _IVF_QID).first()["embedding"]
+    ]
+    return ivfsq_query(ti.model, qy, k=10, nprobe=3, round_to=4)

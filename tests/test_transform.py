@@ -241,3 +241,105 @@ def test_opq_save_load_query_equality(spark, corr_df, tmp_path):
         for r in opq_ann_query(loaded, qs, k=5, nprobe=4).collect()
     )
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# PCAR{k},IVF{P},SQ8 (r9, VERDICT r8 #3): the SQ sibling of the PQ
+# composition above — recall band in the projected space, save/load
+# query equality, per-cell bounds pass-through, no divisibility
+# constraint (SQ quantizes per dimension).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sq_tindex(emb):
+    from flechasdb_spark.plans.transform import build_transformed_ivfsq
+
+    return build_transformed_ivfsq(
+        emb, pca_k=24, num_partitions=8, seed=7, bounds="per_cell"
+    )
+
+
+def test_ivfsq_recall_vs_exact_in_projected_space(spark, emb, sq_tindex, queries):
+    """IVF+SQ8 over the PCA projection vs exact kNN over the SAME
+    projection: SQ8 residual fidelity must survive the pretransform —
+    the per-dimension codes make this band much tighter than PQ's raw
+    ADC (compare test_recall_vs_exact_in_projected_space's 0.3)."""
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.transform import (
+        transform_queries,
+        transformed_ivfsq_query,
+    )
+
+    proj = pca_project(emb, sq_tindex.pca, out_col="pv").select(
+        "vec_id", F.col("pv").alias("embedding")
+    )
+    hits = 0
+    for (qid, qv), (_, raw) in zip(
+        transform_queries(sq_tindex, queries[:5]), queries[:5]
+    ):
+        exact = {r["vec_id"] for r in flat_knn(proj, qv, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in transformed_ivfsq_query(
+                sq_tindex, raw, k=10, nprobe=6
+            ).collect()
+        }
+        hits += len(exact & approx)
+    recall = hits / (10 * 5)
+    assert recall >= 0.8, f"IVF+SQ8 recall@10 {recall} in projected space"
+
+
+def test_ivfsq_no_divisibility_constraint(emb):
+    """pca_k need not divide anything for SQ8 — an odd k' builds."""
+    from flechasdb_spark.plans.transform import build_transformed_ivfsq
+
+    ti = build_transformed_ivfsq(emb, pca_k=17, num_partitions=4, seed=3)
+    row = ti.model.encoded.first()
+    assert len(row["codes"]) == 17
+
+
+def test_ivfsq_save_load_query_equality(spark, emb, sq_tindex, queries, tmp_path):
+    """Persist -> load -> query returns exactly the in-memory result
+    (transform.json + save_ivfsq as one unit), for both the solo and
+    the batch serving paths."""
+    from flechasdb_spark.plans.transform import (
+        load_transformed_ivfsq,
+        save_transformed_ivfsq,
+        transformed_ivfsq_query,
+        transformed_ivfsq_query_batch,
+    )
+
+    path = str(tmp_path / "sq_tidx")
+    save_transformed_ivfsq(sq_tindex, path)
+    loaded = load_transformed_ivfsq(spark, path)
+    assert loaded.pca == sq_tindex.pca
+    assert loaded.whiten == sq_tindex.whiten
+
+    raw_q = queries[3][1]
+    a = [
+        (r["vec_id"], r["squared_distance"])
+        for r in transformed_ivfsq_query(
+            sq_tindex, raw_q, k=10, nprobe=4, round_to=6
+        ).collect()
+    ]
+    b = [
+        (r["vec_id"], r["squared_distance"])
+        for r in transformed_ivfsq_query(
+            loaded, raw_q, k=10, nprobe=4, round_to=6
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
+
+    ba = transformed_ivfsq_query_batch(
+        sq_tindex, queries[:4], k=5, nprobe=4, round_to=6
+    ).collect()
+    bb = transformed_ivfsq_query_batch(
+        loaded, queries[:4], k=5, nprobe=4, round_to=6
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["vec_id"], r["squared_distance"]) for r in ba],
+    ) == sorted(
+        [(r["query_id"], r["vec_id"], r["squared_distance"]) for r in bb],
+    )
