@@ -1341,6 +1341,7 @@ def edit_distance_neardup(
     max_block: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    suffix_pass: bool = True,
 ) -> DataFrame:
     """Edit-distance-verified near-dup pairs with prefix blocking —
     the record-linkage member of the dedup family: unlike MinHash /
@@ -1350,60 +1351,81 @@ def edit_distance_neardup(
     pipelines (log dedup, form/spam variants, template families) ask
     for.
 
-    Candidate generation is classic blocking: documents meet only
-    within their normalized ``prefix_len``-char prefix block (the
-    sorted-neighborhood/blocking trade — a pair differing inside the
-    prefix is missed; the candidate set is bounded by block sizes,
-    never all-pairs), plus the length lower bound
+    Candidate generation is classic TWO-PASS blocking (VERDICT r8 #6):
+    documents meet within their normalized ``prefix_len``-char PREFIX
+    block, and (``suffix_pass``, default on) within their reversed-
+    text prefix block — the complementary pass that catches pairs
+    whose edits fall inside the first ``prefix_len`` chars, which
+    prefix blocking alone provably misses. A pair differing inside
+    BOTH its first and last ``prefix_len`` chars is still missed (the
+    blocking trade); the candidate set stays bounded by block sizes,
+    never all-pairs. The length lower bound
     ``|len(a) - len(b)| <= max_dist`` (any edit changes length by at
-    most 1) applied BEFORE the quadratic verify. Blocks larger than
-    ``max_block`` are dropped deterministically (hot boilerplate
-    prefixes carry no linkage signal — the `max_df`/`max_bucket`
-    practice, mirrored exactly in the oracle).
+    most 1) applies BEFORE the quadratic verify; candidates found by
+    both passes dedupe on (id_a, id_b) before it. Blocks larger than
+    ``max_block`` are dropped deterministically PER PASS (hot
+    boilerplate prefixes carry no linkage signal — the
+    `max_df`/`max_bucket` practice, mirrored exactly in the oracle).
 
     Returns ``(id_a, id_b, edit_distance, len_a, len_b)`` with
     id_a < id_b — integer columns only, engine-exact (Spark and DuckDB
-    implement the same unit-cost Levenshtein DP).
+    implement the same unit-cost Levenshtein DP; `reverse` is
+    codepoint-wise in both, astral chars included).
 
-    Scale: one block-keyed shuffle for the self-join; verify cost is
-    O(len * max_dist) per candidate under Spark >= 3.5's banded
+    Scale: one block-keyed shuffle per pass for the self-join + one
+    (id_a, id_b)-keyed dedup of the bounded candidate set; verify cost
+    is O(len * max_dist) per candidate under Spark >= 3.5's banded
     ``levenshtein(l, r, threshold)`` (falls back to the full
     O(len^2) DP on older runtimes — results identical: the banded
     form returns the exact distance whenever it is <= threshold)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    b = docs.select(
+    base = docs.select(
         F.col(id_col),
         norm.alias("__t"),
-        F.substring(norm, 1, int(prefix_len)).alias("__blk"),
+        F.substring(norm, 1, int(prefix_len)).alias("__blk_p"),
+        F.substring(F.reverse(norm), 1, int(prefix_len)).alias("__blk_s"),
         F.length(norm).alias("__len"),
     )
-    if max_block is not None:
-        small = (
-            b.groupBy("__blk")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .where(F.col("__c") <= int(max_block))
-            .select("__blk")
+
+    def _pass(blk_col: str) -> DataFrame:
+        b = base.select(
+            id_col, "__t", "__len", F.col(blk_col).alias("__blk")
         )
-        b = b.join(small, "__blk", "left_semi")
-    a = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__t").alias("__ta"),
-        F.col("__blk"),
-        F.col("__len").alias("len_a"),
-    )
-    c = b.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__t").alias("__tb"),
-        F.col("__blk"),
-        F.col("__len").alias("len_b"),
-    )
-    pairs = (
-        a.join(c, "__blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(int(max_dist))
+        if max_block is not None:
+            small = (
+                b.groupBy("__blk")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") <= int(max_block))
+                .select("__blk")
+            )
+            b = b.join(small, "__blk", "left_semi")
+        a = b.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__t").alias("__ta"),
+            F.col("__blk"),
+            F.col("__len").alias("len_a"),
         )
-    )
+        c = b.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__t").alias("__tb"),
+            F.col("__blk"),
+            F.col("__len").alias("len_b"),
+        )
+        return (
+            a.join(c, "__blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(int(max_dist))
+            )
+            .select("id_a", "id_b", "__ta", "__tb", "len_a", "len_b")
+        )
+
+    pairs = _pass("__blk_p")
+    if suffix_pass:
+        pairs = pairs.unionByName(_pass("__blk_s")).dropDuplicates(
+            ["id_a", "id_b"]
+        )
     try:
         d = F.levenshtein("__ta", "__tb", int(max_dist))  # banded DP
         pairs = pairs.withColumn("edit_distance", d).where(

@@ -792,10 +792,12 @@ def test_ngram_ops_widen_single_partition_input(spark, tmp_path):
 
 
 def test_edit_distance_neardup_guarantees_and_blocking(spark):
-    """edit_distance_neardup (r8): kept pairs carry the hard
-    levenshtein<=d guarantee with exact distances; pairs differing
-    inside the blocking prefix are missed (the documented blocking
-    trade); hot blocks are dropped; the length lower bound prunes
+    """edit_distance_neardup (r8; two-pass blocking r9 per VERDICT r8
+    #6): kept pairs carry the hard levenshtein<=d guarantee with exact
+    distances; an early-edit pair that prefix blocking provably misses
+    is caught by the suffix (reversed-prefix) pass; a pair differing
+    at BOTH ends is still missed (the remaining documented trade);
+    hot blocks are dropped per pass; the length lower bound prunes
     before the quadratic verify."""
     from pyspark.sql import functions as F
 
@@ -805,12 +807,18 @@ def test_edit_distance_neardup_guarantees_and_blocking(spark):
     rows = [
         (1, base),
         (2, base[:-4] + "cat!"),          # few edits from 1
-        (3, "zzz " + base),               # same content, different prefix
+        (3, "zzz " + base),               # early edit: suffix pass case
         (4, base + " " + "x" * 100),      # same block, length gap > d
         (5, "totally unrelated content that shares no prefix at all"),
+        (6, "qq " + base[:-4] + "cat"),   # edits at BOTH ends -> missed
     ]
-    # a hot block: > max_block docs sharing one prefix
+    # a hot prefix block: > max_block docs sharing one prefix
     rows += [(100 + i, f"hothothothothot filler {i}") for i in range(12)]
+    # a hot SUFFIX block: > max_block docs sharing one trailer
+    rows += [
+        (200 + i, f"doc number {i} ends with a common trailer suffix")
+        for i in range(12)
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = edit_distance_neardup(
         docs, max_dist=10, prefix_len=16, max_block=10
@@ -818,12 +826,25 @@ def test_edit_distance_neardup_guarantees_and_blocking(spark):
     got = {(r.id_a, r.id_b): r.edit_distance for r in out}
     # the planted pair is found with its exact distance
     assert (1, 2) in got and 0 < got[(1, 2)] <= 10
-    # blocking trade: (1,3) are near-identical but differ in the prefix
-    assert (1, 3) not in got
+    # r9: (1,3) differ only in the first 4 chars — invisible to prefix
+    # blocking, caught by the suffix pass with the exact distance 4
+    assert got.get((1, 3)) == 4
+    # remaining trade: (1,6) edits touch BOTH the first and last 16
+    # chars, so neither pass blocks them together
+    assert (1, 6) not in got
     # length lower bound: (1,4) same block, len gap 101 > 10 -> pruned
     assert (1, 4) not in got
-    # hot block (12 > max_block=10): none of its pairs emitted
+    # hot blocks (12 > max_block=10) in EITHER pass: no pairs emitted
     assert not any(a >= 100 for a, _ in got)
+    # single-pass mode reproduces the r8 behavior: (1,3) missed
+    old = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_neardup(
+            docs, max_dist=10, prefix_len=16, max_block=10,
+            suffix_pass=False,
+        ).collect()
+    }
+    assert (1, 3) not in old and (1, 2) in old
 
     # exact distance parity with a reference implementation
     def lev(a, b):

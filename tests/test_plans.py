@@ -494,3 +494,70 @@ def test_prefix_dim_recall_curve_invariants(spark, sf_dir):
     assert all(0 <= v <= 10 for v in rows.values())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_dim_recall_multi(spark, sf_dir):
+    """Multi-query matryoshka sweep (eval.prefix_dim_recall_multi,
+    VERDICT r8 #5): single-query parity with prefix_dim_recall_curve,
+    zero-hit arms still aggregate (adversarial fixture where the
+    prefix ordering reverses the full ordering), WindowGroupLimit in
+    the plan, and loud rejection of empty dims/queries."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.eval import (
+        prefix_dim_recall_curve,
+        prefix_dim_recall_multi,
+    )
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    solo = {
+        r.dims: r.n_hit
+        for r in prefix_dim_recall_curve(emb, qv, k=10, dims=[8, 32, 64]).collect()
+    }
+    multi = {
+        r.dims: (r.n_queries, r.sum_hit, r.min_hit, r.max_hit)
+        for r in prefix_dim_recall_multi(
+            emb, [(7, qv)], k=10, dims=[8, 32, 64]
+        ).collect()
+    }
+    for d, n_hit in solo.items():
+        assert multi[d] == (1, n_hit, n_hit, n_hit)
+
+    # adversarial fixture: dim 0 orders ids ascending, dims 1..3
+    # descending -> prefix-1 top-k and full top-k are disjoint, so the
+    # prefix arm must REPORT min_hit = 0 rather than vanish from the agg
+    adv = spark.createDataFrame(
+        [
+            (i, [float(i), float(29 - i), float(29 - i), float(29 - i)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q0 = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    out = {
+        r.dims: (r.n_queries, r.sum_hit, r.min_hit, r.max_hit)
+        for r in prefix_dim_recall_multi(adv, q0, k=3, dims=[1, 4]).collect()
+    }
+    assert out[1] == (2, 0, 0, 0)
+    assert out[4] == (2, 6, 3, 3)
+
+    plan = (
+        prefix_dim_recall_multi(emb, [(7, qv)], k=10, dims=[8, 64])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        prefix_dim_recall_multi(emb, [(7, qv)], k=10, dims=[])
+    with _pytest.raises(ValueError, match="non-empty"):
+        prefix_dim_recall_multi(emb, [], k=10, dims=[8])
+    with _pytest.raises(ValueError, match="must be in"):
+        prefix_dim_recall_multi(emb, [(7, qv)], k=10, dims=[9999])
+    with _pytest.raises(ValueError, match="non-empty"):
+        prefix_dim_recall_curve(emb, qv, k=10, dims=[])
