@@ -599,6 +599,10 @@ def main() -> None:
         "matryoshka_recall_curve",
         "ivfsq_merge_query",
         "edit_distance_neardup",
+        # r9 additions: PCAR+IVF+SQ8 factory composition, multi-query
+        # matryoshka aggregates
+        "pcar_ivfsq_knn",
+        "matryoshka_multi_recall",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -29,12 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from flechasdb_spark.operators.eval import prefix_dim_recall_curve
+from flechasdb_spark.operators.eval import prefix_dim_recall_multi
 from flechasdb_spark.plans.ivfsq import (
     ivfsq_query_batch,
     load_ivfsq,
     save_ivfsq,
     train_ivfsq,
+)
+from flechasdb_spark.plans.transform import (
+    build_transformed_ivfsq,
+    load_transformed_ivfsq,
+    save_transformed_ivfsq,
+    transformed_ivfsq_query,
 )
 from flechasdb_spark.session import get_spark
 
@@ -75,13 +81,39 @@ def main() -> None:
     )
     hits.orderBy("query_id", "rank").show(15, truncate=False)
 
+    #    Huge-P variant (r9): past ~1e5 cells the centroid table stops
+    #    fitting on the driver — probe selection runs as a distributed
+    #    WindowGroupLimit job instead, same results (pytest-gated).
+    dist_hits = ivfsq_query_batch(
+        served, qs, k=5, nprobe=3, round_to=4,
+        where=F.col("vec_id") % 2 == 0, collect_centroids=False,
+    )
+    assert sorted(map(tuple, hits.collect())) == sorted(
+        map(tuple, dist_hits.collect())
+    )
+    print("distributed probe selection: identical ranks")
+
     # 4. Would a truncated serving tier hold? Exact top-10 recall when
     #    scanning only the first d' dimensions (MRL-style truncation —
-    #    a d'/64 scan-byte cut with no re-encode if it stays high).
-    qv = qs[0][1]
-    print("prefix-dimension recall sweep (query 0):")
-    prefix_dim_recall_curve(emb, qv, k=10, dims=[8, 16, 32, 64]).orderBy(
+    #    a d'/64 scan-byte cut with no re-encode if it stays high),
+    #    aggregated over the whole query set (r9): min_hit shows the
+    #    worst query, the number a mean hides.
+    print("prefix-dimension recall sweep (all queries):")
+    prefix_dim_recall_multi(emb, qs, k=10, dims=[8, 16, 32, 64]).orderBy(
         "dims"
+    ).show()
+
+    # 5. PCAR{16},IVF{8},SQ8 (r9): learned 64->16 projection in front
+    #    of the same lifecycle — 4x fewer stored bytes and scan ops,
+    #    one map-only projection folded into the build, queries
+    #    projected driver-side. Persisted as index + transform.json.
+    ti = build_transformed_ivfsq(emb, pca_k=16, num_partitions=8, seed=7)
+    t_path = os.path.join(out_dir, "pcar_ivfsq_idx")
+    save_transformed_ivfsq(ti, t_path)
+    t_served = load_transformed_ivfsq(spark, t_path)
+    print("PCAR+IVF+SQ8 top-5 in the 16-dim projected metric:")
+    transformed_ivfsq_query(
+        t_served, qs[0][1], k=5, nprobe=3, round_to=4
     ).show()
 
     spark.stop()

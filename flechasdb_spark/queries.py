@@ -9397,52 +9397,73 @@ DRIVER_ORDER = [
     # functions evidence row. All retired rows remain oracle-gated in
     # pytest (tests/test_oracle.py runs the FULL registry) and in
     # bench.py's headline set.
+    # r9 rotation (VERDICT r8 #1): the seven r8-cohort rows get driver
+    # visibility. Each retiree had >= 3 rounds of green driver evidence
+    # (scripted audit over CORRECTNESS_r01..r08, counts in parens) and
+    # its family keeps >= 1 window row: quantizer_report(4) ->
+    # opq_rotated_encode + the four ivfsq rows keep quantizers;
+    # index_partition_stats(4) -> index_split_query keeps maintenance
+    # + balance evidence; retrieval_rank_metrics(4) ->
+    # hard_negative_mining / mmr_diverse_topk / phrase_search_topk
+    # keep retrieval; zorder_key_events(4) -> orc_source_knn +
+    # training_shard_roundtrip keep sources/layout;
+    # sequence_pack_fragments(4) -> training_shard_roundtrip keeps
+    # packing/shards; unigram_ppl_score(3) -> ccnet_ppl_bands (built
+    # on the same unigram tables) + bigram + kneser_ney keep LM
+    # scoring; audio_features(3) -> video_frame_features +
+    # image_dhash_neardup keep multimodal decode. Incoming:
+    # token_span_removal (token-granularity ExactSubstr),
+    # ivfsq_cell_knn / ivfsq_batch_knn / ivfsq_merge_query (per-cell
+    # bounds, batch serving, shard merge), stream_ivfsq_encode
+    # (streaming SQ8 encode), matryoshka_recall_curve (truncation
+    # sweep), edit_distance_neardup (record linkage, now two-pass).
+    # The r9 cohort (pcar_ivfsq_knn, matryoshka_multi_recall) stays
+    # pytest-oracle-gated, queued for r10.
     "vector_norms",
-    "quantizer_report",
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",
+    "ivfsq_cell_knn",
+    "ivfsq_batch_knn",
+    "ivfsq_merge_query",
     "opq_rotated_encode",
     "pca_project_residual",
     "pca_reduced_knn",
     "attr_map_fetch",
     "index_split_query",
-    "index_partition_stats",
     "orc_source_knn",
     # dedup / similarity
     "repeated_ngram_spans",
     "repeated_span_removal",
+    "token_span_removal",
     "cross_source_span_matrix",
     "leakage_safe_split",
     "cdc_chunk_dedup",
     "image_dhash_neardup",
     "cross_source_dup_matrix",
+    "edit_distance_neardup",
     # text / training-data pipeline
     "nb_source_classifier",
     "nb_classifier_report",
     "nb_margin_calibration",
-    "unigram_ppl_score",
     "ccnet_ppl_bands",
     "bigram_lm_score",
     "kneser_ney_lm_score",
     "token_id_encode",
     "training_shard_roundtrip",
-    "sequence_pack_fragments",
     "weighted_sample_topk",
     "quality_ensemble_rank",
+    "matryoshka_recall_curve",
     # multimodal
-    "audio_features",
     "video_frame_features",
     # relational SQL surface
     "tpch_q2",
-    "retrieval_rank_metrics",
     "hard_negative_mining",
     "mmr_diverse_topk",
     "phrase_search_topk",
     "events_incident_overlap",
     "events_retention_cohorts",
     "events_value_psi",
-    "zorder_key_events",
     "hll_distinct_users",
     "kmv_audience_overlap",
     "hll_stream_batch_merge",
@@ -9452,6 +9473,7 @@ DRIVER_ORDER = [
     "stream_hll_users",
     "stream_span_decontam",
     "stream_span_dedup",
+    "stream_ivfsq_encode",
 ]
 
 
