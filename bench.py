@@ -603,6 +603,7 @@ def main() -> None:
         # matryoshka aggregates
         "pcar_ivfsq_knn",
         "matryoshka_multi_recall",
+        "ivfsq4_knn",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

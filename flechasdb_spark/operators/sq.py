@@ -223,18 +223,25 @@ def _lit_arr(xs: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in xs])
 
 
-def _code(x: Column, lo: Column, hi: Column) -> Column:
-    # clamp(floor((x-lo)*255/(hi-lo))); constant dimensions encode as 0
-    # (the hi==lo guard keeps NaN/Inf division semantics out of the plan)
+def _code(x: Column, lo: Column, hi: Column, levels: int = 255) -> Column:
+    # clamp(floor((x-lo)*levels/(hi-lo))); constant dimensions encode
+    # as 0 (the hi==lo guard keeps NaN/Inf division semantics out of
+    # the plan). ``levels`` = max code = 2^bits - 1: 255 for SQ8, 15
+    # for SQ4 (FAISS QT_4bit — half the at-rest bytes once packed, ~2x
+    # the per-axis step; the fidelity/footprint dial of the family).
+    lv = float(int(levels))
     c = F.greatest(
         F.lit(0.0),
-        F.least(F.lit(255.0), F.floor((x - lo) * 255.0 / (hi - lo)).cast("double")),
+        F.least(F.lit(lv), F.floor((x - lo) * lv / (hi - lo)).cast("double")),
     )
     return F.when(hi == lo, F.lit(0)).otherwise(c.cast("int")).cast("smallint")
 
 
 def sq_encode_expr(
-    vec_col: Column | str, lo: list[float], hi: list[float]
+    vec_col: Column | str,
+    lo: list[float],
+    hi: list[float],
+    levels: int = 255,
 ) -> Column:
     """The codes column expression — composable into any projection."""
     loA, hiA = _lit_arr(lo), _lit_arr(hi)
@@ -242,18 +249,24 @@ def sq_encode_expr(
     return F.transform(
         col.cast("array<double>"),
         lambda x, i: _code(
-            x, F.element_at(loA, i + F.lit(1)), F.element_at(hiA, i + F.lit(1))
+            x,
+            F.element_at(loA, i + F.lit(1)),
+            F.element_at(hiA, i + F.lit(1)),
+            levels,
         ),
     )
 
 
 def sq_encode_cols_expr(
-    vec_col: Column | str, lo_col: Column | str, hi_col: Column | str
+    vec_col: Column | str,
+    lo_col: Column | str,
+    hi_col: Column | str,
+    levels: int = 255,
 ) -> Column:
     """`sq_encode_expr` with the bounds coming from COLUMNS (per-row
     array<double>, e.g. per-cell bounds joined on partition_id) instead
     of driver literals. Same clamp/floor arithmetic — values outside
-    [lo, hi] saturate to code 0/255, which is what makes quantile-
+    [lo, hi] saturate to code 0/levels, which is what makes quantile-
     clipped bounds legal."""
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     loA = F.col(lo_col) if isinstance(lo_col, str) else lo_col
@@ -261,15 +274,22 @@ def sq_encode_cols_expr(
     return F.transform(
         col.cast("array<double>"),
         lambda x, i: _code(
-            x, F.element_at(loA, i + F.lit(1)), F.element_at(hiA, i + F.lit(1))
+            x,
+            F.element_at(loA, i + F.lit(1)),
+            F.element_at(hiA, i + F.lit(1)),
+            levels,
         ),
     )
 
 
 def sq_decode_cols(
-    codes_col: Column | str, lo_col: Column | str, hi_col: Column | str
+    codes_col: Column | str,
+    lo_col: Column | str,
+    hi_col: Column | str,
+    levels: int = 255,
 ) -> Column:
     """`sq_decode` with column-borne bounds (per-cell variant)."""
+    lv = float(int(levels))
     col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     loA = F.col(lo_col) if isinstance(lo_col, str) else lo_col
     hiA = F.col(hi_col) if isinstance(hi_col, str) else hi_col
@@ -281,7 +301,7 @@ def sq_decode_cols(
             F.element_at(hiA, i + F.lit(1))
             - F.element_at(loA, i + F.lit(1))
         )
-        / 255.0,
+        / lv,
     )
 
 
@@ -299,10 +319,14 @@ def sq_encode(
 
 
 def sq_decode(
-    codes_col: Column | str, lo: list[float], hi: list[float]
+    codes_col: Column | str,
+    lo: list[float],
+    hi: list[float],
+    levels: int = 255,
 ) -> Column:
-    """Reconstruction lo_j + code_j * (hi_j - lo_j) / 255 (double
+    """Reconstruction lo_j + code_j * (hi_j - lo_j) / levels (double
     elements; cast at the caller if float storage parity is wanted)."""
+    lv = float(int(levels))
     loA, hiA = _lit_arr(lo), _lit_arr(hi)
     col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     return F.transform(
@@ -310,7 +334,7 @@ def sq_decode(
         lambda c, i: F.element_at(loA, i + F.lit(1))
         + c.cast("double")
         * (F.element_at(hiA, i + F.lit(1)) - F.element_at(loA, i + F.lit(1)))
-        / 255.0,
+        / lv,
     )
 
 

@@ -80,6 +80,7 @@ class IVFSQModel:
     hi: list | None
     encoded: DataFrame
     cell_bounds: DataFrame | None = None
+    levels: int = 255  # max code = 2^bits - 1: 255 (SQ8) or 15 (SQ4)
 
 
 def ivfsq_residuals(
@@ -114,6 +115,7 @@ def build_ivfsq(
     vec_col: str = "embedding",
     bounds: str = "global",
     clip: tuple[float, float] | None = None,
+    bits: int = 8,
 ) -> IVFSQModel:
     """Assign, train residual bounds, encode. ``centroids`` come from
     the caller — kmeans_fit on a sample (operators/build.py) in
@@ -139,6 +141,9 @@ def build_ivfsq(
     is property-gated in tests/test_sq.py."""
     if bounds not in ("global", "per_cell"):
         raise ValueError(f"bounds must be 'global' or 'per_cell': {bounds!r}")
+    if not 2 <= int(bits) <= 8:
+        raise ValueError(f"bits must be in [2, 8], got {bits!r}")
+    levels = 2 ** int(bits) - 1
     resid = ivfsq_residuals(vectors, centroids, id_col, vec_col)
     if bounds == "per_cell":
         cb = sq_train_grouped(
@@ -151,7 +156,9 @@ def build_ivfsq(
         enc = resid.join(F.broadcast(cb), "partition_id").select(
             id_col,
             "partition_id",
-            sq_encode_cols_expr("residual", "lo", "hi").alias("codes"),
+            sq_encode_cols_expr("residual", "lo", "hi", levels).alias(
+                "codes"
+            ),
         )
         return IVFSQModel(
             centroids=centroids,
@@ -159,6 +166,7 @@ def build_ivfsq(
             hi=None,
             encoded=enc,
             cell_bounds=cb,
+            levels=levels,
         )
     if clip is not None:
         lo, hi = sq_bounds_quantile(
@@ -169,17 +177,25 @@ def build_ivfsq(
     enc = resid.select(
         id_col,
         "partition_id",
-        sq_encode_expr("residual", lo, hi).alias("codes"),
+        sq_encode_expr("residual", lo, hi, levels).alias("codes"),
     )
-    return IVFSQModel(centroids=centroids, lo=lo, hi=hi, encoded=enc)
+    return IVFSQModel(
+        centroids=centroids, lo=lo, hi=hi, encoded=enc, levels=levels
+    )
 
 
-def _recon(codes_col: Column | str, cent_col: Column | str, lo, hi) -> Column:
+def _recon(
+    codes_col: Column | str,
+    cent_col: Column | str,
+    lo,
+    hi,
+    levels: int = 255,
+) -> Column:
     """centroid + decoded residual, element-wise (array<double>)."""
     cc = F.col(cent_col) if isinstance(cent_col, str) else cent_col
     return F.zip_with(
         cc.cast("array<double>"),
-        sq_decode(codes_col, lo, hi),
+        sq_decode(codes_col, lo, hi, levels),
         lambda c, r: c + r,
     )
 
@@ -223,12 +239,14 @@ def ivfsq_query(
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
         recon = F.zip_with(
             F.col(cc).cast("array<double>"),
-            sq_decode_cols("codes", "lo", "hi"),
+            sq_decode_cols("codes", "lo", "hi", model.levels),
             lambda c, r: c + r,
         )
         dist = squared_l2(qA, recon)
     else:
-        dist = squared_l2(qA, _recon("codes", cc, model.lo, model.hi))
+        dist = squared_l2(
+            qA, _recon("codes", cc, model.lo, model.hi, model.levels)
+        )
     # When the caller asks for rounded output, RANK on the rounded
     # score too (id tie-break): ordering full-precision __d while
     # emitting round(__d) lets a sub-5e-5 cross-engine float divergence
@@ -280,10 +298,12 @@ def encode_frozen_residuals(
         return resid.select(
             id_col,
             "partition_id",
-            sq_encode_expr("residual", model.lo, model.hi).alias("codes"),
+            sq_encode_expr(
+                "residual", model.lo, model.hi, model.levels
+            ).alias("codes"),
         )
     joined = resid.join(F.broadcast(model.cell_bounds), "partition_id", "left")
-    codes = sq_encode_cols_expr("residual", "lo", "hi")
+    codes = sq_encode_cols_expr("residual", "lo", "hi", model.levels)
     if missing_cell == "error":
         guarded = F.when(
             F.col("lo").isNull(),
@@ -332,6 +352,7 @@ def assemble_ivfsq(
         hi=model.hi,
         encoded=enc,
         cell_bounds=model.cell_bounds,
+        levels=model.levels,
     )
 
 
@@ -382,6 +403,11 @@ def merge_ivfsq(
         raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
     if (base.cell_bounds is None) != (other.cell_bounds is None):
         raise ValueError("cannot merge global-bounds with per-cell-bounds")
+    if int(base.levels) != int(other.levels):
+        raise ValueError(
+            f"quantization depth differs ({base.levels} vs {other.levels} "
+            "levels) — codes are not comparable across shards"
+        )
     if base.cell_bounds is not None:
         if (
             not assume_same_bounds
@@ -413,6 +439,7 @@ def merge_ivfsq(
         hi=base.hi,
         encoded=a.unionByName(b),
         cell_bounds=base.cell_bounds,
+        levels=base.levels,
     )
 
 
@@ -534,11 +561,11 @@ def ivfsq_query_batch(
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
         recon = F.zip_with(
             F.col(cc).cast("array<double>"),
-            sq_decode_cols("codes", "lo", "hi"),
+            sq_decode_cols("codes", "lo", "hi", model.levels),
             lambda c, r: c + r,
         )
     else:
-        recon = _recon("codes", cc, model.lo, model.hi)
+        recon = _recon("codes", cc, model.lo, model.hi, model.levels)
     dist = squared_l2(F.col("__qv"), recon)
     scored = cands.select(
         "query_id", F.col(id_col), F.col("partition_id"), dist.alias("__d")
@@ -588,7 +615,7 @@ def save_ivfsq(model: IVFSQModel, path: str) -> None:
     model.centroids.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    meta: dict = {"kind": "ivfsq"}
+    meta: dict = {"kind": "ivfsq", "levels": int(model.levels)}
     if model.cell_bounds is not None:
         meta["bounds"] = "per_cell"
         model.cell_bounds.coalesce(1).write.mode("overwrite").parquet(
@@ -612,6 +639,7 @@ def load_ivfsq(spark, path: str) -> IVFSQModel:
     t = read_manifest_json(spark, os.path.join(path, "ivfsq.json"))
     if t is None or t.get("kind") != "ivfsq":
         raise ValueError(f"not an ivfsq index: {path}")
+    levels = int(t.get("levels", 255))  # pre-r9 manifests are SQ8
     if t.get("bounds") == "per_cell":
         return IVFSQModel(
             centroids=spark.read.parquet(os.path.join(path, "centroids")),
@@ -621,12 +649,14 @@ def load_ivfsq(spark, path: str) -> IVFSQModel:
             cell_bounds=spark.read.parquet(
                 os.path.join(path, "cell_bounds")
             ),
+            levels=levels,
         )
     return IVFSQModel(
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         lo=[float(x) for x in t["lo"]],
         hi=[float(x) for x in t["hi"]],
         encoded=spark.read.parquet(os.path.join(path, "index")),
+        levels=levels,
     )
 
 
@@ -639,6 +669,7 @@ def train_ivfsq(
     sample_n: int = 100_000,
     bounds: str = "global",
     clip: tuple[float, float] | None = None,
+    bits: int = 8,
 ) -> IVFSQModel:
     """Production one-call build: coarse k-means on a bounded
     deterministic sample (the build_index training pattern —
@@ -663,5 +694,5 @@ def train_ivfsq(
     )
     return build_ivfsq(
         vectors, cent_df, id_col=id_col, vec_col=vec_col,
-        bounds=bounds, clip=clip,
+        bounds=bounds, clip=clip, bits=bits,
     )

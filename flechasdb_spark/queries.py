@@ -10569,3 +10569,75 @@ def q_matryoshka_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dim_recall_multi(
         emb, qs, k=10, dims=[8, 16, 32, 64]
     ).orderBy("dims")
+
+
+@query(
+    "ivfsq4_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(15,
+                  floor((x - rba.lo[i]) * 15.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 15.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq4_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ4 lifecycle (r9: ``build_ivfsq(bits=4)`` — the FAISS
+    QT_4bit analogue): identical to the ivfsq_knn row but with 16-level
+    residual codes, the half-the-bytes / double-the-step point of the
+    scalar-quantizer family (pack 2 codes/byte at rest for the real
+    memory win — the array<smallint> storage note in operators/sq.py
+    applies). The oracle recomputes the full lifecycle with 15.0 in
+    place of 255.0; everything else — frozen centroids, global bounds,
+    probe selection, asymmetric distance — is byte-for-byte the SQ8
+    oracle, which is the point: one `levels` dial, no new machinery."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bits=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)

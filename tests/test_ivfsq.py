@@ -646,3 +646,48 @@ def test_batch_distributed_probe_parity(spark, emb, model, model_cell, tmp_path)
         "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
         for ln in scan_lines
     ), scan_lines
+
+
+def test_sq4_levels_dial(spark, emb, cent, tmp_path):
+    """r9: bits=4 (FAISS QT_4bit analogue) — codes bounded by 15,
+    roundtrip through save/load preserves the depth, recall stays
+    probe-limited-reasonable at 16 levels on residuals, and shards of
+    different depths refuse to merge."""
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        merge_ivfsq,
+        save_ivfsq,
+    )
+
+    m4 = build_ivfsq(emb, cent, bits=4)
+    assert m4.levels == 15
+    row = m4.encoded.select(
+        F.max(F.array_max("codes")).alias("mx"),
+        F.min(F.array_min("codes")).alias("mn"),
+    ).first()
+    assert 0 <= row.mn and row.mx <= 15
+
+    path = str(tmp_path / "ivfsq4")
+    save_ivfsq(m4, path)
+    loaded = load_ivfsq(spark, path)
+    assert loaded.levels == 15
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    a = [(r.vec_id, r.squared_distance)
+         for r in ivfsq_query(m4, qv, k=10, nprobe=6, round_to=6).collect()]
+    b = [(r.vec_id, r.squared_distance)
+         for r in ivfsq_query(loaded, qv, k=10, nprobe=6, round_to=6).collect()]
+    assert a == b
+    # 16-level residuals still track exact distances at modest nprobe
+    exact = {r.vec_id for r in flat_knn(emb, qv, k=10).collect()}
+    got = {v for v, _ in a}
+    assert len(exact & got) >= 7
+
+    m8 = build_ivfsq(emb, cent, bits=8)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quantization depth differs"):
+        merge_ivfsq(m8, m4)
+    with _pytest.raises(ValueError, match="bits must be in"):
+        build_ivfsq(emb, cent, bits=9)
