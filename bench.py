@@ -604,6 +604,8 @@ def main() -> None:
         "pcar_ivfsq_knn",
         "matryoshka_multi_recall",
         "ivfsq4_knn",
+        "embedding_range_search",
+        "ivfsq_range_query",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

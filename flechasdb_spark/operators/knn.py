@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
 
-__all__ = ["flat_knn", "knn_join"]
+__all__ = ["flat_knn", "knn_join", "range_search"]
 
 
 def _literal_vector(qv: list[float]) -> Column:
@@ -122,3 +122,52 @@ def knn_join(
             "rank",
         )
     )
+
+
+def range_search(
+    vectors: DataFrame,
+    query_vector: list[float] | Column,
+    radius: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Exact RADIUS search: every vector with squared L2 distance
+    <= ``radius`` to the query — the FAISS ``range_search`` analogue
+    (the reference serves top-k only; radius semantics are the other
+    standard serving contract, e.g. "all near-duplicates of this
+    item" where the COUNT is unknown a priori and top-k would either
+    truncate or over-fetch).
+
+    Returns ``(id_col, squared_distance)`` ascending by distance, ties
+    by id. With ``round_to`` the FILTER applies to the rounded
+    distance too (the frozen-row convention: a result set whose
+    boundary member differs only in sub-round_to noise would
+    hash-mismatch across engines otherwise). ``limit`` is an optional
+    safety cap (ordered, so it keeps the nearest) for callers that
+    must bound a pathological radius.
+
+    Scale: map + filter (codegen) then one sort of the MATCHES only —
+    the scan never shuffles, and the sort input is |result|, not N.
+    At 100 TB pick radius from a sampled distance histogram first
+    (sketch.histogram_quantiles) so |result| is intentional."""
+    qv = (
+        _literal_vector(query_vector)
+        if isinstance(query_vector, list)
+        else query_vector
+    )
+    dist = squared_l2(F.col(vec_col), qv)
+    dist_out = F.round(dist, round_to) if round_to is not None else dist
+    out = (
+        vectors.select(
+            F.col(id_col),
+            dist_out.alias("squared_distance"),
+            dist.alias("__dist_full"),
+        )
+        .where(F.col("squared_distance") <= float(radius))
+        .orderBy(F.col("__dist_full").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out.drop("__dist_full")

@@ -58,6 +58,7 @@ __all__ = [
     "ivfsq_residuals",
     "ivfsq_query",
     "ivfsq_query_batch",
+    "ivfsq_range_query",
     "save_ivfsq",
     "load_ivfsq",
     "train_ivfsq",
@@ -325,6 +326,72 @@ def encode_frozen_residuals(
         )
         guarded = F.when(F.col("lo").isNull(), zeros).otherwise(codes)
     return joined.select(id_col, "partition_id", guarded.alias("codes"))
+
+
+def ivfsq_range_query(
+    model: IVFSQModel,
+    query_vector: list,
+    radius: float,
+    nprobe: int,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """RADIUS search over the IVF+SQ index (the FAISS ``range_search``
+    contract composed with this index): every candidate in the
+    ``nprobe`` nearest cells whose asymmetric distance
+    (exact query vs centroid + decoded residual) is <= ``radius``.
+    Same probe selection / literal-isin partition pruning / codegen
+    distance as `ivfsq_query`; the tail is a FILTER + sort-of-matches
+    instead of TakeOrderedAndProject, so the result size is set by the
+    radius, not k. Like IVF top-k, neighbors living in unprobed cells
+    are missed — the standard IVF recall trade, dialed by nprobe.
+
+    ``round_to`` rounds the emitted distance AND applies the filter to
+    the rounded value (the frozen-row convention); ``limit`` optionally
+    caps a pathological radius (ordered — keeps the nearest)."""
+    cc = cent_col_name(model.centroids)
+    probe_ids = [
+        int(r["partition_id"])
+        for r in flat_knn(
+            model.centroids,
+            query_vector,
+            k=nprobe,
+            id_col="partition_id",
+            vec_col=cc,
+        ).collect()
+    ]
+    cands = (
+        model.encoded.where(F.col("partition_id").isin(probe_ids))
+        .join(F.broadcast(model.centroids), "partition_id")
+    )
+    qA = _lit_arr([float(x) for x in query_vector])
+    if model.cell_bounds is not None:
+        cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
+        recon = F.zip_with(
+            F.col(cc).cast("array<double>"),
+            sq_decode_cols("codes", "lo", "hi", model.levels),
+            lambda c, r: c + r,
+        )
+        dist = squared_l2(qA, recon)
+    else:
+        dist = squared_l2(
+            qA, _recon("codes", cc, model.lo, model.hi, model.levels)
+        )
+    score = F.round(dist, round_to) if round_to is not None else dist
+    out = (
+        cands.select(
+            F.col(id_col),
+            F.col("partition_id"),
+            score.alias("squared_distance"),
+            dist.alias("__d"),
+        )
+        .where(F.col("squared_distance") <= float(radius))
+        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out.drop("__d")
 
 
 def assemble_ivfsq(

@@ -10641,3 +10641,108 @@ def q_ivfsq4_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = build_ivfsq(emb, cent, bits=4)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
+
+
+# ---------------------------------------------------------------------------
+# r9: radius (range) search — the other standard serving contract
+# (FAISS range_search; the reference serves top-k only): "everything
+# within distance r", result size set by the data, not by k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_range_search",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {_IVF_QID}),
+scored AS (
+  SELECT e.vec_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM embeddings e, q)
+SELECT vec_id, round(d, 4) AS squared_distance
+FROM scored WHERE round(d, 4) <= 1.5 ORDER BY d, vec_id
+""",
+)
+def q_embedding_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (operators/knn.py::range_search): every
+    vector within squared L2 distance 1.5 of the query — the
+    unknown-result-count serving contract (near-duplicate sweeps,
+    dedup-by-radius) where top-k would truncate or over-fetch. Map +
+    codegen filter; only the matches are sorted. The filter applies to
+    the ROUNDED distance on both engines so the boundary member cannot
+    hash-flip on sub-round noise."""
+    from flechasdb_spark.operators.knn import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == _IVF_QID).first()["embedding"]]
+    return range_search(emb, qv, radius=1.5, round_to=4)
+
+
+@query(
+    "ivfsq_range_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored WHERE round(d, 4) <= 1.6 ORDER BY d, vec_id
+""",
+)
+def q_ivfsq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search over the IVF+SQ8 index
+    (plans/ivfsq.py::ivfsq_range_query): the ivfsq_knn lifecycle with
+    a FILTER tail instead of top-k — every probed candidate whose
+    asymmetric distance is <= 1.6, count set by the data. Same frozen
+    centroids, probe selection, and literal-isin pruning; unprobed
+    cells are missed by construction (the IVF trade, dialed by
+    nprobe)."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_range_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_range_query(model, qv, radius=1.6, nprobe=3, round_to=4)

@@ -691,3 +691,31 @@ def test_sq4_levels_dial(spark, emb, cent, tmp_path):
         merge_ivfsq(m8, m4)
     with _pytest.raises(ValueError, match="bits must be in"):
         build_ivfsq(emb, cent, bits=9)
+
+
+def test_range_query_semantics(spark, emb, model):
+    """r9 radius search: at nprobe=P the IVF+SQ range result equals
+    the brute-force filter over reconstructed distances; every emitted
+    distance respects the radius; limit keeps the nearest; the exact
+    operator (knn.range_search) agrees with flat_knn on the overlap."""
+    from flechasdb_spark.operators.knn import flat_knn, range_search
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    ids, _, dist = _np_pipeline(emb, qv)
+    r = 1.6
+    want = sorted(
+        (float(d), int(i)) for i, d in zip(ids, dist) if round(d, 6) <= r
+    )
+    got = ivfsq_range_query(model, qv, radius=r, nprobe=P, round_to=6).collect()
+    assert [(g.vec_id) for g in got] == [i for _, i in want]
+    assert all(g.squared_distance <= r for g in got)
+    capped = ivfsq_range_query(
+        model, qv, radius=r, nprobe=P, round_to=6, limit=3
+    ).collect()
+    assert [c.vec_id for c in capped] == [i for _, i in want[:3]]
+
+    exact = range_search(emb, qv, radius=r, round_to=6).collect()
+    assert all(e.squared_distance <= r for e in exact)
+    topk = flat_knn(emb, qv, k=len(exact), round_to=6).collect()
+    assert [e.vec_id for e in exact] == [t.vec_id for t in topk]
