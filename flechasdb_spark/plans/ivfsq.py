@@ -59,6 +59,7 @@ __all__ = [
     "ivfsq_query",
     "ivfsq_query_batch",
     "ivfsq_range_query",
+    "ivfsq_range_query_batch",
     "save_ivfsq",
     "load_ivfsq",
     "train_ivfsq",
@@ -661,6 +662,113 @@ def ivfsq_query_batch(
             "rank",
         )
     )
+
+
+def ivfsq_range_query_batch(
+    model: IVFSQModel,
+    queries: list[tuple[int, list]],
+    radius: float,
+    nprobe: int,
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+    limit_per_query: int | None = None,
+    collect_centroids: bool = True,
+) -> DataFrame:
+    """Batch radius search — `ivfsq_query_batch`'s serving shape with
+    `ivfsq_range_query`'s filter tail: one job for Q radius queries,
+    returning ``(query_id, id_col, partition_id, squared_distance)``
+    (plus ``rank`` when ``limit_per_query`` caps each query's result
+    to its nearest members via WindowGroupLimit). Probe selection,
+    broadcast tables, literal-isin partition pruning, and the
+    ``collect_centroids=False`` huge-P mode are shared with the top-k
+    batch path; the per-candidate filter is codegen, so the only rows
+    that reach any exchange are the matches."""
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    spark = model.encoded.sparkSession
+    cc = cent_col_name(model.centroids)
+    qids = [int(q) for q, _ in queries]
+    if not qids:
+        id_type = model.encoded.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id long, {id_col} {id_type}, partition_id int, "
+            "squared_distance double",
+        )
+    Q = np.array([[float(x) for x in v] for _, v in queries])
+    if collect_centroids:
+        crows = model.centroids.orderBy("partition_id").collect()
+        pids = np.array([r["partition_id"] for r in crows])
+        C = np.array([list(r[cc]) for r in crows], dtype=np.float64)
+        d2 = np.zeros((Q.shape[0], C.shape[0]))
+        for j in range(C.shape[1]):
+            diff = Q[:, j, None] - C[None, :, j]
+            d2 += diff * diff
+        probe_rows = [
+            (qid, int(pids[j]))
+            for qi, qid in enumerate(qids)
+            for j in np.argsort(d2[qi], kind="stable")[: int(nprobe)]
+        ]
+    else:
+        from flechasdb_spark.plans.ivf import select_probes_df
+
+        probe_rows = [
+            (int(r["query_id"]), int(r["partition_id"]))
+            for r in select_probes_df(
+                model.centroids, Q, int(nprobe), query_ids=qids
+            )
+            .select("query_id", "partition_id")
+            .collect()
+        ]
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, partition_id int")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in v]) for qid, v in queries],
+            "query_id long, __qv array<double>",
+        )
+    )
+    all_probed = sorted({pid for _, pid in probe_rows})
+    cands = (
+        model.encoded.where(F.col("partition_id").isin(all_probed))
+        .join(probes, "partition_id")
+        .join(F.broadcast(model.centroids), "partition_id")
+        .join(qdf, "query_id")
+    )
+    if model.cell_bounds is not None:
+        cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
+        recon = F.zip_with(
+            F.col(cc).cast("array<double>"),
+            sq_decode_cols("codes", "lo", "hi", model.levels),
+            lambda c, r: c + r,
+        )
+    else:
+        recon = _recon("codes", cc, model.lo, model.hi, model.levels)
+    dist = squared_l2(F.col("__qv"), recon)
+    score = F.round(dist, round_to) if round_to is not None else dist
+    out = cands.select(
+        "query_id",
+        F.col(id_col),
+        F.col("partition_id"),
+        score.alias("squared_distance"),
+        dist.alias("__d"),
+    ).where(F.col("squared_distance") <= float(radius))
+    if limit_per_query is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("squared_distance").asc(), F.col(id_col).asc()
+        )
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(limit_per_query))
+            .select(
+                "query_id", id_col, "partition_id",
+                "squared_distance", "rank",
+            )
+        )
+    return out.drop("__d")
 
 
 def save_ivfsq(model: IVFSQModel, path: str) -> None:

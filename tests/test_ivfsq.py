@@ -719,3 +719,56 @@ def test_range_query_semantics(spark, emb, model):
     assert all(e.squared_distance <= r for e in exact)
     topk = flat_knn(emb, qv, k=len(exact), round_to=6).collect()
     assert [e.vec_id for e in exact] == [t.vec_id for t in topk]
+
+
+def test_range_query_batch_parity(spark, emb, model, model_cell):
+    """Batch radius search == per-query solo radius search (both
+    bounds modes, driver and distributed probe selection); empty batch
+    returns the contract schema; limit_per_query keeps the nearest."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_range_query,
+        ivfsq_range_query_batch,
+    )
+
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id").isin(3, 42)).collect()
+    ]
+    for m in (model, model_cell):
+        for dist_probe in (False, True):
+            batch = ivfsq_range_query_batch(
+                m, qs, radius=1.6, nprobe=4, round_to=6,
+                collect_centroids=not dist_probe,
+            ).collect()
+            got = sorted(
+                (r.query_id, r.vec_id, r.squared_distance) for r in batch
+            )
+            want = sorted(
+                (qid, r.vec_id, r.squared_distance)
+                for qid, qv in qs
+                for r in ivfsq_range_query(
+                    m, qv, radius=1.6, nprobe=4, round_to=6
+                ).collect()
+            )
+            assert got == want and len(got) > 0
+
+    capped = ivfsq_range_query_batch(
+        model, qs, radius=1.6, nprobe=4, round_to=6, limit_per_query=2
+    ).collect()
+    by_q = {}
+    for r in capped:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    solo = {
+        qid: [
+            r.vec_id
+            for r in ivfsq_range_query(
+                model, qv, radius=1.6, nprobe=4, round_to=6, limit=2
+            ).collect()
+        ]
+        for qid, qv in qs
+    }
+    for qid, pairs in by_q.items():
+        assert [v for _, v in sorted(pairs)] == solo[qid]
+
+    empty = ivfsq_range_query_batch(model, [], radius=1.0, nprobe=2)
+    assert empty.count() == 0 and "squared_distance" in empty.columns
