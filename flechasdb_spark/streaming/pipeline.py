@@ -148,11 +148,25 @@ def incremental_encode(
     throughput collapses (one task + footer read per file). Compaction
     runs inside foreachBatch, i.e. between batches of the single
     writer, so no concurrent-writer hazard; it is a full index rewrite,
-    so pick N to amortize (e.g. hundreds of batches). Idempotent under
-    foreachBatch's at-least-once replay (re-compacting is a no-op
-    rewrite)."""
+    so pick N to amortize (e.g. hundreds of batches). Compaction is
+    idempotent under foreachBatch's at-least-once replay (a no-op
+    rewrite).
+
+    Replay (r9, the `stream_ivfsq_encode` hazard's PQ sibling): a
+    replay of a FULLY COMMITTED batch is a no-op via a per-batch
+    marker file written after the append — without it, a crash
+    between the append's job commit and the checkpoint commit (or a
+    fresh-checkpoint reprocess) duplicated the batch's codes. This
+    layout appends into the shared single-level ``partition_id=``
+    tree (the one save_index / upsert / compact_index maintain), so
+    the per-batch-subdirectory overwrite pattern the SQ sibling uses
+    is not available; the residual window — a crash between the
+    append job commit and the marker write — can still duplicate ONE
+    batch, and `maintenance.compact_index` + an id-keyed dedup (or a
+    table format) is the recovery there (documented trade)."""
     from flechasdb_spark.operators.build import pq_encoder_udf
     from flechasdb_spark.operators.maintenance import compact_index
+    from flechasdb_spark.sources.manifest import _fs_path
 
     cfg = model.config
     centroids = model.centroids_np()
@@ -163,6 +177,12 @@ def incremental_encode(
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
+        marker, fs = _fs_path(
+            spark, f"{index_path}/ingest_markers/batch-{int(batch_id)}"
+        )
+        if fs.exists(marker):
+            return  # replay of a fully committed batch: exact no-op
         encode = pq_encoder_udf(
             batch.sparkSession, centroids, codebooks, dim_perm=dim_perm
         )
@@ -175,6 +195,7 @@ def incremental_encode(
             .partitionBy("partition_id")
             .parquet(f"{index_path}/index")
         )
+        fs.create(marker, True).close()  # commit the replay no-op claim
         state["appends"] += 1
         if compact_every and state["appends"] % compact_every == 0:
             compact_index(batch.sparkSession, index_path)

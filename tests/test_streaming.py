@@ -1202,3 +1202,102 @@ def test_stream_span_dedup_store_compaction_replay(spark, tmp_path):
         (r["doc_id"], r["__k"])
         for r in spark.read.parquet(store).select("doc_id", "__k").collect()
     } == got_keys
+
+
+def test_incremental_encode_replay_no_duplicates(spark, tmp_path):
+    """r9: a replay of committed batches (fresh checkpoint, same file
+    order => same batch ids) is a no-op via the per-batch marker —
+    the PQ sibling of stream_ivfsq_encode's replay guard; without it
+    every replayed batch appended duplicate codes."""
+    from flechasdb_spark.operators.build import IndexConfig, build_index
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 40)
+    arriving = emb.where(F.col("vec_id") >= 40)
+    cfg = IndexConfig(num_partitions=4, num_divisions=4, num_codes=8, seed=11)
+    model = build_index(base, cfg)
+    index_path = str(tmp_path / "idx")
+    save_index(model, index_path)
+    stream_src = str(tmp_path / "arrivals")
+    arriving.select("vec_id", "embedding").repartition(2).write.parquet(
+        stream_src
+    )
+
+    def drain(ckpt):
+        vec_stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_src)
+        )
+        q = incremental_encode(model, vec_stream, index_path, ckpt)
+        run_available_now(q)
+
+    drain(str(tmp_path / "ckpt1"))
+    want = emb.count()
+    assert load_index(spark, index_path).encoded.count() == want
+    # fresh checkpoint: same files, same batch ids -> markers no-op
+    drain(str(tmp_path / "ckpt2"))
+    got = load_index(spark, index_path).encoded
+    assert got.count() == want
+    assert got.groupBy("vec_id").count().where("count > 1").count() == 0
+
+
+def test_stream_minhash_dedup_compaction(spark, tmp_path):
+    """r9: compact_every on the minhash band store folds older
+    ingest_batch= dirs into -1 with identical store content and
+    unchanged survivors (the shared compact_ingest_store machinery,
+    wired per-sink)."""
+    import glob
+    import os as _os
+    import time as _time
+
+    from flechasdb_spark.streaming.pipeline import stream_minhash_dedup
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    batches = [
+        [(1, text_a), (2, "unrelated words entirely different content here")],
+        [(10, text_a + " tail")],   # near-dup of 1 -> dropped
+        [(20, "third batch fresh novel content nothing shared at all")],
+        [(30, text_a + " tick")],   # still dropped after folding
+    ]
+    src = str(tmp_path / "src")
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in glob.glob(f"{src}/b{i}/*.parquet"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    def drain(store, out, ce):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_minhash_dedup(
+            stream, store, out, num_hashes=16, bands=4, compact_every=ce
+        )
+        run_available_now(q)
+
+    store, out = str(tmp_path / "bands"), str(tmp_path / "kept")
+    drain(store, out, 1)
+    ref_s, ref_o = str(tmp_path / "bands2"), str(tmp_path / "kept2")
+    drain(ref_s, ref_o, None)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 20]
+    assert kept == sorted(
+        r.doc_id for r in spark.read.parquet(ref_o).collect()
+    )
+    keyset = lambda p: {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in spark.read.parquet(p)
+        .select("doc_id", "band", "band_key")
+        .collect()
+    }
+    assert keyset(store) == keyset(ref_s)
+    dirs = {
+        _os.path.basename(p) for p in glob.glob(f"{store}/ingest_batch=*")
+    }
+    assert "ingest_batch=-1" in dirs and len(dirs) <= 3
