@@ -606,6 +606,7 @@ def main() -> None:
         "ivfsq4_knn",
         "embedding_range_search",
         "ivfsq_range_query",
+        "ivfsq4_rerank_knn",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

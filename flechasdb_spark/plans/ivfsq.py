@@ -209,12 +209,22 @@ def ivfsq_query(
     nprobe: int,
     id_col: str = "vec_id",
     round_to: int | None = None,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Asymmetric search: exact query vs (centroid + decoded residual),
     scanning only the ``nprobe`` nearest cells. Probe selection is the
     O(P) flat_knn over centroids; the candidate scan is one semi-join
     (partition pruning at rest) + codegen'd element arithmetic +
-    TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4)."""
+    TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4).
+
+    ``rerank`` (r9 — parity with the PQ side's refinement modes): a
+    DataFrame holding the ORIGINAL vectors (id_col + 'embedding').
+    The quantized scan keeps ``k * rerank_factor`` survivors, which
+    broadcast into one exact-distance join against the originals;
+    the emitted distances are then EXACT. Near-free insurance for SQ8
+    (distances are near-exact already); for SQ4's coarser codes it
+    recovers the recall the 16-level rounding costs (pytest-gated)."""
     cc = cent_col_name(model.centroids)
     # Probe selection collects O(nprobe) ids (one tiny job over the
     # O(P) centroid table) so the cell filter is a LITERAL isin — a
@@ -259,11 +269,32 @@ def ivfsq_query(
         if round_to is not None
         else F.col("__d")
     )
+    adc_k = int(k) * int(rerank_factor) if rerank is not None else int(k)
     out = (
         cands.select(F.col(id_col), F.col("partition_id"), dist.alias("__d"))
         .orderBy(rank.asc(), F.col(id_col).asc())
-        .limit(k)
+        .limit(adc_k)
     )
+    if rerank is not None:
+        # the O(k * factor) survivor set broadcasts; the originals scan
+        # once map-side (the PQ side's rerank shape, plans/ivf.py)
+        cand_ids = out.select(id_col, "partition_id")
+        exact = squared_l2(qA, F.col("embedding").cast("array<double>"))
+        out = (
+            rerank.select(id_col, "embedding")
+            .join(F.broadcast(cand_ids), id_col)
+            .select(
+                F.col(id_col),
+                F.col("partition_id"),
+                exact.alias("__d"),
+            )
+        )
+        rank2 = (
+            F.round(F.col("__d"), round_to)
+            if round_to is not None
+            else F.col("__d")
+        )
+        out = out.orderBy(rank2.asc(), F.col(id_col).asc()).limit(int(k))
     score = (
         F.round(F.col("__d"), round_to) if round_to is not None else F.col("__d")
     )
@@ -520,6 +551,8 @@ def ivfsq_query_batch(
     round_to: int | None = None,
     where=None,
     collect_centroids: bool = True,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Batch IVF+SQ8 kNN — serving parity with the PQ side's
     `plans.ivf.ann_query`: one job for Q queries instead of Q jobs.
@@ -558,7 +591,12 @@ def ivfsq_query_batch(
 
     ``round_to``: output rounding; ranking then orders by the ROUNDED
     score with id tie-break (the frozen-row convention — see
-    `ivfsq_query`)."""
+    `ivfsq_query`).
+
+    ``rerank``/``rerank_factor`` (r9): exact re-rank of the quantized
+    top ``k * rerank_factor`` per query against the ORIGINAL vectors
+    (one broadcast join of the O(Q * k * factor) survivor set) — the
+    PQ side's refinement mode; emitted distances become exact."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -646,21 +684,48 @@ def ivfsq_query_batch(
     w = Window.partitionBy("query_id").orderBy(
         rank_col.asc(), F.col(id_col).asc()
     )
+    adc_k = int(k) * int(rerank_factor) if rerank is not None else int(k)
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= adc_k
+    )
+    if rerank is not None:
+        cand = topk.select("query_id", id_col, "partition_id")
+        exact = (
+            rerank.select(id_col, "embedding")
+            .join(F.broadcast(cand), id_col)
+            .join(qdf, "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                F.col("partition_id"),
+                squared_l2(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("__qv"),
+                ).alias("__d"),
+            )
+        )
+        rank2 = (
+            F.round(F.col("__d"), round_to)
+            if round_to is not None
+            else F.col("__d")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            rank2.asc(), F.col(id_col).asc()
+        )
+        topk = exact.withColumn("rank", F.row_number().over(w2)).where(
+            F.col("rank") <= int(k)
+        )
     out_score = (
         F.round(F.col("__d"), round_to)
         if round_to is not None
         else F.col("__d")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select(
-            "query_id",
-            id_col,
-            "partition_id",
-            out_score.alias("squared_distance"),
-            "rank",
-        )
+    return topk.select(
+        "query_id",
+        id_col,
+        "partition_id",
+        out_score.alias("squared_distance"),
+        "rank",
     )
 
 

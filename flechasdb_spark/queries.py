@@ -10746,3 +10746,86 @@ def q_ivfsq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = build_ivfsq(emb, cent)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivfsq_range_query(model, qv, radius=1.6, nprobe=3, round_to=4)
+
+
+@query(
+    "ivfsq4_rerank_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(15,
+                  floor((x - rba.lo[i]) * 15.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 15.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+survivors AS (
+  SELECT vec_id, partition_id FROM (
+    SELECT recon.vec_id, recon.partition_id,
+           row_number() OVER (
+             ORDER BY round({_DD_SQL2.format(a="q.qv", b="recon.dv")}, 4),
+                      recon.vec_id) AS rn
+    FROM recon, q) s WHERE rn <= 40),
+exact AS (
+  SELECT sv.vec_id, sv.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS d
+  FROM survivors sv JOIN embeddings e USING (vec_id), q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM exact ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq4_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ4 + exact re-rank serving shape (r9 — the PQ refinement mode
+    on the SQ side, `ivfsq_query(rerank=...)`): the 16-level quantized
+    scan keeps k*4 survivors, one broadcast join against the original
+    vectors re-scores them exactly, emitted distances are the true
+    metric. The oracle recomputes quantized ranking AND the exact
+    rerank; BOTH legs rank on ROUNDED
+    distances with id tie-break (the frozen-row convention — rounding
+    plus a deterministic tie-break is MORE portable than full
+    precision, where sub-round noise can flip the survivor cut). Coarse codes are where rerank earns
+    its keep: recall recovery is property-gated in
+    tests/test_ivfsq.py."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bits=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_query(
+        model, qv, k=10, nprobe=3, rerank=emb, rerank_factor=4, round_to=4
+    )

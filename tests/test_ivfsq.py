@@ -772,3 +772,41 @@ def test_range_query_batch_parity(spark, emb, model, model_cell):
 
     empty = ivfsq_range_query_batch(model, [], radius=1.0, nprobe=2)
     assert empty.count() == 0 and "squared_distance" in empty.columns
+
+
+def test_rerank_recovers_sq4_recall(spark, emb, cent):
+    """r9 exact re-rank (parity with the PQ refinement modes): on the
+    coarse 16-level SQ4 codes, rerank against the originals recovers
+    recall (>= the un-reranked result, and >= 9/10 on the fixture);
+    emitted distances become EXACT (equal to flat_knn's); the batch
+    path agrees with the solo path."""
+    from flechasdb_spark.operators.knn import flat_knn
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        ivfsq_query_batch,
+    )
+
+    m4 = build_ivfsq(emb, cent, bits=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    exact_rows = flat_knn(emb, qv, k=10, round_to=6).collect()
+    exact_ids = {r.vec_id for r in exact_rows}
+    exact_d = {r.vec_id: r.squared_distance for r in exact_rows}
+
+    plain = {r.vec_id for r in ivfsq_query(m4, qv, k=10, nprobe=6).collect()}
+    rer = ivfsq_query(
+        m4, qv, k=10, nprobe=6, rerank=emb, rerank_factor=4, round_to=6
+    ).collect()
+    rer_ids = {r.vec_id for r in rer}
+    assert len(exact_ids & rer_ids) >= max(len(exact_ids & plain), 9)
+    for r in rer:
+        if r.vec_id in exact_d:  # reranked distances are the exact ones
+            assert r.squared_distance == exact_d[r.vec_id]
+
+    batch = ivfsq_query_batch(
+        m4, [(11, qv)], k=10, nprobe=6, rerank=emb, rerank_factor=4,
+        round_to=6,
+    ).collect()
+    assert [(r.vec_id, r.squared_distance) for r in sorted(batch, key=lambda r: r.rank)] == [
+        (r.vec_id, r.squared_distance) for r in rer
+    ]
