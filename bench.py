@@ -607,6 +607,7 @@ def main() -> None:
         "embedding_range_search",
         "ivfsq_range_query",
         "ivfsq4_rerank_knn",
+        "ivfsq_upsert_query",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

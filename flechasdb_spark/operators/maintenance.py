@@ -38,6 +38,8 @@ __all__ = [
     "compact_ingest_store",
     "repair_ingest_store",
     "ingest_batch_committed",
+    "ivfsq_upsert",
+    "ivfsq_delete",
 ]
 
 _DYN = {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
@@ -791,3 +793,144 @@ def compact_ingest_store(
         "folded_batches": len([i for i in fold if i != -1]),
         "ledger_ids": len(new_ids),
     }
+
+
+# ---------------------------------------------------------------------------
+# IVF+SQ maintenance (r9): upsert/delete on a save_ivfsq index — the SQ
+# siblings of upsert_vectors/delete_vectors above. Same
+# dynamic-partition-overwrite discipline: cost proportional to the
+# TOUCHED cells, never the index; encode with the FROZEN model
+# (centroids + bounds + depth), so post-maintenance codes remain
+# comparable with every untouched cell's.
+# ---------------------------------------------------------------------------
+
+
+def _require_flat_ivfsq_layout(existing: DataFrame, op: str) -> None:
+    if "ingest_batch" in existing.columns:
+        raise ValueError(
+            f"{op} operates on the single-level save_ivfsq layout; a "
+            "streaming (ingest_batch=) index must be rewritten through "
+            "save_ivfsq (or a full compact_index) first — dynamic "
+            "partition overwrite on partition_id would leave a mixed "
+            "directory tree"
+        )
+
+
+def ivfsq_upsert(
+    spark: SparkSession,
+    model,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    missing_cell: str = "error",
+) -> list[int]:
+    """Encode ``vectors`` with the FROZEN IVF+SQ model
+    (`plans.ivfsq.encode_frozen_residuals` — per-cell bounds
+    left-joined, a cell with no bounds row fails loudly or degrades
+    per ``missing_cell``) and upsert into ``<index_path>/index``:
+    replaced ids disappear, new ids appear, only the touched
+    ``partition_id=`` directories are rewritten. Returns the
+    rewritten partition ids."""
+    from flechasdb_spark.plans.ivfsq import (
+        encode_frozen_residuals,
+        ivfsq_residuals,
+    )
+
+    existing = spark.read.parquet(f"{index_path}/index")
+    _require_flat_ivfsq_layout(existing, "ivfsq_upsert")
+    resid = ivfsq_residuals(vectors, model.centroids, id_col, vec_col)
+    incoming = encode_frozen_residuals(
+        resid, model, id_col, missing_cell
+    ).persist()
+    new_ids = incoming.select(id_col)
+    replaced_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.join(F.broadcast(new_ids), id_col, "left_semi")
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    incoming_pids = {
+        r.partition_id
+        for r in incoming.select("partition_id").distinct().collect()
+    }
+    touched = sorted(set(replaced_cnt) | incoming_pids)
+    if not touched:
+        incoming.unpersist()
+        return []
+    existing_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(F.col("partition_id").isin(touched))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    survivors = existing.where(
+        F.col("partition_id").isin(touched)
+    ).join(F.broadcast(new_ids), id_col, "left_anti")
+    out_cols = [id_col, "codes", "partition_id"]
+    replacement = survivors.select(out_cols).unionByName(
+        incoming.select(out_cols)
+    )
+    with _with_conf(spark, _DYN):
+        (
+            replacement.repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{index_path}/index")
+        )
+    emptied = [
+        p
+        for p in touched
+        if p not in incoming_pids
+        and replaced_cnt.get(p, 0) >= existing_cnt.get(p, 0)
+    ]
+    _remove_partition_dirs(spark, f"{index_path}/index", emptied)
+    incoming.unpersist()
+    return touched
+
+
+def ivfsq_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: list[int],
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Remove vectors by id from a save_ivfsq index, rewriting only
+    the cells that hold them (emptied cell directories are removed —
+    dynamic overwrite cannot). Returns the rewritten partition ids."""
+    existing = spark.read.parquet(f"{index_path}/index")
+    _require_flat_ivfsq_layout(existing, "ivfsq_delete")
+    victims = existing.where(F.col(id_col).isin([int(i) for i in ids]))
+    victim_cnt = {
+        r.partition_id: r["count"]
+        for r in victims.groupBy("partition_id").count().collect()
+    }
+    touched = sorted(victim_cnt)
+    if not touched:
+        return []
+    existing_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(F.col("partition_id").isin(touched))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    survivors = existing.where(
+        F.col("partition_id").isin(touched)
+        & ~F.col(id_col).isin([int(i) for i in ids])
+    )
+    with _with_conf(spark, _DYN):
+        (
+            survivors.select(id_col, "codes", "partition_id")
+            .repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{index_path}/index")
+        )
+    emptied = [
+        p for p in touched if victim_cnt[p] >= existing_cnt.get(p, 0)
+    ]
+    _remove_partition_dirs(spark, f"{index_path}/index", emptied)
+    return touched

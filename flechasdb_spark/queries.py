@@ -10829,3 +10829,114 @@ def q_ivfsq4_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_query(
         model, qv, k=10, nprobe=3, rerank=emb, rerank_factor=4, round_to=4
     )
+
+
+@query(
+    "ivfsq_upsert_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+corpus2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id <> 10
+  UNION ALL
+  SELECT 10 AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id = 11
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 2),
+assigned2 AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.v", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM corpus2 e CROSS JOIN cent c) s WHERE rn = 1),
+codes2 AS (
+  SELECT a.vec_id, a.partition_id, a.cv,
+         list_transform(
+           list_transform(list_zip(a.v, a.cv), z -> z[1] - z[2]),
+           (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM assigned2 a, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 11),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes2 co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ maintenance lifecycle (r9,
+    `maintenance.ivfsq_upsert`): build under frozen centroids + global
+    residual bounds, persist, UPSERT (replace vec_id 10 with 11's
+    vector, add two new ids carrying 0/1's vectors — all encoded with
+    the FROZEN model so codes stay comparable, only touched cells
+    rewritten via dynamic partition overwrite), reload, top-10. The
+    oracle freezes bounds from the ORIGINAL corpus residuals and
+    recomputes the post-upsert corpus encode + query end to end —
+    upsert-then-query ≡ frozen-encode-of-modified-corpus, the
+    maintenance invariant (the split/merge rows' convention)."""
+    from flechasdb_spark.operators.maintenance import ivfsq_upsert
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    path = tempfile.mkdtemp(prefix="ivfsq_upsert_row_")
+    save_ivfsq(model, path)
+    up = (
+        emb.where(F.col("vec_id") == 11)
+        .select(F.lit(10).cast("long").alias("vec_id"), "embedding")
+        .unionByName(
+            emb.where(F.col("vec_id") < 2).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    ivfsq_upsert(spark, model, path, up)
+    loaded = load_ivfsq(spark, path)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    return ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=4)

@@ -810,3 +810,84 @@ def test_rerank_recovers_sq4_recall(spark, emb, cent):
     assert [(r.vec_id, r.squared_distance) for r in sorted(batch, key=lambda r: r.rank)] == [
         (r.vec_id, r.squared_distance) for r in rer
     ]
+
+
+def test_ivfsq_upsert_delete_lifecycle(spark, emb, cent, tmp_path):
+    """r9 SQ maintenance: upsert replaces/adds under the frozen model
+    touching only the affected cells; delete removes victims and
+    emptied cell dirs; the served results equal a fresh build over the
+    post-maintenance corpus ENCODED WITH THE FROZEN BOUNDS; streaming
+    (ingest_batch=) layouts are refused."""
+    import glob
+
+    from flechasdb_spark.operators.maintenance import (
+        ivfsq_delete,
+        ivfsq_upsert,
+    )
+    from flechasdb_spark.plans.ivfsq import (
+        IVFSQModel,
+        assemble_ivfsq,
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    model = build_ivfsq(emb, cent, bounds="per_cell")
+    path = str(tmp_path / "sq_maint")
+    save_ivfsq(model, path)
+
+    # upsert: replace id 10 with id 11's vector, add two new ids
+    up = emb.where(F.col("vec_id") == 11).select(
+        F.lit(10).cast("long").alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.where(F.col("vec_id") < 2).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    touched = ivfsq_upsert(spark, model, path, up)
+    assert touched  # at least one cell rewritten
+    loaded = load_ivfsq(spark, path)
+    n = loaded.encoded.count()
+    assert n == emb.count() + 2
+    assert loaded.encoded.where("vec_id = 10").count() == 1
+
+    # served results == frozen-model encode of the post-upsert corpus
+    corpus = emb.where(F.col("vec_id") != 10).select("vec_id", "embedding") \
+        .unionByName(up.select("vec_id", "embedding"))
+    want_model = assemble_ivfsq(corpus, model)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    want = [(r.vec_id, r.squared_distance)
+            for r in ivfsq_query(want_model, qv, k=10, nprobe=4, round_to=6).collect()]
+    got = [(r.vec_id, r.squared_distance)
+           for r in ivfsq_query(loaded, qv, k=10, nprobe=4, round_to=6).collect()]
+    assert got == want
+
+    # delete: victims disappear; deleting ALL of one cell removes its dir
+    cell0_ids = [
+        int(r.vec_id)
+        for r in loaded.encoded.where("partition_id = 0").collect()
+    ]
+    victims = sorted(set(cell0_ids) | {100000})
+    touched = ivfsq_delete(spark, path, victims)
+    assert 0 in touched
+    after = spark.read.parquet(f"{path}/index")
+    assert after.where(F.col("vec_id").isin(victims)).count() == 0
+    assert not glob.glob(f"{path}/index/partition_id=0")
+    assert after.count() == n - len(victims)
+
+    # streaming layout refused
+    two_level = IVFSQModel(
+        centroids=model.centroids, lo=None, hi=None,
+        encoded=model.encoded, cell_bounds=model.cell_bounds,
+    )
+    sp = str(tmp_path / "streaming_idx")
+    model.encoded.limit(10).withColumn(
+        "ingest_batch", F.lit(0)
+    ).write.partitionBy("ingest_batch", "partition_id").parquet(
+        f"{sp}/index"
+    )
+    with pytest.raises(ValueError, match="single-level save_ivfsq layout"):
+        ivfsq_upsert(spark, two_level, sp, up)
+    with pytest.raises(ValueError, match="single-level save_ivfsq layout"):
+        ivfsq_delete(spark, sp, [1])
