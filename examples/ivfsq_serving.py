@@ -116,6 +116,30 @@ def main() -> None:
         t_served, qs[0][1], k=5, nprobe=3, round_to=4
     ).show()
 
+    # 6. Maintenance + the other serving contracts (late r9):
+    #    upsert new arrivals with the FROZEN model (touches only their
+    #    cells), radius search ("everything within r", count set by the
+    #    data), and exact re-rank (quantized survivors re-scored
+    #    against the originals — the SQ4 recall-recovery mode).
+    from flechasdb_spark.operators.maintenance import ivfsq_upsert
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query, ivfsq_query
+
+    arrivals = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    touched = ivfsq_upsert(spark, served, idx_path, arrivals)
+    print(f"upserted 3 arrivals, rewrote cells {touched}")
+    refreshed = load_ivfsq(spark, idx_path)
+    print("radius search (everything within 1.5):")
+    ivfsq_range_query(refreshed, qs[0][1], radius=1.5, nprobe=3,
+                      round_to=4).show(5)
+    print("exact-reranked top-5 (true-metric distances):")
+    # the rerank table must hold originals for EVERYTHING indexed —
+    # a survivor missing from it is dropped, so include the arrivals
+    originals = emb.select("vec_id", "embedding").unionByName(arrivals)
+    ivfsq_query(refreshed, qs[0][1], k=5, nprobe=3, rerank=originals,
+                rerank_factor=4, round_to=4).show()
+
     spark.stop()
 
 

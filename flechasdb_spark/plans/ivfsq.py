@@ -219,7 +219,9 @@ def ivfsq_query(
     TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4).
 
     ``rerank`` (r9 — parity with the PQ side's refinement modes): a
-    DataFrame holding the ORIGINAL vectors (id_col + 'embedding').
+    DataFrame holding the ORIGINAL vectors (id_col + 'embedding') for
+    EVERYTHING indexed — a survivor absent from it is dropped by the
+    inner join (the FAISS refine-storage contract).
     The quantized scan keeps ``k * rerank_factor`` survivors, which
     broadcast into one exact-distance join against the originals;
     the emitted distances are then EXACT. Near-free insurance for SQ8
