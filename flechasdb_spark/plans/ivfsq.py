@@ -370,6 +370,7 @@ def ivfsq_range_query(
     id_col: str = "vec_id",
     round_to: int | None = None,
     limit: int | None = None,
+    where=None,
 ) -> DataFrame:
     """RADIUS search over the IVF+SQ index (the FAISS ``range_search``
     contract composed with this index): every candidate in the
@@ -383,7 +384,9 @@ def ivfsq_range_query(
 
     ``round_to`` rounds the emitted distance AND applies the filter to
     the rounded value (the frozen-row convention); ``limit`` optionally
-    caps a pathological radius (ordered — keeps the nearest)."""
+    caps a pathological radius (ordered — keeps the nearest);
+    ``where`` pre-filters candidates BEFORE scoring (the filtered
+    search mode the top-k paths share)."""
     cc = cent_col_name(model.centroids)
     probe_ids = [
         int(r["partition_id"])
@@ -395,10 +398,10 @@ def ivfsq_range_query(
             vec_col=cc,
         ).collect()
     ]
-    cands = (
-        model.encoded.where(F.col("partition_id").isin(probe_ids))
-        .join(F.broadcast(model.centroids), "partition_id")
-    )
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    cands = cands.join(F.broadcast(model.centroids), "partition_id")
     qA = _lit_arr([float(x) for x in query_vector])
     if model.cell_bounds is not None:
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
@@ -740,6 +743,7 @@ def ivfsq_range_query_batch(
     round_to: int | None = None,
     limit_per_query: int | None = None,
     collect_centroids: bool = True,
+    where=None,
 ) -> DataFrame:
     """Batch radius search — `ivfsq_query_batch`'s serving shape with
     `ivfsq_range_query`'s filter tail: one job for Q radius queries,
@@ -799,9 +803,11 @@ def ivfsq_range_query_batch(
         )
     )
     all_probed = sorted({pid for _, pid in probe_rows})
+    cands = model.encoded.where(F.col("partition_id").isin(all_probed))
+    if where is not None:
+        cands = cands.where(where)
     cands = (
-        model.encoded.where(F.col("partition_id").isin(all_probed))
-        .join(probes, "partition_id")
+        cands.join(probes, "partition_id")
         .join(F.broadcast(model.centroids), "partition_id")
         .join(qdf, "query_id")
     )

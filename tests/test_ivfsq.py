@@ -891,3 +891,31 @@ def test_ivfsq_upsert_delete_lifecycle(spark, emb, cent, tmp_path):
         ivfsq_upsert(spark, two_level, sp, up)
     with pytest.raises(ValueError, match="single-level save_ivfsq layout"):
         ivfsq_delete(spark, sp, [1])
+
+
+def test_range_query_where_filter(spark, emb, model):
+    """r9: the radius paths share the filtered-search mode — the
+    pre-filter applies BEFORE scoring, solo == batch, results are the
+    unfiltered results minus the excluded ids."""
+    from flechasdb_spark.plans.ivfsq import (
+        ivfsq_range_query,
+        ivfsq_range_query_batch,
+    )
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    allr = ivfsq_range_query(model, qv, radius=1.6, nprobe=P, round_to=6).collect()
+    evn = ivfsq_range_query(
+        model, qv, radius=1.6, nprobe=P, round_to=6,
+        where=F.col("vec_id") % 2 == 0,
+    ).collect()
+    assert all(r.vec_id % 2 == 0 for r in evn)
+    assert [(r.vec_id, r.squared_distance) for r in evn] == [
+        (r.vec_id, r.squared_distance) for r in allr if r.vec_id % 2 == 0
+    ]
+    batch = ivfsq_range_query_batch(
+        model, [(3, qv)], radius=1.6, nprobe=P, round_to=6,
+        where=F.col("vec_id") % 2 == 0,
+    ).collect()
+    assert sorted((r.vec_id, r.squared_distance) for r in batch) == sorted(
+        (r.vec_id, r.squared_distance) for r in evn
+    )
