@@ -608,6 +608,7 @@ def main() -> None:
         "ivfsq_range_query",
         "ivfsq4_rerank_knn",
         "ivfsq_upsert_query",
+        "ivfsq_attr_filtered",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -824,6 +824,7 @@ def ivfsq_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     missing_cell: str = "error",
+    attr_cols: tuple = (),
 ) -> list[int]:
     """Encode ``vectors`` with the FROZEN IVF+SQ model
     (`plans.ivfsq.encode_frozen_residuals` — per-cell bounds
@@ -839,10 +840,19 @@ def ivfsq_upsert(
 
     existing = spark.read.parquet(f"{index_path}/index")
     _require_flat_ivfsq_layout(existing, "ivfsq_upsert")
-    resid = ivfsq_residuals(vectors, model.centroids, id_col, vec_col)
+    resid = ivfsq_residuals(
+        vectors, model.centroids, id_col, vec_col,
+        keep_cols=tuple(attr_cols),
+    )
     incoming = encode_frozen_residuals(
         resid, model, id_col, missing_cell
     ).persist()
+    missing_attrs = set(existing.columns) - set(incoming.columns)
+    if missing_attrs:
+        raise ValueError(
+            f"index carries attribute columns {sorted(missing_attrs)} — "
+            "pass attr_cols so upserted rows carry them too"
+        )
     new_ids = incoming.select(id_col)
     replaced_cnt = {
         r.partition_id: r["count"]
@@ -869,7 +879,10 @@ def ivfsq_upsert(
     survivors = existing.where(
         F.col("partition_id").isin(touched)
     ).join(F.broadcast(new_ids), id_col, "left_anti")
-    out_cols = [id_col, "codes", "partition_id"]
+    # preserve whatever columns the index carries (attributes included)
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
     replacement = survivors.select(out_cols).unionByName(
         incoming.select(out_cols)
     )
@@ -921,9 +934,12 @@ def ivfsq_delete(
         F.col("partition_id").isin(touched)
         & ~F.col(id_col).isin([int(i) for i in ids])
     )
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
     with _with_conf(spark, _DYN):
         (
-            survivors.select(id_col, "codes", "partition_id")
+            survivors.select(out_cols)
             .repartition("partition_id")
             .write.mode("overwrite")
             .partitionBy("partition_id")

@@ -90,11 +90,13 @@ def ivfsq_residuals(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, partition_id, residual): nearest-centroid assignment + the
-    per-row residual v - centroid. One broadcast-join argmin (the
-    ivf_assign shape) followed by one more broadcast join to subtract
-    the winning centroid — both map-side, one shuffle total."""
+    """(id, partition_id, residual[, *keep_cols]): nearest-centroid
+    assignment + the per-row residual v - centroid. One broadcast-join
+    argmin (the ivf_assign shape) followed by one more broadcast join
+    to subtract the winning centroid — both map-side, one shuffle
+    total. ``keep_cols`` ride along untouched (attribute columns)."""
     cc = cent_col_name(centroids)
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col
@@ -106,7 +108,7 @@ def ivfsq_residuals(
         lambda a, b: a - b,
     )
     return back.select(
-        id_col, "partition_id", resid.alias("residual")
+        id_col, "partition_id", resid.alias("residual"), *keep_cols
     )
 
 
@@ -118,10 +120,17 @@ def build_ivfsq(
     bounds: str = "global",
     clip: tuple[float, float] | None = None,
     bits: int = 8,
+    attr_cols: tuple = (),
 ) -> IVFSQModel:
     """Assign, train residual bounds, encode. ``centroids`` come from
     the caller — kmeans_fit on a sample (operators/build.py) in
     production, a frozen table in the oracle.
+
+    ``attr_cols`` (r9 — the PQ side's B10 story): attribute columns
+    copied onto the encoded rows, so filtered search (`where` on the
+    query paths) can gate on them BEFORE scoring and they persist
+    with the index (save_ivfsq writes whatever columns the encoded
+    table carries).
 
     ``bounds`` (VERDICT r7 #6):
 
@@ -146,7 +155,9 @@ def build_ivfsq(
     if not 2 <= int(bits) <= 8:
         raise ValueError(f"bits must be in [2, 8], got {bits!r}")
     levels = 2 ** int(bits) - 1
-    resid = ivfsq_residuals(vectors, centroids, id_col, vec_col)
+    resid = ivfsq_residuals(
+        vectors, centroids, id_col, vec_col, keep_cols=tuple(attr_cols)
+    )
     if bounds == "per_cell":
         cb = sq_train_grouped(
             resid,
@@ -161,6 +172,7 @@ def build_ivfsq(
             sq_encode_cols_expr("residual", "lo", "hi", levels).alias(
                 "codes"
             ),
+            *attr_cols,
         )
         return IVFSQModel(
             centroids=centroids,
@@ -180,6 +192,7 @@ def build_ivfsq(
         id_col,
         "partition_id",
         sq_encode_expr("residual", lo, hi, levels).alias("codes"),
+        *attr_cols,
     )
     return IVFSQModel(
         centroids=centroids, lo=lo, hi=hi, encoded=enc, levels=levels
@@ -329,6 +342,10 @@ def encode_frozen_residuals(
         raise ValueError(
             f"missing_cell must be 'error' or 'zero': {missing_cell!r}"
         )
+    extras = [
+        c for c in resid.columns
+        if c not in (id_col, "partition_id", "residual")
+    ]
     if model.cell_bounds is None:
         return resid.select(
             id_col,
@@ -336,6 +353,7 @@ def encode_frozen_residuals(
             sq_encode_expr(
                 "residual", model.lo, model.hi, model.levels
             ).alias("codes"),
+            *extras,
         )
     joined = resid.join(F.broadcast(model.cell_bounds), "partition_id", "left")
     codes = sq_encode_cols_expr("residual", "lo", "hi", model.levels)
@@ -359,7 +377,9 @@ def encode_frozen_residuals(
             F.lit(0).cast("smallint"), F.size(F.col("residual"))
         )
         guarded = F.when(F.col("lo").isNull(), zeros).otherwise(codes)
-    return joined.select(id_col, "partition_id", guarded.alias("codes"))
+    return joined.select(
+        id_col, "partition_id", guarded.alias("codes"), *extras
+    )
 
 
 def ivfsq_range_query(
@@ -437,6 +457,7 @@ def assemble_ivfsq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     missing_cell: str = "error",
+    attr_cols: tuple = (),
 ) -> IVFSQModel:
     """Encode a corpus SHARD against a FROZEN IVF+SQ model — the
     train-once / encode-everywhere half of the 100 TB build shape
@@ -448,7 +469,10 @@ def assemble_ivfsq(
     `encode_frozen_residuals` — a cell absent from the frozen per-cell
     bounds errors loudly (default) or degrades to centroid-only codes,
     never a silent drop."""
-    resid = ivfsq_residuals(vectors, model.centroids, id_col, vec_col)
+    resid = ivfsq_residuals(
+        vectors, model.centroids, id_col, vec_col,
+        keep_cols=tuple(attr_cols),
+    )
     enc = encode_frozen_residuals(resid, model, id_col, missing_cell)
     return IVFSQModel(
         centroids=model.centroids,

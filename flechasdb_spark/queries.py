@@ -10940,3 +10940,89 @@ def q_ivfsq_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = load_ivfsq(spark, path)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
     return ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=4)
+
+
+@query(
+    "ivfsq_attr_filtered",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, label, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, e.label,
+           c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, label, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, label, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv, label AS qlabel FROM embeddings
+      WHERE vec_id = {_IVF_QID}),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba, q
+  WHERE co.label = q.qlabel),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_attr_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered IVF+SQ search (r9 —
+    ``build_ivfsq(attr_cols=("label",))`` + the batch path's ``where``):
+    the label column rides the encoded rows (the PQ side's B10
+    attribute story on SQ), so the candidate scan filters label ==
+    query's label BEFORE scoring — every returned rank satisfies the
+    predicate, and the index persists attributes with its codes. The
+    oracle recomputes the full lifecycle with the label equi-filter in
+    the candidate CTE."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, attr_cols=("label",))
+    qrow = emb.where(F.col("vec_id") == _IVF_QID).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return (
+        ivfsq_query_batch(
+            model,
+            [(int(_IVF_QID), qv)],
+            k=10,
+            nprobe=3,
+            round_to=4,
+            where=F.col("label") == int(qrow["label"]),
+        )
+        .select("vec_id", "partition_id", "squared_distance")
+        .orderBy("squared_distance", "vec_id")
+    )

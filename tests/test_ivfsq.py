@@ -919,3 +919,53 @@ def test_range_query_where_filter(spark, emb, model):
     assert sorted((r.vec_id, r.squared_distance) for r in batch) == sorted(
         (r.vec_id, r.squared_distance) for r in evn
     )
+
+
+def test_attr_cols_lifecycle(spark, emb, cent, tmp_path):
+    """r9 attribute columns (the PQ side's B10 story on SQ): attrs
+    ride the encoded rows through build, save/load, filtered search
+    (pre-filter BEFORE scoring), assemble, and upsert; an upsert that
+    forgets them is refused."""
+    from flechasdb_spark.operators.maintenance import ivfsq_upsert
+    from flechasdb_spark.plans.ivfsq import (
+        assemble_ivfsq,
+        build_ivfsq,
+        ivfsq_query_batch,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    model = build_ivfsq(emb, cent, bounds="per_cell", attr_cols=("label",))
+    assert "label" in model.encoded.columns
+    path = str(tmp_path / "sq_attrs")
+    save_ivfsq(model, path)
+    loaded = load_ivfsq(spark, path)
+    assert "label" in loaded.encoded.columns
+
+    qs = [(3, [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]])]
+    want_label = int(emb.where(F.col("vec_id") == 3).first()["label"])
+    hits = ivfsq_query_batch(
+        loaded, qs, k=5, nprobe=P, where=F.col("label") == want_label,
+        round_to=6,
+    ).collect()
+    assert len(hits) == 5
+    lbl = {int(r["label"]) for r in emb.join(
+        spark.createDataFrame([(r.vec_id,) for r in hits], "vec_id long"),
+        "vec_id", "left_semi").select("label").collect()}
+    assert lbl == {want_label}
+
+    shard = assemble_ivfsq(
+        emb.where(F.col("vec_id") % 2 == 0), model, attr_cols=("label",)
+    )
+    assert "label" in shard.encoded.columns
+
+    up = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+    with pytest.raises(ValueError, match="attribute columns"):
+        ivfsq_upsert(spark, model, path, up)  # attrs forgotten
+    touched = ivfsq_upsert(spark, model, path, up, attr_cols=("label",))
+    assert touched
+    after = spark.read.parquet(f"{path}/index")
+    assert "label" in after.columns
+    assert after.where("vec_id >= 500000").count() == 2
