@@ -853,6 +853,17 @@ def ivfsq_upsert(
             f"index carries attribute columns {sorted(missing_attrs)} — "
             "pass attr_cols so upserted rows carry them too"
         )
+    # symmetric direction (ADVICE r9 #4): attr_cols naming columns the
+    # existing index does NOT carry would be silently dropped by the
+    # out_cols projection below — the caller would believe the
+    # attribute landed when it did not. Fail loudly instead.
+    extra_attrs = set(incoming.columns) - set(existing.columns)
+    if extra_attrs:
+        raise ValueError(
+            f"incoming rows carry columns {sorted(extra_attrs)} absent "
+            "from the existing index — rebuild the index with these "
+            "attr_cols (an upsert cannot widen the at-rest schema)"
+        )
     new_ids = incoming.select(id_col)
     replaced_cnt = {
         r.partition_id: r["count"]

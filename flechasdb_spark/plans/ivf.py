@@ -132,10 +132,17 @@ def select_probes(
     p = model.centroids.shape[0]
     if nprobe > p:
         raise ValueError(f"nprobe {nprobe} exceeds num_partitions {p}")
-    # ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2 ; ||q||^2 constant per row
-    cross = queries @ model.centroids.T
-    c2 = (model.centroids**2).sum(axis=1)
-    scores = c2[None, :] - 2.0 * cross  # (Q, P) up to a per-row constant
+    # dimension-major accumulation (d2 += diff^2 per dim) — the exact
+    # left-fold the engine's squared_l2 aggregate performs, so near-tie
+    # centroid distances order IDENTICALLY to select_probes_df and the
+    # SQ side's driver path (VERDICT r9 #7; the former algebraic
+    # expansion ||c||^2 - 2 q.c could flip probed cells on ties because
+    # its rounding path differs from the engine fold — parity is
+    # tie-fixture-gated in tests/test_plans.py).
+    scores = np.zeros((queries.shape[0], p))
+    for j in range(queries.shape[1]):
+        diff = queries[:, j, None] - model.centroids[None, :, j]
+        scores += diff * diff
     probed = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
     q_idx = np.repeat(np.arange(queries.shape[0]), nprobe)
     return q_idx, probed.ravel()

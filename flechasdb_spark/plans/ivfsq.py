@@ -224,12 +224,19 @@ def ivfsq_query(
     round_to: int | None = None,
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    where=None,
 ) -> DataFrame:
     """Asymmetric search: exact query vs (centroid + decoded residual),
     scanning only the ``nprobe`` nearest cells. Probe selection is the
     O(P) flat_knn over centroids; the candidate scan is one semi-join
     (partition pruning at rest) + codegen'd element arithmetic +
     TakeOrderedAndProject. Ties break by id (SURVEY.md §2.4).
+
+    ``where`` (r10 — solo parity with `ivfsq_query_batch` and the
+    radius paths, VERDICT r9 #8): optional pre-filter predicate
+    (Column or SQL string) over the encoded rows' columns (attributes
+    included), applied BEFORE scoring, so the k returned rows all
+    satisfy it — filtered search without batching a single query.
 
     ``rerank`` (r9 — parity with the PQ side's refinement modes): a
     DataFrame holding the ORIGINAL vectors (id_col + 'embedding') for
@@ -257,10 +264,10 @@ def ivfsq_query(
             vec_col=cc,
         ).collect()
     ]
-    cands = (
-        model.encoded.where(F.col("partition_id").isin(probe_ids))
-        .join(F.broadcast(model.centroids), "partition_id")
-    )
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    cands = cands.join(F.broadcast(model.centroids), "partition_id")
     qA = _lit_arr([float(x) for x in query_vector])
     if model.cell_bounds is not None:
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
@@ -486,8 +493,11 @@ def assemble_ivfsq(
 
 def cell_bounds_fingerprint(cell_bounds: DataFrame) -> int:
     """Order-independent content fingerprint of a per-cell bounds
-    table: sum of per-row xxhash64(partition_id, lo, hi) (64-bit
-    wraparound). One O(P)-row job — cheap by construction (the table
+    table: bit_xor of per-row xxhash64(partition_id, lo, hi), combined
+    with the row count (a sum would overflow under ANSI mode; XOR is
+    order-independent and overflow-free, and folding the count back in
+    keeps tables differing only by duplicated rows — which XOR cancels
+    — distinguishable). One O(P)-row job — cheap by construction (the table
     broadcasts), and it lets two shards RELOADED from disk prove they
     share the one frozen training pass (ADVICE r8 #5: object identity
     rejected the realistic multi-job 100 TB build, where each shard is
@@ -786,12 +796,18 @@ def ivfsq_range_query_batch(
     cc = cent_col_name(model.centroids)
     qids = [int(q) for q, _ in queries]
     if not qids:
+        # the empty-batch schema must match the non-empty path's:
+        # limit_per_query adds a rank column there, so it does here too
+        # (ADVICE r9 #3 — a caller unioning per-shard batches would
+        # otherwise see a schema that depends on batch emptiness)
         id_type = model.encoded.schema[id_col].dataType.simpleString()
-        return spark.createDataFrame(
-            [],
+        schema = (
             f"query_id long, {id_col} {id_type}, partition_id int, "
-            "squared_distance double",
+            "squared_distance double"
         )
+        if limit_per_query is not None:
+            schema += ", rank int"
+        return spark.createDataFrame([], schema)
     Q = np.array([[float(x) for x in v] for _, v in queries])
     if collect_centroids:
         crows = model.centroids.orderBy("partition_id").collect()
@@ -942,11 +958,15 @@ def train_ivfsq(
     bounds: str = "global",
     clip: tuple[float, float] | None = None,
     bits: int = 8,
+    attr_cols: tuple = (),
 ) -> IVFSQModel:
     """Production one-call build: coarse k-means on a bounded
     deterministic sample (the build_index training pattern —
     operators/build.py), then `build_ivfsq` against the trained
-    centroids. The oracle row keeps the frozen-centroid path."""
+    centroids. The oracle row keeps the frozen-centroid path.
+    ``attr_cols`` ride onto the encoded rows for filtered search,
+    exactly as in `build_ivfsq` (r10: forwarded so the transformed
+    factory composition can use them too, VERDICT r9 #4)."""
     import numpy as np
 
     from flechasdb_spark.operators.itq import sample_to_driver
@@ -966,5 +986,5 @@ def train_ivfsq(
     )
     return build_ivfsq(
         vectors, cent_df, id_col=id_col, vec_col=vec_col,
-        bounds=bounds, clip=clip, bits=bits,
+        bounds=bounds, clip=clip, bits=bits, attr_cols=tuple(attr_cols),
     )

@@ -330,13 +330,20 @@ def build_transformed_ivfsq(
     seed: int = 42,
     sample_n: int = 100_000,
     centroids: DataFrame | None = None,
+    bits: int = 8,
+    attr_cols: tuple = (),
 ) -> TransformedIVFSQ:
     """Train PCA(k') on ``df[vec_col]``, project (map-only, fused into
-    the build scan), build the IVF+SQ8 index in the projected space.
+    the build scan), build the IVF+SQ index in the projected space.
     ``centroids`` (already in the PROJECTED space) freezes the coarse
     quantizer for oracle-exact tests; otherwise `train_ivfsq` fits
     k-means on a bounded sample. ``bounds``/``clip`` pass through to
-    the SQ residual bounds (global / per_cell, quantile clipping)."""
+    the SQ residual bounds (global / per_cell, quantile clipping);
+    ``bits``/``attr_cols`` (r10, VERDICT r9 #4) pass through to the
+    quantization depth and attribute columns, so the factory spellings
+    ``PCAR{{k}},IVF{{P}},SQ4`` and attribute-filtered transformed
+    serving compose — the depth lands in the manifest through
+    `save_transformed_ivfsq` like any other SQ index."""
     from flechasdb_spark.plans.ivfsq import build_ivfsq, train_ivfsq
 
     pt = pca_train(df, k=int(pca_k), vec_col=vec_col)
@@ -345,7 +352,8 @@ def build_transformed_ivfsq(
     if centroids is not None:
         m = build_ivfsq(
             tdf, centroids, id_col=id_col, vec_col=vec_col,
-            bounds=bounds, clip=clip,
+            bounds=bounds, clip=clip, bits=bits,
+            attr_cols=tuple(attr_cols),
         )
     else:
         m = train_ivfsq(
@@ -357,6 +365,8 @@ def build_transformed_ivfsq(
             sample_n=sample_n,
             bounds=bounds,
             clip=clip,
+            bits=bits,
+            attr_cols=tuple(attr_cols),
         )
     return TransformedIVFSQ(pca=pt, whiten=whiten, model=m)
 

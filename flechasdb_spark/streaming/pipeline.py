@@ -265,13 +265,41 @@ def stream_ivfsq_encode(
         ivfsq_residuals,
     )
 
-    state = {"appends": 0}
+    state = {"appends": 0, "layout_checked": False}
     root = f"{index_path}/index"
+
+    def _require_ingest_layout(spark) -> None:
+        # A flat save_ivfsq layout (partition_id= directly under root)
+        # mixed with this sink's ingest_batch=/partition_id= tree makes
+        # spark.read.parquet(root) / load_ivfsq fail with 'Conflicting
+        # directory structures' (ADVICE r9 #1) — the mirror of
+        # maintenance._require_flat_ivfsq_layout. Fail fast at stream
+        # start with a migration hint instead of corrupting the store.
+        from flechasdb_spark.sources.manifest import _fs_path
+
+        rootp, fs = _fs_path(spark, root)
+        if not fs.exists(rootp):
+            return
+        for st in fs.listStatus(rootp):
+            if st.getPath().getName().startswith("partition_id="):
+                raise ValueError(
+                    "stream_ivfsq_encode writes an ingest_batch=/"
+                    "partition_id= tree, but this index root already "
+                    "holds a flat save_ivfsq partition_id= layout — "
+                    "mixing them breaks every reader. Stream into a "
+                    "fresh path, or fold the existing index into the "
+                    "streaming layout first (rewrite its rows under "
+                    "ingest_batch=-1, e.g. read + write.partitionBy "
+                    "into <root>/ingest_batch=-1)"
+                )
 
     def encode_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        if not state["layout_checked"]:
+            _require_ingest_layout(spark)
+            state["layout_checked"] = True
         repair_ingest_store(spark, root)
         if ingest_batch_committed(spark, root, batch_id):
             return  # replay of a fully committed batch: exact no-op

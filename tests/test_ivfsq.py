@@ -969,3 +969,53 @@ def test_attr_cols_lifecycle(spark, emb, cent, tmp_path):
     after = spark.read.parquet(f"{path}/index")
     assert "label" in after.columns
     assert after.where("vec_id >= 500000").count() == 2
+
+
+def test_solo_where_filter_matches_batch(spark, emb, model):
+    """r10 (VERDICT r9 #8): solo filtered search — `ivfsq_query(where=...)`
+    returns only qualifying rows and matches the batch-of-one filtered
+    path exactly, so the solo API no longer reads as if filtered search
+    requires batching."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, ivfsq_query_batch
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    pred = F.col("vec_id") % 2 == 0
+    solo = ivfsq_query(
+        model, qv, k=7, nprobe=P, round_to=6, where=pred
+    ).collect()
+    assert len(solo) == 7
+    assert all(r.vec_id % 2 == 0 for r in solo)
+    batch = ivfsq_query_batch(
+        model, [(3, qv)], k=7, nprobe=P, round_to=6, where=pred
+    ).collect()
+    assert [(r.vec_id, r.squared_distance) for r in solo] == [
+        (r.vec_id, r.squared_distance)
+        for r in sorted(batch, key=lambda r: r.rank)
+    ]
+    # unfiltered solo differs (the predicate actually bites)
+    plain = ivfsq_query(model, qv, k=7, nprobe=P, round_to=6).collect()
+    assert any(r.vec_id % 2 == 1 for r in plain)
+
+
+def test_range_batch_empty_schema_matches_nonempty(spark, model, emb):
+    """ADVICE r9 #3: the empty-batch early return of
+    ivfsq_range_query_batch must carry the SAME schema as the
+    non-empty path — including the rank column when limit_per_query
+    is set — so per-shard unions don't depend on batch emptiness."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query_batch
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    nonempty = ivfsq_range_query_batch(
+        model, [(3, qv)], radius=1.6, nprobe=2, limit_per_query=2
+    )
+    empty = ivfsq_range_query_batch(
+        model, [], radius=1.6, nprobe=2, limit_per_query=2
+    )
+    assert empty.columns == nonempty.columns
+    assert "rank" in empty.columns
+    # and the union is legal both ways
+    assert empty.unionByName(nonempty).count() == nonempty.count()
+    # without the limit neither side carries rank
+    e2 = ivfsq_range_query_batch(model, [], radius=1.6, nprobe=2)
+    n2 = ivfsq_range_query_batch(model, [(3, qv)], radius=1.6, nprobe=2)
+    assert e2.columns == n2.columns and "rank" not in e2.columns

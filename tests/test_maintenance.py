@@ -498,3 +498,170 @@ def test_rebalance_index_noop_when_balanced(spark):
     )
     assert history == []
     assert out is model
+
+
+# --- repair_ingest_store crash injection (VERDICT r9 #5) ----------------
+# compact_ingest_store's swap sequence is: stage tmp -> mkdir pre ->
+# move old -1 into pre FIRST, then the folded batch dirs -> rename
+# tmp to ingest_batch=-1 (THE commit point) -> delete pre. These tests
+# construct the mid-swap states directly (the way
+# test_compact_index_repairs_crashed_swap does for the index compactor)
+# so BOTH repair branches actually execute: commit-rename happened ->
+# roll forward; not happened -> roll back with -1 restored last.
+
+
+def _mk_ingest_store(spark, root, batch_ids):
+    for b in batch_ids:
+        (
+            spark.range(b * 10, b * 10 + 5)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/ingest_batch={b}")
+        )
+
+
+def _store_rows(spark, root):
+    return sorted(
+        (int(r.k), int(r.v), int(r.ingest_batch))
+        for r in spark.read.parquet(root).collect()
+    )
+
+
+def _stage_second_compaction(spark, root):
+    """Drive a real store into the mid-swap state of a SECOND
+    compaction (folding the existing -1 with batch 2), stopping just
+    before the commit rename: tmp staged, pre holds old -1 and dir 2,
+    root holds neither."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import (
+        COMPACTED_LEDGER,
+        compact_ingest_store,
+    )
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    _mk_ingest_store(spark, root, [0, 1, 2])
+    stats = compact_ingest_store(spark, root, exclude_batch_ids={2})
+    assert stats["folded_batches"] == 2
+    healthy = _store_rows(spark, root)
+    df = (
+        spark.read.option("basePath", root)
+        .parquet(f"{root}/ingest_batch=-1", f"{root}/ingest_batch=2")
+        .drop("ingest_batch")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/.compact.tmp")
+    write_manifest_json(
+        spark,
+        f"{root}/.compact.tmp/{COMPACTED_LEDGER}",
+        {"batch_ids": [0, 1, 2]},
+    )
+    os.makedirs(f"{root}/.compact.pre", exist_ok=True)
+    shutil.move(
+        f"{root}/ingest_batch=-1", f"{root}/.compact.pre/ingest_batch=-1"
+    )
+    shutil.move(
+        f"{root}/ingest_batch=2", f"{root}/.compact.pre/ingest_batch=2"
+    )
+    return healthy
+
+
+def test_repair_ingest_store_rolls_back_before_commit(spark, tmp_path):
+    """Crash BEFORE the commit rename (tmp staged, holding area full,
+    no ingest_batch=-1 at root): repair restores every held directory
+    (-1 last), drops the staging dir, and the store content equals the
+    pre-compaction state — including batch 2's own _SUCCESS commit
+    claim."""
+    from flechasdb_spark.operators.maintenance import (
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
+
+    root = str(tmp_path / "store")
+    healthy = _stage_second_compaction(spark, root)
+    assert not os.path.exists(f"{root}/ingest_batch=-1")
+
+    repair_ingest_store(spark, root)
+    assert not os.path.exists(f"{root}/.compact.pre")
+    assert not os.path.exists(f"{root}/.compact.tmp")
+    assert _store_rows(spark, root) == healthy
+    for b in (0, 1, 2):
+        assert ingest_batch_committed(spark, root, b)
+
+
+def test_repair_ingest_store_rolls_forward_after_commit(spark, tmp_path):
+    """Crash AFTER the commit rename (new folded -1 at root, holding
+    area still populated): repair drops the holding area and the store
+    serves the folded content with the widened ledger."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import (
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
+
+    root = str(tmp_path / "store")
+    healthy = _stage_second_compaction(spark, root)
+    # the commit rename happens...
+    shutil.move(f"{root}/.compact.tmp", f"{root}/ingest_batch=-1")
+    # ...then the crash, before the holding area is deleted
+    assert os.path.exists(f"{root}/.compact.pre/ingest_batch=-1")
+
+    repair_ingest_store(spark, root)
+    assert not os.path.exists(f"{root}/.compact.pre")
+    got = _store_rows(spark, root)
+    assert [(k, v) for k, v, _ in got] == [(k, v) for k, v, _ in healthy]
+    assert {b for _, _, b in got} == {-1}  # everything folded
+    for b in (0, 1, 2):  # 2's _SUCCESS folded away -> the ledger claims it
+        assert ingest_batch_committed(spark, root, b)
+
+
+def test_repair_ingest_store_recrash_mid_rollback(spark, tmp_path):
+    """A re-crash MID-ROLLBACK (one held directory already restored,
+    its copy still in the holding area, -1 not yet restored): repair
+    is idempotent — the duplicate is dropped, -1 is restored, content
+    equals the pre-compaction state. The -1-restored-LAST ordering is
+    what makes this state unambiguous (root/-1 absent == rollback in
+    progress, never a completed swap)."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import repair_ingest_store
+
+    root = str(tmp_path / "store")
+    healthy = _stage_second_compaction(spark, root)
+    # partial rollback: batch 2 restored but still held; -1 still held
+    shutil.copytree(
+        f"{root}/.compact.pre/ingest_batch=2", f"{root}/ingest_batch=2"
+    )
+
+    repair_ingest_store(spark, root)
+    assert not os.path.exists(f"{root}/.compact.pre")
+    assert not os.path.exists(f"{root}/.compact.tmp")
+    assert _store_rows(spark, root) == healthy
+
+
+def test_ivfsq_upsert_refuses_unknown_attr_cols(spark, tmp_path):
+    """ADVICE r9 #4 (symmetric attribute drift): attr_cols naming a
+    column the existing index does NOT carry must raise — the former
+    silent drop left the caller believing the attribute landed."""
+    from flechasdb_spark.operators.maintenance import ivfsq_upsert
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, save_ivfsq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)  # no attribute columns
+    path = str(tmp_path / "noattr")
+    save_ivfsq(model, path)
+    up = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    with pytest.raises(ValueError, match="absent from the existing index"):
+        ivfsq_upsert(spark, model, path, up, attr_cols=("label",))
+    # the store is untouched by the refused upsert
+    assert (
+        spark.read.parquet(f"{path}/index").where("vec_id >= 900000").count()
+        == 0
+    )

@@ -561,3 +561,44 @@ def test_prefix_dim_recall_multi(spark, sf_dir):
         prefix_dim_recall_multi(emb, [(7, qv)], k=10, dims=[9999])
     with _pytest.raises(ValueError, match="non-empty"):
         prefix_dim_recall_curve(emb, qv, k=10, dims=[])
+
+
+def test_select_probes_fold_parity_on_ties(spark):
+    """VERDICT r9 #7: driver-side PQ probe selection (select_probes)
+    must order near-tie centroid distances exactly like the engine's
+    squared_l2 fold (select_probes_df). The fixture makes centroids
+    coordinate-permutations of one offset from each query — their true
+    distances are EQUAL, so any summation-order divergence (the old
+    ||c||^2 - 2 q.c expansion) can flip the probe set; dimension-major
+    accumulation keeps both paths bit-identical and the tie falls to
+    partition_id."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from flechasdb_spark.plans.ivf import select_probes, select_probes_df
+
+    rng = np.random.default_rng(11)
+    qs = rng.normal(size=(3, 6))
+    offs = rng.normal(size=6) * 0.37
+    # 6 cyclic permutations of the same offset per query-0 anchor, so
+    # every centroid is exactly equidistant from qs[0]; for the other
+    # queries the distances are merely near-tied (distinct but close)
+    C = np.array([qs[0] + np.roll(offs, s) for s in range(6)])
+    model = SimpleNamespace(centroids=C)
+    q_idx, pids = select_probes(model, qs, nprobe=4)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(C)],
+        "partition_id int, centroid array<double>",
+    )
+    rows = select_probes_df(cent_df, qs, 4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(int(r.query_id), []).append(
+            (int(r.probe_rank), int(r.partition_id))
+        )
+    dist = {q: [p for _, p in sorted(ps)] for q, ps in got.items()}
+    drv = {q: [] for q in range(3)}
+    for q, p in zip(q_idx, pids):
+        drv[int(q)].append(int(p))
+    assert drv == dist

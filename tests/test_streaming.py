@@ -1301,3 +1301,43 @@ def test_stream_minhash_dedup_compaction(spark, tmp_path):
         _os.path.basename(p) for p in glob.glob(f"{store}/ingest_batch=*")
     }
     assert "ingest_batch=-1" in dirs and len(dirs) <= 3
+
+
+def test_stream_ivfsq_encode_refuses_flat_layout(spark, tmp_path):
+    """ADVICE r9 #1: streaming into an index root that already holds a
+    flat save_ivfsq partition_id= layout would create sibling trees
+    with conflicting partition structures ('Conflicting directory
+    structures' on every later read). The sink must detect the mix at
+    stream start and fail fast with a migration hint, leaving the flat
+    index untouched."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, save_ivfsq
+    from flechasdb_spark.streaming.pipeline import stream_ivfsq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    idx = str(tmp_path / "idx")
+    save_ivfsq(model, idx)  # flat partition_id= layout at <idx>/index
+    before = sorted(os.listdir(f"{idx}/index"))
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{src}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    q = stream_ivfsq_encode(
+        model, stream, index_path=idx, checkpoint_path=str(tmp_path / "ckpt")
+    )
+    with pytest.raises(StreamingQueryException, match="flat save_ivfsq"):
+        q.awaitTermination(120)
+    # the existing flat index was not touched
+    assert sorted(os.listdir(f"{idx}/index")) == before

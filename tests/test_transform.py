@@ -343,3 +343,53 @@ def test_ivfsq_save_load_query_equality(spark, emb, sq_tindex, queries, tmp_path
     ) == sorted(
         [(r["query_id"], r["vec_id"], r["squared_distance"]) for r in bb],
     )
+
+
+def test_transformed_ivfsq_forwards_bits_and_attrs(spark, emb, tmp_path):
+    """VERDICT r9 #4: build_transformed_ivfsq forwards ``bits`` and
+    ``attr_cols``, so ``PCAR{k},IVF{P},SQ4`` and attribute-filtered
+    transformed serving compose through the factory helper. Gates:
+    the SQ4 depth survives the transform save/load (manifest carries
+    levels=15), attrs ride the encoded rows, and a filtered
+    transformed query returns only matching rows."""
+    from flechasdb_spark.plans.transform import (
+        build_transformed_ivfsq,
+        load_transformed_ivfsq,
+        save_transformed_ivfsq,
+        transformed_ivfsq_query_batch,
+    )
+
+    ti = build_transformed_ivfsq(
+        emb, pca_k=4, num_partitions=4, bits=4, attr_cols=("label",)
+    )
+    assert ti.model.levels == 15
+    assert "label" in ti.model.encoded.columns
+
+    path = str(tmp_path / "pcar_sq4")
+    save_transformed_ivfsq(ti, path)
+    loaded = load_transformed_ivfsq(spark, path)
+    assert loaded.model.levels == 15  # depth through the manifest
+    assert "label" in loaded.model.encoded.columns
+
+    r0 = emb.where(F.col("vec_id") == 5).first()
+    want = int(r0["label"])
+    hits = transformed_ivfsq_query_batch(
+        loaded,
+        [(5, [float(x) for x in r0["embedding"]])],
+        k=5,
+        nprobe=4,
+        where=F.col("label") == want,
+        round_to=6,
+    ).collect()
+    assert len(hits) == 5
+    got_labels = {
+        int(r["label"])
+        for r in emb.join(
+            spark.createDataFrame(
+                [(r.vec_id,) for r in hits], "vec_id long"
+            ),
+            "vec_id",
+            "left_semi",
+        ).collect()
+    }
+    assert got_labels == {want}
