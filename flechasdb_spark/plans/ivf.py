@@ -30,6 +30,8 @@ from flechasdb_spark.operators.build import IndexModel
 
 __all__ = [
     "ann_query",
+    "ann_range_query",
+    "ann_range_query_batch",
     "select_probes",
     "select_probes_df",
     "ivf_assign",
@@ -230,6 +232,49 @@ def _adc_tables(
     return np.einsum("qdcw,qdcw->qdc", diff, diff)
 
 
+def _phase1(
+    model: IndexModel,
+    qarr: np.ndarray,
+    qids: list[int],
+    nprobe: int,
+    mark=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared Phase 1 of every PQ serving path (top-k and radius):
+    probe selection — driver-side `select_probes` when the centroid
+    table is collected, the distributed `select_probes_df` job in
+    huge-P lazy mode — followed by the broadcast ADC tables. Returns
+    (probe_qidx, probe_pid, tables)."""
+    spark = model.encoded.sparkSession
+    if model.centroids is None:
+        # lazy-centroid serving mode (huge P): Phase 1 is a Spark job;
+        # only the O(Q * nprobe) probed (query, partition, centroid)
+        # rows are collected, never the full (P, N) table.
+        p = model.config.num_partitions
+        if nprobe > p:
+            raise ValueError(f"nprobe {nprobe} exceeds num_partitions {p}")
+        rows = select_probes_df(
+            model.centroids_df(spark), qarr, nprobe, query_ids=qids
+        ).collect()
+        qpos_map = {int(q): i for i, q in enumerate(qids)}
+        rows.sort(key=lambda r: (qpos_map[r.query_id], r.probe_rank))
+        probe_qidx = np.array([qpos_map[r.query_id] for r in rows], dtype=int)
+        probe_pid = np.array([r.partition_id for r in rows], dtype=int)
+        probe_cent = np.array([r.centroid for r in rows], dtype=np.float64)
+        if mark is not None:
+            mark("select_probes")
+        tables = _adc_tables(
+            model, qarr, probe_qidx, probe_pid, probe_centroids=probe_cent
+        )
+    else:
+        probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
+        if mark is not None:
+            mark("select_probes")
+        tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
+    if mark is not None:
+        mark("adc_tables")
+    return probe_qidx, probe_pid, tables
+
+
 def ann_query(
     model: IndexModel,
     queries: list[tuple[int, list[float]]] | np.ndarray,
@@ -308,37 +353,17 @@ def ann_query(
 
     import time as _time
 
-    def _mark(stage: str, t0: float) -> float:
+    _t0 = {"t": _time.perf_counter()}
+
+    def _mark(stage: str) -> None:
         if on_event is not None:
-            on_event(stage, _time.perf_counter() - t0)
-        return _time.perf_counter()
+            on_event(stage, _time.perf_counter() - _t0["t"])
+        _t0["t"] = _time.perf_counter()
 
     spark = model.encoded.sparkSession
-    t0 = _time.perf_counter()
-    if model.centroids is None:
-        # lazy-centroid serving mode (huge P): Phase 1 is a Spark job;
-        # only the O(Q * nprobe) probed (query, partition, centroid)
-        # rows are collected, never the full (P, N) table.
-        p = model.config.num_partitions
-        if nprobe > p:
-            raise ValueError(f"nprobe {nprobe} exceeds num_partitions {p}")
-        rows = select_probes_df(
-            model.centroids_df(spark), qarr, nprobe, query_ids=qids
-        ).collect()
-        qpos_map = {int(q): i for i, q in enumerate(qids)}
-        rows.sort(key=lambda r: (qpos_map[r.query_id], r.probe_rank))
-        probe_qidx = np.array([qpos_map[r.query_id] for r in rows], dtype=int)
-        probe_pid = np.array([r.partition_id for r in rows], dtype=int)
-        probe_cent = np.array([r.centroid for r in rows], dtype=np.float64)
-        t0 = _mark("select_probes", t0)
-        tables = _adc_tables(
-            model, qarr, probe_qidx, probe_pid, probe_centroids=probe_cent
-        )
-    else:
-        probe_qidx, probe_pid = select_probes(model, qarr, nprobe)
-        t0 = _mark("select_probes", t0)
-        tables = _adc_tables(model, qarr, probe_qidx, probe_pid)  # (QP, D, C)
-    t0 = _mark("adc_tables", t0)
+    probe_qidx, probe_pid, tables = _phase1(
+        model, qarr, qids, nprobe, mark=_mark
+    )
 
     d = model.config.num_divisions
     id_col = model.config.id_col
@@ -563,5 +588,231 @@ def ann_query(
         out_score.alias("squared_distance"),
         "rank",
     )
-    _mark("plan_built", t0)
+    _mark("plan_built")
     return result
+
+
+def ann_range_query_batch(
+    model: IndexModel,
+    queries: list[tuple[int, list[float]]] | np.ndarray,
+    radius: float,
+    nprobe: int,
+    query_ids: list[int] | None = None,
+    round_to: int | None = None,
+    where=None,
+    limit_per_query: int | None = None,
+    scorer: str = "auto",
+) -> DataFrame:
+    """Batch RADIUS search over the IVF+PQ index — `ann_query`'s
+    serving shape with a FILTER tail instead of top-k (the FAISS
+    ``IndexIVFPQ::range_search`` contract; the reference itself serves
+    top-k only, /root/reference/src/db/stored.rs:331-389, so this is
+    extension-surface parity with the SQ side's
+    `plans.ivfsq.ivfsq_range_query_batch`): every candidate in each
+    query's ``nprobe`` probed cells whose ADC distance is <= ``radius``.
+    Returns ``(query_id, vector_id, partition_id, squared_distance)``
+    plus ``rank`` when ``limit_per_query`` caps a pathological radius
+    to each query's nearest matches.
+
+    Phase 1 (probe selection + broadcast ADC tables) is shared with
+    `ann_query`, INCLUDING the huge-P lazy-centroid mode — on an index
+    loaded with ``collect_centroids=False`` the probe phase composes
+    `select_probes_df` and collects only the O(Q * nprobe) winners.
+    Phase 2 scans ONLY the probed ``partition_id=`` directories (the
+    literal isin lands in the Parquet PartitionFilters at rest), and
+    the radius cut happens AT THE SCAN — with the "sql" scorer it is a
+    codegen'd filter over the gathered ADC sum, with the "batch"
+    scorer the Arrow kernel emits only matching rows — so the only
+    rows that ever reach an exchange are the matches (the property
+    that makes radius search safe at 100 TB: shuffle volume is
+    |result|, never |scanned|).
+
+    ``round_to`` rounds the emitted distance AND applies the filter to
+    the rounded value (the frozen-row convention — a boundary member
+    differing only in sub-round noise cannot hash-flip across
+    engines); when ``limit_per_query`` is set the per-query rank also
+    orders by the rounded value with id tie-break. ``where``
+    pre-filters candidates BEFORE scoring (the shared filtered-search
+    mode). Neighbors in unprobed cells are missed — the standard IVF
+    recall trade, dialed by nprobe; distances are PQ-approximate like
+    every ADC path (compose with `knn.range_search` on the survivors
+    for exact semantics)."""
+    from pyspark.sql import Window
+
+    if isinstance(queries, np.ndarray):
+        qarr = queries.astype(np.float64)
+        qids = list(query_ids) if query_ids is not None else list(range(len(qarr)))
+    else:
+        qids = [int(q[0]) for q in queries]
+        qarr = np.array([q[1] for q in queries], dtype=np.float64)
+    spark = model.encoded.sparkSession
+    id_col = model.config.id_col
+    id_type = model.encoded.schema[id_col].dataType.simpleString()
+    if not qids:
+        # empty batch: the contract schema, rank included iff the
+        # non-empty path would carry it (the ivfsq ADVICE r9 #3 rule)
+        schema = (
+            f"query_id long, vector_id {id_type}, partition_id int, "
+            "squared_distance double"
+        )
+        if limit_per_query is not None:
+            schema += ", rank int"
+        return spark.createDataFrame([], schema)
+    if qarr.ndim != 2 or qarr.shape[1] != model.vector_size:
+        raise ValueError(
+            f"query width {qarr.shape} != vector_size {model.vector_size}"
+        )
+    probe_qidx, probe_pid, tables = _phase1(model, qarr, qids, nprobe)
+    d = model.config.num_divisions
+    if scorer == "auto":
+        scorer = "batch" if tables.size > 100_000 else "sql"
+
+    probed_pids = [int(x) for x in np.unique(probe_pid)]
+    candidates = model.encoded.where(
+        F.col("partition_id").isin(probed_pids)
+    )
+    if where is not None:
+        candidates = candidates.where(where)
+    if scorer == "sql":
+        probes_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (
+                        int(qids[qi]),
+                        int(pid),
+                        [[float(v) for v in row] for row in tables[i]],
+                    )
+                    for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid))
+                ],
+                "query_id long, partition_id int, __tbl array<array<double>>",
+            )
+        )
+        score_expr = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("__tbl"),
+                lambda code, row: F.element_at(row, code + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            candidates.join(probes_df, "partition_id")
+            .withColumn("__score", score_expr)
+            .select("query_id", id_col, "partition_id", "__score")
+        )
+    elif scorer == "batch":
+        # Arrow kernel: one vectorized gather per (probing query,
+        # batch), the radius filter applied IN the kernel so only
+        # matches cross back (plus a batch-local nearest-L cut when
+        # limit_per_query bounds the result — union of per-batch
+        # top-L provably contains the global top-L).
+        sc = spark.sparkContext
+        b_tables = sc.broadcast(tables)
+        by_pid: dict[int, list[tuple[int, int]]] = {}
+        for i, (qi, pid) in enumerate(zip(probe_qidx, probe_pid)):
+            by_pid.setdefault(int(pid), []).append((int(qids[qi]), int(i)))
+        b_probes = sc.broadcast(by_pid)
+        out_schema = (
+            f"query_id long, {id_col} {id_type}, "
+            "partition_id int, __score double"
+        )
+        rt, dd, rad = round_to, d, float(radius)
+        cut = None if limit_per_query is None else int(limit_per_query)
+
+        def score_partition(batches):
+            t = b_tables.value
+            probes = b_probes.value
+            ar = np.arange(dd)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                outs = []
+                for pid, grp in pdf.groupby("partition_id"):
+                    plist = probes.get(int(pid))
+                    if not plist:
+                        continue
+                    cd = np.vstack(grp["codes"].to_numpy())
+                    vids = grp[id_col].to_numpy()
+                    for query_id, pi in plist:
+                        s = t[pi, ar[None, :], cd].sum(axis=1)
+                        rs = np.round(s, rt) if rt is not None else s
+                        m = rs <= rad
+                        if not m.any():
+                            continue
+                        sv, rv, vv = s[m], rs[m], vids[m]
+                        if cut is not None and len(sv) > cut:
+                            sel = np.lexsort((vv, rv))[:cut]
+                            sv, vv = sv[sel], vv[sel]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": query_id,
+                                    id_col: vv,
+                                    "partition_id": int(pid),
+                                    "__score": sv,
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        scored = candidates.select(id_col, "partition_id", "codes").mapInPandas(
+            score_partition, out_schema
+        )
+    else:
+        raise ValueError(f"unknown scorer: {scorer}")
+
+    out_score = (
+        F.round(F.col("__score"), round_to)
+        if round_to is not None
+        else F.col("__score")
+    )
+    out = scored.select(
+        "query_id",
+        F.col(id_col).alias("vector_id"),
+        "partition_id",
+        out_score.alias("squared_distance"),
+    ).where(F.col("squared_distance") <= float(radius))
+    if limit_per_query is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("squared_distance").asc(), F.col("vector_id").asc()
+        )
+        out = out.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= int(limit_per_query)
+        )
+    return out
+
+
+def ann_range_query(
+    model: IndexModel,
+    query_vector: list[float],
+    radius: float,
+    nprobe: int,
+    round_to: int | None = None,
+    limit: int | None = None,
+    where=None,
+    scorer: str = "auto",
+) -> DataFrame:
+    """Solo RADIUS search over the IVF+PQ index — the single-query
+    form of `ann_range_query_batch`, contract-matching the SQ side's
+    `plans.ivfsq.ivfsq_range_query`: ``(vector_id, partition_id,
+    squared_distance)`` ascending by (rounded) distance with id
+    tie-break; ``limit`` is an ordered safety cap (keeps the nearest);
+    ``where`` pre-filters before scoring."""
+    out = ann_range_query_batch(
+        model,
+        [(0, [float(x) for x in query_vector])],
+        radius,
+        nprobe,
+        round_to=round_to,
+        where=where,
+        limit_per_query=limit,
+        scorer=scorer,
+    )
+    return (
+        out.select("vector_id", "partition_id", "squared_distance")
+        .orderBy(
+            F.col("squared_distance").asc(), F.col("vector_id").asc()
+        )
+    )

@@ -1469,6 +1469,50 @@ def q_ann_frozen_distprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_range_query",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM ranked WHERE round(d, 4) <= 2.1 AND rank <= 15
+""",
+)
+def q_ann_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS search on the IVF+PQ index (r10, VERDICT r9 #2 — the
+    FAISS IndexIVFPQ::range_search contract; the reference serves
+    top-k only, /root/reference/src/db/stored.rs:331-389, so this is
+    extension parity with the SQ side's ivfsq_range_query): the full
+    frozen lifecycle (assemble -> save -> load), then every candidate
+    in the probed cells whose ADC distance (rounded, the hash-stable
+    boundary convention) is <= 2.1, capped to each query's nearest 15
+    via limit_per_query (rank emitted). The radius filter is applied
+    AT the scan, so only matches reach the rank exchange; the oracle
+    reuses the shared frozen CTE chain — the kept set is an exact
+    rank-prefix per query (the filter is monotone in the rounded
+    distance), so ranked's rank equals the engine's post-filter
+    rank."""
+    import tempfile
+
+    from flechasdb_spark.plans.ivf import ann_range_query_batch
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    model, emb = _frozen_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="flechas_range_")
+    save_index(model, path)
+    model.encoded.unpersist()
+    loaded = load_index(spark, path)
+    out = ann_range_query_batch(
+        loaded,
+        _frozen_queries(emb),
+        radius=2.1,
+        nprobe=_FRZ_NPROBE,
+        round_to=4,
+        limit_per_query=15,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "index_partition_stats",
     f"""
 {_DD_FROZEN_PREFIX},
