@@ -844,9 +844,22 @@ def ivfsq_upsert(
         vectors, model.centroids, id_col, vec_col,
         keep_cols=tuple(attr_cols),
     )
-    incoming = encode_frozen_residuals(
-        resid, model, id_col, missing_cell
-    ).persist()
+    incoming = encode_frozen_residuals(resid, model, id_col, missing_cell)
+    if "codes_bin" in existing.columns:
+        # a packed store (save_ivfsq(pack_codes=True)): pack the
+        # incoming codes with the SAME layout so the overwrite keeps
+        # one at-rest schema — the depth comes from the frozen model,
+        # which save_ivfsq recorded alongside the pack mode
+        from flechasdb_spark.operators.sq import (
+            pack_codes_expr,
+            pack_mode_for_levels,
+        )
+
+        incoming = incoming.withColumn(
+            "codes_bin",
+            pack_codes_expr("codes", pack_mode_for_levels(model.levels)),
+        ).drop("codes")
+    incoming = incoming.persist()
     missing_attrs = set(existing.columns) - set(incoming.columns)
     if missing_attrs:
         raise ValueError(

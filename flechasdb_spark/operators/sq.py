@@ -22,8 +22,14 @@ Scale (100 TB):
   codegen).
 - knn: map + `TakeOrderedAndProject` (partial top-k per partition,
   k rows per partition to the driver) — same shape as `flat_knn`.
-- storage: `array<smallint>` here (Tungsten packs arrays densely); a
-  production sink would pack to 1 byte/dim `binary` at write time.
+- storage: `array<smallint>` in memory (Tungsten packs arrays
+  densely); at rest, `pack_codes_expr`/`unpack_codes_expr` (r10)
+  optionally store codes as `binary` — 1 byte/dim for SQ8, 2
+  codes/byte for SQ4 — wired behind ``save_ivfsq(pack_codes=True)``
+  with a lazy in-scan unpack on load. Both directions are pure
+  hex/unhex SQL (codegen, engine-deterministic), and the roundtrip is
+  exact (pytest-gated), so query results are unchanged. Measured
+  at-rest sizes live in SCALING.md §r10.
 """
 
 from __future__ import annotations
@@ -43,6 +49,9 @@ __all__ = [
     "sq_decode",
     "sq_decode_cols",
     "sq_knn",
+    "pack_mode_for_levels",
+    "pack_codes_expr",
+    "unpack_codes_expr",
 ]
 
 
@@ -227,8 +236,10 @@ def _code(x: Column, lo: Column, hi: Column, levels: int = 255) -> Column:
     # clamp(floor((x-lo)*levels/(hi-lo))); constant dimensions encode
     # as 0 (the hi==lo guard keeps NaN/Inf division semantics out of
     # the plan). ``levels`` = max code = 2^bits - 1: 255 for SQ8, 15
-    # for SQ4 (FAISS QT_4bit — half the at-rest bytes once packed, ~2x
-    # the per-axis step; the fidelity/footprint dial of the family).
+    # for SQ4 (FAISS QT_4bit — half the at-rest bytes under
+    # save_ivfsq(pack_codes=True)'s nibble packing, measured in
+    # SCALING.md §r10; ~2x the per-axis step — the fidelity/footprint
+    # dial of the family).
     lv = float(int(levels))
     c = F.greatest(
         F.lit(0.0),
@@ -369,3 +380,74 @@ def sq_knn(
         .limit(k)
         .drop("__d")
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest code packing (r10, VERDICT r9 #3): array<smallint> is the
+# in-memory/scan form, but each element costs 2 bytes plus array
+# overhead at rest. Packing to `binary` stores exactly 1 byte/code
+# ("byte" mode, SQ5..SQ8) or 2 codes/byte ("nibble" mode, SQ2..SQ4 —
+# the "half the at-rest bytes" the SQ4 dial promises). Both directions
+# are pure hex/unhex SQL: deterministic across engines, whole-stage
+# codegen, and composable into the load projection so the unpack cost
+# rides the (pruned) scan instead of a rewrite.
+# ---------------------------------------------------------------------------
+
+
+def pack_mode_for_levels(levels: int) -> str:
+    """The densest lossless byte layout for a code alphabet: codes
+    <= 15 fit a hex nibble (2 codes/byte), anything up to 255 fits one
+    byte."""
+    return "nibble" if int(levels) <= 15 else "byte"
+
+
+def pack_codes_expr(codes_col: Column | str, mode: str) -> Column:
+    """``array<smallint>`` codes -> ``binary``: each code rendered as
+    1 ("nibble") or 2 ("byte") hex chars, concatenated, unhex'd. An
+    odd nibble count (odd dim in nibble mode) gets one trailing pad
+    nibble — `unpack_codes_expr` slices by dim, so the pad never
+    surfaces."""
+    col = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    if mode == "nibble":
+        hx = F.array_join(
+            F.transform(col, lambda c: F.hex(c.cast("bigint"))), ""
+        )
+        hx = F.when(
+            F.length(hx) % 2 == 1, F.concat(hx, F.lit("0"))
+        ).otherwise(hx)
+    elif mode == "byte":
+        hx = F.array_join(
+            F.transform(
+                col, lambda c: F.lpad(F.hex(c.cast("bigint")), 2, "0")
+            ),
+            "",
+        )
+    else:
+        raise ValueError(f"mode must be 'nibble' or 'byte': {mode!r}")
+    return F.unhex(hx)
+
+
+def unpack_codes_expr(
+    bin_col: Column | str, dim: int, mode: str
+) -> Column:
+    """``binary`` -> ``array<smallint>`` codes (the exact inverse of
+    `pack_codes_expr` for the first ``dim`` codes). Pure string
+    slicing over hex(bin) — stays in codegen, so a packed index's
+    scan decodes inline with no Python and no extra pass."""
+    col = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    hx = F.hex(col)
+    if mode == "nibble":
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(int(dim))),
+            lambda i: F.conv(F.substring(hx, i, F.lit(1)), 16, 10).cast(
+                "smallint"
+            ),
+        )
+    if mode == "byte":
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(int(dim))),
+            lambda i: F.conv(
+                F.substring(hx, i * 2 - 1, F.lit(2)), 16, 10
+            ).cast("smallint"),
+        )
+    raise ValueError(f"mode must be 'nibble' or 'byte': {mode!r}")

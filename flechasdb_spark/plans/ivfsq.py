@@ -884,18 +884,44 @@ def ivfsq_range_query_batch(
     return out.drop("__d")
 
 
-def save_ivfsq(model: IVFSQModel, path: str) -> None:
+def save_ivfsq(model: IVFSQModel, path: str, pack_codes: bool = False) -> None:
     """Persist the index: encoded codes partitioned by cell (so a
     probed query reads only its cells' directories — Parquet partition
     pruning, the same at-rest layout as the IVF+PQ index), centroids
-    as one small parquet, residual bounds in the manifest JSON."""
+    as one small parquet, residual bounds in the manifest JSON.
+
+    ``pack_codes`` (r10, VERDICT r9 #3): store codes as ``binary``
+    instead of ``array<smallint>`` — 1 byte/code at SQ8, 2 codes/byte
+    at SQ4 (`operators.sq.pack_codes_expr`). `load_ivfsq` unpacks
+    LAZILY in the scan projection (pure hex SQL, codegen), so every
+    query path works unchanged and the roundtrip is exact
+    (pytest-gated); only the at-rest bytes shrink (measured table in
+    SCALING.md §r10)."""
     import os
 
+    from flechasdb_spark.operators.sq import (
+        pack_codes_expr,
+        pack_mode_for_levels,
+    )
     from flechasdb_spark.sources.manifest import write_manifest_json
 
     spark = model.encoded.sparkSession
+    enc = model.encoded
+    meta: dict = {"kind": "ivfsq", "levels": int(model.levels)}
+    if pack_codes:
+        mode = pack_mode_for_levels(model.levels)
+        if model.lo is not None:
+            dim = len(model.lo)
+        else:
+            dim = len(model.cell_bounds.select("lo").first()["lo"])
+        meta["packed"] = mode
+        meta["dim"] = int(dim)
+        others = [c for c in enc.columns if c != "codes"]
+        enc = enc.select(
+            *others, pack_codes_expr("codes", mode).alias("codes_bin")
+        )
     (
-        model.encoded.repartition("partition_id")
+        enc.repartition("partition_id")
         .write.mode("overwrite")
         .partitionBy("partition_id")
         .parquet(os.path.join(path, "index"))
@@ -903,7 +929,6 @@ def save_ivfsq(model: IVFSQModel, path: str) -> None:
     model.centroids.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    meta: dict = {"kind": "ivfsq", "levels": int(model.levels)}
     if model.cell_bounds is not None:
         meta["bounds"] = "per_cell"
         model.cell_bounds.coalesce(1).write.mode("overwrite").parquet(
@@ -919,21 +944,32 @@ def save_ivfsq(model: IVFSQModel, path: str) -> None:
 def load_ivfsq(spark, path: str) -> IVFSQModel:
     """Load a persisted IVF+SQ index. The encoded side stays lazy — a
     query's probe semi-join prunes to the probed ``partition_id=``
-    directories (plan-gated in tests/test_ivfsq.py)."""
+    directories (plan-gated in tests/test_ivfsq.py). A packed index
+    (``save_ivfsq(pack_codes=True)``) unpacks in the load projection:
+    the hex-slice decode composes into every downstream scan, so the
+    serving paths see the same ``codes array<smallint>`` column and
+    the partition pruning is untouched."""
     import os
 
+    from flechasdb_spark.operators.sq import unpack_codes_expr
     from flechasdb_spark.sources.manifest import read_manifest_json
 
     t = read_manifest_json(spark, os.path.join(path, "ivfsq.json"))
     if t is None or t.get("kind") != "ivfsq":
         raise ValueError(f"not an ivfsq index: {path}")
     levels = int(t.get("levels", 255))  # pre-r9 manifests are SQ8
+    encoded = spark.read.parquet(os.path.join(path, "index"))
+    if t.get("packed"):
+        encoded = encoded.withColumn(
+            "codes",
+            unpack_codes_expr("codes_bin", int(t["dim"]), t["packed"]),
+        ).drop("codes_bin")
     if t.get("bounds") == "per_cell":
         return IVFSQModel(
             centroids=spark.read.parquet(os.path.join(path, "centroids")),
             lo=None,
             hi=None,
-            encoded=spark.read.parquet(os.path.join(path, "index")),
+            encoded=encoded,
             cell_bounds=spark.read.parquet(
                 os.path.join(path, "cell_bounds")
             ),
@@ -943,7 +979,7 @@ def load_ivfsq(spark, path: str) -> IVFSQModel:
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         lo=[float(x) for x in t["lo"]],
         hi=[float(x) for x in t["hi"]],
-        encoded=spark.read.parquet(os.path.join(path, "index")),
+        encoded=encoded,
         levels=levels,
     )
 

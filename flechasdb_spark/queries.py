@@ -10687,6 +10687,87 @@ def q_ivfsq4_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
 
 
+@query(
+    "ivfsq_packed_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(15,
+                  floor((x - rba.lo[i]) * 15.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 15.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_packed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED at-rest lifecycle (r10, VERDICT r9 #3): frozen SQ4
+    build -> ``save_ivfsq(pack_codes=True)`` (codes stored as binary,
+    2 codes/byte — the layout that actually halves the at-rest bytes,
+    measured in SCALING.md §r10) -> ``load_ivfsq`` (lazy hex-slice
+    unpack composed into the scan projection, pure codegen) -> the
+    standard asymmetric top-10. The oracle is byte-for-byte the
+    ivfsq4_knn chain BECAUSE the pack/unpack roundtrip is exact —
+    that equality is the claim this row pins across engines."""
+    import tempfile
+
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bits=4)
+    path = tempfile.mkdtemp(prefix="flechas_packed_")
+    save_ivfsq(model, path, pack_codes=True)
+    loaded = load_ivfsq(spark, path)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_query(loaded, qv, k=10, nprobe=3, round_to=4)
+
+
 # ---------------------------------------------------------------------------
 # r9: radius (range) search — the other standard serving contract
 # (FAISS range_search; the reference serves top-k only): "everything

@@ -1019,3 +1019,61 @@ def test_range_batch_empty_schema_matches_nonempty(spark, model, emb):
     e2 = ivfsq_range_query_batch(model, [], radius=1.6, nprobe=2)
     n2 = ivfsq_range_query_batch(model, [(3, qv)], radius=1.6, nprobe=2)
     assert e2.columns == n2.columns and "rank" not in e2.columns
+
+
+def test_packed_save_load_roundtrip_and_query_equality(
+    spark, emb, cent, model, tmp_path
+):
+    """r10 at-rest packing (VERDICT r9 #3): save_ivfsq(pack_codes=True)
+    stores codes as binary (1 byte/code SQ8, 2 codes/byte SQ4), the
+    load-side hex unpack is EXACT (codes equal element-wise), and
+    query results are unchanged vs the unpacked store. Size is NOT
+    asserted here — at fixture scale Parquet's own dictionary/
+    bit-packing dominates; the honest at-rest measurement (64k x 64:
+    SQ4 packed halves the bytes, SQ8 packed does not beat Parquet's
+    encodings) lives in SCALING.md §r10."""
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    for bits, m in ((8, model), (4, build_ivfsq(emb, cent, bits=4))):
+        plain = str(tmp_path / f"plain{bits}")
+        packed = str(tmp_path / f"packed{bits}")
+        save_ivfsq(m, plain)
+        save_ivfsq(m, packed, pack_codes=True)
+        at_rest = spark.read.parquet(f"{packed}/index")
+        assert "codes_bin" in at_rest.columns  # binary at rest
+        assert "codes" not in at_rest.columns
+        assert at_rest.schema["codes_bin"].dataType.simpleString() == "binary"
+        lp = load_ivfsq(spark, plain)
+        lk = load_ivfsq(spark, packed)
+        a = {r.vec_id: list(r.codes) for r in lp.encoded.collect()}
+        b = {r.vec_id: list(r.codes) for r in lk.encoded.collect()}
+        assert a == b  # exact roundtrip through the binary form
+        ra = [
+            (r.vec_id, r.squared_distance)
+            for r in ivfsq_query(lp, qv, k=10, nprobe=3, round_to=6).collect()
+        ]
+        rb = [
+            (r.vec_id, r.squared_distance)
+            for r in ivfsq_query(lk, qv, k=10, nprobe=3, round_to=6).collect()
+        ]
+        assert ra == rb
+    # nibble mode also survives an odd dimension (pad nibble trimmed)
+    from flechasdb_spark.operators.sq import pack_codes_expr, unpack_codes_expr
+
+    odd = spark.createDataFrame(
+        [(1, [0, 15, 7]), (2, [3, 1, 15])], "id int, codes array<smallint>"
+    )
+    back = odd.select(
+        "id",
+        unpack_codes_expr(
+            pack_codes_expr("codes", "nibble"), 3, "nibble"
+        ).alias("c2"),
+        "codes",
+    ).collect()
+    assert all(list(r.c2) == list(r.codes) for r in back)

@@ -665,3 +665,54 @@ def test_ivfsq_upsert_refuses_unknown_attr_cols(spark, tmp_path):
         spark.read.parquet(f"{path}/index").where("vec_id >= 900000").count()
         == 0
     )
+
+
+def test_ivfsq_upsert_delete_on_packed_store(spark, tmp_path):
+    """r10: maintenance on a PACKED index (save_ivfsq(pack_codes=True))
+    — upsert packs the incoming codes into the same binary layout (one
+    at-rest schema), delete filters the packed rows directly; after
+    both, a reload queries identically to the same maintenance on an
+    unpacked store."""
+    from flechasdb_spark.operators.maintenance import ivfsq_delete, ivfsq_upsert
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_query,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bits=4)
+    plain, packed = str(tmp_path / "plain"), str(tmp_path / "packed")
+    save_ivfsq(model, plain)
+    save_ivfsq(model, packed, pack_codes=True)
+
+    up = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    for path in (plain, packed):
+        assert ivfsq_upsert(spark, model, path, up)
+        assert ivfsq_delete(spark, path, [5, 700001])
+    at_rest = spark.read.parquet(f"{packed}/index")
+    assert "codes_bin" in at_rest.columns and "codes" not in at_rest.columns
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]]
+    a = [
+        (r.vec_id, r.squared_distance)
+        for r in ivfsq_query(
+            load_ivfsq(spark, plain), qv, k=10, nprobe=4, round_to=6
+        ).collect()
+    ]
+    b = [
+        (r.vec_id, r.squared_distance)
+        for r in ivfsq_query(
+            load_ivfsq(spark, packed), qv, k=10, nprobe=4, round_to=6
+        ).collect()
+    ]
+    assert a == b
+    assert any(v >= 700000 for v, _ in a)  # the upsert is visible
+    assert all(v not in (5, 700001) for v, _ in a)  # the delete too
