@@ -9463,28 +9463,60 @@ DRIVER_ORDER = [
     # sweep), edit_distance_neardup (record linkage, now two-pass).
     # The r9 cohort (pcar_ivfsq_knn, matryoshka_multi_recall) stays
     # pytest-oracle-gated, queued for r10.
-    "vector_norms",
+    # r10 rotation (VERDICT r9 #1): the full eight-row r9 cohort gets
+    # driver visibility. Each retiree had >= 3 rounds of green driver
+    # evidence (scripted audit over CORRECTNESS_r01..r09, counts in
+    # parens) and its family keeps >= 1 window row: vector_norms(9) ->
+    # the kernel surface is embedded in every serving row (squared_l2
+    # in all kNN rows, subvector slice in opq_rotated_encode,
+    # normalize/cosine in mmr/hard-negative; the dedicated boundary
+    # parities stay pytest-gated in tests/test_linalg.py);
+    # attr_map_fetch(7) -> ivfsq_attr_filtered carries B10/Q6
+    # attribute evidence (build-with-attrs + filtered serving);
+    # orc_source_knn(6) -> training_shard_roundtrip keeps
+    # sources/sinks (ORC parse stays pytest-gated in
+    # tests/test_sources.py); tpch_q2(6) -> hard_negative_mining /
+    # events_incident_overlap keep the join shapes (all 22 TPC-H rows
+    # stay oracle-gated in pytest + bench); leakage_safe_split(4) ->
+    # cdc_chunk_dedup + edit_distance_neardup + the span family keep
+    # dedup (the minhash+CC pipeline stays pytest/bench-gated);
+    # cross_source_dup_matrix(3) -> cross_source_span_matrix keeps
+    # cross-source provenance; video_frame_features(3) ->
+    # image_dhash_neardup keeps multimodal decode;
+    # weighted_sample_topk(3) -> quality_ensemble_rank keeps quality
+    # selection. Incoming: pcar_ivfsq_knn (PCAR+IVF+SQ8 factory
+    # composition), matryoshka_multi_recall (20-query MRL sweep),
+    # ivfsq4_knn + ivfsq4_rerank_knn (4-bit depth + exact re-rank),
+    # embedding_range_search + ivfsq_range_query (radius serving,
+    # exact + indexed), ivfsq_upsert_query (SQ upsert lifecycle),
+    # ivfsq_attr_filtered (SQ attribute columns + filtered search).
+    # QUEUED for r11 (new in r10, oracle-gated in pytest now):
+    # ann_range_query [IVF+PQ radius serving, frozen lifecycle],
+    # ivfsq_packed_knn [binary-packed at-rest codes, exact roundtrip].
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",
     "ivfsq_cell_knn",
     "ivfsq_batch_knn",
     "ivfsq_merge_query",
+    "ivfsq4_knn",
+    "ivfsq4_rerank_knn",
+    "ivfsq_range_query",
+    "ivfsq_upsert_query",
+    "ivfsq_attr_filtered",
+    "embedding_range_search",
+    "pcar_ivfsq_knn",
     "opq_rotated_encode",
     "pca_project_residual",
     "pca_reduced_knn",
-    "attr_map_fetch",
     "index_split_query",
-    "orc_source_knn",
     # dedup / similarity
     "repeated_ngram_spans",
     "repeated_span_removal",
     "token_span_removal",
     "cross_source_span_matrix",
-    "leakage_safe_split",
     "cdc_chunk_dedup",
     "image_dhash_neardup",
-    "cross_source_dup_matrix",
     "edit_distance_neardup",
     # text / training-data pipeline
     "nb_source_classifier",
@@ -9495,13 +9527,10 @@ DRIVER_ORDER = [
     "kneser_ney_lm_score",
     "token_id_encode",
     "training_shard_roundtrip",
-    "weighted_sample_topk",
     "quality_ensemble_rank",
     "matryoshka_recall_curve",
-    # multimodal
-    "video_frame_features",
+    "matryoshka_multi_recall",
     # relational SQL surface
-    "tpch_q2",
     "hard_negative_mining",
     "mmr_diverse_topk",
     "phrase_search_topk",
