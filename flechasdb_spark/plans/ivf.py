@@ -602,6 +602,8 @@ def ann_range_query_batch(
     where=None,
     limit_per_query: int | None = None,
     scorer: str = "auto",
+    rerank: DataFrame | None = None,
+    rerank_slack: float = 1.5,
 ) -> DataFrame:
     """Batch RADIUS search over the IVF+PQ index — `ann_query`'s
     serving shape with a FILTER tail instead of top-k (the FAISS
@@ -635,8 +637,16 @@ def ann_range_query_batch(
     pre-filters candidates BEFORE scoring (the shared filtered-search
     mode). Neighbors in unprobed cells are missed — the standard IVF
     recall trade, dialed by nprobe; distances are PQ-approximate like
-    every ADC path (compose with `knn.range_search` on the survivors
-    for exact semantics)."""
+    every ADC path.
+
+    ``rerank``/``rerank_slack`` (r10): EXACT radius semantics at index
+    cost — the ADC scan keeps everything within ``radius *
+    rerank_slack`` (slack absorbs quantization error both ways), one
+    broadcast join of those O(matches) survivors against the ORIGINAL
+    vectors in ``rerank``, and the final filter applies ``radius`` to
+    the exact (rounded) distance. Residual misses are only true
+    members whose ADC distance exceeds the slack band — widen
+    ``rerank_slack`` to trade scan volume for that tail."""
     from pyspark.sql import Window
 
     if isinstance(queries, np.ndarray):
@@ -717,8 +727,20 @@ def ann_range_query_batch(
             f"query_id long, {id_col} {id_type}, "
             "partition_id int, __score double"
         )
-        rt, dd, rad = round_to, d, float(radius)
-        cut = None if limit_per_query is None else int(limit_per_query)
+        rt, dd = round_to, d
+        # under rerank the kernel keeps the slack band, and the
+        # batch-local limit cut is disabled — an ADC-order cut could
+        # drop rows that belong in the EXACT-order top-L
+        rad = (
+            float(radius) * float(rerank_slack)
+            if rerank is not None
+            else float(radius)
+        )
+        cut = (
+            None
+            if (limit_per_query is None or rerank is not None)
+            else int(limit_per_query)
+        )
 
         def score_partition(batches):
             t = b_tables.value
@@ -768,12 +790,45 @@ def ann_range_query_batch(
         if round_to is not None
         else F.col("__score")
     )
+    cutoff = (
+        float(radius) * float(rerank_slack)
+        if rerank is not None
+        else float(radius)
+    )
     out = scored.select(
         "query_id",
         F.col(id_col).alias("vector_id"),
         "partition_id",
         out_score.alias("squared_distance"),
-    ).where(F.col("squared_distance") <= float(radius))
+    ).where(F.col("squared_distance") <= cutoff)
+    if rerank is not None:
+        vec_col = model.config.vec_col
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(int(q), [float(x) for x in v]) for q, v in zip(qids, qarr)],
+                "query_id long, __qv array<float>",
+            )
+        )
+        survivors = out.select(
+            "query_id", F.col("vector_id").alias(id_col), "partition_id"
+        )
+        ex = (
+            rerank.select(id_col, vec_col)
+            .join(F.broadcast(survivors), id_col)
+            .join(qdf, "query_id")
+            .withColumn("__score", squared_l2(F.col(vec_col), F.col("__qv")))
+        )
+        score2 = (
+            F.round(F.col("__score"), round_to)
+            if round_to is not None
+            else F.col("__score")
+        )
+        out = ex.select(
+            "query_id",
+            F.col(id_col).alias("vector_id"),
+            "partition_id",
+            score2.alias("squared_distance"),
+        ).where(F.col("squared_distance") <= float(radius))
     if limit_per_query is not None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("squared_distance").asc(), F.col("vector_id").asc()
@@ -793,13 +848,16 @@ def ann_range_query(
     limit: int | None = None,
     where=None,
     scorer: str = "auto",
+    rerank: DataFrame | None = None,
+    rerank_slack: float = 1.5,
 ) -> DataFrame:
     """Solo RADIUS search over the IVF+PQ index — the single-query
     form of `ann_range_query_batch`, contract-matching the SQ side's
     `plans.ivfsq.ivfsq_range_query`: ``(vector_id, partition_id,
     squared_distance)`` ascending by (rounded) distance with id
     tie-break; ``limit`` is an ordered safety cap (keeps the nearest);
-    ``where`` pre-filters before scoring."""
+    ``where`` pre-filters before scoring; ``rerank``/``rerank_slack``
+    refine to EXACT radius semantics (see the batch form)."""
     out = ann_range_query_batch(
         model,
         [(0, [float(x) for x in query_vector])],
@@ -809,6 +867,8 @@ def ann_range_query(
         where=where,
         limit_per_query=limit,
         scorer=scorer,
+        rerank=rerank,
+        rerank_slack=rerank_slack,
     )
     return (
         out.select("vector_id", "partition_id", "squared_distance")

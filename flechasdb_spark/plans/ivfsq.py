@@ -398,6 +398,8 @@ def ivfsq_range_query(
     round_to: int | None = None,
     limit: int | None = None,
     where=None,
+    rerank: DataFrame | None = None,
+    rerank_slack: float = 1.5,
 ) -> DataFrame:
     """RADIUS search over the IVF+SQ index (the FAISS ``range_search``
     contract composed with this index): every candidate in the
@@ -413,7 +415,19 @@ def ivfsq_range_query(
     the rounded value (the frozen-row convention); ``limit`` optionally
     caps a pathological radius (ordered — keeps the nearest);
     ``where`` pre-filters candidates BEFORE scoring (the filtered
-    search mode the top-k paths share)."""
+    search mode the top-k paths share).
+
+    ``rerank``/``rerank_slack`` (r10 — the refinement mode on the
+    RADIUS contract): with ``rerank`` holding the ORIGINAL vectors,
+    the quantized scan keeps everything within ``radius *
+    rerank_slack`` (the slack absorbs quantization error in BOTH
+    directions), one broadcast join re-scores those survivors
+    exactly, and the final filter applies ``radius`` to the EXACT
+    distance — exact radius semantics at index cost, modulo only
+    probe recall (a true member whose quantized distance exceeds the
+    slack band is missed; widen ``rerank_slack`` to trade scan volume
+    for that tail). Survivors are O(|matches at slack radius|) —
+    broadcast-sized for any radius worth serving."""
     cc = cent_col_name(model.centroids)
     probe_ids = [
         int(r["partition_id"])
@@ -443,6 +457,7 @@ def ivfsq_range_query(
             qA, _recon("codes", cc, model.lo, model.hi, model.levels)
         )
     score = F.round(dist, round_to) if round_to is not None else dist
+    cut = float(radius) * float(rerank_slack) if rerank is not None else float(radius)
     out = (
         cands.select(
             F.col(id_col),
@@ -450,9 +465,28 @@ def ivfsq_range_query(
             score.alias("squared_distance"),
             dist.alias("__d"),
         )
-        .where(F.col("squared_distance") <= float(radius))
-        .orderBy(F.col("__d").asc(), F.col(id_col).asc())
+        .where(F.col("squared_distance") <= cut)
     )
+    if rerank is not None:
+        survivors = out.select(id_col, "partition_id")
+        exact = squared_l2(qA, F.col("embedding").cast("array<double>"))
+        ex = (
+            rerank.select(id_col, "embedding")
+            .join(F.broadcast(survivors), id_col)
+            .select(F.col(id_col), F.col("partition_id"), exact.alias("__d"))
+        )
+        score2 = (
+            F.round(F.col("__d"), round_to)
+            if round_to is not None
+            else F.col("__d")
+        )
+        out = ex.select(
+            id_col,
+            "partition_id",
+            score2.alias("squared_distance"),
+            "__d",
+        ).where(F.col("squared_distance") <= float(radius))
+    out = out.orderBy(F.col("__d").asc(), F.col(id_col).asc())
     if limit is not None:
         out = out.limit(int(limit))
     return out.drop("__d")
@@ -778,6 +812,8 @@ def ivfsq_range_query_batch(
     limit_per_query: int | None = None,
     collect_centroids: bool = True,
     where=None,
+    rerank: DataFrame | None = None,
+    rerank_slack: float = 1.5,
 ) -> DataFrame:
     """Batch radius search — `ivfsq_query_batch`'s serving shape with
     `ivfsq_range_query`'s filter tail: one job for Q radius queries,
@@ -787,7 +823,13 @@ def ivfsq_range_query_batch(
     broadcast tables, literal-isin partition pruning, and the
     ``collect_centroids=False`` huge-P mode are shared with the top-k
     batch path; the per-candidate filter is codegen, so the only rows
-    that reach any exchange are the matches."""
+    that reach any exchange are the matches.
+
+    ``rerank``/``rerank_slack`` (r10): exact refinement of the radius
+    contract — quantized pre-filter at ``radius * rerank_slack``, one
+    broadcast join of the O(matches) survivors against the ORIGINAL
+    vectors, final filter of the EXACT (rounded) distance at
+    ``radius`` (see `ivfsq_range_query`)."""
     from pyspark.sql import Window
 
     import numpy as np
@@ -862,13 +904,45 @@ def ivfsq_range_query_batch(
         recon = _recon("codes", cc, model.lo, model.hi, model.levels)
     dist = squared_l2(F.col("__qv"), recon)
     score = F.round(dist, round_to) if round_to is not None else dist
+    cut = (
+        float(radius) * float(rerank_slack)
+        if rerank is not None
+        else float(radius)
+    )
     out = cands.select(
         "query_id",
         F.col(id_col),
         F.col("partition_id"),
         score.alias("squared_distance"),
         dist.alias("__d"),
-    ).where(F.col("squared_distance") <= float(radius))
+    ).where(F.col("squared_distance") <= cut)
+    if rerank is not None:
+        survivors = out.select("query_id", id_col, "partition_id")
+        ex = (
+            rerank.select(id_col, "embedding")
+            .join(F.broadcast(survivors), id_col)
+            .join(qdf, "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                F.col("partition_id"),
+                squared_l2(
+                    F.col("embedding").cast("array<double>"), F.col("__qv")
+                ).alias("__d"),
+            )
+        )
+        score2 = (
+            F.round(F.col("__d"), round_to)
+            if round_to is not None
+            else F.col("__d")
+        )
+        out = ex.select(
+            "query_id",
+            id_col,
+            "partition_id",
+            score2.alias("squared_distance"),
+            "__d",
+        ).where(F.col("squared_distance") <= float(radius))
     if limit_per_query is not None:
         w = Window.partitionBy("query_id").orderBy(
             F.col("squared_distance").asc(), F.col(id_col).asc()

@@ -10903,6 +10903,86 @@ def q_ivfsq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfsq_range_rerank",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(15,
+                  floor((x - rba.lo[i]) * 15.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 15.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+survivors AS (
+  SELECT recon.vec_id, recon.partition_id
+  FROM recon, q
+  WHERE round({_DD_SQL2.format(a="q.qv", b="recon.dv")}, 4) <= 3.0),
+exact AS (
+  SELECT sv.vec_id, sv.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="e.embedding::DOUBLE[]")} AS d
+  FROM survivors sv JOIN embeddings e USING (vec_id), q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance
+FROM exact WHERE round(d, 4) <= 1.5 ORDER BY d, vec_id
+""",
+)
+def q_ivfsq_range_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search with EXACT refinement (r10): the SQ4 quantized
+    scan keeps everything within radius * slack (2x here — the slack
+    absorbs 16-level quantization error in both directions), one
+    broadcast join re-scores the O(matches) survivors against the
+    original vectors, and the final filter applies the TRUE radius
+    1.5 to the exact rounded distance — exact range semantics at
+    index cost, modulo probe recall only. The oracle recomputes both
+    legs (quantized slack filter, exact verify); the exactness claim
+    vs knn.range_search at full probe is pytest-gated
+    (tests/test_ivfsq.py::test_range_rerank_exact_semantics)."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_range_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent, bits=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfsq_range_query(
+        model, qv, radius=1.5, nprobe=3, round_to=4,
+        rerank=emb, rerank_slack=2.0,
+    )
+
+
+@query(
     "ivfsq4_rerank_knn",
     f"""
 WITH cent AS (

@@ -689,3 +689,49 @@ def test_range_query_distributed_probes_parity(model, emb, spark, tmp_path_facto
     b = ann_range_query_batch(lazy, qs, **kw).collect()
     key = lambda r: (r.query_id, r.squared_distance, r.vector_id)
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_range_query_rerank_exact_semantics(model, emb):
+    """r10 range rerank on the PQ family: ADC pre-filter at
+    radius*slack + exact verify at radius == knn.range_search exactly
+    at full probe (ADC distances alone are PQ-approximate, so the
+    unreranked result differs); limit_per_query applies to the
+    EXACT-order result."""
+    from flechasdb_spark.operators.knn import flat_knn, range_search
+    from flechasdb_spark.plans.ivf import ann_range_query, ann_range_query_batch
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    r = sorted(
+        x.squared_distance
+        for x in flat_knn(emb, qv, k=12, round_to=4).collect()
+    )[-1]
+    exact = sorted(
+        (x.vec_id, x.squared_distance)
+        for x in range_search(emb, qv, radius=r, round_to=4).collect()
+    )
+    for scorer in ("sql", "batch"):
+        got = sorted(
+            (x.vector_id, x.squared_distance)
+            for x in ann_range_query(
+                model, qv, radius=r, nprobe=CFG.num_partitions, round_to=4,
+                rerank=emb, rerank_slack=2.5, scorer=scorer,
+            ).collect()
+        )
+        assert got == exact, scorer
+    plain = sorted(
+        (x.vector_id, x.squared_distance)
+        for x in ann_range_query(
+            model, qv, radius=r, nprobe=CFG.num_partitions, round_to=4
+        ).collect()
+    )
+    assert plain != exact
+    capped = ann_range_query_batch(
+        model, [(3, qv)], radius=r, nprobe=CFG.num_partitions, round_to=4,
+        rerank=emb, rerank_slack=2.5, limit_per_query=4, scorer="batch",
+    ).collect()
+    assert sorted((x.rank, x.vector_id, x.squared_distance) for x in capped) == [
+        (i + 1, v, d)
+        for i, (d, v) in enumerate(
+            sorted((d, v) for v, d in exact)[:4]
+        )
+    ]

@@ -930,6 +930,7 @@ def test_attr_cols_lifecycle(spark, emb, cent, tmp_path):
     from flechasdb_spark.plans.ivfsq import (
         assemble_ivfsq,
         build_ivfsq,
+        ivfsq_query,
         ivfsq_query_batch,
         load_ivfsq,
         save_ivfsq,
@@ -953,6 +954,16 @@ def test_attr_cols_lifecycle(spark, emb, cent, tmp_path):
         spark.createDataFrame([(r.vec_id,) for r in hits], "vec_id long"),
         "vec_id", "left_semi").select("label").collect()}
     assert lbl == {want_label}
+    # solo filtered search (r10, VERDICT r9 #8): same predicate through
+    # ivfsq_query(where=...) returns exactly the batch-of-one result
+    solo = ivfsq_query(
+        loaded, qs[0][1], k=5, nprobe=P,
+        where=F.col("label") == want_label, round_to=6,
+    ).collect()
+    assert [(r.vec_id, r.squared_distance) for r in solo] == [
+        (r.vec_id, r.squared_distance)
+        for r in sorted(hits, key=lambda r: r["rank"])
+    ]
 
     shard = assemble_ivfsq(
         emb.where(F.col("vec_id") % 2 == 0), model, attr_cols=("label",)
@@ -1077,3 +1088,60 @@ def test_packed_save_load_roundtrip_and_query_equality(
         "codes",
     ).collect()
     assert all(list(r.c2) == list(r.codes) for r in back)
+
+
+def test_range_rerank_exact_semantics(spark, emb, cent):
+    """r10 range rerank: quantized pre-filter at radius*slack + exact
+    verify at radius == the EXACT range_search result restricted to
+    probed cells. On the full-probe SQ4 fixture (coarse codes, where
+    the quantized filter alone both over- and under-selects) the
+    reranked result equals knn.range_search exactly; solo == batch."""
+    from flechasdb_spark.operators.knn import flat_knn, range_search
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_range_query,
+        ivfsq_range_query_batch,
+    )
+
+    model4 = build_ivfsq(emb, cent, bits=4)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    r = sorted(
+        x.squared_distance
+        for x in flat_knn(emb, qv, k=12, round_to=6).collect()
+    )[-1]
+    exact = sorted(
+        (x.vec_id, x.squared_distance)
+        for x in range_search(emb, qv, radius=r, round_to=6).collect()
+    )
+    got = sorted(
+        (x.vec_id, x.squared_distance)
+        for x in ivfsq_range_query(
+            model4, qv, radius=r, nprobe=P, round_to=6,
+            rerank=emb, rerank_slack=2.0,
+        ).collect()
+    )
+    assert got == exact
+    # without rerank the quantized distances differ from exact ones
+    plain = sorted(
+        (x.vec_id, x.squared_distance)
+        for x in ivfsq_range_query(
+            model4, qv, radius=r, nprobe=P, round_to=6
+        ).collect()
+    )
+    assert plain != exact
+    batch = sorted(
+        (x.vec_id, x.squared_distance)
+        for x in ivfsq_range_query_batch(
+            model4, [(3, qv)], radius=r, nprobe=P, round_to=6,
+            rerank=emb, rerank_slack=2.0,
+        ).collect()
+    )
+    assert batch == exact
+    # ordered limit applies AFTER the exact re-score
+    lim = ivfsq_range_query(
+        model4, qv, radius=r, nprobe=P, round_to=6,
+        rerank=emb, rerank_slack=2.0, limit=4,
+    ).collect()
+    assert [(x.vec_id, x.squared_distance) for x in lim] == sorted(
+        exact, key=lambda t: (t[1], t[0])
+    )[:4]
