@@ -609,6 +609,11 @@ def main() -> None:
         "ivfsq4_rerank_knn",
         "ivfsq_upsert_query",
         "ivfsq_attr_filtered",
+        # r10 additions: IVF+PQ radius serving, packed at-rest codes,
+        # range search with exact re-rank
+        "ann_range_query",
+        "ivfsq_packed_knn",
+        "ivfsq_range_rerank",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

