@@ -1469,6 +1469,41 @@ def q_ann_frozen_distprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_packed_knn",
+    f"""
+{_DD_FROZEN_PREFIX}
+SELECT query_id, vector_id, partition_id, round(d, 4) AS squared_distance,
+       rank
+FROM ranked WHERE rank <= {_FRZ_K}
+""",
+)
+def q_ann_packed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED PQ at-rest lifecycle (r10 — `save_index(
+    pack_codes=True)`, the PQ sibling of ivfsq_packed_knn): frozen
+    assemble -> packed save (the D codes stored as binary, 2
+    codes/byte at the reference's own C=16 shape) -> load (lazy
+    hex-slice unpack back into the identical array<int> column) ->
+    the standard batch kNN. The oracle is byte-for-byte the
+    ann_ivfpq_frozen chain BECAUSE the pack/unpack roundtrip is exact
+    — that cross-engine equality is the claim this row pins. Measured
+    at-rest: 9.03 -> 6.80 B/vec at 64k x 64 (SCALING §r10)."""
+    import tempfile
+
+    from flechasdb_spark.plans.ivf import ann_query
+    from flechasdb_spark.sources.manifest import load_index, save_index
+
+    model, emb = _frozen_model(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="flechas_pqpacked_")
+    save_index(model, path, pack_codes=True)
+    model.encoded.unpersist()
+    loaded = load_index(spark, path)
+    out = ann_query(
+        loaded, _frozen_queries(emb), k=_FRZ_K, nprobe=_FRZ_NPROBE, round_to=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
     "ann_range_query",
     f"""
 {_DD_FROZEN_PREFIX}
@@ -9492,7 +9527,9 @@ DRIVER_ORDER = [
     # ivfsq_attr_filtered (SQ attribute columns + filtered search).
     # QUEUED for r11 (new in r10, oracle-gated in pytest now):
     # ann_range_query [IVF+PQ radius serving, frozen lifecycle],
-    # ivfsq_packed_knn [binary-packed at-rest codes, exact roundtrip].
+    # ivfsq_packed_knn / ann_packed_knn [binary-packed at-rest codes
+    # on both families, exact roundtrip], ivfsq_range_rerank [radius
+    # with exact re-rank — exact range semantics at index cost].
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",

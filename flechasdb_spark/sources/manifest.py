@@ -75,10 +75,32 @@ def write_manifest_json(spark: SparkSession, path: str, obj: dict) -> None:
         out.close()
 
 
-def save_index(model: IndexModel, path: str) -> None:
+def save_index(model: IndexModel, path: str, pack_codes: bool = False) -> None:
+    """``pack_codes`` (r10 — the PQ sibling of
+    ``save_ivfsq(pack_codes=True)``): store the D PQ codes as one
+    ``binary`` column — 2 codes/byte when num_codes <= 16 (the
+    reference's own C=16 shape), else 1 byte/code — with a lazy
+    hex-slice unpack composed into the load projection, so every
+    serving path and the partition pruning are unchanged and the
+    roundtrip is exact (pytest-gated). Only the at-rest bytes change;
+    see SCALING.md §r10 for when that actually wins vs Parquet's own
+    encodings."""
+    from flechasdb_spark.operators.sq import (
+        pack_codes_expr,
+        pack_mode_for_levels,
+    )
+
     spark = model.encoded.sparkSession
+    enc = model.encoded
+    packed_mode = None
+    if pack_codes:
+        packed_mode = pack_mode_for_levels(model.config.num_codes - 1)
+        others = [c for c in enc.columns if c != "codes"]
+        enc = enc.select(
+            *others, pack_codes_expr("codes", packed_mode).alias("codes_bin")
+        )
     (
-        model.encoded.repartition("partition_id")
+        enc.repartition("partition_id")
         .write.mode("overwrite")
         .partitionBy("partition_id")
         .parquet(os.path.join(path, "index"))
@@ -90,6 +112,7 @@ def save_index(model: IndexModel, path: str) -> None:
         os.path.join(path, "codebooks")
     )
     manifest = {
+        "packed": packed_mode,
         "format_version": FORMAT_VERSION,
         "vector_size": model.vector_size,
         "num_vectors": model.num_vectors,
@@ -191,6 +214,17 @@ def load_index(
     encoded = spark.read.parquet(os.path.join(path, "index")).withColumn(
         "partition_id", F.col("partition_id").cast("int")
     )
+    if manifest.get("packed"):
+        from flechasdb_spark.operators.sq import unpack_codes_expr
+
+        # D codes per vector; cast back to the build-side array<int>
+        # schema so a loaded packed index is column-identical
+        encoded = encoded.withColumn(
+            "codes",
+            unpack_codes_expr(
+                "codes_bin", d, manifest["packed"]
+            ).cast("array<int>"),
+        ).drop("codes_bin")
     cfg = IndexConfig(
         num_partitions=p,
         num_divisions=d,

@@ -735,3 +735,63 @@ def test_range_query_rerank_exact_semantics(model, emb):
             sorted((d, v) for v, d in exact)[:4]
         )
     ]
+
+
+def test_packed_pq_save_load_roundtrip_and_query_equality(
+    model, emb, spark, tmp_path_factory
+):
+    """r10 packed PQ at rest (the save_ivfsq(pack_codes=True) sibling):
+    codes stored as binary (2 codes/byte at C=16), lazily unpacked at
+    load into the identical array<int> column — codes equal
+    element-wise, schema identical, top-k AND radius queries equal,
+    partition pruning intact."""
+    from flechasdb_spark.plans.ivf import ann_range_query
+
+    plain = str(tmp_path_factory.mktemp("pq_plain"))
+    packed = str(tmp_path_factory.mktemp("pq_packed"))
+    save_index(model, plain)
+    save_index(model, packed, pack_codes=True)
+    at_rest = spark.read.parquet(f"{packed}/index")
+    assert "codes_bin" in at_rest.columns and "codes" not in at_rest.columns
+    lp = load_index(spark, plain)
+    lk = load_index(spark, packed)
+    assert lp.encoded.schema["codes"].dataType.simpleString() == \
+        lk.encoded.schema["codes"].dataType.simpleString()
+    a = {r.vec_id: list(r.codes) for r in lp.encoded.collect()}
+    b = {r.vec_id: list(r.codes) for r in lk.encoded.collect()}
+    assert a == b
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 4).collect()
+    ]
+    key = lambda r: (r.query_id, r.rank)
+    ra = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(lp, qs, k=5, nprobe=4, round_to=4).collect()
+    )
+    rb = sorted(
+        (r.query_id, r.vector_id, r.squared_distance)
+        for r in ann_query(lk, qs, k=5, nprobe=4, round_to=4).collect()
+    )
+    assert ra == rb
+    qv = qs[0][1]
+    va = sorted(
+        (r.vector_id, r.squared_distance)
+        for r in ann_range_query(lp, qv, radius=2.0, nprobe=4, round_to=4).collect()
+    )
+    vb = sorted(
+        (r.vector_id, r.squared_distance)
+        for r in ann_range_query(lk, qv, radius=2.0, nprobe=4, round_to=4).collect()
+    )
+    assert va == vb
+    plan = (
+        ann_query(lk, qs[:1], k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters: [" in ln]
+    assert scan_lines and any(
+        "partition_id" in ln and " IN (" in ln.split("PartitionFilters")[1]
+        for ln in scan_lines
+    ), scan_lines
