@@ -116,22 +116,43 @@ def upsert_vectors(
     replaced ids disappear, new ids appear. Returns the rewritten
     partition ids."""
     cfg = model.config
+    existing = spark.read.parquet(f"{index_path}/index")
     encode = pq_encoder_udf(
         spark, model.centroids_np(), model.codebooks, dim_perm=model.dim_perm
     )
-    incoming = (
-        vectors.select(
-            cfg.id_col,
-            encode(F.col(cfg.vec_col)).alias("__enc"),
-            *model.attr_cols,
-        )
-        .select(
-            cfg.id_col, "__enc.partition_id", "__enc.codes", *model.attr_cols
-        )
-        .persist()
+    # keep_vectors stores carry the original vectors on the encoded
+    # rows — upserted rows must too, or the overwrite would narrow the
+    # touched partitions' schema
+    extra = [cfg.vec_col] if cfg.vec_col in existing.columns else []
+    incoming = vectors.select(
+        cfg.id_col,
+        encode(F.col(cfg.vec_col)).alias("__enc"),
+        *model.attr_cols,
+        *extra,
+    ).select(
+        cfg.id_col,
+        "__enc.partition_id",
+        "__enc.codes",
+        *model.attr_cols,
+        *extra,
     )
+    if "codes_bin" in existing.columns:
+        # a packed store (save_index(pack_codes=True)): pack the
+        # incoming codes into the same binary layout (one at-rest
+        # schema) — the depth comes from the frozen model
+        from flechasdb_spark.operators.sq import (
+            pack_codes_expr,
+            pack_mode_for_levels,
+        )
+
+        incoming = incoming.withColumn(
+            "codes_bin",
+            pack_codes_expr(
+                "codes", pack_mode_for_levels(cfg.num_codes - 1)
+            ),
+        ).drop("codes")
+    incoming = incoming.persist()
     new_ids = incoming.select(cfg.id_col)
-    existing = spark.read.parquet(f"{index_path}/index")
     # per-partition counts of replaced ids (pruned scan over id column)
     replaced_cnt = {
         r.partition_id: r["count"]
@@ -164,7 +185,13 @@ def upsert_vectors(
     survivors = existing.where(
         F.col("partition_id").isin(touched)
     ).join(F.broadcast(new_ids), cfg.id_col, "left_anti")
-    out_cols = [cfg.id_col, "codes", *model.attr_cols, "partition_id"]
+    # schema-driven (r10): the at-rest columns are whatever the store
+    # carries — codes_bin on a packed store, the original vectors on a
+    # keep_vectors store — never a hardcoded projection that could
+    # silently narrow the touched partitions
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
     replacement = survivors.select(out_cols).unionByName(
         incoming.select(out_cols)
     )
@@ -216,7 +243,13 @@ def delete_vectors(
         F.col("partition_id").isin(touched)
         & ~F.col(cfg.id_col).isin([int(i) for i in ids])
     )
-    out_cols = [cfg.id_col, "codes", *model.attr_cols, "partition_id"]
+    # schema-driven (r10): the at-rest columns are whatever the store
+    # carries — codes_bin on a packed store, the original vectors on a
+    # keep_vectors store — never a hardcoded projection that could
+    # silently narrow the touched partitions
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
     with _with_conf(spark, _DYN):
         (
             survivors.select(out_cols)

@@ -716,3 +716,48 @@ def test_ivfsq_upsert_delete_on_packed_store(spark, tmp_path):
     assert a == b
     assert any(v >= 700000 for v, _ in a)  # the upsert is visible
     assert all(v not in (5, 700001) for v, _ in a)  # the delete too
+
+
+def test_pq_upsert_delete_on_packed_and_keep_vectors_stores(spark, tmp_path):
+    """r10 schema-driven PQ maintenance: upsert/delete work on a
+    PACKED store (incoming codes packed into the same binary layout)
+    and on a keep_vectors store (original vectors preserved on the
+    rewritten partitions — the former hardcoded projection silently
+    narrowed them); post-maintenance queries equal the same
+    maintenance on a plain store."""
+    from flechasdb_spark.plans.ivf import ann_query
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    up = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 800000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+
+    results = {}
+    for variant in ("plain", "packed", "keep"):
+        cfg = IndexConfig(
+            num_partitions=4, num_divisions=8, num_codes=16, seed=7,
+            keep_vectors=(variant == "keep"),
+        )
+        model = build_index(emb, cfg)
+        path = str(tmp_path / variant)
+        save_index(model, path, pack_codes=(variant == "packed"))
+        assert upsert_vectors(spark, model, path, up)
+        assert delete_vectors(spark, model, path, [5, 800001])
+        at_rest = spark.read.parquet(f"{path}/index")
+        if variant == "packed":
+            assert "codes_bin" in at_rest.columns
+            assert "codes" not in at_rest.columns
+        if variant == "keep":
+            assert "embedding" in at_rest.columns
+            assert at_rest.where("embedding IS NULL").count() == 0
+        loaded = load_index(spark, path)
+        qs = [(2, [float(x) for x in emb.where(F.col("vec_id") == 2).first()["embedding"]])]
+        results[variant] = sorted(
+            (r.vector_id, r.squared_distance)
+            for r in ann_query(loaded, qs, k=10, nprobe=4, round_to=4).collect()
+        )
+        got_ids = {v for v, _ in results[variant]}
+        assert 5 not in got_ids and 800001 not in got_ids
+    assert results["plain"] == results["packed"] == results["keep"]
