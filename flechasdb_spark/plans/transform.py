@@ -34,6 +34,8 @@ __all__ = [
     "build_transformed_index",
     "transform_queries",
     "transformed_ann_query",
+    "transformed_ann_range_query",
+    "opq_ann_range_query",
     "save_transformed_index",
     "load_transformed_index",
     "OPQIndex",
@@ -120,6 +122,28 @@ def transformed_ann_query(
 
     return ann_query(
         ti.index, _query_matrix(ti, queries), k=k, nprobe=nprobe, **kwargs
+    )
+
+
+def transformed_ann_range_query(
+    ti: TransformedIndex,
+    queries,
+    radius: float,
+    nprobe: int,
+    **kwargs,
+) -> DataFrame:
+    """ann_range_query_batch in the projected space (r10 — radius
+    parity for the PCA composition): the RADIUS applies to the
+    PROJECTED metric the index stores (plain PCA preserves distances
+    only within the kept subspace; whitening rescales axes) — pick it
+    from projected-space distance quantiles. ``where`` /
+    ``limit_per_query`` / ``rerank`` pass through; a ``rerank`` table
+    must hold PROJECTED vectors."""
+    from flechasdb_spark.plans.ivf import ann_range_query_batch
+
+    return ann_range_query_batch(
+        ti.index, _query_matrix(ti, queries), radius=radius,
+        nprobe=nprobe, **kwargs,
     )
 
 
@@ -259,6 +283,22 @@ def opq_ann_query(
 
     return ann_query(
         oi.index, _rotate_queries(oi, queries), k=k, nprobe=nprobe, **kwargs
+    )
+
+
+def opq_ann_range_query(
+    oi: OPQIndex, queries, radius: float, nprobe: int, **kwargs
+) -> DataFrame:
+    """ann_range_query_batch with queries rotated into the index's
+    space (r10): R is ORTHONORMAL, so unlike the PCA composition the
+    radius is the TRUE-metric radius — rotation preserves every L2
+    distance exactly, and the returned (PQ-approximate) distances are
+    true-metric up to quantization."""
+    from flechasdb_spark.plans.ivf import ann_range_query_batch
+
+    return ann_range_query_batch(
+        oi.index, _rotate_queries(oi, queries), radius=radius,
+        nprobe=nprobe, **kwargs,
     )
 
 

@@ -432,3 +432,44 @@ def test_transformed_ivfsq_range_query(spark, emb, sq_tindex):
     assert sorted((x.vec_id, x.squared_distance) for x in batch) == sorted(
         (x.vec_id, x.squared_distance) for x in solo
     )
+
+
+def test_transformed_and_opq_range_queries(spark, emb, tindex, corr_df):
+    """r10 radius parity for the PQ compositions: the PCA form's
+    radius lives in the projected metric (equals the underlying index
+    queried with the projected vector); the OPQ form's radius is the
+    TRUE metric (orthonormal rotation preserves L2), checked by
+    recovering the exact self-match at radius ~0."""
+    from flechasdb_spark.plans.ivf import ann_range_query_batch
+    from flechasdb_spark.plans.transform import (
+        _query_matrix,
+        build_opq_index,
+        opq_ann_range_query,
+        transformed_ann_range_query,
+    )
+    from flechasdb_spark.operators.build import IndexConfig
+
+    r0 = emb.where(F.col("vec_id") == 9).first()
+    qv = [float(x) for x in r0["embedding"]]
+    proj = _query_matrix(tindex, [(9, qv)])
+    base = ann_range_query_batch(
+        tindex.index, proj, radius=3.0, nprobe=8, round_to=4
+    ).collect()
+    got = transformed_ann_range_query(
+        tindex, [(9, qv)], radius=3.0, nprobe=8, round_to=4
+    ).collect()
+    key = lambda r: (r.query_id, r.vector_id, r.squared_distance)
+    assert sorted(map(key, got)) == sorted(map(key, base))
+    assert got  # the fixture radius selects something
+
+    oi = build_opq_index(
+        corr_df,
+        IndexConfig(num_partitions=4, num_divisions=8, num_codes=16, seed=3),
+        opq_iters=2,
+        opq_sample_n=500,
+    )
+    hits = opq_ann_range_query(
+        oi, [(9, [float(x) for x in corr_df.where(F.col("vec_id") == 9).first()["embedding"]])],
+        radius=1.0, nprobe=4, round_to=4,
+    ).collect()
+    assert any(r.vector_id == 9 for r in hits)  # self within radius
