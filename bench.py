@@ -632,6 +632,7 @@ def main() -> None:
         # measured directly as ann_range_query_100 in the lifecycle)
         "ivfsq_packed_knn",
         "ivfsq_range_rerank",
+        "bq_hamming_range",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bq_encode", "bq_thresholds", "hamming_knn", "pack_bits_py"]
+__all__ = [
+    "bq_encode",
+    "bq_thresholds",
+    "hamming_knn",
+    "hamming_range",
+    "pack_bits_py",
+]
 
 WORD_BITS = 32
 
@@ -128,3 +134,37 @@ def hamming_knn(
         .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hamming_range(
+    encoded: DataFrame,
+    query_words: list[int],
+    radius: int,
+    id_col: str = "vec_id",
+    limit: int | None = None,
+) -> DataFrame:
+    """RADIUS search in Hamming space (r10 — the range contract on the
+    binary family, completing radius parity across exact / SQ / PQ /
+    BQ): every code within ``radius`` flipped bits of the packed
+    query. Integer-exact end to end — no rounding contract needed, so
+    the boundary is perfectly stable across engines. Map-only codegen
+    filter (popcount(xor) per word); only matches are sorted, and
+    ``limit`` (ordered) caps a pathological radius. This is the
+    primitive behind SimHash-style near-dup sweeps: "every document
+    whose signature differs in <= r bits"."""
+    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        encoded.select(F.col(id_col), dist.alias("hamming_distance"))
+        .where(F.col("hamming_distance") <= int(radius))
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out

@@ -763,6 +763,44 @@ def q_bq_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bq_hamming_range",
+    f"""
+WITH {_DD_BQ_WORDS},
+q AS (SELECT word_idx, word AS qword FROM bqw WHERE vec_id = {_PQ_QID}),
+scored AS (
+  SELECT a.vec_id,
+         sum(bit_count(xor(a.word, q.qword)))::BIGINT AS hamming_distance
+  FROM bqw a JOIN q USING (word_idx)
+  GROUP BY a.vec_id)
+SELECT vec_id, hamming_distance
+FROM scored WHERE hamming_distance <= 24
+ORDER BY hamming_distance, vec_id
+""",
+)
+def q_bq_hamming_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming RADIUS search over the packed sign bits (r10 —
+    `bq.hamming_range`, completing the range contract across every
+    quantizer family: exact / SQ / PQ / BQ): every code within 24
+    flipped bits of the query, count set by the data. Integer-exact
+    end to end, so the boundary member can never hash-flip; map-only
+    popcount(xor) filter, only the matches sort. This is the SimHash
+    near-dup sweep primitive ("all signatures within r bits")."""
+    from flechasdb_spark.operators.bq import bq_encode, hamming_range, pack_bits_py
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _PQ_QID).first()["embedding"]
+    ]
+    enc = bq_encode(emb, dim=64)
+    out = hamming_range(enc, pack_bits_py(qv), radius=24)
+    return out.select(
+        "vec_id",
+        F.col("hamming_distance").cast("long").alias("hamming_distance"),
+    )
+
+
 # --- Residual (additive) quantization (operators/rq.py — third
 # quantizer family, FAISS ResidualQuantizer shape; frozen codebooks so
 # the whole encode/decode/score chain is DuckDB-recomputable).
@@ -7716,6 +7754,68 @@ def q_stream_span_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_semantic_decontam",
+    f"""
+WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 100),
+bench AS (SELECT embedding::DOUBLE[] AS b FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 150),
+hit AS (
+  SELECT DISTINCT a.vec_id FROM a, bench
+  WHERE round({_DD_SQL2.format(a="a.v", b="bench.b")}, 4) <= 1.3)
+SELECT vec_id FROM a WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+ORDER BY vec_id
+""",
+)
+def q_stream_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC decontamination drained over a bounded
+    two-batch replay (r10 — the embedding-space sibling of
+    stream_span_decontam, the gate exact-substring matching misses on
+    paraphrases): arriving embeddings whose rounded squared L2 to ANY
+    frozen benchmark vector (ids 100-149) is <= 1.3 are quarantined
+    at ingest; survivors land under per-batch overwrite subdirs (a
+    committed batch's replay is a no-op — behavior-gated in
+    tests/test_streaming.py). Stateless per batch, so the drained
+    union equals one batch pass and the oracle replays it in one
+    SQL filter."""
+    _ensure_conf(spark)
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_semantic_decontam,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    arriving = emb.select("vec_id", "embedding").where(F.col("vec_id") < 100)
+    tmp = tempfile.mkdtemp(prefix="stream_semd_")
+    src = f"{tmp}/src"
+    arriving.where(F.col("vec_id") < 50).coalesce(1).write.parquet(f"{src}/b0")
+    arriving.where(F.col("vec_id") >= 50).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in _glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_semantic_decontam(
+        stream, bench, radius=1.3, output_path=f"{tmp}/kept",
+        id_col="vec_id", round_to=4,
+    )
+    run_available_now(q)
+    return (
+        spark.read.parquet(f"{tmp}/kept").select("vec_id").orderBy("vec_id")
+    )
+
+
+@query(
     "stream_span_dedup",
     """
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS words
@@ -9529,7 +9629,11 @@ DRIVER_ORDER = [
     # ann_range_query [IVF+PQ radius serving, frozen lifecycle],
     # ivfsq_packed_knn / ann_packed_knn [binary-packed at-rest codes
     # on both families, exact roundtrip], ivfsq_range_rerank [radius
-    # with exact re-rank — exact range semantics at index cost].
+    # with exact re-rank — exact range semantics at index cost],
+    # bq_hamming_range [Hamming radius — the range contract on the
+    # binary family, the SimHash near-dup sweep primitive],
+    # stream_semantic_decontam [embedding-space ingest gate — the
+    # paraphrase-robust sibling of stream_span_decontam].
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",

@@ -51,6 +51,7 @@ __all__ = [
     "stream_minhash_dedup",
     "stream_quality_filter",
     "stream_span_decontam",
+    "stream_semantic_decontam",
     "stream_span_dedup",
     "stream_token_drift",
     "stream_rate_anomaly",
@@ -1214,6 +1215,77 @@ def stream_hll_users(
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_semantic_decontam(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    radius: float,
+    output_path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+    round_to: int | None = None,
+):
+    """Ingest-time SEMANTIC decontamination (r10) — the embedding-space
+    sibling of `stream_span_decontam`: quarantine every arriving
+    document whose embedding lies within squared-L2 ``radius`` of ANY
+    vector of a FROZEN benchmark set (eval questions, held-out
+    prompts). Exact-substring gates miss paraphrases; this is the
+    standard second line — the radius comes from a sampled
+    distance histogram of known-contaminated pairs (the
+    `knn.range_search` sizing note applies).
+
+    ``round_to`` applies the gate to the ROUNDED distance (the range
+    family's boundary-stability convention). The gate is stateless
+    per batch (the benchmark never updates in-stream), so delivery is
+    `stream_span_decontam`'s contract: each batch writes its
+    survivors under ``ingest_batch=<id>`` in overwrite mode; a
+    committed batch's replay is an exact no-op (_SUCCESS check).
+
+    Scale: per batch one broadcast nested-loop expansion batch x B
+    (B = |benchmark| — eval sets are small by construction; the
+    radius filter is codegen, so only hits reach the distinct) + one
+    anti-join. Past broadcastable B, pre-index the benchmark with
+    IVF+SQ and gate through `ivfsq_range_query_batch` instead — same
+    contract, pruned scan.
+    Returns the streaming query handle (caller drains/stops)."""
+    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.sources.manifest import _fs_path
+
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(bench_vec_col).cast("array<double>").alias("__bv")
+        )
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out_dir = f"{output_path}/ingest_batch={batch_id}"
+        spark = batch.sparkSession
+        marker, fs = _fs_path(spark, f"{out_dir}/_SUCCESS")
+        if fs.exists(marker):
+            return  # replay of a committed batch: exact no-op
+        d = squared_l2(F.col(vec_col).cast("array<double>"), F.col("__bv"))
+        if round_to is not None:
+            d = F.round(d, round_to)
+        contaminated = (
+            batch.select(id_col, vec_col)
+            .join(bench)
+            .where(d <= float(radius))
+            .select(id_col)
+            .distinct()
+        )
+        kept = batch.join(contaminated, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
         .trigger(availableNow=True)
         .start()
     )

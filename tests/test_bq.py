@@ -79,3 +79,27 @@ def test_bq_plan_is_pure_codegen(spark, emb):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hamming_range_semantics(spark):
+    """r10 Hamming radius: equals the full-ranked list filtered at the
+    radius; ordered limit keeps the nearest; integer-exact boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.bq import bq_encode, hamming_knn, hamming_range, pack_bits_py
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    enc = bq_encode(emb, dim=64)
+    full = hamming_knn(enc, pack_bits_py(qv), k=emb.count()).collect()
+    r = sorted(x.hamming_distance for x in full)[15]
+    got = hamming_range(enc, pack_bits_py(qv), radius=r).collect()
+    want = sorted(
+        (x.hamming_distance, x.vec_id) for x in full if x.hamming_distance <= r
+    )
+    assert [(x.hamming_distance, x.vec_id) for x in got] == want
+    lim = hamming_range(enc, pack_bits_py(qv), radius=r, limit=5).collect()
+    assert [(x.hamming_distance, x.vec_id) for x in lim] == want[:5]

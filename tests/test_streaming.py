@@ -1341,3 +1341,83 @@ def test_stream_ivfsq_encode_refuses_flat_layout(spark, tmp_path):
         q.awaitTermination(120)
     # the existing flat index was not touched
     assert sorted(os.listdir(f"{idx}/index")) == before
+
+
+def test_stream_semantic_decontam_matches_batch_and_replays(spark, tmp_path):
+    """r10 semantic decontamination: the drained streamed output equals
+    the batch filter (every kept doc's min squared distance to the
+    benchmark exceeds the radius), quarantined docs are really within
+    it, and a committed batch's replay is a no-op."""
+    import glob
+    import os
+    import time
+
+    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_semantic_decontam,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bench = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    arriving = emb.select("vec_id", "embedding").where(F.col("vec_id") < 100)
+
+    src = str(tmp_path / "src")
+    arriving.where(F.col("vec_id") < 50).coalesce(1).write.parquet(f"{src}/b0")
+    arriving.where(F.col("vec_id") >= 50).coalesce(1).write.parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for f in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = str(tmp_path / "kept")
+    q = stream_semantic_decontam(
+        stream, bench, radius=1.3, output_path=out,
+        id_col="vec_id", round_to=4,
+    )
+    run_available_now(q)
+
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    # batch recompute of the same gate
+    d = F.round(
+        squared_l2(
+            F.col("embedding").cast("array<double>"), F.col("__bv")
+        ),
+        4,
+    )
+    bad = {
+        r.vec_id
+        for r in arriving.join(
+            F.broadcast(
+                bench.select(
+                    F.col("embedding").cast("array<double>").alias("__bv")
+                )
+            )
+        )
+        .where(d <= 1.3)
+        .select("vec_id")
+        .distinct()
+        .collect()
+    }
+    want = {r.vec_id for r in arriving.collect()} - bad
+    assert kept == want
+    assert bad  # the fixture radius actually quarantines something
+
+    # replay with a fresh checkpoint: committed subdirs are no-ops
+    before = sorted(glob.glob(f"{out}/ingest_batch=*/*.parquet"))
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q2 = stream_semantic_decontam(
+        stream2, bench, radius=1.3, output_path=out,
+        id_col="vec_id", round_to=4,
+    )
+    run_available_now(q2)
+    assert sorted(glob.glob(f"{out}/ingest_batch=*/*.parquet")) == before
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == want
