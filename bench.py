@@ -633,6 +633,7 @@ def main() -> None:
         "ivfsq_packed_knn",
         "ivfsq_range_rerank",
         "bq_hamming_range",
+        "ivfsq_cosine_knn",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

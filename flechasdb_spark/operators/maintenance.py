@@ -31,6 +31,7 @@ from flechasdb_spark.operators.build import IndexModel, pq_encoder_udf
 __all__ = [
     "upsert_vectors",
     "delete_vectors",
+    "delete_where",
     "merge_indexes",
     "compact_index",
     "split_partition",
@@ -263,6 +264,72 @@ def delete_vectors(
     ]
     _remove_partition_dirs(spark, f"{index_path}/index", emptied)
     _bump_manifest_num_vectors(spark, index_path, -sum(victim_cnt.values()))
+    return touched
+
+
+def delete_where(
+    spark: SparkSession,
+    index_path: str,
+    predicate,
+) -> list[int]:
+    """Predicate (retention/TTL) delete over ANY ``partition_id=``
+    index store — both families (IVF+PQ and IVF+SQ), packed or plain
+    (r10): drop every row matching ``predicate`` (a Column or SQL
+    string over the index's at-rest columns, attribute columns
+    included), rewriting ONLY the cells that hold matches. This is
+    the operational shape behind retention policies ("drop everything
+    from source X", "older than T") where the id list is NOT known up
+    front — `delete_vectors`/`ivfsq_delete` would first need a full
+    scan to collect the ids to the driver; here the predicate runs in
+    the scan and nothing data-sized leaves the executors.
+
+    Null semantics: rows where the predicate is NULL are KEPT (only
+    TRUE deletes — the SQL DELETE convention). The manifest's
+    num_vectors is kept in sync when the store carries one (the PQ
+    manifest; the SQ manifest tracks no count). Returns the rewritten
+    partition ids."""
+    existing = spark.read.parquet(f"{index_path}/index")
+    _require_flat_ivfsq_layout(existing, "delete_where")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    victim_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(hit)
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    touched = sorted(victim_cnt)
+    if not touched:
+        return []
+    existing_cnt = {
+        r.partition_id: r["count"]
+        for r in existing.where(F.col("partition_id").isin(touched))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    }
+    survivors = existing.where(
+        F.col("partition_id").isin(touched) & ~hit
+    )
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
+    with _with_conf(spark, _DYN):
+        (
+            survivors.select(out_cols)
+            .repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{index_path}/index")
+        )
+    emptied = [
+        p for p in touched if victim_cnt[p] >= existing_cnt.get(p, 0)
+    ]
+    _remove_partition_dirs(spark, f"{index_path}/index", emptied)
+    _bump_manifest_num_vectors(
+        spark, index_path, -sum(victim_cnt.values())
+    )
     return touched
 
 

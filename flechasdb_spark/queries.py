@@ -9633,7 +9633,9 @@ DRIVER_ORDER = [
     # bq_hamming_range [Hamming radius — the range contract on the
     # binary family, the SimHash near-dup sweep primitive],
     # stream_semantic_decontam [embedding-space ingest gate — the
-    # paraphrase-robust sibling of stream_span_decontam].
+    # paraphrase-robust sibling of stream_span_decontam],
+    # ivfsq_cosine_knn [cosine-metric serving: normalize-then-L2,
+    # the reference's own cosine composition].
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",
@@ -10855,6 +10857,105 @@ def q_ivfsq4_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = build_ivfsq(emb, cent, bits=4)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
+
+
+@query(
+    "ivfsq_cosine_knn",
+    f"""
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x ->
+           CAST(x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 y -> y * y))) AS FLOAT))
+           AS nf
+  FROM embeddings),
+base AS (SELECT vec_id, nf::DOUBLE[] AS v FROM nv),
+cent AS (
+  SELECT vec_id::INT AS partition_id, v AS cv
+  FROM base WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.v", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM base e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 0),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+recon AS (
+  SELECT co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes USING (partition_id), rba),
+scored AS (
+  SELECT recon.vec_id, recon.partition_id,
+         {_DD_SQL2.format(a="q.qv", b="recon.dv")} AS d
+  FROM recon, q)
+SELECT vec_id, partition_id, round(d, 4) AS squared_distance,
+       round(1.0 - round(d, 4) / 2.0, 4) AS cosine_sim
+FROM scored ORDER BY round(d, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfsq_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE-metric ANN serving (r10): the standard composition —
+    L2-normalize the corpus AND the query, build/serve the plain
+    squared-L2 IVF+SQ index over the unit vectors; on unit vectors
+    ||u - v||^2 = 2 - 2 cos(u, v), so the L2 ranking IS the cosine
+    ranking and the emitted ``cosine_sim = 1 - d/2`` (computed from
+    the ROUNDED distance, so it is hash-stable) is the quantized
+    cosine. This is exactly how the reference's own users get cosine
+    (it normalizes inputs so cosine ≡ L2 ordering,
+    /root/reference/src/main.rs:45-48) and how FAISS documents
+    METRIC_INNER_PRODUCT on normalized data. The oracle recomputes
+    the normalization (float-cast like the engine's `normalize`
+    kernel) and the full frozen lifecycle on the unit vectors."""
+    from flechasdb_spark.functions.linalg import normalize
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id", normalize(F.col("embedding")).alias("embedding")
+    )
+    cent = unit.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(unit, cent)
+    qv = [
+        float(x)
+        for x in unit.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
+    return out.select(
+        "vec_id",
+        "partition_id",
+        "squared_distance",
+        F.round(
+            F.lit(1.0) - F.col("squared_distance") / F.lit(2.0), 4
+        ).alias("cosine_sim"),
+    )
 
 
 @query(

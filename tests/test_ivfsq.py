@@ -1145,3 +1145,40 @@ def test_range_rerank_exact_semantics(spark, emb, cent):
     assert [(x.vec_id, x.squared_distance) for x in lim] == sorted(
         exact, key=lambda t: (t[1], t[0])
     )[:4]
+
+
+def test_cosine_serving_matches_exact_cosine(spark, emb, cent):
+    """r10 cosine-metric serving (normalize-then-L2): at full probe
+    with exact re-rank over the unit vectors, the index's ranking
+    equals the exact cosine top-k, and 1 - d/2 equals the true cosine
+    similarity (unit-vector identity)."""
+    from flechasdb_spark.functions.linalg import cosine_similarity, normalize
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, ivfsq_query
+
+    unit = emb.select("vec_id", normalize(F.col("embedding")).alias("embedding"))
+    ucent = unit.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(unit, ucent)
+    q0 = unit.where(F.col("vec_id") == 9).first()
+    qv = [float(x) for x in q0["embedding"]]
+    got = ivfsq_query(
+        model, qv, k=10, nprobe=P, round_to=6, rerank=unit
+    ).collect()
+    # exact cosine ranking over the ORIGINAL vectors
+    qcol = F.array(*[F.lit(float(x)) for x in
+                     emb.where(F.col("vec_id") == 9).first()["embedding"]])
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), qcol), 6).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [r.vec_id for r in exact]
+    # unit-vector identity: 1 - d/2 == cosine (to rounding)
+    for g, e in zip(got, exact):
+        assert abs((1.0 - g.squared_distance / 2.0) - e.c) < 5e-5

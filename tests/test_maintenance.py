@@ -761,3 +761,68 @@ def test_pq_upsert_delete_on_packed_and_keep_vectors_stores(spark, tmp_path):
         got_ids = {v for v, _ in results[variant]}
         assert 5 not in got_ids and 800001 not in got_ids
     assert results["plain"] == results["packed"] == results["keep"]
+
+
+def test_delete_where_predicate_retention(spark, tmp_path):
+    """r10 predicate delete: retention-style deletion over attribute
+    columns on BOTH families (and a packed store), rewriting only the
+    cells that hold matches; NULL predicate rows are kept (SQL DELETE
+    semantics); the PQ manifest's num_vectors stays in sync; untouched
+    cell directories are not rewritten."""
+    import glob
+    import os as _os
+
+    from flechasdb_spark.operators.maintenance import delete_where
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # --- SQ store with an attribute column
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    sq = build_ivfsq(emb, cent, attr_cols=("label",))
+    sq_path = str(tmp_path / "sq")
+    save_ivfsq(sq, sq_path)
+    before = spark.read.parquet(f"{sq_path}/index")
+    kill = int(before.groupBy("label").count().orderBy("count").first()["label"])
+    n_before = before.count()
+    n_kill = before.where(F.col("label") == kill).count()
+    untouched_pids = {
+        r.partition_id
+        for r in before.groupBy("partition_id")
+        .agg(F.sum((F.col("label") == kill).cast("int")).alias("k"))
+        .where("k = 0")
+        .collect()
+    }
+    mtimes = {
+        p: _os.path.getmtime(p)
+        for pid in untouched_pids
+        for p in glob.glob(f"{sq_path}/index/partition_id={pid}/*.parquet")
+    }
+    touched = delete_where(spark, sq_path, F.col("label") == kill)
+    after = spark.read.parquet(f"{sq_path}/index")
+    assert after.where(F.col("label") == kill).count() == 0
+    assert after.count() == n_before - n_kill and n_kill > 0
+    assert set(touched).isdisjoint(untouched_pids)
+    for p, t in mtimes.items():  # untouched cells not rewritten
+        assert _os.path.getmtime(p) == t
+    # the store still serves
+    loaded = load_ivfsq(spark, sq_path)
+    assert loaded.encoded.count() == n_before - n_kill
+
+    # --- packed PQ store with attrs + manifest bookkeeping
+    cfg = IndexConfig(num_partitions=4, num_divisions=8, num_codes=16, seed=7)
+    pq = build_index(emb, cfg)
+    pq_path = str(tmp_path / "pq")
+    save_index(pq, pq_path, pack_codes=True)
+    n0 = load_index(spark, pq_path).num_vectors
+    k2 = spark.read.parquet(f"{pq_path}/index").where("label = 1").count()
+    delete_where(spark, pq_path, "label = 1")
+    reloaded = load_index(spark, pq_path)
+    assert reloaded.num_vectors == n0 - k2 and k2 > 0
+    assert reloaded.encoded.where("label = 1").count() == 0
+
+    # --- SQL-string predicate + no-match is a no-op
+    assert delete_where(spark, pq_path, "label = 999999") == []
