@@ -20,6 +20,7 @@ __all__ = [
     "psi_report",
     "prefix_dim_recall_curve",
     "prefix_dim_recall_multi",
+    "auto_nprobe",
 ]
 
 
@@ -674,3 +675,52 @@ def psi_report(
         F.max("__nr").cast("long").alias("n_ref"),
         F.round(F.sum(term_q) / 1e9, 6).alias("psi"),
     )
+
+
+def auto_nprobe(
+    exact: DataFrame,
+    search_fn,
+    nprobes,
+    target_recall: float,
+):
+    """FAISS-autotune analogue (r10): pick the SMALLEST nprobe whose
+    mean recall@k over a query sample meets ``target_recall``,
+    measured against a precomputed exact baseline — the tuning loop a
+    100 TB store runs once per (index, workload) before pinning the
+    serving knob, instead of guessing.
+
+    ``exact``: (query_id, vec_id) — the flat-search truth for the
+    sample (`knn_join` once; shared across arms). ``search_fn(nprobe)
+    -> DataFrame(query_id, vec_id)`` — the serving path under test,
+    family-agnostic: wrap `plans.ivf.ann_query`,
+    `plans.ivfsq.ivfsq_query_batch`, a transformed composition, with
+    or without rerank — whatever combination is being tuned. The loop
+    EARLY-STOPS at the first candidate that meets the target (probed
+    cells only per arm — never a corpus rescan, and no arm beyond the
+    answer), so cost is sum(nprobe <= answer) partition scans.
+
+    Returns ``(nprobe | None, curve)`` with ``curve`` =
+    [(nprobe, mean_recall), ...] for every arm actually run — None
+    when no candidate meets the target (widen the list, raise the
+    rerank factor, or lower the target; the curve shows which stage
+    to move, the `ann_nprobe_recall_curve` row's lesson)."""
+    ex = exact.persist()
+    curve: list[tuple[int, float]] = []
+    try:
+        for np_ in sorted(int(n) for n in nprobes):
+            approx = search_fn(np_)
+            row = (
+                recall_at_k(ex, approx)
+                .agg(
+                    F.sum("n_hit").alias("h"),
+                    F.sum("n_exact").alias("e"),
+                )
+                .first()
+            )
+            r = float(row["h"]) / float(row["e"]) if row["e"] else 0.0
+            curve.append((np_, round(r, 6)))
+            if r >= float(target_recall):
+                return np_, curve
+        return None, curve
+    finally:
+        ex.unpersist()

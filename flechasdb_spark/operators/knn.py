@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
 
-__all__ = ["flat_knn", "knn_join", "range_search"]
+__all__ = ["flat_knn", "knn_join", "range_search", "calibrate_radius"]
 
 
 def _literal_vector(qv: list[float]) -> Column:
@@ -171,3 +171,57 @@ def range_search(
     if limit is not None:
         out = out.limit(int(limit))
     return out.drop("__dist_full")
+
+
+def calibrate_radius(
+    vectors: DataFrame,
+    queries: list[list[float]],
+    selectivity: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 512,
+) -> float:
+    """Pick a radius for `range_search` / the indexed range paths from
+    DATA instead of guessing (r10 — the executable form of the "size
+    |result| from a sampled distance histogram first" note): the
+    ``selectivity``-quantile of the squared distances between a query
+    SAMPLE and the corpus, so radius admits ~``selectivity`` of the
+    corpus per query in expectation.
+
+    One pass: broadcast the Q sample queries against the corpus scan,
+    per-pair codegen distance, fixed-grid histogram quantile
+    (`sketch.histogram_quantiles` — deterministic, mergeable,
+    engine-exact arithmetic; the shuffle carries O(buckets) rows, not
+    the Q*N pairs). Bounds for the grid come from one min/max
+    aggregation over the same pairs (a second map pass, no shuffle
+    growth). At 100 TB run it on a corpus SAMPLE — the quantile of a
+    uniform sample estimates the population quantile, which is all a
+    radius needs."""
+    from flechasdb_spark.operators.sketch import histogram_quantiles
+
+    if not 0.0 < float(selectivity) <= 1.0:
+        raise ValueError(f"selectivity must be in (0, 1]: {selectivity}")
+    spark = vectors.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+            "__qid long, __qv array<double>",
+        )
+    )
+    d = squared_l2(F.col(vec_col).cast("array<double>"), F.col("__qv"))
+    pairs = vectors.select(vec_col).join(qdf).select(d.alias("__d"))
+    mm = pairs.agg(
+        F.min("__d").alias("lo"), F.max("__d").alias("hi")
+    ).first()
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        return hi
+    row = histogram_quantiles(
+        pairs,
+        "__d",
+        [float(selectivity)],
+        lo=lo,
+        hi=hi,
+        num_buckets=num_buckets,
+    ).first()
+    return float(row["q_est"])

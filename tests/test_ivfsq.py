@@ -1182,3 +1182,70 @@ def test_cosine_serving_matches_exact_cosine(spark, emb, cent):
     # unit-vector identity: 1 - d/2 == cosine (to rounding)
     for g, e in zip(got, exact):
         assert abs((1.0 - g.squared_distance / 2.0) - e.c) < 5e-5
+
+
+def test_auto_nprobe_picks_smallest_sufficient(spark, emb, model):
+    """r10 auto_nprobe: returns the smallest candidate whose mean
+    recall@k meets the target (every earlier arm in the curve is
+    below it), early-stops (no arms recorded past the answer), and
+    returns None with the full curve when the target is unreachable."""
+    from flechasdb_spark.operators.eval import auto_nprobe
+    from flechasdb_spark.operators.knn import knn_join
+    from flechasdb_spark.plans.ivfsq import ivfsq_query_batch
+
+    qdf = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvector"),
+    )
+    exact = knn_join(qdf, emb, k=5).select("query_id", "vec_id")
+    qs = [
+        (int(r.query_id), [float(x) for x in r.qvector])
+        for r in qdf.collect()
+    ]
+
+    def search(np_):
+        return ivfsq_query_batch(model, qs, k=5, nprobe=np_).select(
+            "query_id", "vec_id"
+        )
+
+    best, curve = auto_nprobe(exact, search, [1, 2, 4, 8], 0.9)
+    assert best is not None
+    assert dict(curve)[best] >= 0.9
+    for np_, r in curve:
+        if np_ < best:
+            assert r < 0.9
+    assert [n for n, _ in curve] == sorted(n for n, _ in curve)
+    assert curve[-1][0] == best  # early stop: nothing past the answer
+    # full probe reaches recall 1.0 on SQ8 (near-lossless distances)
+    assert dict(auto_nprobe(exact, search, [8], 0.99)[1])[8] >= 0.99
+    # unreachable target: None + every arm recorded
+    none, full = auto_nprobe(exact, search, [1, 2], 1.01)
+    assert none is None and len(full) == 2
+
+
+def test_calibrate_radius_hits_target_selectivity(spark, emb, model):
+    """r10 calibrate_radius: the suggested radius admits ~the target
+    fraction of the corpus per query (within histogram-bucket error),
+    and composes with the indexed range path at full probe."""
+    from flechasdb_spark.operators.knn import calibrate_radius, range_search
+    from flechasdb_spark.plans.ivfsq import ivfsq_range_query
+
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(3, 9, 21)).collect()
+    ]
+    n = emb.count()
+    for sel in (0.05, 0.2):
+        r = calibrate_radius(emb, qs, selectivity=sel)
+        got = sum(
+            range_search(emb, q, radius=r, round_to=6).count() for q in qs
+        ) / (len(qs) * n)
+        assert abs(got - sel) < 0.05, (sel, r, got)
+    # composes with the indexed radius path
+    r = calibrate_radius(emb, qs, selectivity=0.1)
+    hits = ivfsq_range_query(model, qs[0], radius=r, nprobe=P, round_to=6)
+    assert hits.count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="selectivity"):
+        calibrate_radius(emb, qs, selectivity=0.0)
