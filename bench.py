@@ -634,6 +634,7 @@ def main() -> None:
         "ivfsq_range_rerank",
         "bq_hamming_range",
         "ivfsq_cosine_knn",
+        "token_id_decode",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -21,6 +21,7 @@ __all__ = [
     "gopher_quality_filter",
     "GOPHER_REQUIRED_STOPWORDS",
     "encode_token_ids",
+    "decode_token_ids",
     "length_bucket_batches",
     "chunk_text_udtf",
     "scrub_pii",
@@ -1372,3 +1373,41 @@ def pmi_collocations(
         .limit(k)
         .select("u", "w", "c_uv", F.round(F.col("__pm") / 1e6, 6).alias("pmi"))
     )
+
+
+def decode_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    unk_token: str = "<unk>",
+    ids_col: str = "token_ids",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Inverse of `encode_token_ids` (r10): token-id sequences back to
+    space-joined text against the same vocabulary, OOV ids (anything
+    absent from the vocab, e.g. the encoder's unk_id) rendered as
+    ``unk_token`` — the inspection/export step of a loader (spot-check
+    what the model actually sees, ship detokenized samples).
+
+    Shape: the vocabulary is O(top_n) rows BY CONSTRUCTION
+    (build_vocab caps it), so it collects once and the decode is a
+    pure map-only `transform` over a map literal — no join, no
+    shuffle, whole-stage codegen; at vocabularies past literal-map
+    comfort (~100k), mirror the encoder's explode + broadcast-join
+    shape instead. Roundtrip contract (pytest + oracle row
+    `token_id_decode`): decode(encode(doc)) equals the normalized
+    original with every OOV token replaced by ``unk_token``."""
+    rows = vocab.select("token_id", "token").collect()
+    m = F.create_map(
+        *[
+            x
+            for r in rows
+            for x in (F.lit(int(r["token_id"])).cast("long"), F.lit(r["token"]))
+        ]
+    )
+    toks = F.transform(
+        F.col(ids_col),
+        lambda t: F.coalesce(
+            F.element_at(m, t.cast("long")), F.lit(unk_token)
+        ),
+    )
+    return df.withColumn(out_col, F.array_join(toks, " "))

@@ -9635,7 +9635,9 @@ DRIVER_ORDER = [
     # stream_semantic_decontam [embedding-space ingest gate — the
     # paraphrase-robust sibling of stream_span_decontam],
     # ivfsq_cosine_knn [cosine-metric serving: normalize-then-L2,
-    # the reference's own cosine composition].
+    # the reference's own cosine composition], token_id_decode
+    # [detokenization inverse — the oracle rebuilds every decoded
+    # string value-for-value].
     "ann_ivfpq",
     "ann_frozen_distprobe",
     "ivfsq_knn",
@@ -10029,6 +10031,66 @@ def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("token_ids", lambda t: t.cast("string")), " "
         ).alias("token_ids_str"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_id_decode",
+    f"""
+WITH toks0 AS (
+  SELECT unnest({_DD_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token, count(*)::BIGINT AS count FROM toks0 GROUP BY token
+  HAVING count(*) >= 2
+  ORDER BY count DESC, token LIMIT 500),
+vocab AS (
+  SELECT (row_number() OVER (ORDER BY count DESC, token) - 1)::BIGINT
+           AS token_id, token
+  FROM counts),
+dt AS (SELECT doc_id, {_DD_TOKS} AS ts FROM documents WHERE doc_id < 200),
+pos AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS token
+  FROM dt),
+mapped AS (
+  SELECT pos.doc_id, pos.p,
+         coalesce(v.token_id, -1) AS tid,
+         CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS unk
+  FROM pos LEFT JOIN vocab v USING (token)),
+dec AS (
+  SELECT m.doc_id, m.p, m.unk, coalesce(v2.token, '<unk>') AS tok
+  FROM mapped m LEFT JOIN vocab v2 ON v2.token_id = m.tid)
+SELECT dt.doc_id,
+       coalesce(x.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(x.n_unk, 0)::BIGINT AS n_unk,
+       coalesce(x.txt, '') AS decoded_text
+FROM dt LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(unk)::BIGINT AS n_unk,
+         array_to_string(list(tok ORDER BY p), ' ') AS txt
+  FROM dec GROUP BY doc_id) x USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def q_token_id_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader's inverse step (r10 — `text.decode_token_ids`):
+    token-id sequences detokenized back against the same vocabulary,
+    OOV ids rendered as ``<unk>`` — decode(encode(doc)) must equal
+    the normalized original with OOV tokens masked, and the oracle
+    RECOMPUTES the decoded text value-for-value (the strongest form
+    of the roundtrip claim: both engines independently rebuild every
+    string). The decode itself is a map-only transform over the
+    collected O(top_n) vocab — no join, no shuffle."""
+    from flechasdb_spark.operators.text import (
+        build_vocab,
+        decode_token_ids,
+        encode_token_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=500, min_count=2)
+    enc = encode_token_ids(docs.where(F.col("doc_id") < 200), vocab)
+    dec = decode_token_ids(enc, vocab)
+    return dec.select(
+        "doc_id", "n_tokens", "n_unk", "decoded_text"
     ).orderBy("doc_id")
 
 

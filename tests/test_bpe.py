@@ -104,3 +104,39 @@ def test_bpe_empty_and_stopping(spark):
     out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
     assert out[1].n_pieces == 0 and list(out[1].pieces) == []
     assert list(out[2].pieces) == ["a", "b", END_OF_WORD]
+
+
+def test_decode_token_ids_roundtrip(spark):
+    """r10 detokenization: decode(encode(doc)) equals the normalized
+    original with OOV tokens masked as <unk>, for every document."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flechasdb_spark.operators.text import (
+        build_vocab,
+        decode_token_ids,
+        encode_token_ids,
+        tokens,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # tiny top_n so the synthetic corpus (only ~31 distinct tokens at
+    # sf0.001) actually has OOV tokens and the <unk> branch is exercised
+    vocab = build_vocab(docs, top_n=10, min_count=2)
+    known = {r.token for r in vocab.select("token").collect()}
+    enc = encode_token_ids(docs, vocab)
+    dec = {r.doc_id: r.decoded_text for r in decode_token_ids(enc, vocab).collect()}
+    orig = {
+        r.doc_id: [t for t in r.ts]
+        for r in docs.select("doc_id", tokens("text").alias("ts")).collect()
+    }
+    assert dec.keys() == orig.keys()
+    n_unk_docs = 0
+    for did, ts in orig.items():
+        want = " ".join(t if t in known else "<unk>" for t in ts)
+        assert dec[did] == want, did
+        if any(t not in known for t in ts):
+            n_unk_docs += 1
+    assert n_unk_docs > 0  # the mask branch is actually exercised
