@@ -149,8 +149,12 @@ def main() -> None:
     ivfsq_range_query(refreshed, qs[0][1], radius=1.5, nprobe=3,
                       round_to=4, rerank=originals,
                       rerank_slack=2.0).show(5)
+    # note: pack-save from the POST-upsert reload — `served` was loaded
+    # before the upsert, so its lazy plan lists files the maintenance
+    # rewrite has since replaced (maintenance invalidates earlier
+    # loaded handles; always reload after it)
     packed_path = os.path.join(out_dir, "ivfsq_idx_packed")
-    save_ivfsq(served, packed_path, pack_codes=True)
+    save_ivfsq(refreshed, packed_path, pack_codes=True)
     packed = load_ivfsq(spark, packed_path)
     print("packed-store top-5 (binary codes at rest, same results):")
     ivfsq_query(packed, qs[0][1], k=5, nprobe=3, round_to=4).show()
