@@ -9638,9 +9638,38 @@ DRIVER_ORDER = [
     # the reference's own cosine composition], token_id_decode
     # [detokenization inverse — the oracle rebuilds every decoded
     # string value-for-value].
-    "ann_ivfpq",
+    # r11 rotation (VERDICT r10 #1): the full eight-row r10 cohort gets
+    # driver visibility. Each retiree had >= 3 rounds of green driver
+    # evidence (scripted audit over CORRECTNESS_r01..r10, counts in
+    # parens) and its family keeps >= 1 window row: ann_ivfpq(7) ->
+    # ann_frozen_distprobe keeps PQ build+save/load+probe, and the
+    # incoming ann_range_query / ann_packed_knn add the PQ radius and
+    # packed-at-rest lifecycles; ivfsq_knn(3) -> ten sibling ivfsq_*
+    # rows keep SQ serving (cell bounds, batch, merge, 4-bit, range,
+    # upsert, attrs) plus the incoming packed/range-rerank/cosine rows;
+    # pca_reduced_knn(4) -> pca_project_residual + pcar_ivfsq_knn keep
+    # the PCA transform family; index_split_query(3) ->
+    # ivfsq_merge_query + ivfsq_upsert_query keep maintenance
+    # lifecycles (split stays oracle-gated in pytest + bench);
+    # cdc_chunk_dedup(4) -> the span family + edit_distance_neardup +
+    # image_dhash_neardup keep dedup; token_id_encode(5) -> the
+    # incoming token_id_decode runs the full encode->decode roundtrip
+    # against a value-exact oracle, so tokenizer evidence strengthens;
+    # ccnet_ppl_bands(5) -> bigram_lm_score + kneser_ney_lm_score keep
+    # LM scoring; stream_span_decontam(3) -> the incoming
+    # stream_semantic_decontam is its embedding-space sibling and
+    # stream_span_dedup keeps the exact-span streaming gate (5
+    # streaming rows remain). The incoming bq_hamming_range restores a
+    # binary-quantizer window row (bq_hamming_knn retired r7). All
+    # retired rows stay oracle-gated in pytest (tests/test_oracle.py
+    # runs the FULL registry) and in bench.py's headline set.
     "ann_frozen_distprobe",
-    "ivfsq_knn",
+    "ann_range_query",
+    "ann_packed_knn",
+    "ivfsq_packed_knn",
+    "ivfsq_range_rerank",
+    "ivfsq_cosine_knn",
+    "bq_hamming_range",
     "ivfsq_cell_knn",
     "ivfsq_batch_knn",
     "ivfsq_merge_query",
@@ -9653,24 +9682,20 @@ DRIVER_ORDER = [
     "pcar_ivfsq_knn",
     "opq_rotated_encode",
     "pca_project_residual",
-    "pca_reduced_knn",
-    "index_split_query",
     # dedup / similarity
     "repeated_ngram_spans",
     "repeated_span_removal",
     "token_span_removal",
     "cross_source_span_matrix",
-    "cdc_chunk_dedup",
     "image_dhash_neardup",
     "edit_distance_neardup",
     # text / training-data pipeline
     "nb_source_classifier",
     "nb_classifier_report",
     "nb_margin_calibration",
-    "ccnet_ppl_bands",
     "bigram_lm_score",
     "kneser_ney_lm_score",
-    "token_id_encode",
+    "token_id_decode",
     "training_shard_roundtrip",
     "quality_ensemble_rank",
     "matryoshka_recall_curve",
@@ -9689,7 +9714,7 @@ DRIVER_ORDER = [
     # streaming
     "stream_rate_anomaly",
     "stream_hll_users",
-    "stream_span_decontam",
+    "stream_semantic_decontam",
     "stream_span_dedup",
     "stream_ivfsq_encode",
 ]
