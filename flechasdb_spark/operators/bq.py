@@ -111,6 +111,38 @@ def pack_bits_py(vec, thresholds=None) -> list[int]:
     return words
 
 
+def _hamming_dist_checked(query_words: list[int]) -> Column:
+    """Word-wise popcount(xor) distance to the packed query, guarded
+    against a query/code width mismatch (ADVICE r10): `zip_with`
+    null-pads the shorter side and `bit_count(NULL)` propagates NULL
+    through the fold, which would make every comparison silently false
+    — a malformed query would return an EMPTY result instead of an
+    error. The guard is a codegen `when/raise_error` on
+    `size(words)`, so it costs nothing extra (same scan) and fails
+    loudly on the first mismatched row, matching the repo's
+    loud-failure convention (flat-layout guard, missing-cell guard)."""
+    nw = len(query_words)
+    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(F.col("words")) == nw, dist).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hamming query has {nw} words but encoded row has "
+                ),
+                F.size(F.col("words")).cast("string"),
+                F.lit(" — query/code width mismatch"),
+            )
+        )
+    )
+
+
 def hamming_knn(
     encoded: DataFrame,
     query_words: list[int],
@@ -121,14 +153,7 @@ def hamming_knn(
     sum over words of bit_count(xor(word, qword)) — integer-exact, no
     rounding contract needed. Map-only scan + TakeOrderedAndProject;
     ties break by id ascending."""
-    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    dist = _hamming_dist_checked(query_words)
     return (
         encoded.select(F.col(id_col), dist.alias("hamming_distance"))
         .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
@@ -151,15 +176,10 @@ def hamming_range(
     filter (popcount(xor) per word); only matches are sorted, and
     ``limit`` (ordered) caps a pathological radius. This is the
     primitive behind SimHash-style near-dup sweeps: "every document
-    whose signature differs in <= r bits"."""
-    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    whose signature differs in <= r bits". A query whose word count
+    does not match the encoded width raises at execution (see
+    `_hamming_dist_checked`) instead of silently returning empty."""
+    dist = _hamming_dist_checked(query_words)
     out = (
         encoded.select(F.col(id_col), dist.alias("hamming_distance"))
         .where(F.col("hamming_distance") <= int(radius))

@@ -20,6 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,6 +181,7 @@ def calibrate_radius(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_buckets: int = 512,
+    bounds_sample: int = 2048,
 ) -> float:
     """Pick a radius for `range_search` / the indexed range paths from
     DATA instead of guessing (r10 — the executable form of the "size
@@ -188,34 +190,55 @@ def calibrate_radius(
     SAMPLE and the corpus, so radius admits ~``selectivity`` of the
     corpus per query in expectation.
 
-    One pass: broadcast the Q sample queries against the corpus scan,
-    per-pair codegen distance, fixed-grid histogram quantile
-    (`sketch.histogram_quantiles` — deterministic, mergeable,
-    engine-exact arithmetic; the shuffle carries O(buckets) rows, not
-    the Q*N pairs). Bounds for the grid come from one min/max
-    aggregation over the same pairs (a second map pass, no shuffle
-    growth). At 100 TB run it on a corpus SAMPLE — the quantile of a
-    uniform sample estimates the population quantile, which is all a
-    radius needs."""
+    ONE corpus-scale pass (VERDICT r10 #8 — the previous shape ran the
+    Q x N pair expansion twice, once for grid bounds and once for the
+    histogram, doubling the dominant cost): grid bounds now come from
+    the Q x S pairs over a deterministic md5-ranked corpus sample of
+    ``bounds_sample`` rows (the `itq.sample_to_driver` convention —
+    orderBy(md5(salt:id)).limit(S) compiles to TakeOrderedAndProject,
+    each task forwards <= S rows, and the distance work is Q x S, not
+    Q x N). The corpus-scale work is then a single pass: broadcast the
+    Q queries against the corpus scan, per-pair codegen distance,
+    fixed-grid histogram quantile (`sketch.histogram_quantiles` —
+    deterministic, mergeable, engine-exact arithmetic; the shuffle
+    carries O(buckets) rows, not the Q*N pairs). Pairs outside the
+    sampled [lo, hi) clamp into the edge buckets (histogram contract),
+    so under-covering bounds cost at most one bucket of resolution at
+    the tails, never correctness of the admitted-fraction estimate.
+    With ``bounds_sample >= |corpus|`` the bounds are exact and the
+    result is identical to the former two-pass form (pytest-gated).
+    At 100 TB run the histogram itself on a corpus SAMPLE too — the
+    quantile of a uniform sample estimates the population quantile,
+    which is all a radius needs."""
+    from flechasdb_spark.operators.itq import sample_to_driver
     from flechasdb_spark.operators.sketch import histogram_quantiles
 
     if not 0.0 < float(selectivity) <= 1.0:
         raise ValueError(f"selectivity must be in (0, 1]: {selectivity}")
     spark = vectors.sparkSession
+    qarr = np.asarray(
+        [[float(x) for x in q] for q in queries], dtype=np.float64
+    )
     qdf = F.broadcast(
         spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
             "__qid long, __qv array<double>",
         )
     )
-    d = squared_l2(F.col(vec_col).cast("array<double>"), F.col("__qv"))
-    pairs = vectors.select(vec_col).join(qdf).select(d.alias("__d"))
-    mm = pairs.agg(
-        F.min("__d").alias("lo"), F.max("__d").alias("hi")
-    ).first()
-    lo, hi = float(mm["lo"]), float(mm["hi"])
+    # bounds: Q x S distances over the deterministic sample, NumPy
+    # dimension-major fold (matches the engine's sequential left fold).
+    samp = sample_to_driver(
+        vectors, vec_col, id_col, int(bounds_sample), "calibrate_radius"
+    )
+    d2 = np.zeros((len(qarr), len(samp)), dtype=np.float64)
+    for di in range(qarr.shape[1]):
+        diff = qarr[:, di : di + 1] - samp[None, :, di]
+        d2 += diff * diff
+    lo, hi = float(d2.min()), float(d2.max())
     if hi <= lo:
         return hi
+    d = squared_l2(F.col(vec_col).cast("array<double>"), F.col("__qv"))
+    pairs = vectors.select(vec_col).join(qdf).select(d.alias("__d"))
     row = histogram_quantiles(
         pairs,
         "__d",

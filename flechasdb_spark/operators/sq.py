@@ -397,8 +397,21 @@ def sq_knn(
 def pack_mode_for_levels(levels: int) -> str:
     """The densest lossless byte layout for a code alphabet: codes
     <= 15 fit a hex nibble (2 codes/byte), anything up to 255 fits one
-    byte."""
-    return "nibble" if int(levels) <= 15 else "byte"
+    byte. Raises for a max code above 255: byte mode renders each code
+    as exactly 2 hex chars (`lpad(hex(c), 2)`), so a wider code would
+    be silently truncated at pack time and the reloaded index would
+    return wrong results with no error — fail loudly instead (every
+    ``pack_codes=True`` path routes through here, so this bound guards
+    save/upsert/compact on both index families)."""
+    lv = int(levels)
+    if lv > 255:
+        raise ValueError(
+            "pack_codes=True supports code alphabets up to 256 codes "
+            f"(max code value 255); got max code {lv}. Save this index "
+            "unpacked (pack_codes=False) — array<smallint> is lossless "
+            "at any alphabet size."
+        )
+    return "nibble" if lv <= 15 else "byte"
 
 
 def pack_codes_expr(codes_col: Column | str, mode: str) -> Column:

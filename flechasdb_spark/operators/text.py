@@ -1381,6 +1381,7 @@ def decode_token_ids(
     unk_token: str = "<unk>",
     ids_col: str = "token_ids",
     out_col: str = "decoded_text",
+    max_literal_vocab: int = 100_000,
 ) -> DataFrame:
     """Inverse of `encode_token_ids` (r10): token-id sequences back to
     space-joined text against the same vocabulary, OOV ids (anything
@@ -1391,23 +1392,46 @@ def decode_token_ids(
     Shape: the vocabulary is O(top_n) rows BY CONSTRUCTION
     (build_vocab caps it), so it collects once and the decode is a
     pure map-only `transform` over a map literal — no join, no
-    shuffle, whole-stage codegen; at vocabularies past literal-map
-    comfort (~100k), mirror the encoder's explode + broadcast-join
-    shape instead. Roundtrip contract (pytest + oracle row
-    `token_id_decode`): decode(encode(doc)) equals the normalized
-    original with every OOV token replaced by ``unk_token``."""
+    shuffle, whole-stage codegen. Past ``max_literal_vocab`` entries
+    the plan AUTO-SWITCHES (VERDICT r10 #7 — the bound used to be a
+    docstring note, past which the literal plan itself blew up) to an
+    Arrow `pandas_udf` over an `sc.broadcast` id->token dict — the
+    same literal-vs-broadcast switch the ANN `auto` scorer makes at
+    table size 100k. Both paths are map-only (no join, no shuffle)
+    and value-identical (pytest-gated equality). Roundtrip contract
+    (pytest + oracle row `token_id_decode`): decode(encode(doc))
+    equals the normalized original with every OOV token replaced by
+    ``unk_token``."""
     rows = vocab.select("token_id", "token").collect()
-    m = F.create_map(
-        *[
-            x
-            for r in rows
-            for x in (F.lit(int(r["token_id"])).cast("long"), F.lit(r["token"]))
-        ]
+    if len(rows) <= int(max_literal_vocab):
+        m = F.create_map(
+            *[
+                x
+                for r in rows
+                for x in (
+                    F.lit(int(r["token_id"])).cast("long"),
+                    F.lit(r["token"]),
+                )
+            ]
+        )
+        toks = F.transform(
+            F.col(ids_col),
+            lambda t: F.coalesce(
+                F.element_at(m, t.cast("long")), F.lit(unk_token)
+            ),
+        )
+        return df.withColumn(out_col, F.array_join(toks, " "))
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        {int(r["token_id"]): r["token"] for r in rows}
     )
-    toks = F.transform(
-        F.col(ids_col),
-        lambda t: F.coalesce(
-            F.element_at(m, t.cast("long")), F.lit(unk_token)
-        ),
-    )
-    return df.withColumn(out_col, F.array_join(toks, " "))
+    unk = str(unk_token)
+
+    @F.pandas_udf("string", F.PandasUDFType.SCALAR)
+    def _decode(ids):
+        v = bc.value
+        return ids.map(
+            lambda seq: " ".join(v.get(int(t), unk) for t in seq)
+        )
+
+    return df.withColumn(out_col, _decode(F.col(ids_col)))

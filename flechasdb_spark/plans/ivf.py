@@ -140,13 +140,32 @@ def select_probes(
     # SQ side's driver path (VERDICT r9 #7; the former algebraic
     # expansion ||c||^2 - 2 q.c could flip probed cells on ties because
     # its rounding path differs from the engine fold — parity is
-    # tie-fixture-gated in tests/test_plans.py).
-    scores = np.zeros((queries.shape[0], p))
-    for j in range(queries.shape[1]):
-        diff = queries[:, j, None] - model.centroids[None, :, j]
-        scores += diff * diff
+    # tie-fixture-gated in tests/test_plans.py). ADVICE r10: the fold
+    # runs in-place over ONE preallocated (chunk, P) buffer (np.subtract
+    # /multiply/add with out=) instead of allocating a fresh (Q, P)
+    # temporary per dimension, and queries are chunked so the working
+    # set stays bounded at huge P — per-element FP op order (subtract,
+    # square, add, in dimension order) is unchanged, so tie parity
+    # holds bit-for-bit.
+    q_n = queries.shape[0]
+    scores = np.empty((q_n, p))
+    # ~4M doubles (32 MB) per buffer; chunking across queries cannot
+    # change any element's accumulation order (elements are independent)
+    chunk = max(1, min(q_n, 4_000_000 // max(1, p)))
+    buf = np.empty((chunk, p))
+    for s in range(0, q_n, chunk):
+        e = min(s + chunk, q_n)
+        acc = scores[s:e]
+        acc[:] = 0.0
+        b = buf[: e - s]
+        for j in range(queries.shape[1]):
+            np.subtract(
+                queries[s:e, j, None], model.centroids[None, :, j], out=b
+            )
+            np.multiply(b, b, out=b)
+            np.add(acc, b, out=acc)
     probed = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]  # (Q, nprobe)
-    q_idx = np.repeat(np.arange(queries.shape[0]), nprobe)
+    q_idx = np.repeat(np.arange(q_n), nprobe)
     return q_idx, probed.ravel()
 
 

@@ -140,3 +140,36 @@ def test_decode_token_ids_roundtrip(spark):
         if any(t not in known for t in ts):
             n_unk_docs += 1
     assert n_unk_docs > 0  # the mask branch is actually exercised
+
+
+def test_decode_token_ids_broadcast_fallback_equals_literal(spark):
+    """VERDICT r10 #7: past max_literal_vocab the decode auto-switches
+    from the create_map literal to an Arrow pandas_udf over an
+    sc.broadcast dict (the literal plan itself blows up at huge V).
+    Equality gate: both paths produce identical decoded text; the
+    fallback plan carries no map literal (it is an ArrowEvalPython
+    map step, still join- and shuffle-free)."""
+    import os
+
+    from flechasdb_spark.operators.text import (
+        build_vocab,
+        decode_token_ids,
+        encode_token_ids,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vocab = build_vocab(docs, top_n=10, min_count=2)
+    enc = encode_token_ids(docs, vocab)
+    lit = decode_token_ids(enc, vocab)
+    fb = decode_token_ids(enc, vocab, max_literal_vocab=1)
+    got_lit = {r.doc_id: r.decoded_text for r in lit.collect()}
+    got_fb = {r.doc_id: r.decoded_text for r in fb.collect()}
+    assert got_lit == got_fb
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in lit_plan  # literal path stays codegen
+    assert "ArrowEvalPython" in fb_plan  # fallback is the Arrow kernel
+    # the decode step adds NO shuffle: every Exchange in the fallback
+    # plan is the upstream encoder's (same count as the literal plan)
+    assert fb_plan.count("Exchange") == lit_plan.count("Exchange")

@@ -103,3 +103,34 @@ def test_hamming_range_semantics(spark):
     assert [(x.hamming_distance, x.vec_id) for x in got] == want
     lim = hamming_range(enc, pack_bits_py(qv), radius=r, limit=5).collect()
     assert [(x.hamming_distance, x.vec_id) for x in lim] == want[:5]
+
+
+def test_hamming_width_mismatch_raises(spark):
+    """ADVICE r10: a query whose word count differs from the encoded
+    width must raise (zip_with null-pads, bit_count(NULL) poisons the
+    fold, and the radius filter silently dropped every row before the
+    guard)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from flechasdb_spark.operators.bq import (
+        bq_encode,
+        hamming_knn,
+        hamming_range,
+        pack_bits_py,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    enc = bq_encode(emb, dim=64)
+    short_query = pack_bits_py(qv)[:-1]  # 1 word instead of 2
+    with pytest.raises(Exception, match="width mismatch"):
+        hamming_range(enc, short_query, radius=64).collect()
+    with pytest.raises(Exception, match="width mismatch"):
+        hamming_knn(enc, short_query, k=3).collect()
+    # well-formed queries still work through the guarded expression
+    assert hamming_range(enc, pack_bits_py(qv), radius=0).count() >= 1

@@ -1249,3 +1249,71 @@ def test_calibrate_radius_hits_target_selectivity(spark, emb, model):
 
     with _pytest.raises(ValueError, match="selectivity"):
         calibrate_radius(emb, qs, selectivity=0.0)
+
+
+def test_pack_mode_rejects_wide_alphabets():
+    """ADVICE r10 (medium): byte-mode packing renders each code as
+    exactly 2 hex chars, so a code >= 256 would be silently truncated
+    at pack time and the reloaded index would return wrong results
+    with no error. pack_mode_for_levels (the single chokepoint every
+    pack_codes=True path routes through — save/upsert/compact, both
+    families) must therefore refuse a max code above 255."""
+    import pytest
+
+    from flechasdb_spark.operators.sq import pack_mode_for_levels
+
+    assert pack_mode_for_levels(15) == "nibble"
+    assert pack_mode_for_levels(16) == "byte"
+    assert pack_mode_for_levels(255) == "byte"
+    with pytest.raises(ValueError, match="pack_codes=True"):
+        pack_mode_for_levels(256)
+    with pytest.raises(ValueError, match="pack_codes=True"):
+        pack_mode_for_levels(1024)
+
+
+def test_calibrate_radius_single_pass_equals_two_pass(spark, emb):
+    """VERDICT r10 #8: grid bounds now come from the md5-ranked
+    deterministic sample so only ONE pass touches the Q x N pair
+    expansion. Equality on the fixture: with bounds_sample >= |corpus|
+    the sampled bounds are the exact pair min/max (the NumPy fold is
+    dimension-major, matching the engine's sequential left fold), so
+    the result must be IDENTICAL to the former two-pass form, spelled
+    out inline here."""
+    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.operators.knn import calibrate_radius
+    from flechasdb_spark.operators.sketch import histogram_quantiles
+
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(3, 9, 21)).collect()
+    ]
+    n = emb.count()
+    got = calibrate_radius(emb, qs, selectivity=0.2, bounds_sample=n + 10)
+
+    # the former two-pass form, inline: exact min/max over all pairs
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)],
+            "__qid long, __qv array<double>",
+        )
+    )
+    d = squared_l2(F.col("embedding").cast("array<double>"), F.col("__qv"))
+    pairs = emb.select("embedding").join(qdf).select(d.alias("__d"))
+    mm = pairs.agg(F.min("__d").alias("lo"), F.max("__d").alias("hi")).first()
+    want = float(
+        histogram_quantiles(
+            pairs, "__d", [0.2], lo=float(mm["lo"]), hi=float(mm["hi"]),
+            num_buckets=512,
+        ).first()["q_est"]
+    )
+    assert got == want, (got, want)
+
+    # a small bounds sample still lands within histogram-bucket error
+    # of the target selectivity (clamped tails, documented contract)
+    small = calibrate_radius(emb, qs, selectivity=0.2, bounds_sample=64)
+    from flechasdb_spark.operators.knn import range_search
+
+    got_sel = sum(
+        range_search(emb, q, radius=small, round_to=6).count() for q in qs
+    ) / (len(qs) * n)
+    assert abs(got_sel - 0.2) < 0.05, (small, got_sel)
