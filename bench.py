@@ -635,6 +635,10 @@ def main() -> None:
         "bq_hamming_range",
         "ivfsq_cosine_knn",
         "token_id_decode",
+        # r11 additions: the IVF+BQ composition (probe-pruned Hamming
+        # top-k and radius — the FAISS IndexBinaryIVF analogue)
+        "ivfbq_knn",
+        "ivfbq_hamming_range",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -1,0 +1,365 @@
+"""IVF + binary quantization — the FAISS ``IndexBinaryIVF`` analogue
+(binary factory shape ``BIVF{P}``) on Spark: coarse k-means cells over
+the FLOAT vectors (plans/ivf.py) with each member stored as packed
+threshold bits (operators/bq.py), served by a probe-pruned Hamming
+scan. The one cell of the quantizer x IVF grid the repo was missing
+(VERDICT r10 #3): PQ/SQ8/SQ4 all had IVF compositions; BQ was
+flat-scan only.
+
+Why this composition exists: BQ is the cheapest quantizer there is
+(1 bit/dim, 32x over f32, distance = popcount(xor) — pure integer),
+so at corpus scale its bottleneck is purely the SCAN volume. IVF fixes
+exactly that: probe nprobe of P cells and the scan touches ~nprobe/P
+of the codes, with Parquet partition pruning keeping the untouched
+cells unread at rest. Unlike the PQ/SQ sides there is NO residual
+step: binary codes have no useful residual structure (sign bits of
+(v - c) destroy the Hamming geometry of v), so codes are packed from
+the raw vector and the centroids serve ONLY to route — the same
+contract as FAISS's IndexBinaryIVF, whose coarse quantizer clusters
+the binary codes while the stored payload stays the raw code.
+
+Integer-exact end to end: probe selection is the same exact
+squared-L2-over-centroids as the other families (driver parity with
+/root/reference/src/db/stored.rs:394-442's partition selection), and
+the Hamming scan has no rounding contract at all — a word-wise
+popcount(xor) equals the per-dimension sign-disagreement count, which
+a DuckDB oracle recomputes bit-identically (the easiest full-oracle
+index family there is; registry rows ``ivfbq_knn`` /
+``ivfbq_hamming_range``).
+
+Scale (100 TB): build is ivf_assign's one broadcast-join argmin plus a
+map-only packed encode (no bounds pass — BQ has no trained state
+beyond optional thresholds); the query collects O(nprobe) probe ids
+from the O(P) centroid table, prunes the at-rest layout with a LITERAL
+``isin`` (a static Parquet PartitionFilter, plan-gated), and the
+candidate scan is codegen xor+popcount ending in one
+TakeOrderedAndProject (top-k) or a codegen filter whose exchange
+volume is |result| (radius).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.bq import (
+    _hamming_dist_checked,
+    _packed_words,
+    pack_bits_py,
+)
+from flechasdb_spark.operators.knn import flat_knn
+from flechasdb_spark.plans.ivf import cent_col_name, ivf_assign
+
+__all__ = [
+    "IVFBQModel",
+    "build_ivfbq",
+    "ivfbq_query",
+    "ivfbq_query_batch",
+    "ivfbq_range_query",
+    "save_ivfbq",
+    "load_ivfbq",
+    "train_ivfbq",
+]
+
+
+@dataclass
+class IVFBQModel:
+    """centroids: (partition_id, centroid) float table — routing only;
+    encoded: (id, partition_id, words array<bigint>[, attrs]); dim:
+    code width in bits; thresholds: per-dim bit thresholds (None =
+    fixed 0.0, the bit-exact default — see `bq_thresholds` for the
+    mean-centered variant's determinism caveat)."""
+
+    centroids: DataFrame
+    encoded: DataFrame
+    dim: int
+    thresholds: list[float] | None = None
+
+
+def build_ivfbq(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    thresholds: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_cols: tuple = (),
+) -> IVFBQModel:
+    """Assign each vector to its nearest centroid (exact argmin, ties
+    by partition_id — the ivf_assign shape: one broadcast join, no
+    shuffle beyond the source's) and pack its threshold bits. The
+    packed encode is map-only codegen; ``attr_cols`` ride along for
+    filtered search, as on the SQ side (B10)."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    enc = assigned.select(
+        id_col,
+        "partition_id",
+        _packed_words(vec_col, int(dim), thresholds).alias("words"),
+        *attr_cols,
+    )
+    return IVFBQModel(
+        centroids=centroids,
+        encoded=enc,
+        dim=int(dim),
+        thresholds=list(thresholds) if thresholds is not None else None,
+    )
+
+
+def _probe_ids(model: IVFBQModel, query_vector, nprobe: int) -> list[int]:
+    """O(nprobe) cell ids from one tiny job over the O(P) centroid
+    table, so the cell filter is a LITERAL isin — a static Parquet
+    PartitionFilter on the at-rest layout (the ivfsq_query rationale:
+    a semi-join against a lazy probe DataFrame never becomes a
+    partition filter on this shape)."""
+    cc = cent_col_name(model.centroids)
+    return [
+        int(r["partition_id"])
+        for r in flat_knn(
+            model.centroids,
+            [float(x) for x in query_vector],
+            k=int(nprobe),
+            id_col="partition_id",
+            vec_col=cc,
+        ).collect()
+    ]
+
+
+def ivfbq_query(
+    model: IVFBQModel,
+    query_vector: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+) -> DataFrame:
+    """Probe-pruned Hamming top-k: the float query picks its nprobe
+    nearest cells (exact squared L2 over centroids, the shared Q1),
+    is packed with the model's thresholds (the same rule as the
+    encode), and the candidate scan is codegen popcount(xor) ending in
+    TakeOrderedAndProject. Integer distances — no rounding contract;
+    ties break by id ascending. ``where`` pre-filters the encoded rows
+    (attributes included) BEFORE scoring.
+
+    Returns (id_col, partition_id, hamming_distance)."""
+    probe_ids = _probe_ids(model, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    qw = pack_bits_py(query_vector, model.thresholds)
+    dist = _hamming_dist_checked(qw)
+    return (
+        cands.select(
+            F.col(id_col), F.col("partition_id"), dist.alias("hamming_distance")
+        )
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def ivfbq_range_query(
+    model: IVFBQModel,
+    query_vector: list,
+    radius: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Probe-pruned Hamming RADIUS search: every code in the probed
+    cells within ``radius`` flipped bits of the packed query — the
+    SimHash near-dup sweep primitive at index cost. The radius cut
+    executes IN the scan (codegen filter), so exchange volume is
+    |result|, never the probed-cell volume; ``limit`` (ordered) caps a
+    pathological radius. NOTE the IVF contract: recall is bounded by
+    the probed cells, exactly as on the SQ/PQ radius paths — matches
+    in unprobed cells are not seen (full-probe nprobe=P restores exact
+    range semantics, integer-exact)."""
+    probe_ids = _probe_ids(model, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    qw = pack_bits_py(query_vector, model.thresholds)
+    dist = _hamming_dist_checked(qw)
+    out = (
+        cands.select(
+            F.col(id_col), F.col("partition_id"), dist.alias("hamming_distance")
+        )
+        .where(F.col("hamming_distance") <= int(radius))
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
+def ivfbq_query_batch(
+    model: IVFBQModel,
+    queries: list[list[float]],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    query_ids: list[int] | None = None,
+    where=None,
+) -> DataFrame:
+    """Batched serving: Q queries share ONE pruned scan. Probe
+    selection stays driver-side (O(Q * nprobe) ids from the O(P)
+    centroid table — the union of probed cells becomes the literal
+    partition filter); each query's packed words broadcast as a tiny
+    (query_id, qwords, probed cells) table, the scan joins it on
+    partition_id (so a candidate is scored ONLY against queries that
+    probed its cell), and per-query top-k is one WindowGroupLimit —
+    each task forwards <= k rows per query to the exchange.
+
+    Returns (query_id, id_col, hamming_distance, rank)."""
+    qids = (
+        list(query_ids) if query_ids is not None else list(range(len(queries)))
+    )
+    spark = model.encoded.sparkSession
+    rows = []
+    for qid, qv in zip(qids, queries):
+        cells = _probe_ids(model, qv, nprobe)
+        qw = [int(x) for x in pack_bits_py(qv, model.thresholds)]
+        for c in cells:
+            rows.append((int(qid), c, qw))
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            rows, "query_id long, partition_id int, __qw array<bigint>"
+        )
+    )
+    all_cells = sorted({c for _, c, _ in rows})
+    cands = model.encoded.where(F.col("partition_id").isin(all_cells))
+    if where is not None:
+        cands = cands.where(where)
+    n_words = (model.dim + 31) // 32
+    dist = F.when(
+        F.size(F.col("words")) == n_words,
+        F.aggregate(
+            F.zip_with(
+                F.col("words"),
+                F.col("__qw"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"encoded row width != {n_words} words: "),
+                F.size(F.col("words")).cast("string"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming_distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.join(qdf, "partition_id")
+        .select(
+            "query_id", F.col(id_col), dist.alias("hamming_distance")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+    )
+
+
+def save_ivfbq(model: IVFBQModel, path: str) -> None:
+    """Persist: packed words partitioned by cell (partitionBy layout =
+    Parquet partition pruning for probed queries, the same at-rest
+    contract as the PQ/SQ indexes), centroids as one small parquet,
+    dim + thresholds in the manifest JSON. Words are already 1 bit/dim
+    packed — there is no tighter at-rest form to chase (the r10 packing
+    lesson: Parquet's own encodings do the rest)."""
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    spark = model.encoded.sparkSession
+    (
+        model.encoded.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(path, "index"))
+    )
+    model.centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    meta = {
+        "kind": "ivfbq",
+        "dim": int(model.dim),
+        "thresholds": (
+            [float(x) for x in model.thresholds]
+            if model.thresholds is not None
+            else None
+        ),
+    }
+    write_manifest_json(spark, os.path.join(path, "ivfbq.json"), meta)
+
+
+def load_ivfbq(spark, path: str) -> IVFBQModel:
+    """Load a persisted IVF+BQ index; the encoded side stays lazy so a
+    query's literal probe filter prunes to the probed ``partition_id=``
+    directories (plan-gated in tests/test_ivfbq.py)."""
+    from flechasdb_spark.sources.manifest import read_manifest_json
+
+    t = read_manifest_json(spark, os.path.join(path, "ivfbq.json"))
+    if t is None or t.get("kind") != "ivfbq":
+        raise ValueError(f"not an ivfbq index: {path}")
+    thr = t.get("thresholds")
+    return IVFBQModel(
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        encoded=spark.read.parquet(os.path.join(path, "index")),
+        dim=int(t["dim"]),
+        thresholds=[float(x) for x in thr] if thr is not None else None,
+    )
+
+
+def train_ivfbq(
+    vectors: DataFrame,
+    dim: int,
+    num_partitions: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_n: int = 100_000,
+    thresholds: str | list[float] | None = None,
+    attr_cols: tuple = (),
+) -> IVFBQModel:
+    """Production one-call build: coarse k-means on a bounded
+    deterministic sample (the train_ivfsq pattern), then `build_ivfbq`
+    against the trained centroids. ``thresholds="mean"`` trains the
+    per-dim mean thresholds (`bq_thresholds` — deterministic per run,
+    not oracle-bit-exact); a list pins them (e.g. an ITQ-rotated
+    pipeline binarizes rotated vectors at zero, so compose
+    plans/transform with the fixed-zero default instead); None keeps
+    fixed 0.0, the bit-exact default. The oracle rows keep the
+    frozen-centroid path."""
+    import numpy as np
+
+    from flechasdb_spark.operators.bq import bq_thresholds
+    from flechasdb_spark.operators.itq import sample_to_driver
+    from flechasdb_spark.operators.kmeans_np import kmeans_fit
+
+    x = sample_to_driver(vectors, vec_col, id_col, sample_n, f"ivfbq{seed}")
+    cent, _ = kmeans_fit(x, int(num_partitions), seed=seed)
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [
+            (int(i), [float(v) for v in row])
+            for i, row in enumerate(np.asarray(cent))
+        ],
+        "partition_id int, centroid array<double>",
+    )
+    thr = bq_thresholds(vectors, vec_col) if thresholds == "mean" else thresholds
+    return build_ivfbq(
+        vectors,
+        cent_df,
+        dim=int(dim),
+        thresholds=thr,
+        id_col=id_col,
+        vec_col=vec_col,
+        attr_cols=tuple(attr_cols),
+    )

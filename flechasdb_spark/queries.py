@@ -8944,6 +8944,123 @@ def q_ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfsq_query(model, qv, k=10, nprobe=3, round_to=4)
 
 
+# Hamming distance in DuckDB: per-dimension sign-bit disagreement count
+# == popcount(xor) over the engine's packed words (LSB-first packing is
+# a bijection on bit positions, so the word layout cancels out of the
+# distance) — integer-exact, no rounding contract.
+_DD_HAMMING = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> CASE WHEN (z[1] > 0) <> (z[2] > 0) THEN 1 ELSE 0 END))::BIGINT"
+)
+
+
+@query(
+    "ivfbq_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hamming_distance
+  FROM assigned a JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, hamming_distance
+FROM scored ORDER BY hamming_distance, vec_id LIMIT 10
+""",
+)
+def q_ivfbq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+BQ lifecycle (plans/ivfbq.py — the FAISS ``IndexBinaryIVF``
+    analogue, r11 VERDICT #3, the last cell of the quantizer x IVF
+    grid), fully recomputed by the oracle under frozen centroids
+    (embeddings 0..7): coarse assign (exact argmin, ties by cell),
+    sign-bit packed encode, nprobe=3 probe selection, probe-pruned
+    Hamming top-10. Integer-exact end to end — the oracle's
+    per-dimension sign-disagreement count equals the engine's
+    popcount(xor) over packed words exactly (bit packing is a
+    bijection on positions), so there is no rounding contract at
+    all."""
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, ivfbq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_query(model, qv, k=10, nprobe=3).withColumn(
+        "hamming_distance", F.col("hamming_distance").cast("long")
+    )
+
+
+@query(
+    "ivfbq_hamming_range",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hamming_distance
+  FROM assigned a JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, hamming_distance
+FROM scored WHERE hamming_distance <= 24
+ORDER BY hamming_distance, vec_id
+""",
+)
+def q_ivfbq_hamming_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+BQ RADIUS serving (plans/ivfbq.py): every code in the
+    probed cells within 24 flipped bits of the packed query — the
+    SimHash near-dup sweep primitive at index cost, completing radius
+    parity across all five quantizer families (exact / SQ / PQ / BQ /
+    IVF+BQ). The radius cut executes IN the pruned scan (codegen
+    filter), so exchange volume is |result|. Oracle recomputes
+    assignment, probe selection, and the sign-disagreement distance —
+    the boundary is an integer, perfectly stable across engines."""
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, ivfbq_range_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_range_query(model, qv, radius=24, nprobe=3).withColumn(
+        "hamming_distance", F.col("hamming_distance").cast("long")
+    )
+
+
 @query(
     "ivfsq_cell_knn",
     f"""

@@ -1,0 +1,179 @@
+"""IVF+BQ composition (VERDICT r10 #3 — the FAISS IndexBinaryIVF
+analogue, the last cell of the quantizer x IVF grid): coarse k-means
+routing + per-cell packed threshold bits + probe-pruned Hamming scan.
+Integer-exact end to end; the registry rows ivfbq_knn /
+ivfbq_hamming_range carry the full DuckDB oracles."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flechasdb_spark.operators.bq import bq_encode, hamming_knn, pack_bits_py
+from flechasdb_spark.plans.ivfbq import (
+    build_ivfbq,
+    ivfbq_query,
+    ivfbq_query_batch,
+    ivfbq_range_query,
+    load_ivfbq,
+    save_ivfbq,
+    train_ivfbq,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+DIM = 64
+P = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(spark, emb):
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return build_ivfbq(emb, cent, dim=DIM)
+
+
+def test_full_probe_equals_flat_hamming(spark, emb, model):
+    """nprobe=P (every cell probed) must equal the flat Hamming top-k:
+    IVF only routes, the codes are identical to bq_encode's."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    flat = hamming_knn(bq_encode(emb, dim=DIM), pack_bits_py(qv), k=15).collect()
+    ivf = ivfbq_query(model, qv, k=15, nprobe=P).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in ivf] == [
+        (r.vec_id, r.hamming_distance) for r in flat
+    ]
+
+
+def test_partial_probe_subset_and_monotone(spark, emb, model):
+    """Partial probing returns only probed-cell members, and recall is
+    monotone in nprobe on the fixture (standard IVF contract)."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    exact = {r.vec_id for r in ivfbq_query(model, qv, k=10, nprobe=P).collect()}
+    prev = 0.0
+    for np_ in (1, 3, P):
+        got = {r.vec_id for r in ivfbq_query(model, qv, k=10, nprobe=np_).collect()}
+        rec = len(got & exact) / len(exact)
+        assert rec >= prev - 1e-9
+        prev = rec
+    assert prev == 1.0
+
+
+def test_range_full_probe_equals_filterall(spark, emb, model):
+    """Full-probe radius equals the flat scan filtered at the radius;
+    partial probe is a subset."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    enc = bq_encode(emb, dim=DIM)
+    qw = pack_bits_py(qv)
+    full = hamming_knn(enc, qw, k=emb.count()).collect()
+    r = sorted(x.hamming_distance for x in full)[12]
+    want = sorted((x.hamming_distance, x.vec_id) for x in full if x.hamming_distance <= r)
+    got = ivfbq_range_query(model, qv, radius=r, nprobe=P).collect()
+    assert [(x.hamming_distance, x.vec_id) for x in got] == want
+    part = ivfbq_range_query(model, qv, radius=r, nprobe=2).collect()
+    assert set((x.hamming_distance, x.vec_id) for x in part) <= set(want)
+    lim = ivfbq_range_query(model, qv, radius=r, nprobe=P, limit=4).collect()
+    assert [(x.hamming_distance, x.vec_id) for x in lim] == want[:4]
+
+
+def test_batch_matches_solo(spark, emb, model):
+    """Batched serving returns each query's solo result."""
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(2, 9, 17)).orderBy("vec_id").collect()
+    ]
+    batch = ivfbq_query_batch(model, qs, k=5, nprobe=3, query_ids=[2, 9, 17])
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming_distance)
+        for r in batch.collect()
+    }
+    for qid, qv in zip([2, 9, 17], qs):
+        solo = ivfbq_query(model, qv, k=5, nprobe=3).collect()
+        for i, s in enumerate(solo, start=1):
+            assert got[(qid, i)] == (s.vec_id, s.hamming_distance), (qid, i)
+
+
+def test_save_load_roundtrip_and_pruning(spark, emb, model, tmp_path):
+    """Persisted index serves identically, and the probe filter lands
+    as a static Parquet PartitionFilter on the at-rest layout (the
+    literal-isin plan gate, same contract as the SQ/PQ indexes)."""
+    path = str(tmp_path / "bividx")
+    save_ivfbq(model, path)
+    loaded = load_ivfbq(spark, path)
+    assert loaded.dim == DIM and loaded.thresholds is None
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    want = ivfbq_query(model, qv, k=10, nprobe=3).collect()
+    got = ivfbq_query(loaded, qv, k=10, nprobe=3).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got] == [
+        (r.vec_id, r.hamming_distance) for r in want
+    ]
+    plan = (
+        ivfbq_query(loaded, qv, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [partition_id" in plan.replace("\n", " ") or (
+        "partition_id IN" in plan
+    ), plan[:2000]
+    # attributes directory layout: only cell dirs exist
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(path, "index")) if d.startswith("partition_id=")
+    )
+    assert len(dirs) == P
+
+
+def test_where_filter_and_attrs(spark, emb):
+    """attr_cols persist onto encoded rows; `where` gates before
+    scoring on both topk and radius paths."""
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_ivfbq(emb, cent, dim=DIM, attr_cols=("label",))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    out = ivfbq_query(m, qv, k=8, nprobe=P, where=F.col("label") == 1)
+    labels = {
+        r.label
+        for r in m.encoded.join(
+            out.select("vec_id"), "vec_id"
+        ).select("label").collect()
+    }
+    assert labels == {1}
+    rng = ivfbq_range_query(m, qv, radius=DIM, nprobe=P, where="label = 1")
+    assert rng.count() == m.encoded.where("label = 1").count()
+
+
+def test_train_ivfbq_end_to_end(spark, emb):
+    """Trained path (sampled k-means + optional mean thresholds):
+    full-probe recall vs flat Hamming is 1.0 by construction; mean
+    thresholds change the code geometry but keep the contract."""
+    m = train_ivfbq(emb, dim=DIM, num_partitions=5, seed=3)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 11).first()["embedding"]]
+    flat = hamming_knn(bq_encode(emb, dim=DIM), pack_bits_py(qv), k=10).collect()
+    got = ivfbq_query(m, qv, k=10, nprobe=5).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got] == [
+        (r.vec_id, r.hamming_distance) for r in flat
+    ]
+    mt = train_ivfbq(emb, dim=DIM, num_partitions=5, seed=3, thresholds="mean")
+    assert len(mt.thresholds) == DIM
+    assert ivfbq_query(mt, qv, k=10, nprobe=5).count() == 10
+
+
+def test_plan_is_pure_codegen(spark, emb, model):
+    """No Python evaluation anywhere in the serving plan."""
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    plan = (
+        ivfbq_query(model, qv, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
