@@ -636,9 +636,13 @@ def main() -> None:
         "ivfsq_cosine_knn",
         "token_id_decode",
         # r11 additions: the IVF+BQ composition (probe-pruned Hamming
-        # top-k and radius — the FAISS IndexBinaryIVF analogue)
+        # top-k and radius — the FAISS IndexBinaryIVF analogue), and
+        # the serving-knob tuning loop (early-stopped nprobe autotune,
+        # data-derived range radius)
         "ivfbq_knn",
         "ivfbq_hamming_range",
+        "ann_nprobe_autotune",
+        "range_radius_calibration",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

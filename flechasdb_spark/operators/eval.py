@@ -682,6 +682,7 @@ def auto_nprobe(
     search_fn,
     nprobes,
     target_recall: float,
+    return_counts: bool = False,
 ):
     """FAISS-autotune analogue (r10): pick the SMALLEST nprobe whose
     mean recall@k over a query sample meets ``target_recall``,
@@ -703,9 +704,14 @@ def auto_nprobe(
     [(nprobe, mean_recall), ...] for every arm actually run — None
     when no candidate meets the target (widen the list, raise the
     rerank factor, or lower the target; the curve shows which stage
-    to move, the `ann_nprobe_recall_curve` row's lesson)."""
+    to move, the `ann_nprobe_recall_curve` row's lesson).
+    ``return_counts=True`` gives curve entries as the raw integer
+    cells ``(nprobe, sum_n_hit, sum_n_exact)`` instead — the
+    oracle-able form (registry row `ann_nprobe_autotune` rounds the
+    ratio in-engine so the rounding rule matches DuckDB's; Python's
+    banker's round here would not)."""
     ex = exact.persist()
-    curve: list[tuple[int, float]] = []
+    curve: list = []
     try:
         for np_ in sorted(int(n) for n in nprobes):
             approx = search_fn(np_)
@@ -718,7 +724,10 @@ def auto_nprobe(
                 .first()
             )
             r = float(row["h"]) / float(row["e"]) if row["e"] else 0.0
-            curve.append((np_, round(r, 6)))
+            if return_counts:
+                curve.append((np_, int(row["h"]), int(row["e"])))
+            else:
+                curve.append((np_, round(r, 6)))
             if r >= float(target_recall):
                 return np_, curve
         return None, curve

@@ -2158,6 +2158,149 @@ def q_ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_nprobe_autotune",
+    f"""
+WITH allarms AS (
+  SELECT nprobe, n_exact, n_hit FROM (
+{" UNION ALL ".join(_dd_recall_arm(np_, "rerank_wide") for np_ in (1, 2, 4))}
+  )),
+curve AS (
+  SELECT nprobe, sum(n_hit)::BIGINT AS n_hit,
+         sum(n_exact)::BIGINT AS n_exact
+  FROM allarms GROUP BY nprobe),
+firstok AS (
+  SELECT min(nprobe) AS m FROM curve
+  WHERE n_hit::DOUBLE / n_exact >= 0.6)
+SELECT c.nprobe::BIGINT AS nprobe, c.n_hit, c.n_exact,
+       round(c.n_hit::DOUBLE / c.n_exact, 6) AS recall,
+       coalesce(c.nprobe = f.m, false) AS chosen
+FROM curve c, firstok f
+WHERE c.nprobe <= coalesce(f.m, 4)
+ORDER BY c.nprobe
+""",
+)
+def q_ann_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-knob tuning loop as a driver row (VERDICT r10 #4):
+    `eval.auto_nprobe` — the FAISS-autotune analogue — sweeps nprobe
+    in {{1, 2, 4}} on the frozen index's rerank_wide serving path and
+    EARLY-STOPS at the first arm whose mean recall@k meets the 0.6
+    target. On this fixture the curve is 0.475 -> 0.625 (-> 0.65
+    never measured): the loop stops at nprobe=2, so arm 4 NEVER runs
+    — and the oracle replicates exactly that visibility rule (arms
+    <= the first passing arm), pinning the early-stop order, not just
+    the arithmetic. Cells are raw integer sum_hit/sum_exact
+    (`return_counts=True`); the recall ratio rounds IN-ENGINE on both
+    sides so the rounding rule matches. Cost contract at 100 TB: each
+    arm scans only its probed cells, and no arm beyond the answer —
+    sum(nprobe <= answer) partition scans, never a corpus rescan."""
+    from flechasdb_spark.operators.eval import auto_nprobe
+    from flechasdb_spark.plans.ivf import ann_query
+
+    model, emb = _frozen_model(spark, sf_dir)
+    qs = _frozen_queries(emb)
+    qdf = emb.where(
+        (F.col("vec_id") >= _FRZ_QLO) & (F.col("vec_id") < _FRZ_QHI)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvector")
+    )
+    exact = knn_join(qdf, emb, k=_FRZ_K).select("query_id", "vec_id")
+
+    def search(np_: int) -> DataFrame:
+        return ann_query(
+            model,
+            qs,
+            k=_FRZ_K,
+            nprobe=np_,
+            round_to=4,
+            rerank=emb,
+            rerank_factor=_CURVE_WIDE_RR,
+        ).select("query_id", F.col("vector_id").alias("vec_id"))
+
+    best, curve = auto_nprobe(
+        exact, search, [1, 2, 4], 0.6, return_counts=True
+    )
+    rows = [
+        (int(np_), int(h), int(e), bool(best is not None and np_ == best))
+        for np_, h, e in curve
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "nprobe long, n_hit long, n_exact long, chosen boolean"
+        )
+        .select(
+            "nprobe",
+            "n_hit",
+            "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            "chosen",
+        )
+        .orderBy("nprobe")
+    )
+
+
+@query(
+    "range_radius_calibration",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id IN (3, 9, 21)),
+pairs AS (
+  SELECT {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS d
+  FROM embeddings e CROSS JOIN q),
+mm AS (SELECT min(d) AS lo, max(d) AS hi FROM pairs),
+c AS (
+  SELECT LEAST(GREATEST(floor((p.d - mm.lo)
+                              / ((mm.hi - mm.lo) / 512.0)), 0),
+               511)::BIGINT AS b,
+         count(*)::DOUBLE AS cnt
+  FROM pairs p, mm GROUP BY b),
+cum AS (
+  SELECT b, cnt, sum(cnt) OVER (ORDER BY b) AS cum,
+         sum(cnt) OVER () AS n
+  FROM c),
+probs AS (SELECT unnest([0.05, 0.2, 0.5]) AS selectivity)
+SELECT pr.selectivity,
+       round(mm.lo + (mm.hi - mm.lo) / 512.0
+             * (c2.b + (pr.selectivity * c2.n - (c2.cum - c2.cnt))
+                / c2.cnt), 4) AS radius
+FROM cum c2, probs pr, mm
+WHERE c2.cum >= pr.selectivity * c2.n
+  AND (c2.cum - c2.cnt) < pr.selectivity * c2.n
+ORDER BY pr.selectivity
+""",
+)
+def q_range_radius_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knn.calibrate_radius` as a driver row (VERDICT r10 #4): the
+    data-derived radius for range_search at three target
+    selectivities — the knob-setting measurement a 100 TB store runs
+    before sizing |result| on the radius paths. The oracle recomputes
+    the whole pipeline: the Q x N squared-distance pair expansion
+    (sequential left-fold distances), exact grid bounds (the
+    full-cover bounds_sample makes the md5-sampled bounds the exact
+    pair min/max — pytest-gated equality with the two-pass form),
+    and the 512-bucket fixed-grid histogram quantile interpolation
+    (`sketch.histogram_quantiles`, the deterministic mergeable
+    percentile whose shuffle carries O(buckets) rows). Engine-exact:
+    plain double arithmetic on integer counts end to end."""
+    from flechasdb_spark.operators.knn import calibrate_radius
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(3, 9, 21))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    rows = [
+        (float(sel), float(calibrate_radius(emb, qs, selectivity=sel,
+                                            bounds_sample=10_000_000)))
+        for sel in (0.05, 0.2, 0.5)
+    ]
+    return spark.createDataFrame(
+        rows, "selectivity double, radius double"
+    ).orderBy("selectivity")
+
+
+@query(
     "csv_source_knn",
     f"""
 WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
