@@ -826,3 +826,244 @@ def test_delete_where_predicate_retention(spark, tmp_path):
 
     # --- SQL-string predicate + no-match is a no-op
     assert delete_where(spark, pq_path, "label = 999999") == []
+
+
+# ---------------------------------------------------------------------------
+# Crash consistency for the cell-rewriting mutations (VERDICT r10 #5):
+# every mutating path (upsert_vectors / delete_vectors / delete_where /
+# ivfsq_upsert / ivfsq_delete) routes through _rewrite_cells, whose
+# journaled staging-swap makes a crash at ANY point recoverable by
+# repair_cell_rewrite — which every mutation also runs up front, so a
+# crashed store heals on its next mutation.
+# ---------------------------------------------------------------------------
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _sq_store(spark, tmp_path, name="sqc"):
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, save_ivfsq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_ivfsq(emb, cent, attr_cols=("label",))
+    path = str(tmp_path / name)
+    save_ivfsq(m, path)
+    return emb, m, path
+
+
+def _index_snapshot(spark, path):
+    rows = spark.read.parquet(f"{path}/index").collect()
+    return sorted((r.vec_id, r.partition_id) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "kind", ["pq_upsert", "pq_delete", "delete_where", "sq_upsert", "sq_delete"]
+)
+def test_mutation_crash_after_journal_heals_on_retry(
+    spark, tmp_path, monkeypatch, kind
+):
+    """Inject a crash immediately after the journal write (before any
+    cell swap) into each mutating path, then verify the documented
+    contract end to end: (a) the crashed store still reads as the OLD
+    state; (b) simply re-running the mutation heals it (its up-front
+    repair_cell_rewrite rolls the journaled swap forward, then the
+    retry is a no-op or idempotent re-apply); (c) the final state,
+    PQ manifest count included, equals a never-crashed run's; (d) no
+    staging/journal/.pre debris remains."""
+    import flechasdb_spark.operators.maintenance as M
+    from flechasdb_spark.operators.maintenance import (
+        delete_where,
+        ivfsq_delete,
+        ivfsq_upsert,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if kind.startswith("pq") or kind == "delete_where":
+        model = build_index(emb, CFG)
+        path = str(tmp_path / "idx")
+        save_index(model, path)
+        sqm = None
+    else:
+        emb, sqm, path = _sq_store(spark, tmp_path)
+
+    fresh = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding", "label"
+    )
+
+    def run_op():
+        if kind == "pq_upsert":
+            return upsert_vectors(spark, model, path, fresh)
+        if kind == "pq_delete":
+            return delete_vectors(spark, model, path, list(range(8)))
+        if kind == "delete_where":
+            return delete_where(spark, path, "label = 1")
+        if kind == "sq_upsert":
+            return ivfsq_upsert(
+                spark, sqm, path, fresh, attr_cols=("label",)
+            )
+        return ivfsq_delete(spark, path, list(range(8)))
+
+    before = _index_snapshot(spark, path)
+
+    real_finish = M._finish_cell_swaps
+
+    def boom(*a, **k):
+        raise _InjectedCrash("crash after journal write")
+
+    monkeypatch.setattr(M, "_finish_cell_swaps", boom)
+    with pytest.raises(_InjectedCrash):
+        run_op()
+    monkeypatch.setattr(M, "_finish_cell_swaps", real_finish)
+
+    # (a) crashed state: journal present, index content still the OLD state
+    assert os.path.exists(f"{path}/index.rewrite.journal.json")
+    assert os.path.exists(f"{path}/index.rewrite.tmp")
+    assert _index_snapshot(spark, path) == before
+
+    # (b) re-running the mutation heals and applies it
+    touched = run_op()
+
+    # (c) final state == a never-crashed run on a pristine copy
+    if kind.startswith("pq") or kind == "delete_where":
+        model2 = build_index(emb, CFG)
+        path2 = str(tmp_path / "idx2")
+        save_index(model2, path2)
+        sqm2 = None
+    else:
+        _, sqm2, path2 = _sq_store(spark, tmp_path, "sqc2")
+    if kind == "pq_upsert":
+        upsert_vectors(spark, model2, path2, fresh)
+    elif kind == "pq_delete":
+        delete_vectors(spark, model2, path2, list(range(8)))
+    elif kind == "delete_where":
+        delete_where(spark, path2, "label = 1")
+    elif kind == "sq_upsert":
+        ivfsq_upsert(spark, sqm2, path2, fresh, attr_cols=("label",))
+    else:
+        ivfsq_delete(spark, path2, list(range(8)))
+    assert _index_snapshot(spark, path) == _index_snapshot(spark, path2)
+    if kind.startswith("pq") or kind == "delete_where":
+        assert (
+            load_index(spark, path).num_vectors
+            == load_index(spark, path2).num_vectors
+        )
+
+    # (d) no crash debris
+    assert not os.path.exists(f"{path}/index.rewrite.tmp")
+    assert not os.path.exists(f"{path}/index.rewrite.journal.json")
+    assert not glob.glob(f"{path}/index/.rewrite.pre.*")
+    # the healing retry re-applies idempotently: upserts touch their
+    # cells again; deletes find no victims left (roll-forward already
+    # applied them) and correctly no-op
+    if kind.endswith("upsert"):
+        assert touched
+    else:
+        assert touched == []
+
+
+def test_rewrite_crash_mid_swap_every_state_rolls_forward(spark, tmp_path):
+    """Construct every mid-swap cell state the three-step rename can
+    crash in (the repair_cell_rewrite docstring's state table) and
+    verify one repair call converges them all to the new layout:
+    cell A untouched (swap not started), cell B crashed between the
+    two renames (.pre exists, old gone), cell C crashed before
+    dropping .pre (old IS new), plus a journaled-emptied cell D."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import repair_cell_rewrite
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    emb, m, path = _sq_store(spark, tmp_path)
+    index_dir = f"{path}/index"
+    old = _index_snapshot(spark, path)
+    cells = sorted({p for _, p in old})
+    assert len(cells) >= 4
+    a, b, c, d = cells[:4]
+
+    # the replacement: drop ALL of cell d's rows (emptied) and drop one
+    # known id from each of a, b, c
+    df = spark.read.parquet(index_dir)
+    drop_ids = [
+        r.vec_id
+        for p in (a, b, c)
+        for r in df.where(F.col("partition_id") == p).limit(1).collect()
+    ]
+    survivors = df.where(
+        F.col("partition_id").isin([a, b, c])
+        & ~F.col("vec_id").isin(drop_ids)
+    )
+    staging = f"{index_dir}.rewrite.tmp"
+    out_cols = [x for x in df.columns if x != "partition_id"] + ["partition_id"]
+    (
+        survivors.select(out_cols)
+        .repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(staging)
+    )
+    write_manifest_json(
+        spark,
+        f"{index_dir}.rewrite.journal.json",
+        {"touched": [a, b, c, d], "emptied": [d], "num_vectors": None},
+    )
+    # cell A: untouched (state: old + staging, no .pre)
+    # cell B: crashed between renames (.pre exists, old gone)
+    shutil.move(
+        f"{index_dir}/partition_id={b}",
+        f"{index_dir}/.rewrite.pre.partition_id={b}",
+    )
+    # cell C: crashed before dropping .pre (old IS the new data)
+    shutil.move(
+        f"{index_dir}/partition_id={c}",
+        f"{index_dir}/.rewrite.pre.partition_id={c}",
+    )
+    shutil.move(
+        f"{staging}/partition_id={c}", f"{index_dir}/partition_id={c}"
+    )
+    # cell D: emptied, crash before its delete (old still there)
+
+    assert repair_cell_rewrite(spark, index_dir) == "rolled_forward"
+
+    got = _index_snapshot(spark, path)
+    want = sorted(
+        (v, p)
+        for v, p in old
+        if p != d and v not in drop_ids or p not in (a, b, c, d)
+    )
+    assert got == want
+    assert not os.path.exists(staging)
+    assert not os.path.exists(f"{index_dir}.rewrite.journal.json")
+    assert not glob.glob(f"{index_dir}/.rewrite.pre.*")
+    # idempotent: a second repair is a clean no-op
+    assert repair_cell_rewrite(spark, index_dir) == "clean"
+    assert _index_snapshot(spark, path) == want
+
+
+def test_rewrite_crash_before_journal_rolls_back(spark, tmp_path):
+    """A staging dir with NO journal means the index was never touched:
+    repair deletes the staging and the next mutation proceeds from the
+    pristine state."""
+    from flechasdb_spark.operators.maintenance import (
+        ivfsq_delete,
+        repair_cell_rewrite,
+    )
+
+    emb, m, path = _sq_store(spark, tmp_path)
+    before = _index_snapshot(spark, path)
+    os.makedirs(f"{path}/index.rewrite.tmp/partition_id=0", exist_ok=True)
+    with open(f"{path}/index.rewrite.tmp/partition_id=0/junk", "w") as f:
+        f.write("partial write from a crashed run")
+    assert repair_cell_rewrite(spark, f"{path}/index") == "rolled_back"
+    assert not os.path.exists(f"{path}/index.rewrite.tmp")
+    assert _index_snapshot(spark, path) == before
+    # and the next mutation works end to end
+    victims = [v for v, p in before][:3]
+    ivfsq_delete(spark, path, victims)
+    assert _index_snapshot(spark, path) == sorted(
+        (v, p) for v, p in before if v not in victims
+    )
