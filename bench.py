@@ -641,6 +641,8 @@ def main() -> None:
         # data-derived range radius)
         "ivfbq_knn",
         "ivfbq_hamming_range",
+        "ivfbq_batch_knn",
+        "stream_ivfbq_encode",
         "ann_nprobe_autotune",
         "range_radius_calibration",
     ]

@@ -55,10 +55,14 @@ from flechasdb_spark.plans.ivf import cent_col_name, ivf_assign
 
 __all__ = [
     "IVFBQModel",
+    "ITQIVFBQModel",
     "build_ivfbq",
+    "build_itq_ivfbq",
     "ivfbq_query",
     "ivfbq_query_batch",
     "ivfbq_range_query",
+    "itq_ivfbq_query",
+    "itq_ivfbq_range_query",
     "save_ivfbq",
     "load_ivfbq",
     "train_ivfbq",
@@ -363,3 +367,126 @@ def train_ivfbq(
         vec_col=vec_col,
         attr_cols=tuple(attr_cols),
     )
+
+
+# ---------------------------------------------------------------------------
+# ITQ composition — "per-cell packed sign/ITQ codes": the same coarse
+# router, but the stored bits come from a LEARNED rotation (Gong &
+# Lazebnik 2011, operators/itq.py) instead of raw per-dim signs. ITQ
+# is trained (PCA eigvecs + alternating rotation), so the composition
+# is property-gated, not oracle-hashed — the trained-model policy.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ITQIVFBQModel:
+    """centroids route in the ORIGINAL float space (exact argmin, the
+    shared Q1); encoded rows carry the single packed ITQ word (bits <=
+    63 fit one BIGINT, `itq_code_expr`'s layout)."""
+
+    centroids: DataFrame
+    encoded: DataFrame
+    itq: object  # operators.itq.ITQModel
+
+
+def build_itq_ivfbq(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    itq_model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_cols: tuple = (),
+) -> ITQIVFBQModel:
+    """Assign on the float vectors, store each member's packed ITQ
+    code — one broadcast-join argmin + a map-only codegen encode
+    (`itq_code_expr` is literal-array dot folds; no Python in the
+    plan)."""
+    from flechasdb_spark.operators.itq import itq_code_expr
+
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    enc = assigned.select(
+        id_col,
+        "partition_id",
+        F.array(itq_code_expr(vec_col, itq_model)).alias("words"),
+        *attr_cols,
+    )
+    return ITQIVFBQModel(centroids=centroids, encoded=enc, itq=itq_model)
+
+
+def _itq_query_word(itq_model, query_vector) -> int:
+    """Driver-side packing of one query with the engine's exact bit
+    rule: bit j set iff seq_dot(q, c_j) - seq_dot(mean, c_j) >= 0 —
+    the same sequential-fold dots `itq_code_expr` compiles, so the
+    query's bits match what the engine would encode for the same
+    vector bit-for-bit."""
+    from flechasdb_spark.operators.pca import _seq_dot
+
+    q = [float(x) for x in query_vector]
+    word = 0
+    for j, c in enumerate(itq_model.components):
+        if _seq_dot(q, c) - _seq_dot(itq_model.mean, c) >= 0.0:
+            word |= 1 << j
+    return word
+
+
+def itq_ivfbq_query(
+    model: ITQIVFBQModel,
+    query_vector: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+) -> DataFrame:
+    """Probe-pruned Hamming top-k over learned-rotation codes: float
+    probe selection, single-word popcount(xor) scan (the
+    `bq.hamming_knn` composition `itq_encode` documents, now at index
+    cost). Integer distances, ties by id."""
+    base = IVFBQModel(
+        centroids=model.centroids, encoded=model.encoded,
+        dim=model.itq.bits, thresholds=None,
+    )
+    probe_ids = _probe_ids(base, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    dist = _hamming_dist_checked([_itq_query_word(model.itq, query_vector)])
+    return (
+        cands.select(
+            F.col(id_col), F.col("partition_id"), dist.alias("hamming_distance")
+        )
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def itq_ivfbq_range_query(
+    model: ITQIVFBQModel,
+    query_vector: list,
+    radius: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Radius form of `itq_ivfbq_query` — every probed-cell code within
+    ``radius`` flipped bits of the query's ITQ word; the cut executes
+    in the scan, exchange volume |result|."""
+    base = IVFBQModel(
+        centroids=model.centroids, encoded=model.encoded,
+        dim=model.itq.bits, thresholds=None,
+    )
+    probe_ids = _probe_ids(base, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    dist = _hamming_dist_checked([_itq_query_word(model.itq, query_vector)])
+    out = (
+        cands.select(
+            F.col(id_col), F.col("partition_id"), dist.alias("hamming_distance")
+        )
+        .where(F.col("hamming_distance") <= int(radius))
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out

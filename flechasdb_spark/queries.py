@@ -9205,6 +9205,157 @@ def q_ivfbq_hamming_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_batch_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (2, 9, 17)),
+probes AS (
+  SELECT query_id, partition_id FROM (
+    SELECT q.query_id, c.partition_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c CROSS JOIN qs q) s WHERE rn <= 3),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hamming_distance
+  FROM assigned a JOIN probes pr ON a.partition_id = pr.partition_id
+       JOIN qs q ON q.query_id = pr.query_id),
+ranked AS (
+  SELECT query_id, vec_id, hamming_distance,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY hamming_distance, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, hamming_distance, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ivfbq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF+BQ serving (plans/ivfbq.py::ivfbq_query_batch):
+    three queries share ONE pruned Hamming scan — per-query probe
+    routing broadcast as a tiny (query_id, cell) table so a candidate
+    is scored only against the queries that probed its cell, per-query
+    top-5 via WindowGroupLimit (each task forwards <= k rows per
+    query). Serving-mode parity with the PQ/SQ families' batch rows
+    (`ann_query` batch, `ivfsq_batch_knn`); integer-exact, oracle
+    recomputes routing + per-query probes + rank."""
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, ivfbq_query_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(2, 9, 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return (
+        ivfbq_query_batch(model, qs, k=5, nprobe=3, query_ids=[2, 9, 17])
+        .withColumn("hamming_distance", F.col("hamming_distance").cast("long"))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "stream_ivfbq_encode",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1)
+SELECT vec_id, partition_id,
+       (generate_subscripts(v, 1) - 1)::BIGINT AS dim,
+       (CASE WHEN unnest(v) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
+FROM assigned
+ORDER BY vec_id, dim
+""",
+)
+def q_stream_ivfbq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental IVF+BQ encode
+    (`streaming.stream_ivfbq_encode`, r11): vectors stream through the
+    FROZEN binary index model into the replay-safe
+    ``ingest_batch=/partition_id=`` layout; the oracle recomputes the
+    coarse assignment AND every stored bit (unpacked from the 32-bit
+    words via shift/mask — the LSB-first pack is a bijection on
+    positions) from the raw vectors. streamed == batch == oracle,
+    bit-for-bit: the lightest incremental encode in the repo (one
+    broadcast argmin + a codegen pack; no trained bounds at all)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.plans.ivfbq import build_ivfbq
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_ivfbq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    tmp = tempfile.mkdtemp(prefix="stream_bq_encode_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    shutil.copy(f"{sf_dir}/embeddings.parquet", f"{tmp}/in/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(f"{tmp}/in")
+    q = stream_ivfbq_encode(
+        model, stream, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    run_available_now(q)
+    enc = spark.read.parquet(f"{tmp}/idx/index")
+    # unpack the LSB-first 32-bit words into 64 bit columns (literal
+    # shift amounts — shiftright takes an int, not a Column)
+    bits = F.array(
+        *[
+            F.shiftright(F.element_at(F.col("words"), w + 1), j)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+            for w in range(2)
+            for j in range(32)
+        ]
+    )
+    return (
+        enc.select(
+            "vec_id",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.posexplode(bits).alias("dim", "bit"),
+        )
+        .select(
+            "vec_id",
+            "partition_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("bit").cast("long").alias("bit"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+@query(
     "ivfsq_cell_knn",
     f"""
 WITH cent AS (

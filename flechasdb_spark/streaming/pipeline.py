@@ -45,6 +45,8 @@ __all__ = [
     "read_event_stream",
     "windowed_event_agg",
     "incremental_encode",
+    "stream_ivfsq_encode",
+    "stream_ivfbq_encode",
     "stream_static_knn",
     "stream_asof_enrich",
     "stream_dedup",
@@ -306,6 +308,104 @@ def stream_ivfsq_encode(
             return  # replay of a fully committed batch: exact no-op
         resid = ivfsq_residuals(batch, model.centroids, id_col, vec_col)
         enc = encode_frozen_residuals(resid, model, id_col, missing_cell)
+        (
+            enc.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{root}/ingest_batch={batch_id}")
+        )
+        state["appends"] += 1
+        if compact_every and state["appends"] % compact_every == 0:
+            compact_ingest_store(
+                spark,
+                root,
+                exclude_batch_ids={int(batch_id)},
+                inner_partition_cols=["partition_id"],
+            )
+
+    return (
+        vectors.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_ivfbq_encode(
+    model,
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """The IVF+BQ sibling of `stream_ivfsq_encode` (r11): continuously
+    assign + sign-pack arriving vectors against a FROZEN
+    `plans.ivfbq.IVFBQModel` (centroids + optional thresholds trained
+    offline) into the same
+    ``<index_path>/index/ingest_batch=<id>/partition_id=<p>`` layout.
+    Returns the streaming query handle.
+
+    Per batch: one broadcast-join argmin for assignment + the map-only
+    codegen bit pack — zero shuffles beyond the partitioned write, and
+    NO trained bounds to join at all (BQ's frozen state is just the
+    thresholds literal), so this is the lightest incremental encode in
+    the repo. Frozen thresholds make the codes batch-order independent
+    — streamed == batch encode is the pytest gate.
+
+    Delivery contract identical to `stream_ivfsq_encode` (per-batch
+    ``ingest_batch=<id>`` overwrite; committed-batch replay is an
+    exact no-op via `maintenance.ingest_batch_committed`; the flat-
+    layout mix guard fails fast; ``compact_every`` folds committed
+    older batches through `maintenance.compact_ingest_store`)."""
+    from flechasdb_spark.operators.bq import _packed_words
+    from flechasdb_spark.operators.maintenance import (
+        compact_ingest_store,
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
+    from flechasdb_spark.plans.ivf import ivf_assign
+
+    state = {"appends": 0, "layout_checked": False}
+    root = f"{index_path}/index"
+
+    def _require_ingest_layout(spark) -> None:
+        from flechasdb_spark.sources.manifest import _fs_path
+
+        rootp, fs = _fs_path(spark, root)
+        if not fs.exists(rootp):
+            return
+        for st in fs.listStatus(rootp):
+            if st.getPath().getName().startswith("partition_id="):
+                raise ValueError(
+                    "stream_ivfbq_encode writes an ingest_batch=/"
+                    "partition_id= tree, but this index root already "
+                    "holds a flat save_ivfbq partition_id= layout — "
+                    "mixing them breaks every reader. Stream "
+                    "into a fresh path, or fold the existing index "
+                    "under ingest_batch=-1 first"
+                )
+
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if not state["layout_checked"]:
+            _require_ingest_layout(spark)
+            state["layout_checked"] = True
+        repair_ingest_store(spark, root)
+        if ingest_batch_committed(spark, root, batch_id):
+            return  # replay of a fully committed batch: exact no-op
+        assigned = ivf_assign(
+            batch, model.centroids, id_col=id_col, vec_col=vec_col
+        )
+        enc = assigned.select(
+            id_col,
+            "partition_id",
+            _packed_words(vec_col, model.dim, model.thresholds).alias(
+                "words"
+            ),
+        )
         (
             enc.write.mode("overwrite")
             .partitionBy("partition_id")

@@ -177,3 +177,54 @@ def test_plan_is_pure_codegen(spark, emb, model):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_itq_composition_full_probe_matches_flat_itq(spark, emb):
+    """ITQ+IVF+BQ (learned-rotation bits at index cost): full probe
+    equals the flat ITQ Hamming top-k (`itq_encode` + single-word
+    hamming), the trained-model policy's structural gate; radius form
+    filters the same distances; the query's driver-packed word matches
+    the engine's own encode of the query vector bit-for-bit."""
+    from flechasdb_spark.operators.itq import itq_encode, itq_train
+    from flechasdb_spark.plans.ivfbq import (
+        _itq_query_word,
+        build_itq_ivfbq,
+        itq_ivfbq_query,
+        itq_ivfbq_range_query,
+    )
+
+    itq = itq_train(emb, bits=16, iters=8, sample_n=10_000)
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_itq_ivfbq(emb, cent, itq)
+    qrow = emb.where(F.col("vec_id") == 5).first()
+    qv = [float(x) for x in qrow["embedding"]]
+
+    # query packing parity: driver word == engine's encode of the query
+    eng = itq_encode(
+        emb.where(F.col("vec_id") == 5), itq
+    ).first()["code"]
+    assert _itq_query_word(itq, qv) == eng
+
+    flat = itq_encode(emb, itq).select(
+        "vec_id", F.array("code").alias("words")
+    )
+    from flechasdb_spark.operators.bq import hamming_knn
+
+    want = hamming_knn(flat, [eng], k=12).collect()
+    got = itq_ivfbq_query(m, qv, k=12, nprobe=P).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got] == [
+        (r.vec_id, r.hamming_distance) for r in want
+    ]
+    # radius: equals the filtered full-rank list at full probe
+    r = want[7].hamming_distance
+    rng = itq_ivfbq_range_query(m, qv, radius=r, nprobe=P).collect()
+    full = hamming_knn(flat, [eng], k=emb.count()).collect()
+    assert [(x.hamming_distance, x.vec_id) for x in rng] == sorted(
+        (x.hamming_distance, x.vec_id) for x in full if x.hamming_distance <= r
+    )
+    # partial probe returns a subset
+    part = itq_ivfbq_query(m, qv, k=12, nprobe=2).collect()
+    assert {x.vec_id for x in part} <= {x.vec_id for x in full}

@@ -1421,3 +1421,82 @@ def test_stream_semantic_decontam_matches_batch_and_replays(spark, tmp_path):
     run_available_now(q2)
     assert sorted(glob.glob(f"{out}/ingest_batch=*/*.parquet")) == before
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == want
+
+
+def test_stream_ivfbq_encode_matches_batch_and_serves(spark, tmp_path):
+    """The BQ sibling (r11): streaming vectors through a FROZEN IVF+BQ
+    model writes exactly the packed words the batch build produces
+    (frozen thresholds make codes batch-order independent), replay of
+    a committed batch is a no-op, and the streamed layout serves
+    queries identically to the in-memory model."""
+    import os
+    import shutil
+
+    from flechasdb_spark.plans.ivfbq import (
+        IVFBQModel,
+        build_ivfbq,
+        ivfbq_query,
+    )
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_ivfbq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{src}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    q = stream_ivfbq_encode(
+        model,
+        stream,
+        index_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_available_now(q)
+
+    streamed = spark.read.parquet(str(tmp_path / "idx" / "index"))
+    batch = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in model.encoded.collect()
+    }
+    got = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+    # replay with a fresh checkpoint: committed batch is an exact no-op
+    q2 = stream_ivfbq_encode(
+        model,
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(src),
+        index_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    run_available_now(q2)
+    assert spark.read.parquet(str(tmp_path / "idx" / "index")).count() == len(
+        batch
+    )
+
+    # the streamed layout serves identically to the in-memory model
+    served = IVFBQModel(
+        centroids=model.centroids,
+        encoded=streamed.drop("ingest_batch"),
+        dim=64,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    want = ivfbq_query(model, qv, k=10, nprobe=8).collect()
+    got_q = ivfbq_query(served, qv, k=10, nprobe=8).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got_q] == [
+        (r.vec_id, r.hamming_distance) for r in want
+    ]
