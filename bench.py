@@ -643,6 +643,7 @@ def main() -> None:
         "ivfbq_hamming_range",
         "ivfbq_batch_knn",
         "stream_ivfbq_encode",
+        "bq_asymmetric_knn",
         "ann_nprobe_autotune",
         "range_radius_calibration",
     ]

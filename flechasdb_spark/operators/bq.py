@@ -21,8 +21,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "asymmetric_weights_micro",
     "bq_encode",
     "bq_thresholds",
+    "hamming_asymmetric_knn",
     "hamming_knn",
     "hamming_range",
     "pack_bits_py",
@@ -188,3 +190,77 @@ def hamming_range(
     if limit is not None:
         out = out.limit(int(limit))
     return out
+
+
+def asymmetric_weights_micro(vec, thresholds=None) -> list[int]:
+    """Driver-side per-dim weights for `hamming_asymmetric_knn`:
+    floor(|q_d - thr_d| * 1e6) — the query coordinate's margin from
+    the bit hyperplane, in integer micro-units (floor on BOTH engines;
+    the repo's integer-exact convention, so the asymmetric score needs
+    no float rounding contract at all)."""
+    import math
+
+    out = []
+    for d, v in enumerate(vec):
+        thr = 0.0 if thresholds is None else float(thresholds[d])
+        out.append(int(math.floor(abs(float(v) - thr) * 1e6)))
+    return out
+
+
+def hamming_asymmetric_knn(
+    encoded: DataFrame,
+    query_vector,
+    k: int,
+    thresholds: list[float] | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ASYMMETRIC binary scoring (r11): the corpus stays 1 bit/dim but
+    the QUERY is never quantized — score = sum over disagreeing dims
+    of the query's margin |q_d - thr_d| (micro-unit integers). A dim
+    where the query sits far from the threshold counts heavily when
+    the stored bit contradicts it; a dim where the query is near the
+    hyperplane (its own bit is unreliable) costs almost nothing —
+    which is exactly the information symmetric Hamming throws away
+    (asymmetric-distance binary hashing, same storage, better
+    ranking; the BQ-side analogue of PQ's ADC asymmetric scoring and
+    of `plans/ivf.py`'s ADC-vs-SDC choice).
+
+    Codegen shape: per-dim weights are plan literals, bit extraction
+    is literal shift/mask on the packed words — map-only scan +
+    TakeOrderedAndProject, no Python, no shuffle. The unrolled
+    expression is O(dim) plan nodes: fine through a few hundred dims;
+    past that, slice the scoring to the top-variance dims or fall
+    back to symmetric `hamming_knn` (documented bound, loud by
+    construction since the plan itself grows).
+
+    Ties break by id. Returns (id_col, asym_micro)."""
+    qv = [float(x) for x in query_vector]
+    w = asymmetric_weights_micro(qv, thresholds)
+    dim = len(qv)
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    guard = F.size(F.col("words")) == n_words
+    acc: Column = F.lit(0).cast("long")
+    for d in range(dim):
+        thr = 0.0 if thresholds is None else float(thresholds[d])
+        qbit = 1 if qv[d] > thr else 0
+        word_idx, bit_idx = d // WORD_BITS, d % WORD_BITS
+        stored = F.shiftright(
+            F.element_at(F.col("words"), word_idx + 1), bit_idx
+        ).bitwiseAND(F.lit(1))
+        acc = acc + F.when(
+            stored != F.lit(qbit), F.lit(int(w[d])).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    score = F.when(guard, acc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"asymmetric query has {n_words} words but encoded "),
+                F.lit("row has "),
+                F.size(F.col("words")).cast("string"),
+            )
+        )
+    )
+    return (
+        encoded.select(F.col(id_col), score.alias("asym_micro"))
+        .orderBy(F.col("asym_micro").asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -63,6 +63,8 @@ __all__ = [
     "ivfbq_range_query",
     "itq_ivfbq_query",
     "itq_ivfbq_range_query",
+    "save_itq_ivfbq",
+    "load_itq_ivfbq",
     "save_ivfbq",
     "load_ivfbq",
     "train_ivfbq",
@@ -490,3 +492,58 @@ def itq_ivfbq_range_query(
     if limit is not None:
         out = out.limit(int(limit))
     return out
+
+
+def save_itq_ivfbq(model: ITQIVFBQModel, path: str) -> None:
+    """Persist the ITQ composition: the same partitionBy cell layout as
+    `save_ivfbq` (probed queries prune at rest), centroids parquet, and
+    the ITQ model (mean + components + bits + losses) in the manifest —
+    a few KB of floats, the whole trained state the composition
+    carries."""
+    from flechasdb_spark.sources.manifest import write_manifest_json
+
+    spark = model.encoded.sparkSession
+    (
+        model.encoded.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(os.path.join(path, "index"))
+    )
+    model.centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    write_manifest_json(
+        spark,
+        os.path.join(path, "ivfbq.json"),
+        {
+            "kind": "itq_ivfbq",
+            "itq_mean": [float(x) for x in model.itq.mean],
+            "itq_components": [
+                [float(x) for x in c] for c in model.itq.components
+            ],
+            "itq_losses": [float(x) for x in model.itq.losses],
+        },
+    )
+
+
+def load_itq_ivfbq(spark, path: str) -> ITQIVFBQModel:
+    """Load a persisted ITQ composition; lazy encoded side, literal
+    probe filter prunes at rest exactly as on the sign-bit family."""
+    from flechasdb_spark.operators.itq import ITQModel
+    from flechasdb_spark.sources.manifest import read_manifest_json
+
+    t = read_manifest_json(spark, os.path.join(path, "ivfbq.json"))
+    if t is None or t.get("kind") != "itq_ivfbq":
+        raise ValueError(f"not an itq_ivfbq index: {path}")
+    itq = ITQModel(
+        mean=tuple(float(x) for x in t["itq_mean"]),
+        components=tuple(
+            tuple(float(x) for x in c) for c in t["itq_components"]
+        ),
+        losses=tuple(float(x) for x in t["itq_losses"]),
+    )
+    return ITQIVFBQModel(
+        centroids=spark.read.parquet(os.path.join(path, "centroids")),
+        encoded=spark.read.parquet(os.path.join(path, "index")),
+        itq=itq,
+    )

@@ -9272,6 +9272,44 @@ def q_ivfbq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bq_asymmetric_knn",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 5),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(
+           list_zip(e.embedding::DOUBLE[], q.qv),
+           z -> CASE WHEN (z[1] > 0) <> (z[2] > 0)
+                THEN floor(abs(z[2]) * 1e6)::BIGINT
+                ELSE 0 END))::BIGINT AS asym_micro
+  FROM embeddings e, q)
+SELECT vec_id, asym_micro
+FROM scored ORDER BY asym_micro, vec_id LIMIT 10
+""",
+)
+def q_bq_asymmetric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric binary scoring (`bq.hamming_asymmetric_knn`, r11):
+    the corpus stays 1 bit/dim but the query is never quantized —
+    each disagreeing dimension costs the query's margin from the bit
+    hyperplane, in integer micro-units (floor both engines, so the
+    score is integer-exact with NO rounding contract). The BQ-side
+    analogue of PQ's asymmetric ADC scoring: same storage as
+    symmetric Hamming, better ranking, still a map-only codegen scan
+    + TakeOrderedAndProject. The oracle recomputes every weight and
+    bit from the raw vectors."""
+    from flechasdb_spark.operators.bq import (
+        bq_encode,
+        hamming_asymmetric_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    enc = bq_encode(emb, dim=64)
+    return hamming_asymmetric_knn(enc, qv, k=10)
+
+
+@query(
     "stream_ivfbq_encode",
     f"""
 WITH cent AS (
@@ -10074,6 +10112,20 @@ DRIVER_ORDER = [
     # binary-quantizer window row (bq_hamming_knn retired r7). All
     # retired rows stay oracle-gated in pytest (tests/test_oracle.py
     # runs the FULL registry) and in bench.py's headline set.
+    # QUEUED for r12 (new in r11, oracle-gated in pytest now):
+    # ivfbq_knn [IVF+BQ — the FAISS IndexBinaryIVF analogue, the last
+    # cell of the quantizer x IVF grid; integer-exact full oracle],
+    # ivfbq_hamming_range [Hamming radius at index cost, the SimHash
+    # sweep primitive pruned], ivfbq_batch_knn [batched binary serving
+    # with per-query probe routing], stream_ivfbq_encode [streaming
+    # incremental binary encode, replay-safe ingest layout — the
+    # lightest incremental encode in the repo], bq_asymmetric_knn
+    # [asymmetric binary scoring: un-quantized query margins as
+    # integer micro-unit weights — the BQ analogue of PQ's ADC],
+    # ann_nprobe_autotune [the early-stopped serving-knob sweep; the
+    # oracle replicates the early-stop visibility rule itself],
+    # range_radius_calibration [data-derived range radius via the
+    # fixed-grid histogram quantile].
     "ann_frozen_distprobe",
     "ann_range_query",
     "ann_packed_knn",

@@ -228,3 +228,70 @@ def test_itq_composition_full_probe_matches_flat_itq(spark, emb):
     # partial probe returns a subset
     part = itq_ivfbq_query(m, qv, k=12, nprobe=2).collect()
     assert {x.vec_id for x in part} <= {x.vec_id for x in full}
+
+
+def test_itq_composition_save_load_roundtrip(spark, emb, tmp_path):
+    """Persisted ITQ composition serves identically (the ITQ model —
+    mean, components, losses — round-trips through the manifest) and
+    the probe filter still prunes the at-rest layout."""
+    from flechasdb_spark.operators.itq import itq_train
+    from flechasdb_spark.plans.ivfbq import (
+        build_itq_ivfbq,
+        itq_ivfbq_query,
+        load_itq_ivfbq,
+        save_itq_ivfbq,
+    )
+
+    itq = itq_train(emb, bits=16, iters=8, sample_n=10_000)
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_itq_ivfbq(emb, cent, itq)
+    path = str(tmp_path / "itqidx")
+    save_itq_ivfbq(m, path)
+    loaded = load_itq_ivfbq(spark, path)
+    assert loaded.itq == itq  # frozen dataclass equality: exact floats
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    want = itq_ivfbq_query(m, qv, k=10, nprobe=3).collect()
+    got = itq_ivfbq_query(loaded, qv, k=10, nprobe=3).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got] == [
+        (r.vec_id, r.hamming_distance) for r in want
+    ]
+    plan = (
+        itq_ivfbq_query(loaded, qv, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [partition_id" in plan.replace("\n", " ")
+
+
+def test_auto_nprobe_is_family_agnostic_on_bq(spark, emb, model):
+    """The tuning loop (eval.auto_nprobe) wraps ANY search_fn — here
+    the binary family's batch path — and still early-stops at the
+    smallest sufficient nprobe. Exact baseline = full-probe Hamming
+    (recall 1.0 at nprobe=P by construction), so the returned knob is
+    always <= P and the curve is monotone on this fixture."""
+    from flechasdb_spark.operators.eval import auto_nprobe
+    from flechasdb_spark.plans.ivfbq import ivfbq_query_batch
+
+    qids = [2, 9, 17]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    exact = ivfbq_query_batch(
+        model, qs, k=5, nprobe=P, query_ids=qids
+    ).select("query_id", "vec_id")
+
+    def search(np_):
+        return ivfbq_query_batch(
+            model, qs, k=5, nprobe=np_, query_ids=qids
+        ).select("query_id", "vec_id")
+
+    best, curve = auto_nprobe(exact, search, [1, 2, P], 0.99)
+    assert best is not None and best <= P
+    recs = [r for _, r in curve]
+    assert recs == sorted(recs)  # monotone on the fixture
+    assert recs[-1] >= 0.99
