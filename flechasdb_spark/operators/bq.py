@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "asymmetric_score_checked",
     "asymmetric_weights_micro",
     "bq_encode",
     "bq_thresholds",
@@ -207,6 +208,42 @@ def asymmetric_weights_micro(vec, thresholds=None) -> list[int]:
     return out
 
 
+def asymmetric_score_checked(
+    query_vector, thresholds: list[float] | None = None
+) -> Column:
+    """The guarded asymmetric score column over a packed ``words``
+    row: sum over disagreeing dims of the query's micro-unit margin
+    (`asymmetric_weights_micro`). Shared by the flat scan
+    (`hamming_asymmetric_knn`) and the probe-pruned composition
+    (`plans.ivfbq.ivfbq_asymmetric_query`); same width guard as
+    `_hamming_dist_checked`."""
+    qv = [float(x) for x in query_vector]
+    w = asymmetric_weights_micro(qv, thresholds)
+    dim = len(qv)
+    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    guard = F.size(F.col("words")) == n_words
+    acc: Column = F.lit(0).cast("long")
+    for d in range(dim):
+        thr = 0.0 if thresholds is None else float(thresholds[d])
+        qbit = 1 if qv[d] > thr else 0
+        word_idx, bit_idx = d // WORD_BITS, d % WORD_BITS
+        stored = F.shiftright(
+            F.element_at(F.col("words"), word_idx + 1), bit_idx
+        ).bitwiseAND(F.lit(1))
+        acc = acc + F.when(
+            stored != F.lit(qbit), F.lit(int(w[d])).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return F.when(guard, acc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"asymmetric query has {n_words} words but encoded "),
+                F.lit("row has "),
+                F.size(F.col("words")).cast("string"),
+            )
+        )
+    )
+
+
 def hamming_asymmetric_knn(
     encoded: DataFrame,
     query_vector,
@@ -234,31 +271,7 @@ def hamming_asymmetric_knn(
     construction since the plan itself grows).
 
     Ties break by id. Returns (id_col, asym_micro)."""
-    qv = [float(x) for x in query_vector]
-    w = asymmetric_weights_micro(qv, thresholds)
-    dim = len(qv)
-    n_words = (dim + WORD_BITS - 1) // WORD_BITS
-    guard = F.size(F.col("words")) == n_words
-    acc: Column = F.lit(0).cast("long")
-    for d in range(dim):
-        thr = 0.0 if thresholds is None else float(thresholds[d])
-        qbit = 1 if qv[d] > thr else 0
-        word_idx, bit_idx = d // WORD_BITS, d % WORD_BITS
-        stored = F.shiftright(
-            F.element_at(F.col("words"), word_idx + 1), bit_idx
-        ).bitwiseAND(F.lit(1))
-        acc = acc + F.when(
-            stored != F.lit(qbit), F.lit(int(w[d])).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    score = F.when(guard, acc).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"asymmetric query has {n_words} words but encoded "),
-                F.lit("row has "),
-                F.size(F.col("words")).cast("string"),
-            )
-        )
-    )
+    score = asymmetric_score_checked(query_vector, thresholds)
     return (
         encoded.select(F.col(id_col), score.alias("asym_micro"))
         .orderBy(F.col("asym_micro").asc(), F.col(id_col).asc())

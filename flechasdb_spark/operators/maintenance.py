@@ -50,6 +50,7 @@ __all__ = [
     "ingest_batch_committed",
     "ivfsq_upsert",
     "ivfsq_delete",
+    "ivfbq_upsert",
 ]
 
 
@@ -1163,4 +1164,81 @@ def ivfsq_delete(
     _rewrite_cells(
         spark, f"{index_path}/index", survivors.select(out_cols), touched
     )
+    return touched
+
+
+def ivfbq_upsert(
+    spark: SparkSession,
+    model,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_cols: tuple = (),
+) -> list[int]:
+    """Encode ``vectors`` with the FROZEN IVF+BQ model (coarse assign +
+    packed threshold bits — `plans.ivfbq.build_ivfbq`'s map-only
+    encode) and upsert into ``<index_path>/index``: replaced ids
+    disappear, new ids appear, only the touched ``partition_id=``
+    directories are rewritten, through the same crash-consistent
+    `_rewrite_cells` journal/swap every other mutator uses. Deletes on
+    a binary store need no family-specific path: `ivfsq_delete` and
+    `delete_where` are schema-driven (they rewrite whatever columns
+    the store carries), so they work on an ivfbq layout as-is
+    (pytest-gated). Returns the rewritten partition ids."""
+    from flechasdb_spark.operators.bq import _packed_words
+    from flechasdb_spark.plans.ivf import ivf_assign
+
+    repair_cell_rewrite(spark, f"{index_path}/index")
+    existing = spark.read.parquet(f"{index_path}/index")
+    _require_flat_ivfsq_layout(existing, "ivfbq_upsert")
+    assigned = ivf_assign(
+        vectors, model.centroids, id_col=id_col, vec_col=vec_col
+    )
+    incoming = assigned.select(
+        id_col,
+        "partition_id",
+        _packed_words(vec_col, model.dim, model.thresholds).alias("words"),
+        *attr_cols,
+    ).persist()
+    missing_attrs = set(existing.columns) - set(incoming.columns)
+    if missing_attrs:
+        raise ValueError(
+            f"index carries attribute columns {sorted(missing_attrs)} — "
+            "pass attr_cols so upserted rows carry them too"
+        )
+    extra_attrs = set(incoming.columns) - set(existing.columns)
+    if extra_attrs:
+        raise ValueError(
+            f"incoming rows carry columns {sorted(extra_attrs)} absent "
+            "from the existing index — rebuild the index with these "
+            "attr_cols (an upsert cannot widen the at-rest schema)"
+        )
+    new_ids = incoming.select(id_col)
+    replaced_pids = {
+        r.partition_id
+        for r in existing.join(F.broadcast(new_ids), id_col, "left_semi")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    }
+    incoming_pids = {
+        r.partition_id
+        for r in incoming.select("partition_id").distinct().collect()
+    }
+    touched = sorted(replaced_pids | incoming_pids)
+    if not touched:
+        incoming.unpersist()
+        return []
+    survivors = existing.where(
+        F.col("partition_id").isin(touched)
+    ).join(F.broadcast(new_ids), id_col, "left_anti")
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
+    replacement = survivors.select(out_cols).unionByName(
+        incoming.select(out_cols)
+    )
+    _rewrite_cells(spark, f"{index_path}/index", replacement, touched)
+    incoming.unpersist()
     return touched

@@ -58,6 +58,7 @@ __all__ = [
     "ITQIVFBQModel",
     "build_ivfbq",
     "build_itq_ivfbq",
+    "ivfbq_asymmetric_query",
     "ivfbq_query",
     "ivfbq_query_batch",
     "ivfbq_range_query",
@@ -546,4 +547,37 @@ def load_itq_ivfbq(spark, path: str) -> ITQIVFBQModel:
         centroids=spark.read.parquet(os.path.join(path, "centroids")),
         encoded=spark.read.parquet(os.path.join(path, "index")),
         itq=itq,
+    )
+
+
+def ivfbq_asymmetric_query(
+    model: IVFBQModel,
+    query_vector: list,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+) -> DataFrame:
+    """Probe-pruned ASYMMETRIC binary scoring (r11): the corpus stays
+    1 bit/dim and partition-pruned, but the query is never quantized —
+    each disagreeing dim in the probed cells costs the query's
+    micro-unit margin from the bit hyperplane
+    (`bq.asymmetric_score_checked`, integer-exact, no rounding
+    contract). The full serving ladder on the binary family now
+    mirrors the PQ side: symmetric Hamming (SDC analogue) /
+    asymmetric margins (ADC analogue) / radius / batch, all behind
+    the same literal-isin PartitionFilter."""
+    from flechasdb_spark.operators.bq import asymmetric_score_checked
+
+    probe_ids = _probe_ids(model, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    score = asymmetric_score_checked(query_vector, model.thresholds)
+    return (
+        cands.select(
+            F.col(id_col), F.col("partition_id"), score.alias("asym_micro")
+        )
+        .orderBy(F.col("asym_micro").asc(), F.col(id_col).asc())
+        .limit(int(k))
     )

@@ -9272,6 +9272,63 @@ def q_ivfbq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_asymmetric_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         list_sum(list_transform(list_zip(a.v, q.qv),
+           z -> CASE WHEN (z[1] > 0) <> (z[2] > 0)
+                THEN floor(abs(z[2]) * 1e6)::BIGINT
+                ELSE 0 END))::BIGINT AS asym_micro
+  FROM assigned a JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, asym_micro
+FROM scored ORDER BY asym_micro, vec_id LIMIT 10
+""",
+)
+def q_ivfbq_asymmetric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-pruned asymmetric binary serving
+    (`plans.ivfbq.ivfbq_asymmetric_query`, r11): the binary family's
+    serving ladder now mirrors the PQ side — symmetric Hamming (the
+    SDC analogue), asymmetric query-margin scoring (the ADC
+    analogue), radius, and batch, all behind the same literal-isin
+    partition pruning. Integer micro-unit margins (floor both
+    engines) keep the row exact with no rounding contract; the
+    oracle recomputes assignment, probe selection, and every margin
+    from the raw vectors."""
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_asymmetric_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_asymmetric_query(model, qv, k=10, nprobe=3)
+
+
+@query(
     "bq_asymmetric_knn",
     """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -295,3 +295,83 @@ def test_auto_nprobe_is_family_agnostic_on_bq(spark, emb, model):
     recs = [r for _, r in curve]
     assert recs == sorted(recs)  # monotone on the fixture
     assert recs[-1] >= 0.99
+
+
+def test_asymmetric_composition_full_probe_matches_flat(spark, emb, model):
+    """ivfbq_asymmetric_query at nprobe=P equals the flat asymmetric
+    scan; partial probe is a subset of the probed cells' members."""
+    from flechasdb_spark.operators.bq import hamming_asymmetric_knn
+    from flechasdb_spark.plans.ivfbq import ivfbq_asymmetric_query
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    flat = hamming_asymmetric_knn(bq_encode(emb, dim=DIM), qv, k=10).collect()
+    got = ivfbq_asymmetric_query(model, qv, k=10, nprobe=P).collect()
+    assert [(r.vec_id, r.asym_micro) for r in got] == [
+        (r.vec_id, r.asym_micro) for r in flat
+    ]
+    part = ivfbq_asymmetric_query(model, qv, k=10, nprobe=2).collect()
+    assert {r.vec_id for r in part} <= {
+        r.vec_id
+        for r in model.encoded.join(
+            ivfbq_asymmetric_query(model, qv, k=emb.count(), nprobe=2)
+            .select("vec_id"),
+            "vec_id",
+        ).collect()
+    }
+
+
+def test_ivfbq_upsert_and_generic_deletes(spark, emb, model, tmp_path):
+    """r11 maintenance parity for the binary family: ivfbq_upsert
+    replaces/inserts through the crash-consistent cell rewrite, and
+    the schema-driven delete paths (ivfsq_delete, delete_where) work
+    on an ivfbq store as-is."""
+    from flechasdb_spark.operators.maintenance import (
+        delete_where,
+        ivfbq_upsert,
+        ivfsq_delete,
+    )
+
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_ivfbq(emb, cent, dim=DIM, attr_cols=("label",))
+    path = str(tmp_path / "bq_maint")
+    save_ivfbq(m, path)
+    n0 = spark.read.parquet(f"{path}/index").count()
+
+    # upsert: 3 fresh ids + replace id 10 with vector 11's embedding
+    fresh = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding", "label"
+    )
+    rep = emb.where(F.col("vec_id") == 11).select(
+        F.lit(10).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    touched = ivfbq_upsert(
+        spark, m, path, fresh.unionAll(rep), attr_cols=("label",)
+    )
+    assert touched
+    after = spark.read.parquet(f"{path}/index")
+    assert after.count() == n0 + 3
+    got10 = after.where("vec_id = 10").first()
+    want11 = m.encoded.where("vec_id = 11").first()
+    assert list(got10.words) == list(want11.words)  # replaced with 11's code
+
+    # generic id delete
+    ivfsq_delete(spark, path, [900000, 900001])
+    assert spark.read.parquet(f"{path}/index").where(
+        "vec_id >= 900000"
+    ).count() == 1
+
+    # generic predicate delete over the attribute column
+    k1 = spark.read.parquet(f"{path}/index").where("label = 1").count()
+    assert k1 > 0
+    delete_where(spark, path, "label = 1")
+    left = spark.read.parquet(f"{path}/index")
+    assert left.where("label = 1").count() == 0
+    # the store still serves
+    from flechasdb_spark.plans.ivfbq import load_ivfbq
+
+    loaded = load_ivfbq(spark, path)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    assert ivfbq_query(loaded, qv, k=5, nprobe=P).count() == 5

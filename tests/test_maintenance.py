@@ -861,8 +861,30 @@ def _index_snapshot(spark, path):
     return sorted((r.vec_id, r.partition_id) for r in rows)
 
 
+def _bq_store(spark, tmp_path, name="bqc"):
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, save_ivfbq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_ivfbq(emb, cent, dim=64, attr_cols=("label",))
+    path = str(tmp_path / name)
+    save_ivfbq(m, path)
+    return emb, m, path
+
+
 @pytest.mark.parametrize(
-    "kind", ["pq_upsert", "pq_delete", "delete_where", "sq_upsert", "sq_delete"]
+    "kind",
+    [
+        "pq_upsert",
+        "pq_delete",
+        "delete_where",
+        "sq_upsert",
+        "sq_delete",
+        "bq_upsert",
+    ],
 )
 def test_mutation_crash_after_journal_heals_on_retry(
     spark, tmp_path, monkeypatch, kind
@@ -878,6 +900,7 @@ def test_mutation_crash_after_journal_heals_on_retry(
     import flechasdb_spark.operators.maintenance as M
     from flechasdb_spark.operators.maintenance import (
         delete_where,
+        ivfbq_upsert,
         ivfsq_delete,
         ivfsq_upsert,
     )
@@ -888,6 +911,8 @@ def test_mutation_crash_after_journal_heals_on_retry(
         path = str(tmp_path / "idx")
         save_index(model, path)
         sqm = None
+    elif kind == "bq_upsert":
+        emb, sqm, path = _bq_store(spark, tmp_path)
     else:
         emb, sqm, path = _sq_store(spark, tmp_path)
 
@@ -904,6 +929,10 @@ def test_mutation_crash_after_journal_heals_on_retry(
             return delete_where(spark, path, "label = 1")
         if kind == "sq_upsert":
             return ivfsq_upsert(
+                spark, sqm, path, fresh, attr_cols=("label",)
+            )
+        if kind == "bq_upsert":
+            return ivfbq_upsert(
                 spark, sqm, path, fresh, attr_cols=("label",)
             )
         return ivfsq_delete(spark, path, list(range(8)))
@@ -934,6 +963,8 @@ def test_mutation_crash_after_journal_heals_on_retry(
         path2 = str(tmp_path / "idx2")
         save_index(model2, path2)
         sqm2 = None
+    elif kind == "bq_upsert":
+        _, sqm2, path2 = _bq_store(spark, tmp_path, "bqc2")
     else:
         _, sqm2, path2 = _sq_store(spark, tmp_path, "sqc2")
     if kind == "pq_upsert":
@@ -944,6 +975,8 @@ def test_mutation_crash_after_journal_heals_on_retry(
         delete_where(spark, path2, "label = 1")
     elif kind == "sq_upsert":
         ivfsq_upsert(spark, sqm2, path2, fresh, attr_cols=("label",))
+    elif kind == "bq_upsert":
+        ivfbq_upsert(spark, sqm2, path2, fresh, attr_cols=("label",))
     else:
         ivfsq_delete(spark, path2, list(range(8)))
     assert _index_snapshot(spark, path) == _index_snapshot(spark, path2)
