@@ -9329,6 +9329,71 @@ def q_ivfbq_asymmetric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_rerank_knn",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hd
+  FROM assigned a JOIN probes USING (partition_id), q),
+cand AS (
+  SELECT vec_id, partition_id FROM (
+    SELECT vec_id, partition_id,
+           row_number() OVER (ORDER BY hd, vec_id) AS rn
+    FROM scored) s WHERE rn <= 40),
+exact AS (
+  SELECT c.vec_id, c.partition_id,
+         {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS ed
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q)
+SELECT vec_id, partition_id, round(ed, 4) AS squared_distance
+FROM exact ORDER BY round(ed, 4), vec_id LIMIT 10
+""",
+)
+def q_ivfbq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact re-rank on the binary family (VERDICT r11 #4 — the FAISS
+    IndexBinaryIVF-wrapped-in-IndexRefine shape, closing the last
+    serving-parity cell): the probe-pruned Hamming scan keeps the top
+    k*rerank_factor=40 candidates, which broadcast into ONE exact
+    squared-L2 join against the ORIGINAL float vectors; final top-10
+    orders by the exact rounded distance (rank-on-rounded, id
+    tie-break). Binary codes are the coarsest quantizer in the repo
+    (1 bit/dim), so they gain the most from refinement — the recall
+    property (rerank >= symmetric Hamming at equal nprobe) is gated
+    in tests/test_ivfbq.py. The oracle recomputes BOTH legs: coarse
+    assignment, probe selection, the integer Hamming candidate rank,
+    and the exact refine join."""
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, ivfbq_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_query(
+        model, qv, k=10, nprobe=3, rerank=emb, rerank_factor=4, round_to=4
+    )
+
+
+@query(
     "bq_asymmetric_knn",
     """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -375,3 +375,212 @@ def test_ivfbq_upsert_and_generic_deletes(spark, emb, model, tmp_path):
     loaded = load_ivfbq(spark, path)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
     assert ivfbq_query(loaded, qv, k=5, nprobe=P).count() == 5
+
+
+def test_batch_probe_fold_matches_per_query_and_distributed(spark, emb, model):
+    """VERDICT r11 #3 equivalence gate: the one-pass dimension-major
+    probe fold (collect_centroids=True), the distributed
+    select_probes_df path (False), and the per-query `_probe_ids`
+    baseline all select the SAME probed cells per query, so the batch
+    result is identical across modes and to Q solo queries."""
+    from flechasdb_spark.plans.ivfbq import _batch_probe_rows, _probe_ids
+
+    qids = [2, 9, 17, 33]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    fold = _batch_probe_rows(model.centroids, qs, 3, qids, True)
+    dist = _batch_probe_rows(model.centroids, qs, 3, qids, False)
+    per_query = [
+        (qid, pid)
+        for qid, qv in zip(qids, qs)
+        for pid in _probe_ids(model, qv, 3)
+    ]
+    assert sorted(fold) == sorted(dist) == sorted(per_query)
+    a = ivfbq_query_batch(model, qs, k=5, nprobe=3, query_ids=qids).collect()
+    b = ivfbq_query_batch(
+        model, qs, k=5, nprobe=3, query_ids=qids, collect_centroids=False
+    ).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.hamming_distance) for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_batch_phase1_schedules_one_probe_job(spark, emb, model):
+    """VERDICT r11 #3 scale gate: building the batch plan schedules
+    exactly ONE driver job for probe selection (the centroid collect),
+    regardless of Q — the former per-query loop scheduled Q. Counted
+    via a job group on the live scheduler."""
+    sc = spark.sparkContext
+
+    def phase1_jobs(n_queries, group):
+        qids = list(range(n_queries))
+        qs = [
+            [float(x) for x in r.embedding]
+            for r in emb.where(F.col("vec_id") < n_queries)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        sc.setJobGroup(group, "probe job gate")
+        try:
+            df = ivfbq_query_batch(model, qs, k=3, nprobe=3, query_ids=qids)
+            jobs = sc.statusTracker().getJobIdsForGroup(group)
+        finally:
+            sc.setJobGroup(f"{group}-done", "")
+        return df, len(jobs)
+
+    df6, j6 = phase1_jobs(6, "ivfbq-batch-p1-q6")
+    _, j12 = phase1_jobs(12, "ivfbq-batch-p1-q12")
+    assert j6 == 1, j6  # ONE centroid-collect job, no per-query loop
+    assert j12 == j6  # and independent of Q
+    assert df6.count() > 0  # the plan still executes
+
+
+def test_ivfbq_rerank_solo_matches_restricted_flat(spark, emb, model):
+    """VERDICT r11 #4: exact re-rank == flat exact kNN restricted to
+    the Hamming top-(k*factor) candidate set (the IndexBinaryIVF +
+    IndexRefine contract), and the rounded-output form matches the
+    frozen-row convention."""
+    from flechasdb_spark.operators.knn import flat_knn
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    cand = [
+        r.vec_id for r in ivfbq_query(model, qv, k=40, nprobe=3).collect()
+    ]
+    want = flat_knn(
+        emb.where(F.col("vec_id").isin(cand)), qv, k=10, round_to=4
+    ).collect()
+    got = ivfbq_query(
+        model, qv, k=10, nprobe=3, rerank=emb, rerank_factor=4, round_to=4
+    ).collect()
+    assert [(r.vec_id, r.squared_distance) for r in got] == [
+        (r.vec_id, r.squared_distance) for r in want
+    ]
+
+
+def test_ivfbq_rerank_recall_ge_symmetric(spark, emb, model):
+    """Property gate (VERDICT r11 #4): exact re-rank recall vs the
+    exact-kNN truth is >= the symmetric Hamming path at equal nprobe,
+    averaged over queries — binary codes are the coarsest family, so
+    refinement must not lose recall."""
+    from flechasdb_spark.operators.knn import flat_knn
+
+    truth_pool = emb.where(F.col("vec_id").isin(3, 12, 21, 30, 44))
+    q_rows = truth_pool.orderBy("vec_id").collect()
+    rec_sym, rec_rr = 0.0, 0.0
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        truth = {x.vec_id for x in flat_knn(emb, qv, k=10).collect()}
+        sym = {
+            x.vec_id
+            for x in ivfbq_query(model, qv, k=10, nprobe=3).collect()
+        }
+        rr = {
+            x.vec_id
+            for x in ivfbq_query(
+                model, qv, k=10, nprobe=3, rerank=emb, rerank_factor=4
+            ).collect()
+        }
+        rec_sym += len(sym & truth) / 10.0
+        rec_rr += len(rr & truth) / 10.0
+    assert rec_rr >= rec_sym - 1e-9, (rec_rr, rec_sym)
+
+
+def test_ivfbq_rerank_batch_matches_solo(spark, emb, model):
+    """Batch rerank returns each query's solo-rerank result (both
+    collect_centroids modes)."""
+    qids = [2, 9, 17]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    for cc in (True, False):
+        batch = ivfbq_query_batch(
+            model, qs, k=5, nprobe=3, query_ids=qids,
+            rerank=emb, rerank_factor=4, round_to=4, collect_centroids=cc,
+        ).collect()
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.squared_distance)
+            for r in batch
+        }
+        assert len(got) == len(batch)
+        for qid, qv in zip(qids, qs):
+            solo = ivfbq_query(
+                model, qv, k=5, nprobe=3, rerank=emb, rerank_factor=4,
+                round_to=4,
+            ).collect()
+            for i, s in enumerate(solo, start=1):
+                assert got[(qid, i)] == (s.vec_id, s.squared_distance), (qid, i)
+
+
+def test_ivfbq_range_rerank_exact_filter(spark, emb, model):
+    """Range refine: Hamming radius gates candidates, the exact
+    (rounded) squared-L2 filter at exact_radius decides membership —
+    equals the flat range search restricted to the Hamming matches."""
+    from flechasdb_spark.operators.knn import range_search
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    ham = ivfbq_range_query(model, qv, radius=28, nprobe=P).collect()
+    ham_ids = [r.vec_id for r in ham]
+    assert ham_ids
+    exact_all = range_search(
+        emb.where(F.col("vec_id").isin(ham_ids)), qv, radius=30.0, round_to=4
+    ).collect()
+    want = sorted((r.squared_distance, r.vec_id) for r in exact_all)
+    got = ivfbq_range_query(
+        model, qv, radius=28, nprobe=P, rerank=emb, exact_radius=30.0,
+        round_to=4,
+    ).collect()
+    assert [(r.squared_distance, r.vec_id) for r in got] == want
+    with pytest.raises(ValueError, match="exact_radius"):
+        ivfbq_range_query(model, qv, radius=28, nprobe=P, rerank=emb)
+
+
+def test_itq_batch_matches_solo_and_prunes(spark, emb, tmp_path):
+    """VERDICT r11 #6: ITQ-composition batch serving == Q solo
+    queries (both phase-1 modes), and the persisted form's batch scan
+    still prunes at rest (PartitionFilter plan gate)."""
+    from flechasdb_spark.operators.itq import itq_train
+    from flechasdb_spark.plans.ivfbq import (
+        build_itq_ivfbq,
+        itq_ivfbq_query,
+        itq_ivfbq_query_batch,
+        load_itq_ivfbq,
+        save_itq_ivfbq,
+    )
+
+    itq = itq_train(emb, bits=16, iters=8, sample_n=10_000)
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    m = build_itq_ivfbq(emb, cent, itq)
+    qids = [2, 9, 17]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    for cc in (True, False):
+        batch = itq_ivfbq_query_batch(
+            m, qs, k=5, nprobe=3, query_ids=qids, collect_centroids=cc
+        ).collect()
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.hamming_distance)
+            for r in batch
+        }
+        for qid, qv in zip(qids, qs):
+            solo = itq_ivfbq_query(m, qv, k=5, nprobe=3).collect()
+            for i, s in enumerate(solo, start=1):
+                assert got[(qid, i)] == (s.vec_id, s.hamming_distance), (qid, i)
+    path = str(tmp_path / "itq_batch_idx")
+    save_itq_ivfbq(m, path)
+    loaded = load_itq_ivfbq(spark, path)
+    plan = (
+        itq_ivfbq_query_batch(loaded, qs, k=5, nprobe=3, query_ids=qids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [partition_id" in plan.replace("\n", " ")
