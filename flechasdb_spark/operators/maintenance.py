@@ -43,6 +43,7 @@ __all__ = [
     "merge_indexes",
     "compact_index",
     "split_partition",
+    "merge_partitions",
     "rebalance_index",
     "compact_ingest_store",
     "repair_ingest_store",
@@ -828,6 +829,200 @@ def rebalance_index(
         _release(model, new_model)
         model, imb, hot, mx = new_model, new_imb, new_hot, new_mx
     return model, history
+
+
+def merge_partitions(
+    spark: SparkSession,
+    model,
+    index_path: str,
+    vectors: DataFrame,
+    min_members: int | None = None,
+    pids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    missing_cell: str = "error",
+) -> dict:
+    """Fold COLD IVF cells into their members' nearest surviving
+    cells — the complement of `split_partition`, closing the loop
+    `index_partition_stats` opens in BOTH directions (VERDICT r11 #7):
+    the stats row diagnoses skew, `split_partition` handles hot cells,
+    this handles the cold tail a drifting corpus leaves behind (cells
+    whose members migrated away cost a probe-selection candidate and a
+    scan unit each while returning almost nothing — at 100 TB a long
+    cold tail means nprobe buys recall at the wrong cells). Operates
+    on a persisted `save_ivfsq` store through the SAME journaled
+    `_rewrite_cells` staging swap as upsert/delete, so a crash at any
+    point rolls back or forward cleanly and the store heals on its
+    next mutation.
+
+    Cold set: explicit ``pids``, or every cell with fewer than
+    ``min_members`` members (exactly one selector must be given). At
+    least one cell must survive. Each cold member is re-assigned to
+    its nearest SURVIVING centroid (per-member exact argmin — the
+    `ivfsq_residuals` broadcast-join shape; a member near a surviving
+    cell's boundary lands there rather than wherever its dead cell's
+    centroid was nearest, so recall beats a whole-cell fold) and
+    re-encoded against that centroid with the FROZEN bounds
+    (`encode_frozen_residuals` — per-cell bounds rows for receiving
+    cells already exist; ``missing_cell`` keeps the same
+    error/degrade contract as `ivfsq_upsert`). Attribute columns ride
+    over from the existing cold rows — callers don't re-supply them.
+
+    Cost: O(|cold members|) re-encode + a rewrite of the cold and
+    receiving cells only — untouched cells are never read (the
+    touched-partition property every mutator here has). num_vectors
+    is unchanged (pure reshuffle), so no manifest target is
+    journaled.
+
+    Centroid-table ordering: the cell swap commits FIRST (journaled),
+    then the cold rows are dropped from the persisted ``centroids``
+    parquet via its own three-step rename. A crash between the two
+    leaves dead-but-EMPTY centroids: a probe routed to one scans
+    nothing and returns nothing — correctness holds, one of nprobe is
+    wasted until the next merge re-runs the drop (the reverse order
+    would strand live members in a cell no query ever probes: recall
+    loss, not a wasted probe).
+
+    Returns {"merged": cold ids, "receiving": cell ids that grew,
+    "touched": every rewritten cell}. The refreshed index is one
+    `load_ivfsq` away; querying it is oracle-gated end to end by the
+    registry row ``index_rebalance_query``."""
+    from flechasdb_spark.plans.ivfsq import (
+        encode_frozen_residuals,
+        ivfsq_residuals,
+    )
+
+    if (min_members is None) == (pids is None):
+        raise ValueError(
+            "merge_partitions needs exactly one cold-cell selector: "
+            "min_members (a floor) or pids (explicit cells)"
+        )
+    index_dir = f"{index_path}/index"
+    repair_cell_rewrite(spark, index_dir)
+    # centroid-swap crash repair (the compact_index discipline): a
+    # prior run that died between the two renames left the routing
+    # table only at .pre — restore it before reading anything
+    cent_dir = f"{index_path}/centroids"
+    fs0, cpath0 = _fs_path(spark, cent_dir)
+    jvm0 = spark._jvm
+    P0 = jvm0.org.apache.hadoop.fs.Path
+    if not fs0.exists(cpath0) and fs0.exists(P0(f"{cent_dir}.merge.pre")):
+        if not fs0.rename(P0(f"{cent_dir}.merge.pre"), cpath0):
+            raise IOError(
+                f"crash repair: rename {cent_dir}.merge.pre -> "
+                f"{cent_dir} failed"
+            )
+    if fs0.exists(P0(f"{cent_dir}.merge.tmp")):
+        fs0.delete(P0(f"{cent_dir}.merge.tmp"), True)
+    existing = spark.read.parquet(index_dir)
+    _require_flat_ivfsq_layout(existing, "merge_partitions")
+    disk_counts = {
+        r.partition_id: r["count"]
+        for r in existing.groupBy("partition_id").count().collect()
+    }
+    all_cent_pids = {
+        int(r["partition_id"])
+        for r in model.centroids.select("partition_id").collect()
+    }
+    # a fully-drained cell has NO directory and so no disk count — it
+    # is the coldest cell there is (count 0 over the centroid table),
+    # and folding it just drops its routing row
+    counts = {p: disk_counts.get(p, 0) for p in all_cent_pids}
+    if pids is not None:
+        cold = sorted(int(p) for p in pids)
+        missing = [
+            p for p in cold if p not in counts and p not in disk_counts
+        ]
+        if missing:
+            raise ValueError(
+                f"merge_partitions: cells {missing} have neither a "
+                "centroid row nor members on disk — nothing to fold"
+            )
+    else:
+        cold = sorted(
+            p for p, c in counts.items() if c < int(min_members)
+        )
+    if not cold:
+        return {"merged": [], "receiving": [], "touched": []}
+    survivors_cent = sorted(all_cent_pids - set(cold))
+    if not survivors_cent:
+        raise ValueError(
+            "merge_partitions would fold every cell — rebuild instead"
+        )
+    cold_rows = existing.where(
+        F.col("partition_id").isin(cold)
+    ).persist()
+    surv_cent_df = model.centroids.where(
+        ~F.col("partition_id").isin(cold)
+    )
+    mem_vecs = vectors.select(id_col, vec_col).join(
+        F.broadcast(cold_rows.select(id_col)), id_col, "semi"
+    )
+    resid = ivfsq_residuals(mem_vecs, surv_cent_df, id_col, vec_col)
+    re_encoded = encode_frozen_residuals(resid, model, id_col, missing_cell)
+    if "codes_bin" in existing.columns:
+        # packed store: keep the one at-rest schema (ivfsq_upsert's rule)
+        from flechasdb_spark.operators.sq import (
+            pack_codes_expr,
+            pack_mode_for_levels,
+        )
+
+        re_encoded = re_encoded.withColumn(
+            "codes_bin",
+            pack_codes_expr("codes", pack_mode_for_levels(model.levels)),
+        ).drop("codes")
+    carry = [
+        c
+        for c in existing.columns
+        if c not in set(re_encoded.columns)
+    ]
+    if carry:
+        re_encoded = re_encoded.join(
+            cold_rows.select(id_col, *carry), id_col
+        )
+    re_encoded = re_encoded.persist()
+    receiving = sorted(
+        int(r["partition_id"])
+        for r in re_encoded.select("partition_id").distinct().collect()
+    )
+    stray = set(receiving) & set(cold)
+    if stray:  # cannot happen (cold centroids are excluded) — guard anyway
+        raise AssertionError(f"members re-assigned to folded cells {stray}")
+    touched = sorted(set(cold) | set(receiving))
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
+    replacement = (
+        existing.where(F.col("partition_id").isin(receiving))
+        .select(out_cols)
+        .unionByName(re_encoded.select(out_cols))
+    )
+    _rewrite_cells(spark, index_dir, replacement, touched)
+    cold_rows.unpersist()
+    re_encoded.unpersist()
+    # drop the folded centroids from the persisted routing table (after
+    # the cell swap — see the ordering note above) via a staged rename
+    fs, cpath = _fs_path(spark, cent_dir)
+    if fs.exists(cpath):
+        staging = f"{cent_dir}.merge.tmp"
+        pre = f"{cent_dir}.merge.pre"
+        (
+            spark.read.parquet(cent_dir)
+            .where(~F.col("partition_id").isin(cold))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(P(pre)):
+            fs.delete(P(pre), True)
+        if not fs.rename(P(cent_dir), P(pre)):
+            raise IOError(f"rename {cent_dir} -> {pre} failed")
+        if not fs.rename(P(staging), P(cent_dir)):
+            raise IOError(f"rename {staging} -> {cent_dir} failed")
+        fs.delete(P(pre), True)
+    return {"merged": cold, "receiving": receiving, "touched": touched}
 
 
 # ---------------------------------------------------------------------------

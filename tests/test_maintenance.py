@@ -1100,3 +1100,198 @@ def test_rewrite_crash_before_journal_rolls_back(spark, tmp_path):
     assert _index_snapshot(spark, path) == sorted(
         (v, p) for v, p in before if v not in victims
     )
+
+
+def _cold_sq_store(spark, tmp_path, name="coldsq", members=3, pack=False):
+    """An SQ store with one deliberately COLD cell: three real
+    centroids (embeddings 0..2) plus a far-away synthetic one
+    (embedding 3 shifted by +50 per dim) holding exactly ``members``
+    synthetic vectors placed near it (ids 900000+) — the
+    drifted-corpus shape merge_partitions exists for. ``members=0``
+    leaves the far cell fully drained (no directory at all)."""
+    from flechasdb_spark.plans.ivfsq import build_ivfsq, save_ivfsq
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    near = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    far = emb.where(F.col("vec_id") == 3).select(
+        F.lit(3).cast("int").alias("partition_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(50.0)).alias(
+            "centroid"
+        ),
+    )
+    corpus = emb
+    if members:
+        synth = emb.where(F.col("vec_id") < members).select(
+            (F.col("vec_id") + 900000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(0.001) + F.lit(50.0)
+            ).alias("embedding"),
+            "label",
+        )
+        corpus = emb.select("vec_id", "embedding", "label").unionByName(synth)
+    m = build_ivfsq(corpus, near.unionByName(far), attr_cols=("label",))
+    path = str(tmp_path / name)
+    save_ivfsq(m, path, pack_codes=pack)
+    return corpus, m, path
+
+
+def test_merge_partitions_folds_cold_cells(spark, tmp_path):
+    """VERDICT r11 #7: the cold-cell complement of split_partition.
+    Folding the cold cell preserves every vector, deletes the cold
+    directory AND its centroid row, re-assigns each moved member to
+    its nearest SURVIVING centroid (checked against an independent
+    dimension-major NumPy argmin), leaves untouched cells
+    byte-identical, carries attributes, and DROPS the imbalance
+    factor."""
+    import numpy as np
+
+    from flechasdb_spark.operators.eval import index_partition_stats
+    from flechasdb_spark.operators.maintenance import merge_partitions
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, load_ivfsq
+
+    emb, m, path = _cold_sq_store(spark, tmp_path)
+    before = spark.read.parquet(f"{path}/index")
+    counts = {
+        r.partition_id: r["count"]
+        for r in before.groupBy("partition_id").count().collect()
+    }
+    n0 = sum(counts.values())
+    imb0 = index_partition_stats(before).first()["imbalance"]
+    # the far cell holds exactly the 3 synthetic members — the unique
+    # minimum, folded via the floor selector
+    assert counts[3] == 3
+    floor = counts[3] + 1
+    cold = sorted(p for p, c in counts.items() if c < floor)
+    assert cold == [3]
+    before_rows = {
+        p: sorted(
+            (r.vec_id, tuple(r.codes)) for r in before.where(
+                F.col("partition_id") == p
+            ).collect()
+        )
+        for p in counts
+    }
+    moved_ids = [
+        r.vec_id
+        for r in before.where(F.col("partition_id").isin(cold)).collect()
+    ]
+    res = merge_partitions(spark, m, path, emb, min_members=floor)
+    assert res["merged"] == cold
+    assert set(res["touched"]) == set(cold) | set(res["receiving"])
+    after = spark.read.parquet(f"{path}/index")
+    assert after.count() == n0
+    dirs = {
+        d
+        for d in os.listdir(f"{path}/index")
+        if d.startswith("partition_id=")
+    }
+    assert not {f"partition_id={p}" for p in cold} & dirs
+    cents_after = {
+        r.partition_id
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert cents_after == set(counts) - set(cold)
+    # untouched cells byte-identical
+    for p in set(counts) - set(cold) - set(res["receiving"]):
+        got = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in after.where(F.col("partition_id") == p).collect()
+        )
+        assert got == before_rows[p], p
+    # moved members: nearest surviving centroid by independent argmin
+    cents = {
+        r.partition_id: np.array(list(r.centroid), dtype=np.float64)
+        for r in m.centroids.collect()
+    }
+    surv = sorted(set(cents) - set(cold))
+    got_pid = {
+        r.vec_id: r.partition_id
+        for r in after.where(F.col("vec_id").isin(moved_ids)).collect()
+    }
+    vec_rows = emb.where(F.col("vec_id").isin(moved_ids)).collect()
+    for r in vec_rows:
+        v = np.array(list(r.embedding), dtype=np.float64)
+        best = None
+        for p in surv:
+            d2 = 0.0
+            for j in range(v.shape[0]):  # dimension-major fold
+                diff = v[j] - cents[p][j]
+                d2 += diff * diff
+            if best is None or (d2, p) < best:
+                best = (d2, p)
+        assert got_pid[r.vec_id] == best[1], r.vec_id
+    # attributes carried
+    assert after.where(F.col("label").isNull()).count() == 0
+    # imbalance dropped
+    imb1 = index_partition_stats(after).first()["imbalance"]
+    assert imb1 < imb0, (imb0, imb1)
+    # the refreshed store serves
+    loaded = load_ivfsq(spark, path)
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 5).first()["embedding"]
+    ]
+    assert ivfsq_query(loaded, qv, k=10, nprobe=len(surv)).count() == 10
+
+
+def test_merge_partitions_validates_and_repairs_centroid_swap(
+    spark, tmp_path
+):
+    """Selector validation (exactly one of min_members/pids; refusing
+    to fold every cell; empty cold set is a no-op), the fully-drained
+    cold cell (zero members, no directory — the floor selector still
+    sees it via the centroid table), and crash repair: a centroid
+    table stranded at .merge.pre by a crash between the two renames
+    is restored before the next merge proceeds."""
+    from flechasdb_spark.operators.maintenance import merge_partitions
+
+    emb, m, path = _cold_sq_store(spark, tmp_path, "coldsq2", members=0)
+    # the drained cell has no directory at all, yet counts as cold
+    assert not os.path.exists(f"{path}/index/partition_id=3")
+    with pytest.raises(ValueError, match="exactly one"):
+        merge_partitions(spark, m, path, emb)
+    with pytest.raises(ValueError, match="exactly one"):
+        merge_partitions(spark, m, path, emb, min_members=2, pids=[3])
+    with pytest.raises(ValueError, match="every cell"):
+        merge_partitions(spark, m, path, emb, pids=[0, 1, 2, 3])
+    noop = merge_partitions(spark, m, path, emb, min_members=0)
+    assert noop == {"merged": [], "receiving": [], "touched": []}
+    # simulate the crash window: centroids renamed away, new table lost
+    os.rename(f"{path}/centroids", f"{path}/centroids.merge.pre")
+    res = merge_partitions(spark, m, path, emb, pids=[3])
+    assert res["merged"] == [3]
+    assert os.path.isdir(f"{path}/centroids")
+    assert not os.path.exists(f"{path}/centroids.merge.pre")
+    cents = {
+        r.partition_id
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert cents == {0, 1, 2}
+
+
+def test_merge_partitions_packed_store(spark, tmp_path):
+    """A pack_codes=True store keeps its one at-rest schema through a
+    merge: re-encoded (moved) members are packed like the rest, the
+    roundtrip count holds, and the loaded store still serves."""
+    from flechasdb_spark.operators.maintenance import merge_partitions
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, load_ivfsq
+
+    corpus, m, path = _cold_sq_store(
+        spark, tmp_path, "coldpacked", pack=True
+    )
+    n0 = spark.read.parquet(f"{path}/index").count()
+    res = merge_partitions(spark, m, path, corpus, pids=[3])
+    assert res["merged"] == [3] and res["receiving"]
+    raw = spark.read.parquet(f"{path}/index")
+    assert "codes_bin" in raw.columns and "codes" not in raw.columns
+    assert raw.count() == n0
+    assert raw.where(F.col("vec_id") >= 900000).count() == 3  # moved
+    loaded = load_ivfsq(spark, path)
+    qv = [
+        float(x)
+        for x in corpus.where(F.col("vec_id") == 5).first()["embedding"]
+    ]
+    assert ivfsq_query(loaded, qv, k=10, nprobe=3).count() == 10
