@@ -44,6 +44,7 @@ __all__ = [
     "compact_index",
     "split_partition",
     "merge_partitions",
+    "ivfbq_merge_partitions",
     "rebalance_index",
     "compact_ingest_store",
     "repair_ingest_store",
@@ -899,56 +900,15 @@ def merge_partitions(
         )
     index_dir = f"{index_path}/index"
     repair_cell_rewrite(spark, index_dir)
-    # centroid-swap crash repair (the compact_index discipline): a
-    # prior run that died between the two renames left the routing
-    # table only at .pre — restore it before reading anything
-    cent_dir = f"{index_path}/centroids"
-    fs0, cpath0 = _fs_path(spark, cent_dir)
-    jvm0 = spark._jvm
-    P0 = jvm0.org.apache.hadoop.fs.Path
-    if not fs0.exists(cpath0) and fs0.exists(P0(f"{cent_dir}.merge.pre")):
-        if not fs0.rename(P0(f"{cent_dir}.merge.pre"), cpath0):
-            raise IOError(
-                f"crash repair: rename {cent_dir}.merge.pre -> "
-                f"{cent_dir} failed"
-            )
-    if fs0.exists(P0(f"{cent_dir}.merge.tmp")):
-        fs0.delete(P0(f"{cent_dir}.merge.tmp"), True)
+    _repair_centroid_swap(spark, index_path)
     existing = spark.read.parquet(index_dir)
     _require_flat_ivfsq_layout(existing, "merge_partitions")
-    disk_counts = {
-        r.partition_id: r["count"]
-        for r in existing.groupBy("partition_id").count().collect()
-    }
-    all_cent_pids = {
-        int(r["partition_id"])
-        for r in model.centroids.select("partition_id").collect()
-    }
-    # a fully-drained cell has NO directory and so no disk count — it
-    # is the coldest cell there is (count 0 over the centroid table),
-    # and folding it just drops its routing row
-    counts = {p: disk_counts.get(p, 0) for p in all_cent_pids}
-    if pids is not None:
-        cold = sorted(int(p) for p in pids)
-        missing = [
-            p for p in cold if p not in counts and p not in disk_counts
-        ]
-        if missing:
-            raise ValueError(
-                f"merge_partitions: cells {missing} have neither a "
-                "centroid row nor members on disk — nothing to fold"
-            )
-    else:
-        cold = sorted(
-            p for p, c in counts.items() if c < int(min_members)
-        )
+    cold = _select_cold_cells(
+        spark, existing, model.centroids, min_members, pids,
+        "merge_partitions",
+    )
     if not cold:
         return {"merged": [], "receiving": [], "touched": []}
-    survivors_cent = sorted(all_cent_pids - set(cold))
-    if not survivors_cent:
-        raise ValueError(
-            "merge_partitions would fold every cell — rebuild instead"
-        )
     cold_rows = existing.where(
         F.col("partition_id").isin(cold)
     ).persist()
@@ -1000,28 +960,171 @@ def merge_partitions(
     _rewrite_cells(spark, index_dir, replacement, touched)
     cold_rows.unpersist()
     re_encoded.unpersist()
-    # drop the folded centroids from the persisted routing table (after
-    # the cell swap — see the ordering note above) via a staged rename
+    _swap_centroid_table(spark, index_path, cold)
+    return {"merged": cold, "receiving": receiving, "touched": touched}
+
+
+def _repair_centroid_swap(spark: SparkSession, index_path: str) -> None:
+    """Centroid-swap crash repair (the compact_index discipline): a
+    prior merge that died between the two renames left the routing
+    table only at ``centroids.merge.pre`` — restore it before reading
+    anything; stale staging is deleted either way."""
+    cent_dir = f"{index_path}/centroids"
     fs, cpath = _fs_path(spark, cent_dir)
-    if fs.exists(cpath):
-        staging = f"{cent_dir}.merge.tmp"
-        pre = f"{cent_dir}.merge.pre"
-        (
-            spark.read.parquet(cent_dir)
-            .where(~F.col("partition_id").isin(cold))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        jvm = spark._jvm
-        P = jvm.org.apache.hadoop.fs.Path
-        if fs.exists(P(pre)):
-            fs.delete(P(pre), True)
-        if not fs.rename(P(cent_dir), P(pre)):
-            raise IOError(f"rename {cent_dir} -> {pre} failed")
-        if not fs.rename(P(staging), P(cent_dir)):
-            raise IOError(f"rename {staging} -> {cent_dir} failed")
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(cpath) and fs.exists(P(f"{cent_dir}.merge.pre")):
+        if not fs.rename(P(f"{cent_dir}.merge.pre"), cpath):
+            raise IOError(
+                f"crash repair: rename {cent_dir}.merge.pre -> "
+                f"{cent_dir} failed"
+            )
+    if fs.exists(P(f"{cent_dir}.merge.tmp")):
+        fs.delete(P(f"{cent_dir}.merge.tmp"), True)
+
+
+def _select_cold_cells(
+    spark: SparkSession,
+    existing: DataFrame,
+    centroids: DataFrame,
+    min_members: int | None,
+    pids: list[int] | None,
+    op: str,
+) -> list[int]:
+    """The cold set for a partition fold: explicit ``pids``, or every
+    cell below the ``min_members`` floor counted over the CENTROID
+    table — a fully-drained cell has no directory and so no disk
+    count, but it is the coldest cell there is (count 0) and folding
+    it just drops its routing row. Validates that exactly one selector
+    was given and that at least one cell survives."""
+    disk_counts = {
+        r.partition_id: r["count"]
+        for r in existing.groupBy("partition_id").count().collect()
+    }
+    all_cent_pids = {
+        int(r["partition_id"])
+        for r in centroids.select("partition_id").collect()
+    }
+    counts = {p: disk_counts.get(p, 0) for p in all_cent_pids}
+    if pids is not None:
+        cold = sorted(int(p) for p in pids)
+        missing = [
+            p for p in cold if p not in counts and p not in disk_counts
+        ]
+        if missing:
+            raise ValueError(
+                f"{op}: cells {missing} have neither a centroid row "
+                "nor members on disk — nothing to fold"
+            )
+    else:
+        cold = sorted(p for p, c in counts.items() if c < int(min_members))
+    if cold and not (all_cent_pids - set(cold)):
+        raise ValueError(f"{op} would fold every cell — rebuild instead")
+    return cold
+
+
+def _swap_centroid_table(
+    spark: SparkSession, index_path: str, cold: list[int]
+) -> None:
+    """Drop the folded cells' rows from the persisted ``centroids``
+    parquet via a staged three-step rename (write tmp, old -> .pre,
+    tmp -> centroids, drop .pre). Runs AFTER the journaled cell swap:
+    a crash between the two leaves dead-but-EMPTY centroids — a probe
+    routed to one scans nothing (one of nprobe wasted, correctness
+    intact) until the next merge's `_repair_centroid_swap`; the
+    reverse order would strand live members in a cell no query ever
+    probes (recall loss)."""
+    cent_dir = f"{index_path}/centroids"
+    fs, cpath = _fs_path(spark, cent_dir)
+    if not fs.exists(cpath):
+        return
+    staging = f"{cent_dir}.merge.tmp"
+    pre = f"{cent_dir}.merge.pre"
+    (
+        spark.read.parquet(cent_dir)
+        .where(~F.col("partition_id").isin(cold))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(pre)):
         fs.delete(P(pre), True)
+    if not fs.rename(P(cent_dir), P(pre)):
+        raise IOError(f"rename {cent_dir} -> {pre} failed")
+    if not fs.rename(P(staging), P(cent_dir)):
+        raise IOError(f"rename {staging} -> {cent_dir} failed")
+    fs.delete(P(pre), True)
+
+
+def ivfbq_merge_partitions(
+    spark: SparkSession,
+    model,
+    index_path: str,
+    vectors: DataFrame,
+    min_members: int | None = None,
+    pids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Cold-cell fold on a persisted IVF+BQ store (`save_ivfbq`) —
+    maintenance parity with the SQ family's `merge_partitions`
+    (binary stores drift too). Same journaled `_rewrite_cells`
+    staging swap, same cold selectors, same centroid-table drop with
+    crash repair — but on the binary contract there is NO re-encode
+    at all: codes are packed from the RAW vector and the centroids
+    serve only to route (the IndexBinaryIVF shape, plans/ivfbq.py),
+    so a moved member keeps its ``words`` bit-for-bit and only its
+    partition_id changes. The fold is one broadcast argmin over the
+    surviving centroids (`ivf_assign`) plus the cell rewrite — the
+    cheapest rebalance in the repo, zero quantization work. Applies
+    unchanged to the ITQ composition's stores (codes are
+    vector-derived there too). Returns the same dict contract as
+    `merge_partitions`."""
+    from flechasdb_spark.plans.ivf import ivf_assign
+
+    if (min_members is None) == (pids is None):
+        raise ValueError(
+            "ivfbq_merge_partitions needs exactly one cold-cell "
+            "selector: min_members (a floor) or pids (explicit cells)"
+        )
+    index_dir = f"{index_path}/index"
+    repair_cell_rewrite(spark, index_dir)
+    _repair_centroid_swap(spark, index_path)
+    existing = spark.read.parquet(index_dir)
+    _require_flat_ivfsq_layout(existing, "ivfbq_merge_partitions")
+    cold = _select_cold_cells(
+        spark, existing, model.centroids, min_members, pids,
+        "ivfbq_merge_partitions",
+    )
+    if not cold:
+        return {"merged": [], "receiving": [], "touched": []}
+    cold_rows = existing.where(F.col("partition_id").isin(cold)).persist()
+    surv_cent_df = model.centroids.where(~F.col("partition_id").isin(cold))
+    mem_vecs = vectors.select(id_col, vec_col).join(
+        F.broadcast(cold_rows.select(id_col)), id_col, "semi"
+    )
+    assigned = ivf_assign(
+        mem_vecs, surv_cent_df, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "partition_id")
+    # words (and attrs) ride over unchanged — route-only re-assignment
+    moved = cold_rows.drop("partition_id").join(assigned, id_col).persist()
+    receiving = sorted(
+        int(r["partition_id"])
+        for r in moved.select("partition_id").distinct().collect()
+    )
+    touched = sorted(set(cold) | set(receiving))
+    out_cols = [c for c in existing.columns if c != "partition_id"] + [
+        "partition_id"
+    ]
+    replacement = (
+        existing.where(F.col("partition_id").isin(receiving))
+        .select(out_cols)
+        .unionByName(moved.select(out_cols))
+    )
+    _rewrite_cells(spark, index_dir, replacement, touched)
+    cold_rows.unpersist()
+    moved.unpersist()
+    _swap_centroid_table(spark, index_path, cold)
     return {"merged": cold, "receiving": receiving, "touched": touched}
 
 

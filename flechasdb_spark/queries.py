@@ -9651,6 +9651,100 @@ def q_ivfbq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_rebalance_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+cnt AS (SELECT partition_id, count(*) AS c FROM assigned
+        GROUP BY partition_id),
+cold AS (SELECT partition_id FROM cnt ORDER BY c, partition_id LIMIT 2),
+surv AS (
+  SELECT partition_id, cv FROM cent
+  WHERE partition_id NOT IN (SELECT partition_id FROM cold)),
+moved AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT a.vec_id, a.v, s.partition_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_DD_SQL2.format(a="a.v", b="s.cv")},
+                      s.partition_id) AS rn
+    FROM assigned a JOIN cold co ON a.partition_id = co.partition_id
+         CROSS JOIN surv s) t WHERE rn = 1),
+members2 AS (
+  SELECT vec_id, v, partition_id FROM assigned
+  WHERE partition_id NOT IN (SELECT partition_id FROM cold)
+  UNION ALL
+  SELECT vec_id, v, partition_id FROM moved),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT s.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="s.cv")},
+                      s.partition_id) AS rn
+    FROM surv s, q) t WHERE rn <= 3),
+scored AS (
+  SELECT m.vec_id, m.partition_id,
+         {_DD_HAMMING.format(a="m.v", b="q.qv")} AS hamming_distance
+  FROM members2 m JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, hamming_distance
+FROM scored ORDER BY hamming_distance, vec_id LIMIT 10
+""",
+)
+def q_ivfbq_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-cell fold on the BINARY family
+    (`maintenance.ivfbq_merge_partitions` — maintenance parity with
+    `index_rebalance_query`'s SQ lifecycle, on the route-only
+    contract): the persisted IVF+BQ store's two coldest cells fold
+    into their members' nearest surviving cells through the journaled
+    cell rewrite; moved members keep their packed words BIT-FOR-BIT
+    (codes derive from the raw vector, never the centroid — zero
+    quantization work, the cheapest rebalance in the repo), only the
+    routing changes. Reload, probe-pruned Hamming top-10 over the
+    shrunk centroid set. Integer-exact end to end; the oracle
+    recomputes assignment, cold choice, per-member re-routing, probe
+    selection, and every sign-disagreement distance."""
+    import tempfile
+
+    from flechasdb_spark.operators.maintenance import ivfbq_merge_partitions
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_query,
+        load_ivfbq,
+        save_ivfbq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    counts = {
+        r[0]: r[1]
+        for r in model.encoded.groupBy("partition_id").count().collect()
+    }
+    cold = sorted(
+        p for p, _ in sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+    )
+    path = tempfile.mkdtemp(prefix="ivfbq_rebalance_row_")
+    save_ivfbq(model, path)
+    ivfbq_merge_partitions(spark, model, path, emb, pids=cold)
+    loaded = load_ivfbq(spark, path)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_query(loaded, qv, k=10, nprobe=3).withColumn(
+        "hamming_distance", F.col("hamming_distance").cast("long")
+    )
+
+
+@query(
     "bq_asymmetric_knn",
     """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -10540,7 +10634,9 @@ DRIVER_ORDER = [
     # ivfbq_rerank_knn [exact re-rank on the binary family — the
     # FAISS IndexBinaryIVF+refine shape], index_rebalance_query
     # [cold-cell merge_partitions rebalance under frozen centroids],
-    # itq_batch_knn [ITQ composition batch serving].
+    # itq_batch_knn [ITQ composition batch serving, frozen
+    # Gram-Schmidt rotation], ivfbq_rebalance_query [binary-family
+    # cold-cell fold — words ride bit-for-bit, route-only].
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",

@@ -1295,3 +1295,72 @@ def test_merge_partitions_packed_store(spark, tmp_path):
         for x in corpus.where(F.col("vec_id") == 5).first()["embedding"]
     ]
     assert ivfsq_query(loaded, qv, k=10, nprobe=3).count() == 10
+
+
+def test_ivfbq_merge_partitions_moves_words_unchanged(spark, tmp_path):
+    """Binary-family cold-cell fold (`ivfbq_merge_partitions`): moved
+    members keep their packed words BIT-FOR-BIT (route-only contract —
+    codes derive from the raw vector, never the centroid), land in
+    their nearest surviving cell, attributes ride along, the folded
+    centroid row is dropped, and the refreshed store serves."""
+    from flechasdb_spark.operators.maintenance import ivfbq_merge_partitions
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_query,
+        load_ivfbq,
+        save_ivfbq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    near = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    far = emb.where(F.col("vec_id") == 3).select(
+        F.lit(3).cast("int").alias("partition_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(50.0)).alias(
+            "centroid"
+        ),
+    )
+    synth = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(0.001) + F.lit(50.0)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(synth)
+    m = build_ivfbq(
+        corpus, near.unionByName(far), dim=64, attr_cols=("label",)
+    )
+    path = str(tmp_path / "bqcold")
+    save_ivfbq(m, path)
+    before = spark.read.parquet(f"{path}/index")
+    n0 = before.count()
+    assert before.where(F.col("partition_id") == 3).count() == 3
+    words_before = {
+        r.vec_id: list(r.words)
+        for r in before.where(F.col("partition_id") == 3).collect()
+    }
+    res = ivfbq_merge_partitions(spark, m, path, corpus, min_members=4)
+    assert res["merged"] == [3] and res["receiving"]
+    after = spark.read.parquet(f"{path}/index")
+    assert after.count() == n0
+    assert not os.path.exists(f"{path}/index/partition_id=3")
+    moved = after.where(F.col("vec_id").isin(list(words_before))).collect()
+    assert len(moved) == 3
+    for r in moved:
+        assert list(r.words) == words_before[r.vec_id]  # bit-for-bit
+        assert r.partition_id in (0, 1, 2)
+        assert r.label is not None
+    cents = {
+        r.partition_id
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    assert cents == {0, 1, 2}
+    loaded = load_ivfbq(spark, path)
+    qv = [
+        float(x)
+        for x in corpus.where(F.col("vec_id") == 5).first()["embedding"]
+    ]
+    assert ivfbq_query(loaded, qv, k=10, nprobe=3).count() == 10
