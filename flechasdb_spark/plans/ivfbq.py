@@ -64,6 +64,7 @@ __all__ = [
     "ivfbq_query",
     "ivfbq_query_batch",
     "ivfbq_range_query",
+    "ivfbq_range_query_batch",
     "itq_ivfbq_query",
     "itq_ivfbq_query_batch",
     "itq_ivfbq_range_query",
@@ -495,6 +496,135 @@ def ivfbq_query_batch(
         .where(F.col("rank") <= int(k))
         .select("query_id", id_col, rank2.alias("squared_distance"), "rank")
     )
+
+
+def ivfbq_range_query_batch(
+    model: IVFBQModel,
+    queries: list[list[float]],
+    radius: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    query_ids: list[int] | None = None,
+    where=None,
+    collect_centroids: bool = True,
+    limit_per_query: int | None = None,
+    rerank: DataFrame | None = None,
+    exact_radius: float | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch Hamming RADIUS search — `ivfbq_query_batch`'s serving
+    shape with `ivfbq_range_query`'s filter tail, completing the
+    radius x batch cell of the binary serving grid (the SQ analogue
+    is `ivfsq_range_query_batch`): ONE probe pass for Q queries
+    (`_batch_probe_rows`), one literal-isin pruned scan joined against
+    the broadcast (query_id, cell, qwords) table, and a codegen radius
+    filter so the only rows reaching any exchange are the matches.
+    ``limit_per_query`` caps each query's result to its nearest
+    members via WindowGroupLimit. Same probed-cell recall contract as
+    every IVF radius path.
+
+    ``rerank``/``exact_radius``: the solo path's exact refinement —
+    Hamming ``radius`` gates candidates (bits), then the O(matches)
+    survivors broadcast into one exact squared-L2 join against the
+    ORIGINAL vectors and the final filter keeps (rounded) distances
+    <= ``exact_radius``; the result becomes (query_id, id_col,
+    squared_distance[, rank]).
+
+    Returns (query_id, id_col, hamming_distance[, rank])."""
+    from pyspark.sql import Window
+
+    qids = (
+        list(query_ids) if query_ids is not None else list(range(len(queries)))
+    )
+    spark = model.encoded.sparkSession
+    if rerank is not None and exact_radius is None:
+        raise ValueError(
+            "ivfbq_range_query_batch(rerank=...) needs exact_radius — "
+            "the Hamming radius gates candidates (bits), the exact "
+            "radius filters refined distances (squared L2)"
+        )
+    if not qids:
+        id_type = model.encoded.schema[id_col].dataType.simpleString()
+        score = (
+            "squared_distance double"
+            if rerank is not None
+            else "hamming_distance int"
+        )
+        rank = ", rank int" if limit_per_query is not None else ""
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} {id_type}, {score}{rank}"
+        )
+    probe_rows = _batch_probe_rows(
+        model.centroids, queries, nprobe, qids, collect_centroids
+    )
+    qwords = {
+        int(qid): [int(x) for x in pack_bits_py(qv, model.thresholds)]
+        for qid, qv in zip(qids, queries)
+    }
+    rows = [(qid, c, qwords[qid]) for qid, c in probe_rows]
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            rows, "query_id long, partition_id int, __qw array<bigint>"
+        )
+    )
+    all_cells = sorted({c for _, c, _ in rows})
+    cands = model.encoded.where(F.col("partition_id").isin(all_cells))
+    if where is not None:
+        cands = cands.where(where)
+    dist = _hamming_dist_join_checked((model.dim + 31) // 32)
+    matches = (
+        cands.join(qdf, "partition_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col("partition_id"),
+            dist.alias("hamming_distance"),
+        )
+        .where(F.col("hamming_distance") <= int(radius))
+    )
+    if rerank is not None:
+        qvdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(qid), [float(x) for x in qv])
+                    for qid, qv in zip(qids, queries)
+                ],
+                "query_id long, __qv array<double>",
+            )
+        )
+        cand = matches.select("query_id", id_col)
+        refined = (
+            rerank.select(id_col, "embedding")
+            .join(F.broadcast(cand), id_col)
+            .join(qvdf, "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                squared_l2(
+                    F.col("embedding").cast("array<double>"), F.col("__qv")
+                ).alias("__d"),
+            )
+        )
+        scr = (
+            F.round(F.col("__d"), round_to)
+            if round_to is not None
+            else F.col("__d")
+        )
+        out = refined.where(scr <= float(exact_radius)).select(
+            "query_id", id_col, scr.alias("squared_distance")
+        )
+        score_col = "squared_distance"
+    else:
+        out = matches.select("query_id", id_col, "hamming_distance")
+        score_col = "hamming_distance"
+    if limit_per_query is not None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).asc(), F.col(id_col).asc()
+        )
+        out = out.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= int(limit_per_query)
+        )
+    return out
 
 
 def save_ivfbq(model: IVFBQModel, path: str) -> None:

@@ -9403,6 +9403,80 @@ def q_ivfbq_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivfbq_range_batch",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (2, 9, 17)),
+probes AS (
+  SELECT query_id, partition_id FROM (
+    SELECT q.query_id, c.partition_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c CROSS JOIN qs q) s WHERE rn <= 3),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hamming_distance
+  FROM assigned a JOIN probes pr ON a.partition_id = pr.partition_id
+       JOIN qs q ON q.query_id = pr.query_id),
+m AS (
+  SELECT query_id, vec_id, hamming_distance,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY hamming_distance, vec_id) AS rank
+  FROM scored WHERE hamming_distance <= 26)
+SELECT query_id, vec_id, hamming_distance, rank::BIGINT AS rank
+FROM m WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ivfbq_range_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Hamming RADIUS serving
+    (`plans.ivfbq.ivfbq_range_query_batch`, r12 — completing the
+    radius x batch cell of the binary serving grid; the SQ analogue
+    is `ivfsq_range_batch`): three queries share ONE probe pass and
+    ONE pruned popcount scan, the radius cut executes in the scan
+    (exchange volume = matches), and ``limit_per_query=5`` caps each
+    query's result to its nearest members via WindowGroupLimit.
+    Integer-exact; the oracle recomputes routing, per-query probes,
+    every sign-disagreement distance, and the capped rank."""
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_range_query_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(2, 9, 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return (
+        ivfbq_range_query_batch(
+            model, qs, radius=26, nprobe=3, query_ids=[2, 9, 17],
+            limit_per_query=5,
+        )
+        .withColumn("hamming_distance", F.col("hamming_distance").cast("long"))
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
 # itq_batch_knn oracle pieces: a FROZEN 8-bit rotation (the classical
 # Gram-Schmidt basis over embeddings 0..7 — `_pca_gs_ctes`'s
 # established cross-engine-exact fixture) with mean = 0, so bit j is
@@ -10636,7 +10710,9 @@ DRIVER_ORDER = [
     # [cold-cell merge_partitions rebalance under frozen centroids],
     # itq_batch_knn [ITQ composition batch serving, frozen
     # Gram-Schmidt rotation], ivfbq_rebalance_query [binary-family
-    # cold-cell fold — words ride bit-for-bit, route-only].
+    # cold-cell fold — words ride bit-for-bit, route-only],
+    # ivfbq_range_batch [batch Hamming radius, the radius x batch
+    # cell of the binary serving grid].
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",

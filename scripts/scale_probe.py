@@ -55,14 +55,27 @@ ID_COLS = {
 
 REPLICAS = 5
 
+# VERDICT r11 #5: the two document rows that read ~2x time on 5x data
+# (the shuffle term emerging from under fixed costs) get a deeper
+# ~20x point to see whether that term is linear — only `documents`
+# is replicated for it (these rows read nothing else).
+DEEP_ROWS = ["repeated_ngram_spans", "quality_ensemble_rank"]
+DEEP_REPLICAS = 20
 
-def build_synthetic(spark, src_sf: str) -> str:
-    """5x-replicate the probe tables with id offsets; symlink-copy the
-    small dimension tables unchanged."""
+
+def build_synthetic(
+    spark, src_sf: str, replicas: int = REPLICAS, only: set | None = None
+) -> str:
+    """replicas-x replicate the probe tables with id offsets;
+    symlink-copy the small dimension tables unchanged. ``only``
+    restricts which tables are materialized (the deep point needs
+    just `documents`)."""
     import pyspark.sql.functions as F
 
     out = tempfile.mkdtemp(prefix="scale_probe_sf_")
     for t in TABLES:
+        if only is not None and t not in only:
+            continue
         src = f"{src_sf}/{t}.parquet"
         if t not in ID_COLS:
             shutil.copy(src, f"{out}/{t}.parquet")
@@ -71,7 +84,7 @@ def build_synthetic(spark, src_sf: str) -> str:
         idc = ID_COLS[t]
         n = df.count()
         parts = [df]
-        for i in range(1, REPLICAS):
+        for i in range(1, replicas):
             d = df
             if idc is not None:
                 d = d.withColumn(idc, F.col(idc) + i * 10_000_000)
@@ -87,9 +100,11 @@ def build_synthetic(spark, src_sf: str) -> str:
     return out
 
 
-def time_rows(spark, queries, sf_dir: str) -> dict[str, float]:
+def time_rows(
+    spark, queries, sf_dir: str, rows: list | None = None
+) -> dict[str, float]:
     res = {}
-    for name, _ in ROWS:
+    for name, _ in rows if rows is not None else ROWS:
         fn = queries[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
@@ -116,6 +131,13 @@ def main() -> None:
     syn = build_synthetic(spark, "/root/testdata/sf0.1")
     t3 = time_rows(spark, q, syn)
     shutil.rmtree(syn, ignore_errors=True)
+    deep = build_synthetic(
+        spark, "/root/testdata/sf0.1", replicas=DEEP_REPLICAS,
+        only={"documents"},
+    )
+    deep_rows = [(n, "documents") for n in DEEP_ROWS]
+    t4 = time_rows(spark, q, deep, rows=deep_rows)
+    shutil.rmtree(deep, ignore_errors=True)
 
     growth = {
         "embeddings": (4.0, float(REPLICAS)),
@@ -137,7 +159,22 @@ def main() -> None:
             f"| {name} | {tab} | {g1:.0f}x | {t1[name]} | {t2[name]} | "
             f"{r1:.2f}x | {g2:.0f}x | {t3[name]} | {r2:.2f}x |"
         )
-    print(json.dumps({"canary": canary, "sf001": t1, "sf01": t2, "syn5x": t3}))
+    print(
+        f"\ndeep point ({DEEP_REPLICAS}x documents; per-step ratio vs "
+        "the 5x point is over 4x more data):"
+    )
+    print("| row | t(5x) s | t(20x) s | time x (5x->20x) | data x |")
+    print("|---|---|---|---|---|")
+    for name in DEEP_ROWS:
+        r = t4[name] / t3[name]
+        print(
+            f"| {name} | {t3[name]} | {t4[name]} | {r:.2f}x | "
+            f"{DEEP_REPLICAS / REPLICAS:.0f}x |"
+        )
+    print(json.dumps({
+        "canary": canary, "sf001": t1, "sf01": t2, "syn5x": t3,
+        "syn20x": t4,
+    }))
     spark.stop()
 
 

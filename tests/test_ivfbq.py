@@ -584,3 +584,69 @@ def test_itq_batch_matches_solo_and_prunes(spark, emb, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [partition_id" in plan.replace("\n", " ")
+
+
+def test_range_batch_matches_solo_and_refines(spark, emb, model):
+    """Batch radius == Q solo radius queries (both phase-1 modes);
+    limit_per_query caps each query's nearest matches; the refine
+    form equals the solo refine per query."""
+    from flechasdb_spark.plans.ivfbq import ivfbq_range_query_batch
+
+    qids = [2, 9, 17]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    for cc in (True, False):
+        batch = ivfbq_range_query_batch(
+            model, qs, radius=26, nprobe=3, query_ids=qids,
+            collect_centroids=cc,
+        ).collect()
+        got = {
+            qid: sorted(
+                (r.hamming_distance, r.vec_id)
+                for r in batch
+                if r.query_id == qid
+            )
+            for qid in qids
+        }
+        for qid, qv in zip(qids, qs):
+            solo = ivfbq_range_query(model, qv, radius=26, nprobe=3).collect()
+            assert got[qid] == sorted(
+                (r.hamming_distance, r.vec_id) for r in solo
+            ), qid
+    lim = ivfbq_range_query_batch(
+        model, qs, radius=26, nprobe=3, query_ids=qids, limit_per_query=3
+    ).collect()
+    for qid, qv in zip(qids, qs):
+        want = [
+            (r.hamming_distance, r.vec_id)
+            for r in ivfbq_range_query(
+                model, qv, radius=26, nprobe=3, limit=3
+            ).collect()
+        ]
+        rows = sorted(
+            (r.rank, r.hamming_distance, r.vec_id)
+            for r in lim
+            if r.query_id == qid
+        )
+        assert [(h, v) for _, h, v in rows] == want, qid
+    rr = ivfbq_range_query_batch(
+        model, qs, radius=26, nprobe=3, query_ids=qids,
+        rerank=emb, exact_radius=30.0, round_to=4,
+    ).collect()
+    for qid, qv in zip(qids, qs):
+        want = sorted(
+            (r.squared_distance, r.vec_id)
+            for r in ivfbq_range_query(
+                model, qv, radius=26, nprobe=3, rerank=emb,
+                exact_radius=30.0, round_to=4,
+            ).collect()
+        )
+        assert sorted(
+            (r.squared_distance, r.vec_id) for r in rr if r.query_id == qid
+        ) == want, qid
+    with pytest.raises(ValueError, match="exact_radius"):
+        ivfbq_range_query_batch(
+            model, qs, radius=26, nprobe=3, query_ids=qids, rerank=emb
+        )
