@@ -646,6 +646,15 @@ def main() -> None:
         "bq_asymmetric_knn",
         "ann_nprobe_autotune",
         "range_radius_calibration",
+        # r12 additions: the binary family's exact-refine and batch
+        # radius serving modes, the ITQ batch path (frozen rotation),
+        # and both cold-cell rebalance lifecycles (journaled
+        # merge_partitions swaps on the SQ and route-only BQ stores)
+        "ivfbq_rerank_knn",
+        "ivfbq_range_batch",
+        "itq_batch_knn",
+        "index_rebalance_query",
+        "ivfbq_rebalance_query",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

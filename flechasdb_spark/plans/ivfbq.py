@@ -35,6 +35,17 @@ from the O(P) centroid table, prunes the at-rest layout with a LITERAL
 candidate scan is codegen xor+popcount ending in one
 TakeOrderedAndProject (top-k) or a codegen filter whose exchange
 volume is |result| (radius).
+
+r12 (VERDICT r11 #3/#4/#6) completes the serving grid: batch phase 1
+is ONE probe pass (`_batch_probe_rows` — the SQ side's
+dimension-major fold, or one distributed `select_probes_df` job with
+``collect_centroids=False``; the former per-query `_probe_ids` loop
+scheduled Q driver jobs), every path grows the exact-refine mode
+(`rerank`/`rerank_factor` on top-k, a separate ``exact_radius`` on
+the radius paths — the FAISS IndexBinaryIVF+IndexRefine shape;
+binary codes are the coarsest quantizer here, so they gain the most),
+batch radius lands (`ivfbq_range_query_batch`), and the ITQ
+composition serves batches (`itq_ivfbq_query_batch`).
 """
 
 from __future__ import annotations
