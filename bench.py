@@ -655,6 +655,8 @@ def main() -> None:
         "itq_batch_knn",
         "index_rebalance_query",
         "ivfbq_rebalance_query",
+        "ivfbq_asymmetric_batch",
+        "ivfbq_asymmetric_range",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asymmetric_score_checked",
+    "asymmetric_score_join_checked",
     "asymmetric_weights_micro",
     "bq_encode",
     "bq_thresholds",
@@ -234,6 +235,54 @@ def asymmetric_score_checked(
             stored != F.lit(qbit), F.lit(int(w[d])).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return F.when(guard, acc).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"asymmetric query has {n_words} words but encoded "),
+                F.lit("row has "),
+                F.size(F.col("words")).cast("string"),
+            )
+        )
+    )
+
+
+def asymmetric_score_join_checked(dim: int) -> Column:
+    """Batch/JOIN form of `asymmetric_score_checked` (r12): scores the
+    encoded ``words`` against a JOINED query's packed bits ``__qw``
+    (array<bigint>) and per-dim micro-unit margins ``__qwt``
+    (array<bigint>, length dim, from `asymmetric_weights_micro`) —
+    for Q-query batch serving, where the solo path's per-dim literal
+    unroll would grow the plan O(Q * dim). Here the plan is O(1)
+    nodes for ANY Q: one codegen ``aggregate`` over
+    ``sequence(0, dim-1)`` extracting both bits by integer shift/mask
+    (d >> 5 words-index, d & 31 bit-index — WORD_BITS = 32) and
+    adding the query's margin on disagreement. Same integer-exact
+    contract and width guard as the solo scorer; value equality
+    solo == join is pytest-gated."""
+    n_words = (int(dim) + WORD_BITS - 1) // WORD_BITS
+    mask = F.lit(WORD_BITS - 1)  # d & 31; d >> 5 below is d // WORD_BITS
+
+    def bit_of(col_name: str, d: Column) -> Column:
+        word = F.element_at(
+            F.col(col_name), (F.shiftright(d, 5) + F.lit(1)).cast("int")
+        )
+        # the Python shiftright wrapper only takes a literal shift —
+        # the per-dim variable shift goes through the SQL function
+        return F.call_function(
+            "shiftright", word, d.bitwiseAND(mask)
+        ).bitwiseAND(F.lit(1))
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.when(
+            bit_of("words", d) != bit_of("__qw", d),
+            F.element_at(F.col("__qwt"), (d + F.lit(1)).cast("int")).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.when(F.size(F.col("words")) == n_words, score).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"asymmetric query has {n_words} words but encoded "),

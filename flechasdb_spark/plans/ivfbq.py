@@ -72,6 +72,8 @@ __all__ = [
     "build_ivfbq",
     "build_itq_ivfbq",
     "ivfbq_asymmetric_query",
+    "ivfbq_asymmetric_query_batch",
+    "ivfbq_asymmetric_range_query",
     "ivfbq_query",
     "ivfbq_query_batch",
     "ivfbq_range_query",
@@ -1008,4 +1010,143 @@ def ivfbq_asymmetric_query(
         )
         .orderBy(F.col("asym_micro").asc(), F.col(id_col).asc())
         .limit(int(k))
+    )
+
+
+def ivfbq_asymmetric_range_query(
+    model: IVFBQModel,
+    query_vector: list,
+    radius_micro: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    where=None,
+    limit: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC radius search (r12): every probed-cell code whose
+    summed disagreement margin stays within ``radius_micro``
+    micro-units of the float query — the asymmetric ladder's radius
+    form (`ivfbq_range_query` is its symmetric sibling). The cut
+    executes in the scan (codegen filter, |result| exchange);
+    integer-exact, ties and ordering by (asym_micro, id);
+    ``limit`` (ordered) caps a pathological radius.
+
+    Scoring uses the JOIN-form aggregate
+    (`bq.asymmetric_score_join_checked` against a broadcast 1-row
+    query table), NOT the solo literal unroll: Catalyst collapses the
+    projection into the radius filter and would duplicate the
+    unrolled O(dim) expression into both — at dim=64 that crossed
+    the JVM's 64 KB method limit and whole-stage codegen fell back
+    to interpreted execution (observed; the aggregate form stays a
+    few hundred bytes regardless of dim, and value equality with the
+    literal scorer is pytest-gated)."""
+    from flechasdb_spark.operators.bq import (
+        asymmetric_score_join_checked,
+        asymmetric_weights_micro,
+    )
+
+    spark = model.encoded.sparkSession
+    probe_ids = _probe_ids(model, query_vector, nprobe)
+    cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
+    if where is not None:
+        cands = cands.where(where)
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    [int(x) for x in pack_bits_py(query_vector, model.thresholds)],
+                    [
+                        int(x)
+                        for x in asymmetric_weights_micro(
+                            query_vector, model.thresholds
+                        )
+                    ],
+                )
+            ],
+            "__qw array<bigint>, __qwt array<bigint>",
+        )
+    )
+    score = asymmetric_score_join_checked(model.dim)
+    out = (
+        cands.crossJoin(qdf)
+        .select(
+            F.col(id_col), F.col("partition_id"), score.alias("asym_micro")
+        )
+        .where(F.col("asym_micro") <= int(radius_micro))
+        .orderBy(F.col("asym_micro").asc(), F.col(id_col).asc())
+    )
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
+def ivfbq_asymmetric_query_batch(
+    model: IVFBQModel,
+    queries: list[list[float]],
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    query_ids: list[int] | None = None,
+    where=None,
+    collect_centroids: bool = True,
+) -> DataFrame:
+    """Batched ASYMMETRIC binary serving (r12 — completing the
+    asymmetric ladder: solo/radius got it in r11, batch closes it):
+    ONE probe pass (`_batch_probe_rows`), one pruned scan joined
+    against a broadcast (query_id, cell, packed query bits, per-dim
+    micro-unit margins) table, scored by
+    `bq.asymmetric_score_join_checked` — a single codegen aggregate
+    over sequence(0, dim-1), so the plan stays O(1) nodes for any Q
+    (the solo scorer's per-dim literal unroll would grow it
+    O(Q * dim)); per-query top-k via WindowGroupLimit. Integer-exact,
+    no rounding contract.
+
+    Returns (query_id, id_col, asym_micro, rank)."""
+    from pyspark.sql import Window
+
+    from flechasdb_spark.operators.bq import (
+        asymmetric_score_join_checked,
+        asymmetric_weights_micro,
+    )
+
+    qids = (
+        list(query_ids) if query_ids is not None else list(range(len(queries)))
+    )
+    spark = model.encoded.sparkSession
+    if not qids:
+        id_type = model.encoded.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"query_id long, {id_col} {id_type}, asym_micro long, rank int",
+        )
+    probe_rows = _batch_probe_rows(
+        model.centroids, queries, nprobe, qids, collect_centroids
+    )
+    qinfo = {
+        int(qid): (
+            [int(x) for x in pack_bits_py(qv, model.thresholds)],
+            [int(x) for x in asymmetric_weights_micro(qv, model.thresholds)],
+        )
+        for qid, qv in zip(qids, queries)
+    }
+    rows = [(qid, c, *qinfo[qid]) for qid, c in probe_rows]
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            "query_id long, partition_id int, __qw array<bigint>, "
+            "__qwt array<bigint>",
+        )
+    )
+    all_cells = sorted({r[1] for r in rows})
+    cands = model.encoded.where(F.col("partition_id").isin(all_cells))
+    if where is not None:
+        cands = cands.where(where)
+    score = asymmetric_score_join_checked(model.dim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asym_micro").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.join(qdf, "partition_id")
+        .select("query_id", F.col(id_col), score.alias("asym_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
     )

@@ -9725,6 +9725,141 @@ def q_ivfbq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_asymmetric_batch",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (2, 9, 17)),
+probes AS (
+  SELECT query_id, partition_id FROM (
+    SELECT q.query_id, c.partition_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c CROSS JOIN qs q) s WHERE rn <= 3),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_sum(list_transform(list_zip(a.v, q.qv),
+           z -> CASE WHEN (z[1] > 0) <> (z[2] > 0)
+                THEN floor(abs(z[2]) * 1e6)::BIGINT
+                ELSE 0 END))::BIGINT AS asym_micro
+  FROM assigned a JOIN probes pr ON a.partition_id = pr.partition_id
+       JOIN qs q ON q.query_id = pr.query_id),
+ranked AS (
+  SELECT query_id, vec_id, asym_micro,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY asym_micro, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, asym_micro, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ivfbq_asymmetric_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ASYMMETRIC binary serving
+    (`plans.ivfbq.ivfbq_asymmetric_query_batch`, r12 — the asymmetric
+    ladder's batch cell): three float queries share ONE probe pass and
+    ONE pruned scan scored by the JOIN-form asymmetric aggregate
+    (`bq.asymmetric_score_join_checked` — a single codegen aggregate
+    over sequence(0, dim-1) extracting both bits by integer
+    shift/mask, so the plan stays O(1) nodes for any Q where the solo
+    scorer's literal unroll would grow O(Q * dim)); per-query top-5
+    via WindowGroupLimit. Integer micro-unit margins, no rounding
+    contract; the oracle recomputes routing, per-query probes, and
+    every margin from the raw vectors."""
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_asymmetric_query_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(2, 9, 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return (
+        ivfbq_asymmetric_query_batch(
+            model, qs, k=5, nprobe=3, query_ids=[2, 9, 17]
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "ivfbq_asymmetric_range",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         list_sum(list_transform(list_zip(a.v, q.qv),
+           z -> CASE WHEN (z[1] > 0) <> (z[2] > 0)
+                THEN floor(abs(z[2]) * 1e6)::BIGINT
+                ELSE 0 END))::BIGINT AS asym_micro
+  FROM assigned a JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, asym_micro
+FROM scored WHERE asym_micro <= 16000000
+ORDER BY asym_micro, vec_id
+""",
+)
+def q_ivfbq_asymmetric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC radius serving
+    (`plans.ivfbq.ivfbq_asymmetric_range_query`, r12 — the asymmetric
+    ladder's radius cell): every probed-cell code whose summed
+    disagreement margin stays within 16,000,000 micro-units of the
+    float query; the cut executes in the pruned scan (|result|
+    exchange). An integer boundary — perfectly stable across
+    engines; the oracle recomputes every margin."""
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_asymmetric_range_query,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfbq(emb, cent, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_asymmetric_range_query(
+        model, qv, radius_micro=16_000_000, nprobe=3
+    )
+
+
+@query(
     "ivfbq_rebalance_query",
     f"""
 WITH cent AS (
@@ -10712,7 +10847,10 @@ DRIVER_ORDER = [
     # Gram-Schmidt rotation], ivfbq_rebalance_query [binary-family
     # cold-cell fold — words ride bit-for-bit, route-only],
     # ivfbq_range_batch [batch Hamming radius, the radius x batch
-    # cell of the binary serving grid].
+    # cell of the binary serving grid], ivfbq_asymmetric_batch
+    # [join-form asymmetric scorer — O(1) plan nodes for any Q] and
+    # ivfbq_asymmetric_range [asymmetric radius] complete the
+    # asymmetric ladder.
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",

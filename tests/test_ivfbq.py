@@ -650,3 +650,51 @@ def test_range_batch_matches_solo_and_refines(spark, emb, model):
         ivfbq_range_query_batch(
             model, qs, radius=26, nprobe=3, query_ids=qids, rerank=emb
         )
+
+
+def test_asymmetric_batch_and_range(spark, emb, model):
+    """r12 asymmetric-ladder completion: the join-form scorer
+    (one codegen aggregate, O(1) plan nodes for any Q) equals the
+    solo literal-unroll scorer value-for-value — batch == Q solo
+    queries in both phase-1 modes; the asymmetric radius equals the
+    flat asymmetric rank filtered at the radius under full probe."""
+    from flechasdb_spark.operators.bq import bq_encode, hamming_asymmetric_knn
+    from flechasdb_spark.plans.ivfbq import (
+        ivfbq_asymmetric_query,
+        ivfbq_asymmetric_query_batch,
+        ivfbq_asymmetric_range_query,
+    )
+
+    qids = [2, 9, 17]
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    for cc in (True, False):
+        batch = ivfbq_asymmetric_query_batch(
+            model, qs, k=5, nprobe=3, query_ids=qids, collect_centroids=cc
+        ).collect()
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.asym_micro) for r in batch
+        }
+        for qid, qv in zip(qids, qs):
+            solo = ivfbq_asymmetric_query(model, qv, k=5, nprobe=3).collect()
+            for i, s in enumerate(solo, start=1):
+                assert got[(qid, i)] == (s.vec_id, s.asym_micro), (qid, i)
+    # asymmetric radius, full probe == flat asymmetric filtered
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    flat = hamming_asymmetric_knn(
+        bq_encode(emb, dim=DIM), qv, k=emb.count()
+    ).collect()
+    radius = sorted(r.asym_micro for r in flat)[15]
+    want = sorted(
+        (r.asym_micro, r.vec_id) for r in flat if r.asym_micro <= radius
+    )
+    rng = ivfbq_asymmetric_range_query(
+        model, qv, radius_micro=radius, nprobe=P
+    ).collect()
+    assert [(r.asym_micro, r.vec_id) for r in rng] == want
+    lim = ivfbq_asymmetric_range_query(
+        model, qv, radius_micro=radius, nprobe=P, limit=4
+    ).collect()
+    assert [(r.asym_micro, r.vec_id) for r in lim] == want[:4]
