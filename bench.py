@@ -657,6 +657,7 @@ def main() -> None:
         "ivfbq_rebalance_query",
         "ivfbq_asymmetric_batch",
         "ivfbq_asymmetric_range",
+        "stream_itq_encode",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

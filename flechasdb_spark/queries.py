@@ -9860,6 +9860,111 @@ def q_ivfbq_asymmetric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_itq_encode",
+    f"""
+WITH {_ITQB_GS},
+cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+bits AS (
+  SELECT a.vec_id, a.partition_id,
+         [{", ".join(
+             f"(CASE WHEN {_dd_dot('a.v', f'b{j}.b')} >= 0 "
+             "THEN 1 ELSE 0 END)"
+             for j in range(1, _ITQB_K + 1)
+         )}] AS bl
+  FROM assigned a, {_ITQB_FROMS})
+SELECT vec_id, partition_id,
+       (generate_subscripts(bl, 1) - 1)::BIGINT AS dim,
+       unnest(bl)::BIGINT AS bit
+FROM bits ORDER BY vec_id, dim
+""",
+)
+def q_stream_itq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ITQ encode
+    (`streaming.stream_itq_encode`, r12 — incremental encode now
+    covers every servable encode family: PQ / SQ / BQ / ITQ):
+    vectors stream through the FROZEN rotation composition into the
+    replay-safe ``ingest_batch=/partition_id=`` layout; the rotation
+    is pinned to the Gram-Schmidt basis with mean 0 (the
+    `itq_batch_knn` fixture), so the oracle recomputes the coarse
+    assignment AND every stored bit — bit j = sign(<v, b_j>),
+    sequential-fold dots both engines — from the raw vectors.
+    streamed == batch == oracle, bit-for-bit; genuinely TRAINED
+    rotations stay property-gated (the trained-model policy)."""
+    import os
+    import shutil
+    import tempfile
+
+    from flechasdb_spark.operators.itq import ITQModel
+    from flechasdb_spark.operators.pca import gram_schmidt
+    from flechasdb_spark.plans.ivfbq import ITQIVFBQModel
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_itq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < _ITQB_K)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    basis = gram_schmidt([[float(x) for x in r["embedding"]] for r in rows])
+    itq = ITQModel(
+        mean=tuple(0.0 for _ in range(len(basis[0]))),
+        components=tuple(tuple(float(x) for x in b) for b in basis),
+        losses=(0.0,),
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = ITQIVFBQModel(centroids=cent, encoded=emb.limit(0), itq=itq)
+    tmp = tempfile.mkdtemp(prefix="stream_itq_encode_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    shutil.copy(f"{sf_dir}/embeddings.parquet", f"{tmp}/in/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(f"{tmp}/in")
+    q = stream_itq_encode(
+        model, stream, index_path=f"{tmp}/idx", checkpoint_path=f"{tmp}/ckpt"
+    )
+    run_available_now(q)
+    enc = spark.read.parquet(f"{tmp}/idx/index")
+    bits = F.array(
+        *[
+            F.shiftright(F.element_at(F.col("words"), 1), j)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+            for j in range(_ITQB_K)
+        ]
+    )
+    return (
+        enc.select(
+            "vec_id",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.posexplode(bits).alias("dim", "bit"),
+        )
+        .select(
+            "vec_id",
+            "partition_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("bit").cast("long").alias("bit"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+@query(
     "ivfbq_rebalance_query",
     f"""
 WITH cent AS (
@@ -10850,7 +10955,8 @@ DRIVER_ORDER = [
     # cell of the binary serving grid], ivfbq_asymmetric_batch
     # [join-form asymmetric scorer — O(1) plan nodes for any Q] and
     # ivfbq_asymmetric_range [asymmetric radius] complete the
-    # asymmetric ladder.
+    # asymmetric ladder; stream_itq_encode [incremental encode now
+    # covers all four servable encode families].
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",

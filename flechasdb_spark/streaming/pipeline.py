@@ -46,6 +46,7 @@ __all__ = [
     "windowed_event_agg",
     "incremental_encode",
     "stream_ivfsq_encode",
+    "stream_itq_encode",
     "stream_ivfbq_encode",
     "stream_static_knn",
     "stream_asof_enrich",
@@ -405,6 +406,100 @@ def stream_ivfbq_encode(
             _packed_words(vec_col, model.dim, model.thresholds).alias(
                 "words"
             ),
+        )
+        (
+            enc.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(f"{root}/ingest_batch={batch_id}")
+        )
+        state["appends"] += 1
+        if compact_every and state["appends"] % compact_every == 0:
+            compact_ingest_store(
+                spark,
+                root,
+                exclude_batch_ids={int(batch_id)},
+                inner_partition_cols=["partition_id"],
+            )
+
+    return (
+        vectors.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_itq_encode(
+    model,
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """The ITQ-composition sibling of `stream_ivfbq_encode` (r12) —
+    incremental encode now covers every servable encode family
+    (PQ / SQ / BQ / ITQ): continuously assign + rotate-and-binarize
+    arriving vectors against a FROZEN `plans.ivfbq.ITQIVFBQModel`
+    (rotation trained offline) into the same
+    ``<index_path>/index/ingest_batch=<id>/partition_id=<p>`` layout.
+    Returns the streaming query handle.
+
+    Per batch: one broadcast-join argmin for assignment + the single
+    map-only `itq_code_expr` codegen word (the rotation rides as plan
+    literals — no model join at all, as light as the sign-bit path).
+    A frozen rotation makes codes batch-order independent — streamed
+    == batch encode is the pytest gate. Delivery contract identical
+    to the SQ/BQ siblings (per-batch ``ingest_batch=<id>`` overwrite;
+    committed-batch replay is an exact no-op via
+    `maintenance.ingest_batch_committed`; the flat-layout mix guard
+    fails fast; ``compact_every`` folds committed older batches)."""
+    from flechasdb_spark.operators.itq import itq_code_expr
+    from flechasdb_spark.operators.maintenance import (
+        compact_ingest_store,
+        ingest_batch_committed,
+        repair_ingest_store,
+    )
+    from flechasdb_spark.plans.ivf import ivf_assign
+
+    state = {"appends": 0, "layout_checked": False}
+    root = f"{index_path}/index"
+
+    def _require_ingest_layout(spark) -> None:
+        from flechasdb_spark.sources.manifest import _fs_path
+
+        rootp, fs = _fs_path(spark, root)
+        if not fs.exists(rootp):
+            return
+        for st in fs.listStatus(rootp):
+            if st.getPath().getName().startswith("partition_id="):
+                raise ValueError(
+                    "stream_itq_encode writes an ingest_batch=/"
+                    "partition_id= tree, but this index root already "
+                    "holds a flat save_itq_ivfbq partition_id= layout "
+                    "— mixing them breaks every reader. Stream into a "
+                    "fresh path, or fold the existing index under "
+                    "ingest_batch=-1 first"
+                )
+
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if not state["layout_checked"]:
+            _require_ingest_layout(spark)
+            state["layout_checked"] = True
+        repair_ingest_store(spark, root)
+        if ingest_batch_committed(spark, root, batch_id):
+            return  # replay of a fully committed batch: exact no-op
+        assigned = ivf_assign(
+            batch, model.centroids, id_col=id_col, vec_col=vec_col
+        )
+        enc = assigned.select(
+            id_col,
+            "partition_id",
+            F.array(itq_code_expr(vec_col, model.itq)).alias("words"),
         )
         (
             enc.write.mode("overwrite")

@@ -1500,3 +1500,86 @@ def test_stream_ivfbq_encode_matches_batch_and_serves(spark, tmp_path):
     assert [(r.vec_id, r.hamming_distance) for r in got_q] == [
         (r.vec_id, r.hamming_distance) for r in want
     ]
+
+
+def test_stream_itq_encode_matches_batch_and_serves(spark, tmp_path):
+    """The ITQ sibling (r12 — incremental encode across all four
+    servable encode families): streaming vectors through a FROZEN
+    rotation composition writes exactly the single packed word the
+    batch build produces (a frozen rotation makes codes batch-order
+    independent), replay of a committed batch is a no-op, and the
+    streamed layout serves queries identically to the in-memory
+    composition."""
+    import os
+    import shutil
+
+    from flechasdb_spark.operators.itq import itq_train
+    from flechasdb_spark.plans.ivfbq import (
+        ITQIVFBQModel,
+        build_itq_ivfbq,
+        itq_ivfbq_query,
+    )
+    from flechasdb_spark.streaming.pipeline import (
+        run_available_now,
+        stream_itq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    itq = itq_train(emb, bits=16, iters=6, sample_n=10_000)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_itq_ivfbq(emb, cent, itq)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{src}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(src)
+    q = stream_itq_encode(
+        model,
+        stream,
+        index_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    run_available_now(q)
+
+    streamed = spark.read.parquet(str(tmp_path / "idx" / "index"))
+    batch = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in model.encoded.collect()
+    }
+    got = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+    # replay with a fresh checkpoint: committed batch is an exact no-op
+    q2 = stream_itq_encode(
+        model,
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        ).parquet(src),
+        index_path=str(tmp_path / "idx"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    run_available_now(q2)
+    assert spark.read.parquet(str(tmp_path / "idx" / "index")).count() == len(
+        batch
+    )
+
+    # the streamed layout serves identically to the in-memory composition
+    served = ITQIVFBQModel(
+        centroids=model.centroids,
+        encoded=streamed.drop("ingest_batch"),
+        itq=itq,
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    want = itq_ivfbq_query(model, qv, k=10, nprobe=8).collect()
+    got_q = itq_ivfbq_query(served, qv, k=10, nprobe=8).collect()
+    assert [(r.vec_id, r.hamming_distance) for r in got_q] == [
+        (r.vec_id, r.hamming_distance) for r in want
+    ]
