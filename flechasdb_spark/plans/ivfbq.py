@@ -81,6 +81,8 @@ __all__ = [
     "itq_ivfbq_query",
     "itq_ivfbq_query_batch",
     "itq_ivfbq_range_query",
+    "merge_itq_ivfbq",
+    "merge_ivfbq",
     "save_itq_ivfbq",
     "load_itq_ivfbq",
     "save_ivfbq",
@@ -638,6 +640,90 @@ def ivfbq_range_query_batch(
             F.col("rank") <= int(limit_per_query)
         )
     return out
+
+
+def merge_ivfbq(
+    base: IVFBQModel,
+    other: IVFBQModel,
+    id_col: str = "vec_id",
+    prefer: str = "other",
+    assume_disjoint: bool = False,
+) -> IVFBQModel:
+    """Merge two IVF+BQ shards ENCODED WITH THE SAME FROZEN MODEL —
+    `merge_ivfsq`'s binary sibling, completing the shard-build shape
+    on this family. On the binary contract `build_ivfbq` against the
+    frozen centroids IS the assemble step (there are no trained
+    bounds at all), so the 100 TB build is: train centroids once on a
+    sample, `build_ivfbq` each shard independently (embarrassingly
+    parallel, no cross-shard traffic), then `merge_ivfbq`. A disjoint
+    merge is a pure plan union — no shuffle, no scan; overlapping ids
+    cost one id-keyed anti-join (``prefer`` picks the winner,
+    "other" = last-write-wins, the upsert convention).
+
+    Frozen-state compatibility: code width (``dim``) and the
+    threshold vector must match element-wise — sign bits packed under
+    different thresholds are not comparable (same refusal discipline
+    as `merge_ivfsq`'s bounds check; the centroid table rides from
+    ``base``, as routing is part of the one frozen model both shards
+    must share)."""
+    if prefer not in ("base", "other"):
+        raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
+    if int(base.dim) != int(other.dim):
+        raise ValueError(
+            f"code width differs ({base.dim} vs {other.dim} bits) — "
+            "words are not comparable across shards"
+        )
+    bt, ot = base.thresholds, other.thresholds
+    if (bt is None) != (ot is None) or (
+        bt is not None
+        and [float(x) for x in bt] != [float(x) for x in ot]
+    ):
+        raise ValueError(
+            "thresholds differ — sign bits are not comparable across "
+            "shards (build both from one frozen model)"
+        )
+    a, b = base.encoded, other.encoded
+    if not assume_disjoint:
+        if prefer == "other":
+            a = a.join(b.select(id_col), id_col, "left_anti")
+        else:
+            b = b.join(a.select(id_col), id_col, "left_anti")
+    return IVFBQModel(
+        centroids=base.centroids,
+        encoded=a.unionByName(b),
+        dim=int(base.dim),
+        thresholds=list(bt) if bt is not None else None,
+    )
+
+
+def merge_itq_ivfbq(
+    base: ITQIVFBQModel,
+    other: ITQIVFBQModel,
+    id_col: str = "vec_id",
+    prefer: str = "other",
+    assume_disjoint: bool = False,
+) -> ITQIVFBQModel:
+    """Shard merge on the ITQ composition: same union/anti-join shape
+    as `merge_ivfbq`; frozen-state compatibility is the ITQ model
+    itself (frozen dataclass equality — exact floats for mean,
+    components, and losses — which survives the manifest round-trip,
+    pytest-gated on `save_itq_ivfbq`)."""
+    if prefer not in ("base", "other"):
+        raise ValueError(f"prefer must be 'base' or 'other', got {prefer!r}")
+    if base.itq != other.itq:
+        raise ValueError(
+            "ITQ rotations differ — codes are not comparable across "
+            "shards (build both from one frozen model)"
+        )
+    a, b = base.encoded, other.encoded
+    if not assume_disjoint:
+        if prefer == "other":
+            a = a.join(b.select(id_col), id_col, "left_anti")
+        else:
+            b = b.join(a.select(id_col), id_col, "left_anti")
+    return ITQIVFBQModel(
+        centroids=base.centroids, encoded=a.unionByName(b), itq=base.itq
+    )
 
 
 def save_ivfbq(model: IVFBQModel, path: str) -> None:

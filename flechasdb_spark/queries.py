@@ -9660,6 +9660,67 @@ def q_ivfbq_asymmetric_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfbq_merge_query",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 5),
+probes AS (
+  SELECT partition_id FROM (
+    SELECT c.partition_id,
+           row_number() OVER (
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c, q) s WHERE rn <= 3),
+scored AS (
+  SELECT a.vec_id, a.partition_id,
+         {_DD_HAMMING.format(a="a.v", b="q.qv")} AS hamming_distance
+  FROM assigned a JOIN probes USING (partition_id), q)
+SELECT vec_id, partition_id, hamming_distance
+FROM scored ORDER BY hamming_distance, vec_id LIMIT 10
+""",
+)
+def q_ivfbq_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-build + merge lifecycle on the BINARY family
+    (`plans.ivfbq.merge_ivfbq`, r12 — `index_merge_query`'s IVF+BQ
+    sibling): the corpus splits into two disjoint shards, each
+    sign-packed INDEPENDENTLY against the same frozen centroids
+    (`build_ivfbq` IS the assemble step here — no trained bounds at
+    all, the lightest shard build in the repo), then merged as a pure
+    plan union (no shuffle, no scan). Querying the merged index must
+    equal querying one index built over the whole corpus, so the
+    oracle is the same whole-corpus recompute as ``ivfbq_knn``.
+    No reference counterpart (one single-threaded build per DB,
+    /root/reference/src/db/build.rs:44-129)."""
+    from flechasdb_spark.plans.ivfbq import (
+        build_ivfbq,
+        ivfbq_query,
+        merge_ivfbq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    shard_a = build_ivfbq(emb.where(F.col("vec_id") % 2 == 0), cent, dim=64)
+    shard_b = build_ivfbq(emb.where(F.col("vec_id") % 2 == 1), cent, dim=64)
+    merged = merge_ivfbq(shard_a, shard_b, assume_disjoint=True)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 5).first()["embedding"]]
+    return ivfbq_query(merged, qv, k=10, nprobe=3).withColumn(
+        "hamming_distance", F.col("hamming_distance").cast("long")
+    )
+
+
+@query(
     "ivfbq_rerank_knn",
     f"""
 WITH cent AS (
@@ -10956,7 +11017,8 @@ DRIVER_ORDER = [
     # [join-form asymmetric scorer — O(1) plan nodes for any Q] and
     # ivfbq_asymmetric_range [asymmetric radius] complete the
     # asymmetric ladder; stream_itq_encode [incremental encode now
-    # covers all four servable encode families].
+    # covers all four servable encode families]; ivfbq_merge_query
+    # [disjoint shard-build merge, the binary index_merge_query].
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",

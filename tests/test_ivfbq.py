@@ -698,3 +698,64 @@ def test_asymmetric_batch_and_range(spark, emb, model):
         model, qv, radius_micro=radius, nprobe=P, limit=4
     ).collect()
     assert [(r.asym_micro, r.vec_id) for r in lim] == want[:4]
+
+
+def test_merge_ivfbq_shards(spark, emb, model):
+    """Shard-build parity (r12): two disjoint shards built with the
+    SAME frozen model merge into an index identical to the
+    whole-corpus build (pure union — codes comparable by
+    construction); overlap resolves by `prefer`; incompatible frozen
+    state (width, thresholds, ITQ rotation) refuses loudly."""
+    from flechasdb_spark.operators.itq import itq_train
+    from flechasdb_spark.plans.ivfbq import (
+        build_itq_ivfbq,
+        merge_itq_ivfbq,
+        merge_ivfbq,
+    )
+
+    cent = emb.where(F.col("vec_id") < P).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    a = build_ivfbq(emb.where(F.col("vec_id") % 2 == 0), cent, dim=DIM)
+    b = build_ivfbq(emb.where(F.col("vec_id") % 2 == 1), cent, dim=DIM)
+    merged = merge_ivfbq(a, b, assume_disjoint=True)
+    whole = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in model.encoded.collect()
+    }
+    got = {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in merged.encoded.collect()
+    }
+    assert got == whole
+    # overlap: prefer='other' keeps the second shard's row; the
+    # merged universe is evens UNION [0, 50)
+    ov = build_ivfbq(emb.where(F.col("vec_id") < 50), cent, dim=DIM)
+    m2 = merge_ivfbq(a, ov)  # ids 0,2,..,48 overlap
+    evens = {i for i in whole if i % 2 == 0}
+    assert {r.vec_id for r in m2.encoded.select("vec_id").collect()} == (
+        evens | {i for i in whole if i < 50}
+    )
+    # incompatibilities refuse loudly
+    with pytest.raises(ValueError, match="code width"):
+        merge_ivfbq(a, build_ivfbq(emb, cent, dim=32))
+    with pytest.raises(ValueError, match="thresholds differ"):
+        merge_ivfbq(a, build_ivfbq(emb, cent, dim=DIM, thresholds=[0.1] * DIM))
+    itq1 = itq_train(emb, bits=8, iters=4, sample_n=5_000)
+    itq2 = itq_train(emb, bits=8, iters=4, sample_n=5_000, seed=9)
+    ia = build_itq_ivfbq(emb.where(F.col("vec_id") % 2 == 0), cent, itq1)
+    ib = build_itq_ivfbq(emb.where(F.col("vec_id") % 2 == 1), cent, itq1)
+    im = merge_itq_ivfbq(ia, ib, assume_disjoint=True)
+    iw = build_itq_ivfbq(emb, cent, itq1)
+    assert {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in im.encoded.collect()
+    } == {
+        r.vec_id: (r.partition_id, list(r.words))
+        for r in iw.encoded.collect()
+    }
+    with pytest.raises(ValueError, match="rotations differ"):
+        merge_itq_ivfbq(
+            ia, build_itq_ivfbq(emb.where(F.col("vec_id") % 2 == 1), cent, itq2)
+        )
