@@ -659,6 +659,7 @@ def main() -> None:
         "ivfbq_asymmetric_range",
         "stream_itq_encode",
         "ivfbq_merge_query",
+        "ivfsq_range_batch",
     ]
     names = [n for n in names if n in REGISTRY]
     # warm up the session (JVM, parquet footers) outside the timings

@@ -11018,7 +11018,9 @@ DRIVER_ORDER = [
     # ivfbq_asymmetric_range [asymmetric radius] complete the
     # asymmetric ladder; stream_itq_encode [incremental encode now
     # covers all four servable encode families]; ivfbq_merge_query
-    # [disjoint shard-build merge, the binary index_merge_query].
+    # [disjoint shard-build merge, the binary index_merge_query];
+    # ivfsq_range_batch [SQ batch radius — the serving path was
+    # pytest-only before r12].
     "ann_range_query",
     "ann_packed_knn",
     "ann_nprobe_autotune",
@@ -12585,6 +12587,100 @@ def q_ivfsq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = build_ivfsq(emb, cent)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return ivfsq_range_query(model, qv, radius=1.6, nprobe=3, round_to=4)
+
+
+@query(
+    "ivfsq_range_batch",
+    f"""
+WITH cent AS (
+  SELECT vec_id::INT AS partition_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, partition_id, cv FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.partition_id, c.cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DD_SQL2.format(a="e.embedding::DOUBLE[]", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) s WHERE rn = 1),
+resid AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS r
+  FROM assigned),
+re AS (SELECT unnest(r) AS x, generate_subscripts(r, 1) AS j FROM resid),
+rb AS (SELECT j, min(x) AS lo, max(x) AS hi FROM re GROUP BY j),
+rba AS (SELECT list(lo ORDER BY j) AS lo, list(hi ORDER BY j) AS hi FROM rb),
+codes AS (
+  SELECT vec_id, partition_id, cv,
+         list_transform(r, (x, i) ->
+           CASE WHEN rba.hi[i] = rba.lo[i] THEN 0
+                ELSE greatest(0, least(255,
+                  floor((x - rba.lo[i]) * 255.0
+                        / (rba.hi[i] - rba.lo[i]))))::BIGINT
+           END) AS cs
+  FROM resid, rba),
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (2, 9, 17)),
+probes AS (
+  SELECT query_id, partition_id FROM (
+    SELECT q.query_id, c.partition_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DD_SQL2.format(a="q.qv", b="c.cv")},
+                      c.partition_id) AS rn
+    FROM cent c CROSS JOIN qs q) s WHERE rn <= 3),
+recon AS (
+  SELECT pr.query_id, co.vec_id, co.partition_id,
+         list_transform(list_zip(co.cv, co.cs), (z, i) ->
+           z[1] + rba.lo[i] + z[2] * (rba.hi[i] - rba.lo[i]) / 255.0) AS dv
+  FROM codes co JOIN probes pr ON co.partition_id = pr.partition_id, rba),
+scored AS (
+  SELECT r2.query_id, r2.vec_id, r2.partition_id,
+         round({_DD_SQL2.format(a="q.qv", b="r2.dv")}, 4) AS d
+  FROM recon r2 JOIN qs q ON q.query_id = r2.query_id),
+m AS (
+  SELECT query_id, vec_id, partition_id, d,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY d, vec_id) AS rank
+  FROM scored WHERE d <= 1.6)
+SELECT query_id, vec_id, partition_id, d AS squared_distance,
+       rank::BIGINT AS rank
+FROM m WHERE rank <= 5 ORDER BY query_id, rank
+""",
+)
+def q_ivfsq_range_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch radius search over the IVF+SQ8 index
+    (`plans.ivfsq.ivfsq_range_query_batch` — the serving path
+    `ivfbq_range_batch`'s docstring names as its SQ analogue, now
+    oracle-covered itself): three queries share one probe pass and
+    one pruned decode scan, the rounded-distance radius cut executes
+    in the scan, and ``limit_per_query=5`` caps each query's result
+    via WindowGroupLimit. Same frozen centroids + global residual
+    bounds as every ivfsq row; the oracle recomputes encode,
+    per-query probes, decode distance, the rounded cut, and the
+    capped rank."""
+    from flechasdb_spark.plans.ivfsq import (
+        build_ivfsq,
+        ivfsq_range_query_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    model = build_ivfsq(emb, cent)
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id").isin(2, 9, 17))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return (
+        ivfsq_range_query_batch(
+            model, qs, radius=1.6, nprobe=3, round_to=4, limit_per_query=5
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
 
 
 @query(
