@@ -941,6 +941,21 @@ def merge_partitions(
             cold_rows.select(id_col, *carry), id_col
         )
     re_encoded = re_encoded.persist()
+    # every cold member must re-appear on the other side — a member
+    # whose ORIGINAL vector is missing from ``vectors`` would silently
+    # vanish from the index through the semi-join (a fold must be a
+    # pure reshuffle, never a delete)
+    n_cold = cold_rows.count()
+    n_re = re_encoded.count()
+    if n_re != n_cold:
+        cold_rows.unpersist()
+        re_encoded.unpersist()
+        raise ValueError(
+            f"merge_partitions: {n_cold} members live in the folded "
+            f"cells but only {n_re} re-encoded — `vectors` is missing "
+            "original vectors (or carries duplicate/extra ids) for "
+            "this store; folding would lose data, refusing"
+        )
     receiving = sorted(
         int(r["partition_id"])
         for r in re_encoded.select("partition_id").distinct().collect()
@@ -1108,6 +1123,20 @@ def ivfbq_merge_partitions(
     ).select(id_col, "partition_id")
     # words (and attrs) ride over unchanged — route-only re-assignment
     moved = cold_rows.drop("partition_id").join(assigned, id_col).persist()
+    # a fold must be a pure reshuffle: a cold member whose original
+    # vector is missing from ``vectors`` would silently vanish through
+    # the inner join — refuse instead (same guard as merge_partitions)
+    n_cold = cold_rows.count()
+    n_moved = moved.count()
+    if n_moved != n_cold:
+        cold_rows.unpersist()
+        moved.unpersist()
+        raise ValueError(
+            f"ivfbq_merge_partitions: {n_cold} members live in the "
+            f"folded cells but only {n_moved} re-routed — `vectors` is "
+            "missing original vectors (or carries duplicate/extra ids) "
+            "for this store; folding would lose data, refusing"
+        )
     receiving = sorted(
         int(r["partition_id"])
         for r in moved.select("partition_id").distinct().collect()

@@ -1364,3 +1364,55 @@ def test_ivfbq_merge_partitions_moves_words_unchanged(spark, tmp_path):
         for x in corpus.where(F.col("vec_id") == 5).first()["embedding"]
     ]
     assert ivfbq_query(loaded, qv, k=10, nprobe=3).count() == 10
+
+
+def test_merge_partitions_refuses_missing_vectors(spark, tmp_path):
+    """A fold is a pure reshuffle: if the supplied `vectors` frame is
+    missing an original vector for a cold member, the semi-join would
+    silently drop it from the index — both family paths refuse
+    loudly instead (r12 self-review guard)."""
+    from flechasdb_spark.operators.maintenance import (
+        ivfbq_merge_partitions,
+        merge_partitions,
+    )
+    from flechasdb_spark.plans.ivfbq import build_ivfbq, save_ivfbq
+
+    corpus, m, path = _cold_sq_store(spark, tmp_path, "coldguard")
+    incomplete = corpus.where(F.col("vec_id") != 900001)  # one cold id gone
+    with pytest.raises(ValueError, match="missing original vectors"):
+        merge_partitions(spark, m, path, incomplete, pids=[3])
+    # store untouched by the refusal
+    assert spark.read.parquet(f"{path}/index").where(
+        "partition_id = 3"
+    ).count() == 3
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    near = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("partition_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    far = emb.where(F.col("vec_id") == 3).select(
+        F.lit(3).cast("int").alias("partition_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(50.0)).alias(
+            "centroid"
+        ),
+    )
+    synth = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(0.001) + F.lit(50.0)
+        ).alias("embedding"),
+        "label",
+    )
+    bq_corpus = emb.select("vec_id", "embedding", "label").unionByName(synth)
+    bm = build_ivfbq(bq_corpus, near.unionByName(far), dim=64)
+    bpath = str(tmp_path / "bqguard")
+    save_ivfbq(bm, bpath)
+    with pytest.raises(ValueError, match="missing original vectors"):
+        ivfbq_merge_partitions(
+            spark, bm, bpath, bq_corpus.where(F.col("vec_id") != 900001),
+            pids=[3],
+        )
+    assert spark.read.parquet(f"{bpath}/index").where(
+        "partition_id = 3"
+    ).count() == 3
