@@ -49,6 +49,7 @@ __all__ = [
     "compact_ingest_store",
     "repair_ingest_store",
     "repair_cell_rewrite",
+    "repair_store",
     "ingest_batch_committed",
     "ivfsq_upsert",
     "ivfsq_delete",
@@ -1155,6 +1156,81 @@ def ivfbq_merge_partitions(
     moved.unpersist()
     _swap_centroid_table(spark, index_path, cold)
     return {"merged": cold, "receiving": receiving, "touched": touched}
+
+
+def repair_store(spark: SparkSession, index_path: str) -> dict:
+    """One-call crash triage for any persisted index under
+    ``index_path`` (PQ / SQ / BQ / ITQ; flat ``save_*`` layout or the
+    streaming ``ingest_batch=`` layout): runs every repair this
+    module knows, in dependency order — each idempotent and a no-op
+    on a healthy store. The single entry point an operator (or a
+    scheduled janitor) calls after ANY crash, instead of needing to
+    know which of the four swap disciplines was mid-flight:
+
+    1. the whole-index compact swap (`compact_index`'s three-step
+       rename): index dir gone + ``index.compact.pre`` present ->
+       restore; a stale ``index.compact.tmp`` is dropped either way;
+    2. the journaled cell rewrite (`repair_cell_rewrite` — the
+       upsert / delete / fold staging+journal), rolled back or
+       forward by its own rules;
+    3. the centroid-table merge swap (`_repair_centroid_swap`);
+    4. the streaming ingest-batch compaction holding area
+       (`repair_ingest_store`), when the index root holds an
+       ``ingest_batch=`` layout.
+
+    Returns {"compact", "cell_rewrite", "centroids", "ingest"} with
+    what each step found ("clean" everywhere on a healthy store)."""
+    index_dir = f"{index_path}/index"
+    out: dict = {}
+    fs, dst = _fs_path(spark, index_dir)
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    pre = P(f"{index_path}/index.compact.pre")
+    tmp = P(f"{index_path}/index.compact.tmp")
+    if not fs.exists(dst) and fs.exists(pre):
+        if not fs.rename(pre, dst):
+            raise IOError(
+                f"repair_store: rename {index_path}/index.compact.pre "
+                f"-> {index_dir} failed"
+            )
+        out["compact"] = "restored_pre"
+    else:
+        out["compact"] = "clean"
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        out["compact"] = (
+            "dropped_tmp"
+            if out["compact"] == "clean"
+            else out["compact"] + "+dropped_tmp"
+        )
+    out["cell_rewrite"] = repair_cell_rewrite(spark, index_dir)
+    cent_dir = f"{index_path}/centroids"
+    had_pre = fs.exists(P(f"{cent_dir}.merge.pre")) and not fs.exists(
+        P(cent_dir)
+    )
+    had_tmp = fs.exists(P(f"{cent_dir}.merge.tmp"))
+    _repair_centroid_swap(spark, index_path)
+    out["centroids"] = (
+        "restored_pre" if had_pre else ("dropped_tmp" if had_tmp else "clean")
+    )
+    ingest = False
+    if fs.exists(dst):
+        for st in fs.listStatus(dst):
+            name = st.getPath().getName()
+            if name.startswith("ingest_batch=") or name in (
+                ".compact.pre",
+                ".compact.tmp",
+            ):
+                ingest = True
+                break
+    if ingest:
+        had = fs.exists(P(f"{index_dir}/.compact.pre")) or fs.exists(
+            P(f"{index_dir}/.compact.tmp")
+        )
+        repair_ingest_store(spark, index_dir)
+        out["ingest"] = "repaired" if had else "clean"
+    else:
+        out["ingest"] = "not_ingest_layout"
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1416,3 +1416,64 @@ def test_merge_partitions_refuses_missing_vectors(spark, tmp_path):
     assert spark.read.parquet(f"{bpath}/index").where(
         "partition_id = 3"
     ).count() == 3
+
+
+def test_repair_store_one_call_triage(spark, tmp_path):
+    """`repair_store` (r12): one call heals whichever swap discipline
+    a crash interrupted — whole-index compact rename, journaled cell
+    rewrite, centroid merge swap — and reports per-mechanism status;
+    a healthy store reads clean everywhere and is untouched."""
+    import shutil
+
+    from flechasdb_spark.operators.maintenance import repair_store
+    from flechasdb_spark.plans.ivfsq import ivfsq_query, load_ivfsq
+
+    corpus, m, path = _cold_sq_store(spark, tmp_path, "triage")
+    snap = _index_snapshot(spark, path)
+
+    # healthy: all clean, nothing changes
+    out = repair_store(spark, path)
+    assert out == {
+        "compact": "clean",
+        "cell_rewrite": "clean",
+        "centroids": "clean",
+        "ingest": "not_ingest_layout",
+    }
+    assert _index_snapshot(spark, path) == snap
+
+    # compact crash: index renamed to .pre, new copy lost, stale tmp
+    os.rename(f"{path}/index", f"{path}/index.compact.pre")
+    os.makedirs(f"{path}/index.compact.tmp")
+    out = repair_store(spark, path)
+    assert out["compact"] == "restored_pre+dropped_tmp"
+    assert _index_snapshot(spark, path) == snap
+    assert not os.path.exists(f"{path}/index.compact.tmp")
+
+    # cell-rewrite crash BEFORE the journal: staging only -> rollback
+    os.makedirs(f"{path}/index.rewrite.tmp/partition_id=0")
+    out = repair_store(spark, path)
+    assert out["cell_rewrite"] == "rolled_back"
+    assert not os.path.exists(f"{path}/index.rewrite.tmp")
+
+    # centroid merge swap crash: table stranded at .merge.pre
+    os.rename(f"{path}/centroids", f"{path}/centroids.merge.pre")
+    out = repair_store(spark, path)
+    assert out["centroids"] == "restored_pre"
+    assert os.path.isdir(f"{path}/centroids")
+
+    # all three at once: one call still heals everything
+    os.rename(f"{path}/index", f"{path}/index.compact.pre")
+    os.makedirs(f"{path}/index.rewrite.tmp/partition_id=1")
+    os.rename(f"{path}/centroids", f"{path}/centroids.merge.pre")
+    out = repair_store(spark, path)
+    assert out["compact"] == "restored_pre"
+    assert out["cell_rewrite"] == "rolled_back"
+    assert out["centroids"] == "restored_pre"
+    assert _index_snapshot(spark, path) == snap
+    loaded = load_ivfsq(spark, path)
+    qv = [
+        float(x)
+        for x in corpus.where(F.col("vec_id") == 5).first()["embedding"]
+    ]
+    assert ivfsq_query(loaded, qv, k=5, nprobe=3).count() == 5
+    shutil.rmtree(path)
