@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from flechasdb_spark.functions.linalg import cosine_similarity, squared_l2
 
-__all__ = ["flat_knn", "knn_join", "range_search", "calibrate_radius"]
+__all__ = [
+    "flat_knn",
+    "knn_join",
+    "range_search",
+    "calibrate_radius",
+    "calibrate_radii",
+]
 
 
 def _literal_vector(qv: list[float]) -> Column:
@@ -210,11 +216,46 @@ def calibrate_radius(
     At 100 TB run the histogram itself on a corpus SAMPLE too — the
     quantile of a uniform sample estimates the population quantile,
     which is all a radius needs."""
+    return calibrate_radii(
+        vectors,
+        queries,
+        [float(selectivity)],
+        id_col=id_col,
+        vec_col=vec_col,
+        num_buckets=num_buckets,
+        bounds_sample=bounds_sample,
+    )[0]
+
+
+def calibrate_radii(
+    vectors: DataFrame,
+    queries: list[list[float]],
+    selectivities: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 512,
+    bounds_sample: int = 2048,
+) -> list[float]:
+    """`calibrate_radius` for SEVERAL target selectivities in ONE
+    corpus-scale pass (r12, guide §2.4 "do fewer passes"): the
+    histogram the radius comes from does not depend on the
+    selectivity — only the cumulative-count interpolation does — so
+    every target shares the same Q x S bounds sample and the same
+    Q x N pair histogram, and `histogram_quantiles` interpolates all
+    of them from one O(buckets) aggregate. Per-value results are
+    IDENTICAL to calling `calibrate_radius` once per selectivity
+    (pytest-gated): same bounds, same bucket counts, same
+    interpolation arithmetic. Returns radii ordered like
+    ``selectivities``."""
     from flechasdb_spark.operators.itq import sample_to_driver
     from flechasdb_spark.operators.sketch import histogram_quantiles
 
-    if not 0.0 < float(selectivity) <= 1.0:
-        raise ValueError(f"selectivity must be in (0, 1]: {selectivity}")
+    sels = [float(s) for s in selectivities]
+    if not sels:
+        raise ValueError("selectivities must be non-empty")
+    for s in sels:
+        if not 0.0 < s <= 1.0:
+            raise ValueError(f"selectivity must be in (0, 1]: {s}")
     spark = vectors.sparkSession
     qarr = np.asarray(
         [[float(x) for x in q] for q in queries], dtype=np.float64
@@ -236,15 +277,19 @@ def calibrate_radius(
         d2 += diff * diff
     lo, hi = float(d2.min()), float(d2.max())
     if hi <= lo:
-        return hi
+        return [hi for _ in sels]
     d = squared_l2(F.col(vec_col).cast("array<double>"), F.col("__qv"))
     pairs = vectors.select(vec_col).join(qdf).select(d.alias("__d"))
-    row = histogram_quantiles(
+    # distinct probs only: histogram_quantiles joins a prob table, so a
+    # duplicated selectivity would duplicate rows, not results
+    uniq = sorted(set(sels))
+    rows = histogram_quantiles(
         pairs,
         "__d",
-        [float(selectivity)],
+        uniq,
         lo=lo,
         hi=hi,
         num_buckets=num_buckets,
-    ).first()
-    return float(row["q_est"])
+    ).collect()
+    by_prob = {float(r["prob"]): float(r["q_est"]) for r in rows}
+    return [by_prob[s] for s in sels]

@@ -2413,7 +2413,7 @@ def q_range_radius_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sketch.histogram_quantiles`, the deterministic mergeable
     percentile whose shuffle carries O(buckets) rows). Engine-exact:
     plain double arithmetic on integer counts end to end."""
-    from flechasdb_spark.operators.knn import calibrate_radius
+    from flechasdb_spark.operators.knn import calibrate_radii
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = [
@@ -2422,10 +2422,16 @@ def q_range_radius_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    # ONE shared bounds sample + ONE Q x N histogram pass for all three
+    # selectivities (r12, guide §2.4) — the oracle above already
+    # computes exactly this shape (one `pairs`/`cum` chain, three
+    # interpolations); per-value equality with the per-selectivity
+    # calls is pytest-gated (tests/test_ivfsq.py).
+    radii = calibrate_radii(
+        emb, qs, [0.05, 0.2, 0.5], bounds_sample=10_000_000
+    )
     rows = [
-        (float(sel), float(calibrate_radius(emb, qs, selectivity=sel,
-                                            bounds_sample=10_000_000)))
-        for sel in (0.05, 0.2, 0.5)
+        (float(sel), float(r)) for sel, r in zip((0.05, 0.2, 0.5), radii)
     ]
     return spark.createDataFrame(
         rows, "selectivity double, radius double"

@@ -1317,3 +1317,33 @@ def test_calibrate_radius_single_pass_equals_two_pass(spark, emb):
         range_search(emb, q, radius=small, round_to=6).count() for q in qs
     ) / (len(qs) * n)
     assert abs(got_sel - 0.2) < 0.05, (small, got_sel)
+
+
+def test_calibrate_radii_one_pass_equals_per_selectivity(spark, emb):
+    """r12: `calibrate_radii` shares ONE bounds sample and ONE Q x N
+    histogram across every target selectivity (the histogram does not
+    depend on the target — only the interpolation does), so each
+    returned radius must be bit-identical to the per-selectivity
+    `calibrate_radius` call. Also: order preserved, duplicates
+    allowed, and the empty/invalid guards hold."""
+    import pytest
+
+    from flechasdb_spark.operators.knn import (
+        calibrate_radii,
+        calibrate_radius,
+    )
+
+    qs = [
+        [float(x) for x in r.embedding]
+        for r in emb.where(F.col("vec_id").isin(3, 9, 21)).collect()
+    ]
+    sels = [0.5, 0.05, 0.2, 0.05]  # unsorted + duplicated on purpose
+    multi = calibrate_radii(emb, qs, sels, bounds_sample=64)
+    for s, r in zip(sels, multi):
+        assert r == calibrate_radius(
+            emb, qs, selectivity=s, bounds_sample=64
+        ), (s, r)
+    with pytest.raises(ValueError, match="non-empty"):
+        calibrate_radii(emb, qs, [])
+    with pytest.raises(ValueError, match="selectivity"):
+        calibrate_radii(emb, qs, [0.2, 0.0])
