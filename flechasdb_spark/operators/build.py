@@ -431,13 +431,24 @@ def assemble_index(
     (FIXTURES.md F3; reference behavior /root/reference/src/db/stored.rs:331-389).
     """
     cfg = cfg or IndexConfig()
-    n = _vector_size(df, cfg)
     centroids = np.asarray(centroids, dtype=np.float64)
     codebooks = np.asarray(codebooks, dtype=np.float64)
     p_cfg, d_cfg, c_cfg = cfg.num_partitions, cfg.num_divisions, cfg.num_codes
-    if centroids.shape != (p_cfg, n):
+    # the vector width comes from the TRAINED models, not a probe job
+    # over ``df`` (r12 — the former `_vector_size` first() cost one
+    # Spark job per assemble on data the models already pin): a df
+    # whose vectors disagree with the models still fails loudly, inside
+    # the encode kernel's matmul, on the first batch.
+    if centroids.ndim != 2 or centroids.shape[0] != p_cfg:
         raise ValueError(
-            f"centroids shape {centroids.shape} != ({p_cfg}, {n})"
+            f"centroids shape {centroids.shape} != ({p_cfg}, N)"
+        )
+    n = int(centroids.shape[1])
+    if n % cfg.num_divisions != 0:
+        # invariant of the reference: src/vector.rs:162-168
+        raise ValueError(
+            f"vector_size {n} not divisible by num_divisions "
+            f"{cfg.num_divisions}"
         )
     if codebooks.shape != (d_cfg, c_cfg, n // d_cfg):
         raise ValueError(

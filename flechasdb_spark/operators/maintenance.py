@@ -320,23 +320,30 @@ def upsert_vectors(
         ).drop("codes")
     incoming = incoming.persist()
     new_ids = incoming.select(cfg.id_col)
-    # per-partition counts of replaced ids (pruned scan over id column)
-    replaced_cnt = {
-        r.partition_id: r["count"]
-        for r in existing.join(F.broadcast(new_ids), cfg.id_col, "left_semi")
-        .groupBy("partition_id")
+    # ONE probe job for everything the swap needs (r12 — formerly three
+    # actions: replaced-per-cell counts, incoming distinct cells,
+    # incoming count): union the replaced side (pruned id-column scan)
+    # with the incoming side under a marker and aggregate per
+    # (cell, side) — same values, one pass over each input.
+    probe = (
+        existing.join(F.broadcast(new_ids), cfg.id_col, "left_semi")
+        .select("partition_id", F.lit(True).alias("__replaced"))
+        .unionByName(
+            incoming.select("partition_id", F.lit(False).alias("__replaced"))
+        )
+        .groupBy("partition_id", "__replaced")
         .count()
         .collect()
+    )
+    replaced_cnt = {
+        r.partition_id: r["count"] for r in probe if r["__replaced"]
     }
-    incoming_pids = {
-        r.partition_id
-        for r in incoming.select("partition_id").distinct().collect()
-    }
+    incoming_pids = {r.partition_id for r in probe if not r["__replaced"]}
     touched = sorted(set(replaced_cnt) | incoming_pids)
     if not touched:
         incoming.unpersist()
         return []
-    n_incoming = incoming.count()
+    n_incoming = sum(r["count"] for r in probe if not r["__replaced"])
     n_replaced = sum(replaced_cnt.values())
 
     survivors = existing.where(
@@ -906,7 +913,7 @@ def merge_partitions(
     _require_flat_ivfsq_layout(existing, "merge_partitions")
     cold = _select_cold_cells(
         spark, existing, model.centroids, min_members, pids,
-        "merge_partitions",
+        "merge_partitions", index_dir=index_dir,
     )
     if not cold:
         return {"merged": [], "receiving": [], "touched": []}
@@ -947,7 +954,10 @@ def merge_partitions(
     # vanish from the index through the semi-join (a fold must be a
     # pure reshuffle, never a delete)
     n_cold = cold_rows.count()
-    n_re = re_encoded.count()
+    # one job for the receiving-cell set AND the re-encode row count
+    # (r12 — formerly a count plus a distinct-collect)
+    re_counts = re_encoded.groupBy("partition_id").count().collect()
+    n_re = sum(r["count"] for r in re_counts)
     if n_re != n_cold:
         cold_rows.unpersist()
         re_encoded.unpersist()
@@ -957,10 +967,7 @@ def merge_partitions(
             "original vectors (or carries duplicate/extra ids) for "
             "this store; folding would lose data, refusing"
         )
-    receiving = sorted(
-        int(r["partition_id"])
-        for r in re_encoded.select("partition_id").distinct().collect()
-    )
+    receiving = sorted(int(r["partition_id"]) for r in re_counts)
     stray = set(receiving) & set(cold)
     if stray:  # cannot happen (cold centroids are excluded) — guard anyway
         raise AssertionError(f"members re-assigned to folded cells {stray}")
@@ -1005,26 +1012,36 @@ def _select_cold_cells(
     min_members: int | None,
     pids: list[int] | None,
     op: str,
+    index_dir: str | None = None,
 ) -> list[int]:
     """The cold set for a partition fold: explicit ``pids``, or every
     cell below the ``min_members`` floor counted over the CENTROID
     table — a fully-drained cell has no directory and so no disk
     count, but it is the coldest cell there is (count 0) and folding
     it just drops its routing row. Validates that exactly one selector
-    was given and that at least one cell survives."""
-    disk_counts = {
-        r.partition_id: r["count"]
-        for r in existing.groupBy("partition_id").count().collect()
-    }
+    was given and that at least one cell survives.
+
+    With explicit ``pids`` only EXISTENCE matters, so when
+    ``index_dir`` is given the disk side comes from the partition
+    directory listing (pure FS metadata, zero Spark jobs) instead of a
+    member-count scan over the whole index (r12); the ``min_members``
+    selector still counts, since the floor needs the numbers."""
     all_cent_pids = {
         int(r["partition_id"])
         for r in centroids.select("partition_id").collect()
     }
-    counts = {p: disk_counts.get(p, 0) for p in all_cent_pids}
     if pids is not None:
+        disk_pids = (
+            _list_partition_ids(spark, index_dir)
+            if index_dir is not None
+            else {
+                r.partition_id
+                for r in existing.select("partition_id").distinct().collect()
+            }
+        )
         cold = sorted(int(p) for p in pids)
         missing = [
-            p for p in cold if p not in counts and p not in disk_counts
+            p for p in cold if p not in all_cent_pids and p not in disk_pids
         ]
         if missing:
             raise ValueError(
@@ -1032,6 +1049,11 @@ def _select_cold_cells(
                 "nor members on disk — nothing to fold"
             )
     else:
+        disk_counts = {
+            r.partition_id: r["count"]
+            for r in existing.groupBy("partition_id").count().collect()
+        }
+        counts = {p: disk_counts.get(p, 0) for p in all_cent_pids}
         cold = sorted(p for p, c in counts.items() if c < int(min_members))
     if cold and not (all_cent_pids - set(cold)):
         raise ValueError(f"{op} would fold every cell — rebuild instead")
@@ -1110,7 +1132,7 @@ def ivfbq_merge_partitions(
     _require_flat_ivfsq_layout(existing, "ivfbq_merge_partitions")
     cold = _select_cold_cells(
         spark, existing, model.centroids, min_members, pids,
-        "ivfbq_merge_partitions",
+        "ivfbq_merge_partitions", index_dir=index_dir,
     )
     if not cold:
         return {"merged": [], "receiving": [], "touched": []}
@@ -1128,7 +1150,10 @@ def ivfbq_merge_partitions(
     # vector is missing from ``vectors`` would silently vanish through
     # the inner join — refuse instead (same guard as merge_partitions)
     n_cold = cold_rows.count()
-    n_moved = moved.count()
+    # one job for the receiving-cell set AND the moved row count (r12 —
+    # formerly a count plus a distinct-collect)
+    moved_counts = moved.groupBy("partition_id").count().collect()
+    n_moved = sum(r["count"] for r in moved_counts)
     if n_moved != n_cold:
         cold_rows.unpersist()
         moved.unpersist()
@@ -1138,10 +1163,7 @@ def ivfbq_merge_partitions(
             "missing original vectors (or carries duplicate/extra ids) "
             "for this store; folding would lose data, refusing"
         )
-    receiving = sorted(
-        int(r["partition_id"])
-        for r in moved.select("partition_id").distinct().collect()
-    )
+    receiving = sorted(int(r["partition_id"]) for r in moved_counts)
     touched = sorted(set(cold) | set(receiving))
     out_cols = [c for c in existing.columns if c != "partition_id"] + [
         "partition_id"
@@ -1507,18 +1529,18 @@ def ivfsq_upsert(
             "attr_cols (an upsert cannot widen the at-rest schema)"
         )
     new_ids = incoming.select(id_col)
-    replaced_cnt = {
-        r.partition_id: r["count"]
+    # ONE probe job (r12 — formerly two actions): the SQ manifest
+    # tracks no row count, so only the touched-cell SET matters here —
+    # union the replaced side's cells with the incoming cells and
+    # distinct once.
+    touched = sorted(
+        int(r["partition_id"])
         for r in existing.join(F.broadcast(new_ids), id_col, "left_semi")
-        .groupBy("partition_id")
-        .count()
+        .select("partition_id")
+        .unionByName(incoming.select("partition_id"))
+        .distinct()
         .collect()
-    }
-    incoming_pids = {
-        r.partition_id
-        for r in incoming.select("partition_id").distinct().collect()
-    }
-    touched = sorted(set(replaced_cnt) | incoming_pids)
+    )
     if not touched:
         incoming.unpersist()
         return []

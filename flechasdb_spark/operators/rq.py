@@ -157,6 +157,7 @@ def rq_encode(
     levels: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """Encode each vector as L additive codes: r_0 = v; per level,
     code_l = argmin_c ||r_l - center[l][c]||^2 and
@@ -175,7 +176,88 @@ def rq_encode(
     LRU eviction). The returned frame is a localCheckpoint of the
     small (id, level, code) table, freed when the caller drops it; the
     fused Arrow path (``rq_encode_fused``) remains the bulk-encode
-    product form."""
+    product form.
+
+    r12 (guide §2.4): with a driver-small codebook table (ALWAYS true
+    by construction — L*C rows, the module docstring's broadcast
+    assumption) the L rounds fuse into ONE map-only projection chain:
+    each level's centers ride as a plan literal, the argmin is
+    ``array_min`` over struct(d, code, center) — the identical
+    (d asc, code asc) tie-break as the former ``min(struct(...))``
+    aggregation — and the residual update is a zip_with against the
+    winning center from the SAME struct. No per-level shuffle, no
+    persists, no localCheckpoint: the L-shuffle chain (plus its eager
+    materializations) becomes one codegen scan, and the codes are
+    value-identical (the double arithmetic and fold order are
+    unchanged; equivalence with the fused Arrow path stays
+    pytest-gated). The former broadcast-join chain remains as the
+    fallback for a codebook table past the literal budget
+    (``impl="relational"`` forces it; "literal" asserts the fused
+    path)."""
+    if impl not in ("auto", "literal", "relational"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    cap = 4096
+    cb_rows = (
+        codebooks.select("level", "code", "center").limit(cap + 1).collect()
+        if impl != "relational"
+        else []
+    )
+    if cb_rows and len(cb_rows) <= cap:
+        by_level: dict[int, list] = {}
+        for r in cb_rows:
+            by_level.setdefault(int(r["level"]), []).append(
+                (int(r["code"]), [float(x) for x in r["center"]])
+            )
+        if all(lv in by_level for lv in range(levels)):
+            cur = vectors.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__r0"),
+            )
+            code_fields = []
+            for lv in range(levels):
+                ents = sorted(by_level[lv])
+                codes_lit = F.lit([c for c, _ in ents])
+                cents_lit = F.lit([v for _, v in ents]).cast(
+                    "array<array<double>>"
+                )
+                rcol = F.col(f"__r{lv}")
+
+                def _lam(_r, _cl):
+                    return lambda c, i: F.struct(
+                        squared_l2(_r, c).alias("d"),
+                        F.element_at(_cl, i + 1).cast("int").alias("code"),
+                        c.alias("c"),
+                    )
+
+                scored = F.transform(cents_lit, _lam(rcol, codes_lit))
+                cur = cur.withColumn(f"__b{lv}", F.array_min(scored))
+                code_fields.append(
+                    F.struct(
+                        F.lit(lv).alias("level"),
+                        F.col(f"__b{lv}")["code"].alias("code"),
+                    )
+                )
+                if lv < levels - 1:
+                    cur = cur.withColumn(
+                        f"__r{lv + 1}",
+                        F.zip_with(
+                            f"__r{lv}",
+                            F.col(f"__b{lv}")["c"],
+                            lambda a, b: a - b,
+                        ),
+                    )
+            return cur.select(
+                id_col, F.explode(F.array(*code_fields)).alias("__lc")
+            ).select(
+                id_col,
+                F.col("__lc")["level"].alias("level"),
+                F.col("__lc")["code"].alias("code"),
+            )
+    if impl == "literal":
+        raise ValueError(
+            "codebook table too large for impl='literal' — use "
+            "impl='relational' or 'auto'"
+        )
     cur = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__r")
     )

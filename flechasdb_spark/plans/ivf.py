@@ -39,6 +39,50 @@ __all__ = [
 ]
 
 
+def _small_centroid_rows(
+    centroids: DataFrame, pid_col: str, cent_col: str
+):
+    """ALL (pid, centroid) rows when the table is literal-sized, else
+    None (huge-P fallback). One tiny job: ``limit(cap + 1)`` bounds
+    what ever reaches the driver, and getting cap + 1 rows back (or a
+    P x dim element count past the budget) means the table is too big
+    for a plan literal — the caller keeps the broadcast-join form."""
+    import os as _os
+
+    max_elems = int(
+        _os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "65536")
+    )
+    cap = min(max_elems, 4096)
+    rows = centroids.select(pid_col, cent_col).limit(cap + 1).collect()
+    if not rows or len(rows) > cap:
+        return None
+    if len(rows) * len(rows[0][cent_col]) > max_elems:
+        return None
+    return rows
+
+
+def _assign_best_expr(rows, vec_col: str):
+    """struct(d, p, c) of the nearest centroid as a PURE map expression:
+    the P centroids ride as two plan literals (ids + vectors), per-row
+    distance is the same `squared_l2` double fold the relational form
+    computes, and `array_min` over struct(d, p, ...) is the identical
+    (dist asc, pid asc) tie-break as ``min(struct(d, p))`` — pid is
+    unique, so the trailing centroid field never participates."""
+    pids_lit = F.lit([int(r[0]) for r in rows])
+    cents_lit = F.lit(
+        [[float(x) for x in r[1]] for r in rows]
+    ).cast("array<array<double>>")
+    scored = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            squared_l2(F.col(vec_col), c).alias("d"),
+            F.element_at(pids_lit, i + 1).cast("int").alias("p"),
+            c.alias("c"),
+        ),
+    )
+    return F.array_min(scored)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -46,18 +90,45 @@ def ivf_assign(
     vec_col: str = "embedding",
     pid_col: str = "partition_id",
     cent_col: str = "centroid",
+    impl: str = "auto",
 ) -> DataFrame:
-    """B6 (coarse assignment) as a pure relational op: nearest centroid
-    per vector via broadcast join + per-vector argmin. The argmin is a
-    ``min(struct(dist, pid))`` aggregation — same (dist asc, pid asc)
-    tie-break as a sorted window, but partially aggregable: map-side
-    combine collapses the P-way blowup before the shuffle, so the
-    exchange carries one row per vector. Oracle-checkable with any fixed
-    centroid table; the sample-trained fused path in operators/build.py
-    is the production variant."""
+    """B6 (coarse assignment): nearest centroid per vector.
+
+    ``impl="auto"`` (r12, guide §2.4 "remove shuffles outright"): when
+    the centroid table is driver-small (P x dim under
+    $SPARK_GRAFT_ASSIGN_LITERAL_MAX elements, default 65536), collect
+    it ONCE (O(P) rows — the same driver footprint `select_probes`
+    already assumes) and compute the argmin as a map-only codegen
+    expression over a plan literal: the corpus is never shuffled and
+    the broadcast exchange disappears. Distances, fold order and the
+    (dist asc, pid asc) tie-break are IDENTICAL to the relational form
+    (equality pytest-gated), so results are unchanged.
+
+    ``impl="relational"`` keeps the former shape — broadcast join +
+    per-vector argmin as a ``min(struct(dist, pid))`` aggregation
+    (map-side combine collapses the P-way blowup before the shuffle,
+    so the exchange carries one row per vector) — and is the automatic
+    fallback when the centroid table is too large for a literal
+    (huge-P indexes: P ~ sqrt(M)). Oracle-checkable with any fixed
+    centroid table; the sample-trained fused path in
+    operators/build.py is the production variant."""
+    if impl not in ("auto", "literal", "relational"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    other_cols = [c for c in vectors.columns if c != id_col]
+    if impl != "relational":
+        rows = _small_centroid_rows(centroids, pid_col, cent_col)
+        if rows is None and impl == "literal":
+            raise ValueError(
+                "centroid table too large for impl='literal' — raise "
+                "SPARK_GRAFT_ASSIGN_LITERAL_MAX or use impl='relational'"
+            )
+        if rows is not None:
+            best = _assign_best_expr(rows, vec_col)
+            return vectors.select(
+                id_col, *other_cols, best["p"].alias(pid_col)
+            )
     pairs = vectors.join(F.broadcast(centroids))
     dist = squared_l2(F.col(vec_col), F.col(cent_col))
-    other_cols = [c for c in vectors.columns if c != id_col]
     return (
         pairs.groupBy(id_col)
         .agg(

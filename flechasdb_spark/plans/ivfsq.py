@@ -93,13 +93,37 @@ def ivfsq_residuals(
     keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, partition_id, residual[, *keep_cols]): nearest-centroid
-    assignment + the per-row residual v - centroid. One broadcast-join
-    argmin (the ivf_assign shape) followed by one more broadcast join
-    to subtract the winning centroid — both map-side, one shuffle
-    total. ``keep_cols`` ride along untouched (attribute columns)."""
+    assignment + the per-row residual v - centroid.
+
+    With a driver-small centroid table (the common case) this is ONE
+    map-only codegen expression (r12, guide §2.4): the centroids ride
+    as a plan literal, the winning centroid comes back on the argmin
+    struct, and the residual subtraction happens in the same projection
+    — no shuffle, no broadcast exchange, no second join. Huge-P tables
+    fall back to the former two-broadcast-join shape (one corpus
+    shuffle); distances, tie-breaks and residual arithmetic are
+    identical either way (pytest-gated). ``keep_cols`` ride along
+    untouched (attribute columns)."""
+    from flechasdb_spark.plans.ivf import _assign_best_expr, _small_centroid_rows
+
     cc = cent_col_name(centroids)
+    rows = _small_centroid_rows(centroids, "partition_id", cc)
+    if rows is not None:
+        best = _assign_best_expr(rows, vec_col)
+        resid = F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__best")["c"],
+            lambda a, b: a - b,
+        )
+        return vectors.withColumn("__best", best).select(
+            id_col,
+            F.col("__best")["p"].alias("partition_id"),
+            resid.alias("residual"),
+            *keep_cols,
+        )
     assigned = ivf_assign(
-        vectors, centroids, id_col=id_col, vec_col=vec_col
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        impl="relational",
     )
     back = assigned.join(F.broadcast(centroids), "partition_id")
     resid = F.zip_with(

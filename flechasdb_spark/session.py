@@ -57,6 +57,19 @@ def get_spark(
         # stages (hashing, norms) behind a single core. At cluster
         # scale file counts dwarf this minimum, so it's a no-op there.
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # first()/take(k) after a selective filter: executeTake's
+        # default ramp (1 partition, then 4x per round) is a sequence
+        # of BLOCKING driver round-trips — 3 sequential jobs to find
+        # one matching row. Starting the first round at the core count
+        # runs those probe tasks in parallel on otherwise-idle cores
+        # (r12, guide §7.3 "driver round-trips"); at cluster scale the
+        # same reasoning holds per executor wave, and the knob stays
+        # env-tunable for deployments where a single-partition probe
+        # is cheaper than a wave.
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            os.environ.get("SPARK_GRAFT_LIMIT_INITIAL_PARTITIONS", str(cpus)),
+        )
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long (ns since epoch) — ordering and
         # window semantics are unchanged, convert explicitly where a

@@ -163,19 +163,30 @@ def test_rq_encode_truncates_lineage_per_round(spark, emb):
     cb_df = rq_fixed_codebooks(spark, L, C, DIM)
     sub = emb.where(F.col("vec_id") < 32)
     before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    enc = rq_encode(sub, cb_df, levels=L)
+    # r12 default: the literal fused path — ONE map-only projection
+    # chain, so no shuffle, no caches, no checkpoint at all
+    enc = rq_encode(sub, cb_df, levels=L, impl="literal")
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    # the call may leave AT MOST its own checkpoint block behind —
-    # never the L per-level argmin caches (the r5 leak). Exact
-    # equality is not assertable in a shared session: the async
+    assert after - before <= 0, (
+        f"the literal path must cache nothing ({before} -> {after})"
+    )
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "literal encode must be map-only"
+    assert "InMemoryTableScan" not in plan, "literal encode caches nothing"
+    # fallback (huge-codebook) path keeps the r4/r5 contract: at most
+    # its own checkpoint block behind, never the L per-level caches.
+    # Exact equality is not assertable in a shared session: the async
     # ContextCleaner can retire blocks from earlier tests between the
     # two snapshots.
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    enc_rel = rq_encode(sub, cb_df, levels=L, impl="relational")
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after - before <= 1, (
         f"per-level caches must be unpersisted ({before} -> {after})"
     )
-    plan = enc._jdf.queryExecution().executedPlan().toString()
-    assert "ExistingRDD" in plan, "encode must return the checkpoint"
-    assert "InMemoryTableScan" not in plan, "caches must be released"
+    rel_plan = enc_rel._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in rel_plan, "fallback must return the checkpoint"
+    assert "InMemoryTableScan" not in rel_plan, "caches must be released"
     x = np.array(
         [
             np.asarray(r.embedding, dtype=np.float64)
@@ -183,10 +194,11 @@ def test_rq_encode_truncates_lineage_per_round(spark, emb):
         ]
     )
     exp = _np_encode(x, _cb_np())
-    got: dict[tuple[int, int], int] = {
-        (r.vec_id, r.level): r.code for r in enc.collect()
-    }
     ids = [r.vec_id for r in sub.orderBy("vec_id").collect()]
-    for i, vid in enumerate(ids):
-        for lv in range(L):
-            assert got[(vid, lv)] == exp[i, lv]
+    for frame in (enc, enc_rel):
+        got: dict[tuple[int, int], int] = {
+            (r.vec_id, r.level): r.code for r in frame.collect()
+        }
+        for i, vid in enumerate(ids):
+            for lv in range(L):
+                assert got[(vid, lv)] == exp[i, lv]
