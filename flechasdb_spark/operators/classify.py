@@ -53,7 +53,14 @@ def nb_train(
     row set (n_l = 0).
 
     One shuffle (token-grain partial agg, map-side combined), then
-    O(L x B) arithmetic. Returns (priors, loglik).
+    O(L x B) arithmetic. Returns (priors, loglik) MATERIALIZED
+    (localCheckpoint): both tables are O(L) / O(L x B) rows, but every
+    downstream broadcast site (nb_score joins loglik once and priors
+    twice; report rows join again) would otherwise re-derive the full
+    training scan per exchange (r12, guide §2.4 — measured: the
+    report row spent 25 of its 33 Spark jobs re-running the train
+    chain under broadcast materializations). Values are unchanged —
+    the checkpoint just pins them.
     """
     B = int(n_buckets)
     ndocs = df.groupBy(F.col(label_col).alias("label")).agg(
@@ -100,7 +107,69 @@ def nb_train(
             .alias("loglik_lq"),
         )
     )
-    return priors, loglik
+    return (
+        priors.localCheckpoint(eager=True),
+        loglik.localCheckpoint(eager=True),
+    )
+
+
+def _nb_model_literal(priors: DataFrame, loglik: DataFrame, B: int):
+    """(labels, priors_lit, ll_lit) plan literals of the trained model,
+    or None when the model exceeds the literal budget / is not the
+    dense L x B grid. The model is O(L x B) integers — the same rows
+    the former plan broadcast — so collecting it once and scoring
+    map-only costs nothing new at any corpus size."""
+    if B <= 0 or B * 8 > 65536:
+        return None
+    p_rows = priors.collect()
+    if not p_rows or len(p_rows) * B > 65536:
+        return None
+    labels = sorted(str(r["label"]) for r in p_rows)
+    prior_by = {str(r["label"]): int(r["prior_lq"]) for r in p_rows}
+    ll: dict[str, list] = {lab: [None] * B for lab in labels}
+    for r in loglik.collect():
+        lab, b = str(r["label"]), int(r["bucket"])
+        if lab not in ll or not 0 <= b < B:
+            return None
+        ll[lab][b] = int(r["loglik_lq"])
+    if any(v is None for lab in labels for v in ll[lab]):
+        return None  # not the dense grid nb_train produces
+    labels_lit = F.lit(labels)
+    priors_lit = F.lit([prior_by[lab] for lab in labels]).cast("array<long>")
+    ll_lit = F.lit([ll[lab] for lab in labels]).cast("array<array<long>>")
+    return labels, labels_lit, priors_lit, ll_lit
+
+
+def _nb_scored_structs(
+    df: DataFrame, lits, text_col: str, id_col: str, B: int
+):
+    """df plus ``__sc``: the per-doc array of struct(ns, label) with
+    ns = -score(doc, label) — ONE map-only codegen projection (r12,
+    guide §2.4/§4): token buckets via a higher-order transform (no
+    explode, no shuffle), per-label integer fold over the literal
+    loglik row, priors added outside the fold. Integer addition is
+    associative, so the fold total equals the former
+    count-times-loglik aggregate bit-for-bit, and struct(ns, label)
+    ordering reproduces the (score desc, label asc) tie-break."""
+    _, labels_lit, priors_lit, ll_lit = lits
+    bs = F.transform(
+        F.coalesce(tokens(text_col), F.array()),
+        lambda t: (md5_long(t) % B).cast("int"),
+    )
+    dfb = df.select(F.col(id_col), bs.alias("__bs"))
+
+    def _per_label(row, i):
+        fold = F.aggregate(
+            F.col("__bs"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(row, b + 1),
+        )
+        return F.struct(
+            (-(F.element_at(priors_lit, i + 1) + fold)).alias("ns"),
+            F.element_at(labels_lit, i + 1).alias("label"),
+        )
+
+    return dfb.withColumn("__sc", F.transform(ll_lit, _per_label))
 
 
 def nb_score(
@@ -120,20 +189,28 @@ def nb_score(
     string) is engine-exact. Empty documents score priors only, i.e.
     predict the majority training label.
 
-    Plan: explode -> per-(doc, bucket) count (ONE token-grain shuffle,
-    map-side combined) -> broadcast join the O(L x B) loglik ->
-    per-(doc, label) sum -> argmax as ``min(struct(-score, label))``
-    (partially aggregable — never a per-doc sort window). Because the
-    loglik grid is DENSE, every document with at least one token
-    already scores against EVERY label in the sum table, so no
-    docs-x-labels crossJoin/outer-join is ever materialized (the r6
-    first cut sort-merge-joined two docs x L tables on (doc, label));
-    empty documents take the prior-only argmax, a one-row broadcast
-    constant.
+    Plan (r12, guide §2.4): the trained model is O(L x B) integers, so
+    it rides as a plan literal and the whole scoring pass is ONE
+    map-only codegen projection — token buckets via a higher-order
+    transform (no explode), one integer fold per label, argmax =
+    ``array_min`` over struct(-score, label). No token-grain shuffle,
+    no broadcast joins, no docs-spine rejoin; empty documents fold
+    nothing and naturally take the prior-only argmax. Values are
+    identical to the former explode + partial-agg + broadcast-join
+    shape (integer sums in any order), which remains as the fallback
+    for a model past the literal budget.
 
     Returns (id_col, predicted, score_micro_nats).
     """
     B = int(n_buckets)
+    lits = _nb_model_literal(priors, loglik, B)
+    if lits is not None:
+        best = F.array_min(F.col("__sc"))
+        return _nb_scored_structs(df, lits, text_col, id_col, B).select(
+            id_col,
+            best["label"].alias("predicted"),
+            (-best["ns"]).alias("score_micro_nats"),
+        )
     dtok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     )
@@ -209,6 +286,27 @@ def nb_score_margin(
     from pyspark.sql import Window
 
     B = int(n_buckets)
+    lits = _nb_model_literal(priors, loglik, B)
+    if lits is not None:
+        # map-only top-2 (r12): array_sort over struct(ns, label) IS
+        # the (score desc, label asc) rank order, so element 1/2 are
+        # exactly the window's rn = 1/2 rows
+        labels = lits[0]
+        srt = F.array_sort(F.col("__sc"))
+        s1 = -F.element_at(srt, 1)["ns"]
+        s2 = (
+            -F.element_at(srt, 2)["ns"]
+            if len(labels) >= 2
+            else F.lit(None).cast("long")
+        )
+        return _nb_scored_structs(df, lits, text_col, id_col, B).select(
+            F.col(id_col),
+            F.element_at(srt, 1)["label"].alias("predicted"),
+            s1.cast("long").alias("score_micro_nats"),
+            (s1 - F.coalesce(s2, s1)).cast("long").alias(
+                "margin_micro_nats"
+            ),
+        )
     dtok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     )

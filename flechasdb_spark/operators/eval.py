@@ -710,22 +710,26 @@ def auto_nprobe(
     oracle-able form (registry row `ann_nprobe_autotune` rounds the
     ratio in-engine so the rounding rule matches DuckDB's; Python's
     banker's round here would not)."""
-    ex = exact.persist()
+    # r12 (guide §2.4): the stopping rule only reads the GLOBAL sums
+    # sum(n_hit) / sum(n_exact), so the per-query recall_at_k table is
+    # unnecessary work per arm — sum(n_exact) is one count over the
+    # deduplicated truth, paid ONCE, and each arm needs exactly one
+    # semi-join count (|exact ∩ approx| pairs). Values are identical:
+    # summing per-query counts equals counting pairs.
+    ex = exact.select("query_id", "vec_id").distinct().persist()
+    n_exact = ex.count()
     curve: list = []
     try:
         for np_ in sorted(int(n) for n in nprobes):
             approx = search_fn(np_)
-            row = (
-                recall_at_k(ex, approx)
-                .agg(
-                    F.sum("n_hit").alias("h"),
-                    F.sum("n_exact").alias("e"),
-                )
-                .first()
-            )
-            r = float(row["h"]) / float(row["e"]) if row["e"] else 0.0
+            n_hit = ex.join(
+                approx.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_semi",
+            ).count()
+            r = float(n_hit) / float(n_exact) if n_exact else 0.0
             if return_counts:
-                curve.append((np_, int(row["h"]), int(row["e"])))
+                curve.append((np_, int(n_hit), int(n_exact)))
             else:
                 curve.append((np_, round(r, 6)))
             if r >= float(target_recall):

@@ -46,12 +46,17 @@ def flat_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Exact top-k by squared L2 distance to one query vector.
 
     Returns ``(id_col, squared_distance)`` ascending by distance, ties by
     id (the reference leaves ties arbitrary — SURVEY.md §2.4 — we pin
-    them for determinism).
+    them for determinism). ``extra_cols`` ride along unchanged after
+    the distance column (r12: probe selection uses this to collect the
+    probed centroid VECTORS in the same tiny top-nprobe job, so the
+    serving scan can reconstruct against a plan literal instead of a
+    broadcast join; ordering and the returned distances are untouched).
     """
     qv = (
         _literal_vector(query_vector)
@@ -68,6 +73,7 @@ def flat_knn(
             F.col(id_col),
             dist_out.alias("squared_distance"),
             dist.alias("__dist_full"),
+            *extra_cols,
         )
         .orderBy(F.col("__dist_full").asc(), F.col(id_col).asc())
         .limit(k)

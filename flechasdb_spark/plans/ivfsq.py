@@ -223,6 +223,39 @@ def build_ivfsq(
     )
 
 
+def _probe_and_centroid_literal(
+    model, query_vector: list, nprobe: int, cc: str
+):
+    """Probe selection returning BOTH the probed cell ids and a plan
+    literal mapping partition_id -> centroid (array<double>) for those
+    cells (r12, guide §2.4): the top-nprobe job was already collecting
+    the ids — selecting the centroid vector alongside costs nothing
+    (O(nprobe * dim) rows) and lets the serving scan reconstruct via
+    ``element_at(map, partition_id)`` instead of a broadcast-join
+    against the centroid table, removing one exchange and one join
+    from every solo serving plan. Values are identical: the map holds
+    the exact float centroids the join would have delivered, and
+    reconstruction casts to double either way."""
+    rows = flat_knn(
+        model.centroids,
+        query_vector,
+        k=nprobe,
+        id_col="partition_id",
+        vec_col=cc,
+        extra_cols=(cc,),
+    ).collect()
+    probe_ids = [int(r["partition_id"]) for r in rows]
+    entries = []
+    for r in rows:
+        entries.append(F.lit(int(r["partition_id"])))
+        entries.append(
+            F.lit([float(x) for x in r[cc]]).cast("array<double>")
+        )
+    return probe_ids, F.element_at(
+        F.create_map(*entries), F.col("partition_id")
+    )
+
+
 def _recon(
     codes_col: Column | str,
     cent_col: Column | str,
@@ -278,32 +311,27 @@ def ivfsq_query(
     # semi-join against the lazy probe DataFrame never became a
     # partition filter (DPP does not fire on this shape): the scan
     # read every cell and the join discarded nprobe-1/P of it.
-    probe_ids = [
-        int(r["partition_id"])
-        for r in flat_knn(
-            model.centroids,
-            query_vector,
-            k=nprobe,
-            id_col="partition_id",
-            vec_col=cc,
-        ).collect()
-    ]
+    # r12: the same job also collects the probed centroid VECTORS, so
+    # reconstruction reads them from a plan literal — no broadcast
+    # join against the centroid table in the scan.
+    probe_ids, cent_expr = _probe_and_centroid_literal(
+        model, query_vector, nprobe, cc
+    )
     cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
     if where is not None:
         cands = cands.where(where)
-    cands = cands.join(F.broadcast(model.centroids), "partition_id")
     qA = _lit_arr([float(x) for x in query_vector])
     if model.cell_bounds is not None:
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
         recon = F.zip_with(
-            F.col(cc).cast("array<double>"),
+            cent_expr,
             sq_decode_cols("codes", "lo", "hi", model.levels),
             lambda c, r: c + r,
         )
         dist = squared_l2(qA, recon)
     else:
         dist = squared_l2(
-            qA, _recon("codes", cc, model.lo, model.hi, model.levels)
+            qA, _recon("codes", cent_expr, model.lo, model.hi, model.levels)
         )
     # When the caller asks for rounded output, RANK on the rounded
     # score too (id tie-break): ordering full-precision __d while
@@ -453,32 +481,26 @@ def ivfsq_range_query(
     for that tail). Survivors are O(|matches at slack radius|) —
     broadcast-sized for any radius worth serving."""
     cc = cent_col_name(model.centroids)
-    probe_ids = [
-        int(r["partition_id"])
-        for r in flat_knn(
-            model.centroids,
-            query_vector,
-            k=nprobe,
-            id_col="partition_id",
-            vec_col=cc,
-        ).collect()
-    ]
+    # r12: probe ids + probed centroid vectors in ONE tiny job; the
+    # scan reconstructs from a plan literal (see ivfsq_query)
+    probe_ids, cent_expr = _probe_and_centroid_literal(
+        model, query_vector, nprobe, cc
+    )
     cands = model.encoded.where(F.col("partition_id").isin(probe_ids))
     if where is not None:
         cands = cands.where(where)
-    cands = cands.join(F.broadcast(model.centroids), "partition_id")
     qA = _lit_arr([float(x) for x in query_vector])
     if model.cell_bounds is not None:
         cands = cands.join(F.broadcast(model.cell_bounds), "partition_id")
         recon = F.zip_with(
-            F.col(cc).cast("array<double>"),
+            cent_expr,
             sq_decode_cols("codes", "lo", "hi", model.levels),
             lambda c, r: c + r,
         )
         dist = squared_l2(qA, recon)
     else:
         dist = squared_l2(
-            qA, _recon("codes", cc, model.lo, model.hi, model.levels)
+            qA, _recon("codes", cent_expr, model.lo, model.hi, model.levels)
         )
     score = F.round(dist, round_to) if round_to is not None else dist
     cut = float(radius) * float(rerank_slack) if rerank is not None else float(radius)

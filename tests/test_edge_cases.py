@@ -791,6 +791,37 @@ def test_nb_score_plan_single_docwide_join(spark):
     assert plan.count("SortMergeJoin") <= 1, (
         "only the per-doc attach may shuffle-join"
     )
+    # r12: with the literal-model scorer the whole pass is map-only —
+    # no exchange at all between the doc scan and the output
+    assert "Exchange" not in plan, "literal NB scoring must be map-only"
+
+
+def test_nb_literal_scorer_matches_relational(spark, monkeypatch):
+    """r12: nb_score / nb_score_margin over the literal plan-embedded
+    model must return row-identical results to the former
+    explode + broadcast-join shape (integer micro-nat sums commute, so
+    any summation order gives the same total; tie-breaks are the same
+    struct ordering). Includes empty and null texts (prior-only path)."""
+    import flechasdb_spark.operators.classify as C
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta beta", "web"),
+            (1, "gamma alpha", "book"),
+            (2, "", "web"),
+            (3, None, "book"),
+            (4, "beta beta gamma gamma delta", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    priors, loglik = C.nb_train(docs, n_buckets=32)
+    lit_s = C.nb_score(docs, priors, loglik, n_buckets=32).collect()
+    lit_m = C.nb_score_margin(docs, priors, loglik, n_buckets=32).collect()
+    monkeypatch.setattr(C, "_nb_model_literal", lambda *a, **k: None)
+    rel_s = C.nb_score(docs, priors, loglik, n_buckets=32).collect()
+    rel_m = C.nb_score_margin(docs, priors, loglik, n_buckets=32).collect()
+    assert sorted(map(tuple, lit_s)) == sorted(map(tuple, rel_s))
+    assert sorted(map(tuple, lit_m)) == sorted(map(tuple, rel_m))
 
 
 def test_tfidf_empty_and_uniform_docs(spark):

@@ -424,14 +424,17 @@ def test_interval_overlap_join_plan_is_equi_join(spark):
 
 
 def test_nb_margin_top2_is_window_group_limit(spark):
-    """The top-2-per-doc over the docs x L score table must compile to
-    WindowGroupLimit (partial limit before the exchange), the model
-    joins must broadcast, and the only nested-loop join is the
-    deliberate O(L)-row prior cross join -- never a data x data
-    cartesian."""
+    """r12: the literal-model scorer computes the top-2 labels per doc
+    with an in-row array_sort over struct(-score, label) — no window,
+    no token explode, no model joins at all in the scoring pass. Gate
+    the shape: no per-doc window machinery survives in the plan, the
+    token Generate is gone, and there is never a data x data
+    cartesian. (The former gate pinned WindowGroupLimit +
+    BroadcastHashJoin — the artifacts of the explode + broadcast-join
+    scorer this replaced.)"""
     plan = _plan(spark, "nb_margin_calibration")
-    assert "WindowGroupLimit" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" not in plan, "scoring must be in-row, not a window"
+    assert "Generate" not in plan, "no token explode in the literal scorer"
     assert "CartesianProduct" not in plan
 
 
