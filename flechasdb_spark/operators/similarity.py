@@ -404,31 +404,57 @@ def cluster_neardup_pairs(
         )
     if impl != "catalyst":
         raise ValueError(f"unknown impl: {impl!r}")
-    cents = F.broadcast(
-        centroids.select(
-            F.col(cent_id_col).alias("__cid"), F.col(cent_col).alias("__cv")
-        )
-    )
-    d = squared_l2(F.col(vec_col), F.col("__cv"))
     # norm is computed ONCE per row here, not per pair: higher-order
     # aggregates run interpreted (outside codegen), so the pair stage —
     # the |cluster|^2 hot loop — must cost exactly one dot product,
     # with the norms riding along as plain doubles.
-    assign = (
-        vectors.select(id_col, vec_col)
-        .crossJoin(cents)
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct(d.alias("d"), F.col("__cid"))).alias("__m"),
-            F.first(vec_col).alias("__v"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("__m.__cid").alias("cluster"),
-            F.col("__v"),
-            norm2(F.col("__v")).alias("__n"),
-        )
+    # r12 (guide §2.4): the P centroids are driver-small by the
+    # SemDeDup contract, so the coarse assign is the map-only literal
+    # argmin (plans.ivf._assign_best_expr — same squared_l2 fold, same
+    # (d, cid) tie-break) instead of a crossJoin + groupBy that
+    # shuffles one full-vector row per input; the broadcast-join form
+    # stays as the over-budget fallback.
+    from flechasdb_spark.plans.ivf import (
+        _assign_best_expr,
+        _small_centroid_rows,
     )
+
+    lit_rows = _small_centroid_rows(centroids, cent_id_col, cent_col)
+    if lit_rows is not None:
+        best = _assign_best_expr(lit_rows, vec_col)
+        assign = (
+            vectors.select(id_col, vec_col)
+            .withColumn("__m", best)
+            .select(
+                F.col(id_col),
+                F.col("__m")["p"].alias("cluster"),
+                F.col(vec_col).alias("__v"),
+                norm2(F.col(vec_col)).alias("__n"),
+            )
+        )
+    else:
+        cents = F.broadcast(
+            centroids.select(
+                F.col(cent_id_col).alias("__cid"),
+                F.col(cent_col).alias("__cv"),
+            )
+        )
+        d = squared_l2(F.col(vec_col), F.col("__cv"))
+        assign = (
+            vectors.select(id_col, vec_col)
+            .crossJoin(cents)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("__cid"))).alias("__m"),
+                F.first(vec_col).alias("__v"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("__m.__cid").alias("cluster"),
+                F.col("__v"),
+                norm2(F.col("__v")).alias("__n"),
+            )
+        )
     a = assign.select(
         F.col(id_col).alias("id_a"),
         F.col("cluster"),
