@@ -151,25 +151,33 @@ def _nb_scored_structs(
     associative, so the fold total equals the former
     count-times-loglik aggregate bit-for-bit, and struct(ns, label)
     ordering reproduces the (score desc, label asc) tie-break."""
+    from flechasdb_spark.plans.ivf import _let
+
     _, labels_lit, priors_lit, ll_lit = lits
     bs = F.transform(
         F.coalesce(tokens(text_col), F.array()),
         lambda t: (md5_long(t) % B).cast("int"),
     )
-    dfb = df.select(F.col(id_col), bs.alias("__bs"))
 
-    def _per_label(row, i):
-        fold = F.aggregate(
-            F.col("__bs"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(row, b + 1),
-        )
-        return F.struct(
-            (-(F.element_at(priors_lit, i + 1) + fold)).alias("ns"),
-            F.element_at(labels_lit, i + 1).alias("label"),
-        )
+    def _per_label(bsv):
+        def _one(row, i):
+            fold = F.aggregate(
+                bsv,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.element_at(row, b + 1),
+            )
+            return F.struct(
+                (-(F.element_at(priors_lit, i + 1) + fold)).alias("ns"),
+                F.element_at(labels_lit, i + 1).alias("label"),
+            )
 
-    return dfb.withColumn("__sc", F.transform(ll_lit, _per_label))
+        return _one
+
+    # let-bind the bucket array so tokenization + hashing run ONCE per
+    # row, not once per label (a single-use alias would be inlined into
+    # the per-label lambda by project collapse)
+    sc = _let(bs, lambda bsv: F.transform(ll_lit, _per_label(bsv)))
+    return df.select(F.col(id_col), sc.alias("__sc"))
 
 
 def nb_score(

@@ -222,11 +222,14 @@ def rq_encode(
                 )
                 rcol = F.col(f"__r{lv}")
 
+                # the struct carries the winner's literal INDEX, not
+                # the center array — copying C x dim doubles per row
+                # per level just to keep the winner's was the hot cost
                 def _lam(_r, _cl):
                     return lambda c, i: F.struct(
                         squared_l2(_r, c).alias("d"),
                         F.element_at(_cl, i + 1).cast("int").alias("code"),
-                        c.alias("c"),
+                        i.alias("i"),
                     )
 
                 scored = F.transform(cents_lit, _lam(rcol, codes_lit))
@@ -238,11 +241,14 @@ def rq_encode(
                     )
                 )
                 if lv < levels - 1:
+                    winner = F.element_at(
+                        cents_lit, F.col(f"__b{lv}")["i"] + 1
+                    )
                     cur = cur.withColumn(
                         f"__r{lv + 1}",
                         F.zip_with(
                             f"__r{lv}",
-                            F.col(f"__b{lv}")["c"],
+                            winner,
                             lambda a, b: a - b,
                         ),
                     )

@@ -61,26 +61,53 @@ def _small_centroid_rows(
     return rows
 
 
-def _assign_best_expr(rows, vec_col: str):
-    """struct(d, p, c) of the nearest centroid as a PURE map expression:
-    the P centroids ride as two plan literals (ids + vectors), per-row
-    distance is the same `squared_l2` double fold the relational form
-    computes, and `array_min` over struct(d, p, ...) is the identical
-    (dist asc, pid asc) tie-break as ``min(struct(d, p))`` — pid is
-    unique, so the trailing centroid field never participates."""
-    pids_lit = F.lit([int(r[0]) for r in rows])
-    cents_lit = F.lit(
+def _let(value, body):
+    """Single-evaluation let-binding for expression trees: bind
+    ``value`` to a higher-order-function lambda variable so ``body``
+    can reference it any number of times while it is evaluated ONCE
+    per row. Plain column expressions have no sharing — every
+    reference duplicates the tree, and project-collapse can duplicate
+    even single-use aliases past a passthrough (measured on the cosine
+    fixture: the interpreted normalize() ran twice per row). A lambda
+    variable is the one Catalyst construct with guaranteed
+    evaluate-once semantics."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _cent_array_lit(rows):
+    """The collected centroid vectors as ONE array<array<double>> plan
+    literal, positionally aligned with ``rows``."""
+    return F.lit(
         [[float(x) for x in r[1]] for r in rows]
     ).cast("array<array<double>>")
-    scored = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
+
+
+def _assign_best_expr(rows, vec_col: str, carry_index: bool = False):
+    """struct(d, p[, i]) of the nearest centroid as a PURE map
+    expression: the P centroids ride as two plan literals (ids +
+    vectors), per-row distance is the same `squared_l2` double fold the
+    relational form computes, and `array_min` over struct(d, p, ...) is
+    the identical (dist asc, pid asc) tie-break as
+    ``min(struct(d, p))`` — pid is unique, so trailing fields never
+    participate. ``carry_index`` adds the centroid's literal POSITION
+    so callers can fetch the winning vector with one ``element_at``
+    instead of copying the full centroid array into every candidate
+    struct (measured: carrying the array cost ~0.3-0.5 s per corpus
+    evaluation at bench scale — P x dim doubles materialized per row
+    just to keep the winner's)."""
+    pids_lit = F.lit([int(r[0]) for r in rows])
+    cents_lit = _cent_array_lit(rows)
+
+    def _lam(c, i):
+        fields = [
             squared_l2(F.col(vec_col), c).alias("d"),
             F.element_at(pids_lit, i + 1).cast("int").alias("p"),
-            c.alias("c"),
-        ),
-    )
-    return F.array_min(scored)
+        ]
+        if carry_index:
+            fields.append(i.alias("i"))
+        return F.struct(*fields)
+
+    return F.array_min(F.transform(cents_lit, _lam))
 
 
 def ivf_assign(

@@ -104,21 +104,61 @@ def ivfsq_residuals(
     shuffle); distances, tie-breaks and residual arithmetic are
     identical either way (pytest-gated). ``keep_cols`` ride along
     untouched (attribute columns)."""
-    from flechasdb_spark.plans.ivf import _assign_best_expr, _small_centroid_rows
+    from flechasdb_spark.plans.ivf import (
+        _cent_array_lit,
+        _let,
+        _small_centroid_rows,
+    )
 
     cc = cent_col_name(centroids)
     rows = _small_centroid_rows(centroids, "partition_id", cc)
     if rows is not None:
-        best = _assign_best_expr(rows, vec_col)
-        resid = F.zip_with(
+        pids_lit = F.lit([int(r[0]) for r in rows])
+        cents_lit = _cent_array_lit(rows)
+
+        def _score(v):
+            def _cand(c, i):
+                d = F.aggregate(
+                    F.zip_with(
+                        v,
+                        c,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                return F.struct(
+                    d.alias("d"),
+                    F.element_at(pids_lit, i + 1).cast("int").alias("p"),
+                    i.alias("i"),
+                )
+
+            return F.array_min(F.transform(cents_lit, _cand))
+
+        # two nested let-bindings guarantee the (possibly expensive)
+        # vector expression and the P-way argmin are each evaluated
+        # ONCE per row, no matter how the optimizer collapses projects
+        out = _let(
             F.col(vec_col).cast("array<double>"),
-            F.col("__best")["c"],
-            lambda a, b: a - b,
+            lambda v: _let(
+                _score(v),
+                lambda b: F.struct(
+                    b["p"].alias("p"),
+                    F.zip_with(
+                        v,
+                        F.element_at(cents_lit, b["i"] + 1),
+                        lambda a, c2: a - c2,
+                    ).alias("r"),
+                ),
+            ),
         )
-        return vectors.withColumn("__best", best).select(
+        return vectors.select(
+            F.col(id_col), out.alias("__pr"), *keep_cols
+        ).select(
             id_col,
-            F.col("__best")["p"].alias("partition_id"),
-            resid.alias("residual"),
+            F.col("__pr")["p"].alias("partition_id"),
+            F.col("__pr")["r"].alias("residual"),
             *keep_cols,
         )
     assigned = ivf_assign(
