@@ -134,50 +134,93 @@ def _nb_model_literal(priors: DataFrame, loglik: DataFrame, B: int):
         ll[lab][b] = int(r["loglik_lq"])
     if any(v is None for lab in labels for v in ll[lab]):
         return None  # not the dense grid nb_train produces
-    labels_lit = F.lit(labels)
-    priors_lit = F.lit([prior_by[lab] for lab in labels]).cast("array<long>")
-    ll_lit = F.lit([ll[lab] for lab in labels]).cast("array<array<long>>")
-    return labels, labels_lit, priors_lit, ll_lit
+    import numpy as np
+
+    P = np.array([prior_by[lab] for lab in labels], dtype=np.int64)
+    LL = np.array([ll[lab] for lab in labels], dtype=np.int64)
+    return labels, P, LL
 
 
-def _nb_scored_structs(
-    df: DataFrame, lits, text_col: str, id_col: str, B: int
-):
-    """df plus ``__sc``: the per-doc array of struct(ns, label) with
-    ns = -score(doc, label) — ONE map-only codegen projection (r12,
-    guide §2.4/§4): token buckets via a higher-order transform (no
-    explode, no shuffle), per-label integer fold over the literal
-    loglik row, priors added outside the fold. Integer addition is
-    associative, so the fold total equals the former
-    count-times-loglik aggregate bit-for-bit, and struct(ns, label)
-    ordering reproduces the (score desc, label asc) tie-break."""
-    from flechasdb_spark.plans.ivf import _let
+def _nb_scored_top2(df: DataFrame, model, text_col: str, id_col: str, B: int):
+    """df -> (id_col, __nb struct<predicted, s1, s2>) with s1/s2 the
+    best / second-best label scores in micro-nats (s2 NULL at L = 1) —
+    ONE map-only pass, no explode, no shuffle, no model join:
 
-    _, labels_lit, priors_lit, ll_lit = lits
-    bs = F.transform(
-        F.coalesce(tokens(text_col), F.array()),
-        lambda t: (md5_long(t) % B).cast("int"),
+    - token buckets stay the SQL expressions (`tokens` + `md5_long`),
+      so hashing is bit-identical to the relational form;
+    - the per-label integer fold runs as an Arrow-batched NumPy kernel
+      (guide §4.2 — the first cut folded per token per label in
+      interpreted Catalyst lambdas, which kept the exchange-free plan
+      but cost ~1.7x the old codegen aggregates at fixture scale):
+      per-row bucket counts (bincount) x the int64 loglik matrix +
+      priors. Pure int64 arithmetic — bit-identical to the
+      count-times-loglik aggregate in any order.
+    - ranking: labels are pre-sorted (UTF-8 byte order ≡ codepoint
+      order, Spark's own string ordering), so a STABLE descending
+      argsort's first/second elements ARE the (score desc, label asc)
+      rn = 1/2 rows of the former window."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    labels, P, LL = model
+    L = len(labels)
+    # tokenization stays the codegen SQL expression (bit-identical to
+    # the relational form); the kernel receives the token ARRAYS
+    toks_expr = F.coalesce(tokens(text_col), F.array())
+
+    @F.pandas_udf(
+        "struct<predicted:string, s1:long, s2:long>",
+        F.PandasUDFType.SCALAR,
     )
-
-    def _per_label(bsv):
-        def _one(row, i):
-            fold = F.aggregate(
-                bsv,
-                F.lit(0).cast("long"),
-                lambda acc, b: acc + F.element_at(row, b + 1),
+    def _score(tokens_s):
+        n = len(tokens_s)
+        lists = [
+            t if t is not None else [] for t in tokens_s
+        ]
+        lens = np.array([len(t) for t in lists], dtype=np.int64)
+        counts = np.zeros((n, B), dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in lists if len(t)]
             )
-            return F.struct(
-                (-(F.element_at(priors_lit, i + 1) + fold)).alias("ns"),
-                F.element_at(labels_lit, i + 1).alias("label"),
+            # md5 only the UNIQUE tokens of the batch (the vocabulary
+            # is tiny next to the token stream), identical arithmetic
+            # to md5_long: first 15 hex chars as a 60-bit int, mod B
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ub = np.array(
+                [
+                    int(
+                        hashlib.md5(str(u).encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                    % B
+                    for u in uniq
+                ],
+                dtype=np.int64,
             )
+            rows = np.repeat(np.arange(n), lens)
+            np.add.at(counts, (rows, ub[inv]), 1)
+        scores = counts @ LL.T + P[None, :]  # (n, L) int64, exact
+        # stable argsort on -scores: ties keep index order = label asc
+        order = np.argsort(-scores, axis=1, kind="stable")
+        best = order[:, 0]
+        s1 = scores[np.arange(n), best]
+        out = {
+            "predicted": pd.array(
+                [labels[j] for j in best], dtype="string"
+            ),
+            "s1": s1,
+        }
+        if L >= 2:
+            second = order[:, 1]
+            out["s2"] = scores[np.arange(n), second]
+        else:
+            out["s2"] = pd.array([None] * n, dtype="Int64")
+        return pd.DataFrame(out)
 
-        return _one
-
-    # let-bind the bucket array so tokenization + hashing run ONCE per
-    # row, not once per label (a single-use alias would be inlined into
-    # the per-label lambda by project collapse)
-    sc = _let(bs, lambda bsv: F.transform(ll_lit, _per_label(bsv)))
-    return df.select(F.col(id_col), sc.alias("__sc"))
+    return df.select(F.col(id_col), _score(toks_expr).alias("__nb"))
 
 
 def nb_score(
@@ -213,11 +256,10 @@ def nb_score(
     B = int(n_buckets)
     lits = _nb_model_literal(priors, loglik, B)
     if lits is not None:
-        best = F.array_min(F.col("__sc"))
-        return _nb_scored_structs(df, lits, text_col, id_col, B).select(
+        return _nb_scored_top2(df, lits, text_col, id_col, B).select(
             id_col,
-            best["label"].alias("predicted"),
-            (-best["ns"]).alias("score_micro_nats"),
+            F.col("__nb")["predicted"].alias("predicted"),
+            F.col("__nb")["s1"].alias("score_micro_nats"),
         )
     dtok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
@@ -296,20 +338,11 @@ def nb_score_margin(
     B = int(n_buckets)
     lits = _nb_model_literal(priors, loglik, B)
     if lits is not None:
-        # map-only top-2 (r12): array_sort over struct(ns, label) IS
-        # the (score desc, label asc) rank order, so element 1/2 are
-        # exactly the window's rn = 1/2 rows
-        labels = lits[0]
-        srt = F.array_sort(F.col("__sc"))
-        s1 = -F.element_at(srt, 1)["ns"]
-        s2 = (
-            -F.element_at(srt, 2)["ns"]
-            if len(labels) >= 2
-            else F.lit(None).cast("long")
-        )
-        return _nb_scored_structs(df, lits, text_col, id_col, B).select(
+        s1 = F.col("__nb")["s1"]
+        s2 = F.col("__nb")["s2"]
+        return _nb_scored_top2(df, lits, text_col, id_col, B).select(
             F.col(id_col),
-            F.element_at(srt, 1)["label"].alias("predicted"),
+            F.col("__nb")["predicted"].alias("predicted"),
             s1.cast("long").alias("score_micro_nats"),
             (s1 - F.coalesce(s2, s1)).cast("long").alias(
                 "margin_micro_nats"
