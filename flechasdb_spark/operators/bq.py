@@ -125,8 +125,10 @@ def _hamming_dist_checked(query_words: list[int]) -> Column:
     `size(words)`, so it costs nothing extra (same scan) and fails
     loudly on the first mismatched row, matching the repo's
     loud-failure convention (flat-layout guard, missing-cell guard)."""
+    from flechasdb_spark.functions.linalg import lit_longs
+
     nw = len(query_words)
-    qw = F.array(*[F.lit(int(x)).cast("long") for x in query_words])
+    qw = lit_longs(query_words)
     dist = F.aggregate(
         F.zip_with(
             F.col("words"), qw, lambda a, b: F.bit_count(a.bitwiseXOR(b))

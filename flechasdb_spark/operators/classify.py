@@ -118,7 +118,15 @@ def _nb_model_literal(priors: DataFrame, loglik: DataFrame, B: int):
     or None when the model exceeds the literal budget / is not the
     dense L x B grid. The model is O(L x B) integers — the same rows
     the former plan broadcast — so collecting it once and scoring
-    map-only costs nothing new at any corpus size."""
+    map-only costs nothing new at any corpus size. Non-string label
+    columns force the relational path (ADVICE r12: the literal scorer
+    coerces labels through str(), which would silently flip the output
+    schema to string and the tie-break to lexicographic — "10" < "9"
+    — for e.g. integer classes)."""
+    from pyspark.sql.types import StringType
+
+    if not isinstance(priors.schema["label"].dataType, StringType):
+        return None
     if B <= 0 or B * 8 > 65536:
         return None
     p_rows = priors.collect()

@@ -58,7 +58,9 @@ def prefix_dim_recall_curve(
     q = [float(x) for x in query_vector]
 
     def _topk(d: int) -> DataFrame:
-        qd = F.array(*[F.lit(x) for x in q[:d]])
+        from flechasdb_spark.functions.linalg import lit_doubles
+
+        qd = lit_doubles(q[:d])
         vd = (
             F.col(vec_col).cast("array<double>")
             if d == full_dim

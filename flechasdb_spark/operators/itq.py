@@ -131,14 +131,12 @@ def itq_code_expr(vec_col: Column | str, model: ITQModel) -> Column:
     """Packed code (one BIGINT, LSB = bit 0): bit j set iff
     <x - mu, c_j> >= 0. Pure Catalyst: ``bits`` literal-array dot folds
     + conditional bit weights summed — map-only, codegen'd."""
-    from flechasdb_spark.functions.linalg import dot
+    from flechasdb_spark.functions.linalg import dot, lit_doubles
     from flechasdb_spark.operators.pca import _seq_dot
 
     acc: Column = F.lit(0).cast("long")
     for j, c in enumerate(model.components):
-        proj = dot(vec_col, F.array(*[F.lit(float(e)) for e in c])) - F.lit(
-            _seq_dot(model.mean, c)
-        )
+        proj = dot(vec_col, lit_doubles(c)) - F.lit(_seq_dot(model.mean, c))
         acc = acc + F.when(proj >= 0.0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

@@ -36,7 +36,10 @@ __all__ = [
 
 
 def _literal_vector(qv: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
+    # one py4j call / one Literal node (r13 — see linalg.lit_doubles)
+    from flechasdb_spark.functions.linalg import lit_doubles
+
+    return lit_doubles(qv).cast("array<float>")
 
 
 def flat_knn(

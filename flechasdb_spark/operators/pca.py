@@ -176,7 +176,10 @@ def pca_train(
 
 
 def _lit_arr(xs: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    # one py4j call / one Literal node (r13 — see linalg.lit_doubles)
+    from flechasdb_spark.functions.linalg import lit_doubles
+
+    return lit_doubles(xs)
 
 
 def pca_project(

@@ -102,14 +102,14 @@ def adc_table(
     table[division, code] = ||query_slice_division - center||^2.
     ``dim_perm`` must match the permutation the codes were encoded
     with (see pq_encode)."""
+    from flechasdb_spark.functions.linalg import lit_doubles
+
     if dim_perm is None:
-        qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
-            "array<float>"
-        )
+        qv = lit_doubles(query_vector).cast("array<float>")
         sliced = F.slice(qv, F.col("division") * width + 1, width)
     else:
         pv = [float(query_vector[int(p)]) for p in dim_perm]
-        qv = F.array(*[F.lit(x) for x in pv]).cast("array<float>")
+        qv = lit_doubles(pv).cast("array<float>")
         sliced = F.slice(qv, F.col("division") * width + 1, width)
     part = squared_l2(sliced, F.col("center"))
     return codebooks.select("division", "code", part.alias("partial"))

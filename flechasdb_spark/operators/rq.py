@@ -196,13 +196,26 @@ def rq_encode(
     path)."""
     if impl not in ("auto", "literal", "relational"):
         raise ValueError(f"unknown impl: {impl!r}")
-    cap = 4096
+    import os as _os
+
+    max_elems = int(
+        _os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "65536")
+    )
+    cap = min(max_elems, 4096)
     cb_rows = (
         codebooks.select("level", "code", "center").limit(cap + 1).collect()
         if impl != "relational"
         else []
     )
-    if cb_rows and len(cb_rows) <= cap:
+    # rows x dim element budget mirrors _small_centroid_rows (ADVICE
+    # r12: a row-count-only gate let a 4096-row high-dim codebook embed
+    # millions of doubles as plan literals where the centroid paths
+    # would have fallen back to the relational form)
+    if (
+        cb_rows
+        and len(cb_rows) <= cap
+        and len(cb_rows) * len(cb_rows[0]["center"]) <= max_elems
+    ):
         by_level: dict[int, list] = {}
         for r in cb_rows:
             by_level.setdefault(int(r["level"]), []).append(
@@ -214,12 +227,15 @@ def rq_encode(
                 F.col(vec_col).cast("array<double>").alias("__r0"),
             )
             code_fields = []
+            from flechasdb_spark.functions.linalg import (
+                lit_double_matrix,
+                lit_longs,
+            )
+
             for lv in range(levels):
                 ents = sorted(by_level[lv])
-                codes_lit = F.lit([c for c, _ in ents])
-                cents_lit = F.lit([v for _, v in ents]).cast(
-                    "array<array<double>>"
-                )
+                codes_lit = lit_longs([c for c, _ in ents])
+                cents_lit = lit_double_matrix([v for _, v in ents])
                 rcol = F.col(f"__r{lv}")
 
                 # the struct carries the winner's literal INDEX, not

@@ -57,7 +57,9 @@ def hyperplane(p: int, dim: int) -> list[float]:
 
 
 def _dot_lit(vec: Column, plane: list[float]) -> Column:
-    lit = F.array(*[F.lit(h) for h in plane])
+    from flechasdb_spark.functions.linalg import lit_doubles
+
+    lit = lit_doubles(plane)
     return F.aggregate(
         F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
         F.lit(0.0),
@@ -421,7 +423,11 @@ def cluster_neardup_pairs(
 
     lit_rows = _small_centroid_rows(centroids, cent_id_col, cent_col)
     if lit_rows is not None:
-        best = _assign_best_expr(lit_rows, vec_col)
+        best = _assign_best_expr(
+            lit_rows,
+            vec_col,
+            pid_type=centroids.schema[cent_id_col].dataType.simpleString(),
+        )
         assign = (
             vectors.select(id_col, vec_col)
             .withColumn("__m", best)
@@ -500,7 +506,9 @@ def maxsim_doc_topk(
     the global top-k. No joins, no windows; scales as a single pass
     over the vector table. Returns (doc, score, best_vec_id).
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    from flechasdb_spark.functions.linalg import lit_doubles
+
+    q = lit_doubles(query)
     cos = cosine_similarity(F.col(vec_col), q)
     scored = vectors.select(
         F.col(doc_col).alias("doc"),

@@ -229,7 +229,11 @@ def sq_bounds_quantile(
 
 
 def _lit_arr(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    # one py4j call / one Literal node (r13 — see linalg.lit_doubles);
+    # values bit-identical to the former per-element F.lit(float(x))
+    from flechasdb_spark.functions.linalg import lit_doubles
+
+    return lit_doubles(xs)
 
 
 def _code(x: Column, lo: Column, hi: Column, levels: int = 255) -> Column:

@@ -25,7 +25,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flechasdb_spark.functions.linalg import squared_l2
+from flechasdb_spark.functions.linalg import (
+    lit_double_matrix,
+    lit_doubles,
+    lit_longs,
+    squared_l2,
+)
 from flechasdb_spark.operators.build import IndexModel
 
 __all__ = [
@@ -39,6 +44,30 @@ __all__ = [
 ]
 
 
+import weakref
+
+# Plan-CONSTRUCTION memo, not result caching (r13, guide §7.3 driver
+# round-trips): keyed WEAKLY on the live centroid DataFrame OBJECT, it
+# holds the collected O(P) centroid rows and the argmin Column built
+# from them, so a lifecycle that encodes several shards against ONE
+# centroid table (merge/upsert/rebalance: 2-3 ivfsq_residuals calls per
+# plan build) collects once and builds the expression once. Entries die
+# with the DataFrame; every bench repetition constructs fresh DataFrames,
+# so nothing persists across runs or reps — the collect still happens
+# inside every timed execution. (Caveat shared with Spark's own
+# file-index caching: re-collecting the SAME DataFrame object after its
+# underlying files were rewritten was never well-defined.)
+_PLAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _df_memo(df: DataFrame) -> dict:
+    d = _PLAN_MEMO.get(df)
+    if d is None:
+        d = {}
+        _PLAN_MEMO[df] = d
+    return d
+
+
 def _small_centroid_rows(
     centroids: DataFrame, pid_col: str, cent_col: str
 ):
@@ -46,18 +75,37 @@ def _small_centroid_rows(
     None (huge-P fallback). One tiny job: ``limit(cap + 1)`` bounds
     what ever reaches the driver, and getting cap + 1 rows back (or a
     P x dim element count past the budget) means the table is too big
-    for a plan literal — the caller keeps the broadcast-join form."""
+    for a plan literal — the caller keeps the broadcast-join form.
+    A non-integral id column also returns None (ADVICE r12: the
+    literal path coerces ids through int(), which would raise — or
+    reorder ties — where the broadcast-join form worked), so the
+    relational fallback keeps its exact semantics."""
     import os as _os
+
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     max_elems = int(
         _os.environ.get("SPARK_GRAFT_ASSIGN_LITERAL_MAX", "65536")
     )
-    cap = min(max_elems, 4096)
-    rows = centroids.select(pid_col, cent_col).limit(cap + 1).collect()
-    if not rows or len(rows) > cap:
-        return None
-    if len(rows) * len(rows[0][cent_col]) > max_elems:
-        return None
+    memo = _df_memo(centroids)
+    # the env budget is part of the key: tests flip it as a kill switch
+    key = ("rows", pid_col, cent_col, max_elems)
+    if key in memo:
+        return memo[key]
+    rows = None
+    if isinstance(
+        centroids.schema[pid_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        cap = min(max_elems, 4096)
+        rows = centroids.select(pid_col, cent_col).limit(cap + 1).collect()
+        if (
+            not rows
+            or len(rows) > cap
+            or len(rows) * len(rows[0][cent_col]) > max_elems
+        ):
+            rows = None
+    memo[key] = rows
     return rows
 
 
@@ -76,13 +124,15 @@ def _let(value, body):
 
 def _cent_array_lit(rows):
     """The collected centroid vectors as ONE array<array<double>> plan
-    literal, positionally aligned with ``rows``."""
-    return F.lit(
-        [[float(x) for x in r[1]] for r in rows]
-    ).cast("array<array<double>>")
+    literal, positionally aligned with ``rows`` (r13: built row-wise
+    from numpy arrays — O(P) py4j calls and plan nodes instead of
+    O(P x dim), see `lit_double_matrix`; values bit-identical)."""
+    return lit_double_matrix([r[1] for r in rows])
 
 
-def _assign_best_expr(rows, vec_col: str, carry_index: bool = False):
+def _assign_best_expr(
+    rows, vec_col: str, carry_index: bool = False, pid_type: str = "int"
+):
     """struct(d, p[, i]) of the nearest centroid as a PURE map
     expression: the P centroids ride as two plan literals (ids +
     vectors), per-row distance is the same `squared_l2` double fold the
@@ -94,14 +144,17 @@ def _assign_best_expr(rows, vec_col: str, carry_index: bool = False):
     instead of copying the full centroid array into every candidate
     struct (measured: carrying the array cost ~0.3-0.5 s per corpus
     evaluation at bench scale — P x dim doubles materialized per row
-    just to keep the winner's)."""
-    pids_lit = F.lit([int(r[0]) for r in rows])
+    just to keep the winner's). ``pid_type`` is the centroid table's
+    actual id dtype (ADVICE r12: the former hardcoded int cast could
+    truncate bigint ids and made the literal path's output schema
+    diverge from the relational fallback's)."""
+    pids_lit = lit_longs([r[0] for r in rows])
     cents_lit = _cent_array_lit(rows)
 
     def _lam(c, i):
         fields = [
             squared_l2(F.col(vec_col), c).alias("d"),
-            F.element_at(pids_lit, i + 1).cast("int").alias("p"),
+            F.element_at(pids_lit, i + 1).cast(pid_type).alias("p"),
         ]
         if carry_index:
             fields.append(i.alias("i"))
@@ -150,7 +203,17 @@ def ivf_assign(
                 "SPARK_GRAFT_ASSIGN_LITERAL_MAX or use impl='relational'"
             )
         if rows is not None:
-            best = _assign_best_expr(rows, vec_col)
+            pid_type = centroids.schema[pid_col].dataType.simpleString()
+            memo = _df_memo(centroids)
+            bkey = ("assign_best", vec_col, pid_type)
+            best = memo.get(bkey)
+            if best is None:
+                # Column expressions are immutable and resolve by name,
+                # so the SAME argmin expression serves every shard
+                # encoded against this centroid table (construction is
+                # hundreds of py4j round-trips — see _PLAN_MEMO note)
+                best = _assign_best_expr(rows, vec_col, pid_type=pid_type)
+                memo[bkey] = best
             return vectors.select(
                 id_col, *other_cols, best["p"].alias(pid_col)
             )
@@ -202,7 +265,7 @@ def ivf_flat_query(
     ]
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
     candidates = assigned.where(F.col("partition_id").isin(probe_ids))
-    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<float>")
+    qv = lit_doubles(query_vector).cast("array<float>")
     dist = squared_l2(F.col(vec_col), qv)
     out = (
         candidates.select(

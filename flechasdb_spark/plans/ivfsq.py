@@ -110,49 +110,66 @@ def ivfsq_residuals(
         _small_centroid_rows,
     )
 
+    from flechasdb_spark.functions.linalg import lit_longs
+
     cc = cent_col_name(centroids)
     rows = _small_centroid_rows(centroids, "partition_id", cc)
     if rows is not None:
-        pids_lit = F.lit([int(r[0]) for r in rows])
-        cents_lit = _cent_array_lit(rows)
+        from flechasdb_spark.plans.ivf import _df_memo
 
-        def _score(v):
-            def _cand(c, i):
-                d = F.aggregate(
-                    F.zip_with(
-                        v,
-                        c,
-                        lambda x, y: (x.cast("double") - y.cast("double"))
-                        * (x.cast("double") - y.cast("double")),
+        memo = _df_memo(centroids)
+        okey = ("resid_out", vec_col)
+        out = memo.get(okey)
+        if out is None:
+            pid_type = (
+                centroids.schema["partition_id"].dataType.simpleString()
+            )
+            pids_lit = lit_longs([r[0] for r in rows])
+            cents_lit = _cent_array_lit(rows)
+
+            def _score(v):
+                def _cand(c, i):
+                    d = F.aggregate(
+                        F.zip_with(
+                            v,
+                            c,
+                            lambda x, y: (x.cast("double") - y.cast("double"))
+                            * (x.cast("double") - y.cast("double")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    return F.struct(
+                        d.alias("d"),
+                        F.element_at(pids_lit, i + 1)
+                        .cast(pid_type)
+                        .alias("p"),
+                        i.alias("i"),
+                    )
+
+                return F.array_min(F.transform(cents_lit, _cand))
+
+            # two nested let-bindings guarantee the (possibly expensive)
+            # vector expression and the P-way argmin are each evaluated
+            # ONCE per row, no matter how the optimizer collapses
+            # projects; the finished Column is memoized on the centroid
+            # DataFrame (plans/ivf._PLAN_MEMO) so multi-shard lifecycles
+            # build it once per plan, not once per shard
+            out = _let(
+                F.col(vec_col).cast("array<double>"),
+                lambda v: _let(
+                    _score(v),
+                    lambda b: F.struct(
+                        b["p"].alias("p"),
+                        F.zip_with(
+                            v,
+                            F.element_at(cents_lit, b["i"] + 1),
+                            lambda a, c2: a - c2,
+                        ).alias("r"),
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                return F.struct(
-                    d.alias("d"),
-                    F.element_at(pids_lit, i + 1).cast("int").alias("p"),
-                    i.alias("i"),
-                )
-
-            return F.array_min(F.transform(cents_lit, _cand))
-
-        # two nested let-bindings guarantee the (possibly expensive)
-        # vector expression and the P-way argmin are each evaluated
-        # ONCE per row, no matter how the optimizer collapses projects
-        out = _let(
-            F.col(vec_col).cast("array<double>"),
-            lambda v: _let(
-                _score(v),
-                lambda b: F.struct(
-                    b["p"].alias("p"),
-                    F.zip_with(
-                        v,
-                        F.element_at(cents_lit, b["i"] + 1),
-                        lambda a, c2: a - c2,
-                    ).alias("r"),
                 ),
-            ),
-        )
+            )
+            memo[okey] = out
         return vectors.select(
             F.col(id_col), out.alias("__pr"), *keep_cols
         ).select(
@@ -284,13 +301,13 @@ def _probe_and_centroid_literal(
         vec_col=cc,
         extra_cols=(cc,),
     ).collect()
+    from flechasdb_spark.functions.linalg import lit_doubles
+
     probe_ids = [int(r["partition_id"]) for r in rows]
     entries = []
     for r in rows:
         entries.append(F.lit(int(r["partition_id"])))
-        entries.append(
-            F.lit([float(x) for x in r[cc]]).cast("array<double>")
-        )
+        entries.append(lit_doubles(r[cc]))
     return probe_ids, F.element_at(
         F.create_map(*entries), F.col("partition_id")
     )

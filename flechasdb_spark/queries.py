@@ -1239,7 +1239,7 @@ def q_pca_reduced_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as ann_ivfpq_rerank). Query coefficients are read back
     from the engine's own projection so both sides rank identical
     arithmetic."""
-    from flechasdb_spark.functions.linalg import squared_l2
+    from flechasdb_spark.functions.linalg import lit_doubles, squared_l2
     from flechasdb_spark.operators.pca import subspace_coeff_exprs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1251,9 +1251,7 @@ def q_pca_reduced_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         proj.select(
             "vec_id",
-            squared_l2("y", F.array(*[F.lit(float(v)) for v in qy])).alias(
-                "d"
-            ),
+            squared_l2("y", lit_doubles(qy)).alias("d"),
         )
         .orderBy("d", "vec_id")
         .limit(10)
