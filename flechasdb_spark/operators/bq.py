@@ -58,29 +58,45 @@ def _packed_words(
 ) -> Column:
     """array<bigint> of ceil(dim/32) words; word w bit j (LSB-first) =
     1 iff vec[w*32 + j] > threshold[w*32 + j]."""
+    from flechasdb_spark.functions.linalg import lit_doubles
+
     n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    # r13: one aggregate over the word's dim positions instead of the
+    # per-bit unrolled when-chain — the integer sum runs in the same
+    # ascending-position order (0 + b_0 + b_1 + ...), so the packed
+    # value is identical, while plan construction drops from O(dim)
+    # py4j round-trips to O(n_words) and the tree from O(dim) nodes.
+    thr_lit = (
+        None if thresholds is None
+        else lit_doubles([float(t) for t in thresholds])
+    )
     words = []
     for w in range(n_words):
-        bits = []
-        for j in range(WORD_BITS):
-            pos = w * WORD_BITS + j
-            if pos >= dim:
-                break
+        lo, hi = w * WORD_BITS, min((w + 1) * WORD_BITS, dim) - 1
+        base = F.lit(w * WORD_BITS)
+
+        def _bit(acc, p):
             thr = (
-                F.lit(0.0)
-                if thresholds is None
-                else F.lit(float(thresholds[pos]))
+                F.lit(0.0) if thr_lit is None
+                else F.element_at(thr_lit, (p + 1).cast("int"))
             )
-            bits.append(
-                F.when(
-                    F.element_at(F.col(vec_col), pos + 1) > thr,
-                    F.lit(1 << j).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
+            one = F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (p - base).cast("int"),
             )
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        words.append(acc)
+            return acc + F.when(
+                F.element_at(F.col(vec_col), (p + 1).cast("int")) > thr,
+                one,
+            ).otherwise(F.lit(0).cast("long"))
+
+        words.append(
+            F.aggregate(
+                F.sequence(F.lit(lo), F.lit(hi)),
+                F.lit(0).cast("long"),
+                _bit,
+            )
+        )
     return F.array(*words)
 
 
@@ -220,22 +236,39 @@ def asymmetric_score_checked(
     (`hamming_asymmetric_knn`) and the probe-pruned composition
     (`plans.ivfbq.ivfbq_asymmetric_query`); same width guard as
     `_hamming_dist_checked`."""
+    from flechasdb_spark.functions.linalg import lit_longs
+
     qv = [float(x) for x in query_vector]
     w = asymmetric_weights_micro(qv, thresholds)
     dim = len(qv)
     n_words = (dim + WORD_BITS - 1) // WORD_BITS
     guard = F.size(F.col("words")) == n_words
-    acc: Column = F.lit(0).cast("long")
-    for d in range(dim):
-        thr = 0.0 if thresholds is None else float(thresholds[d])
-        qbit = 1 if qv[d] > thr else 0
-        word_idx, bit_idx = d // WORD_BITS, d % WORD_BITS
-        stored = F.shiftright(
-            F.element_at(F.col("words"), word_idx + 1), bit_idx
+    # r13: the query's packed bits and margins ride as two array
+    # literals and the per-dim unrolled when-chain becomes one
+    # aggregate over sequence(0, dim-1) — the join scorer's O(1)-node
+    # shape (asymmetric_score_join_checked). The integer sum runs in
+    # the same ascending-dim order over the same addends, so the score
+    # is identical; plan construction drops from O(dim) py4j
+    # round-trips to O(1).
+    qw_lit = lit_longs(pack_bits_py(qv, thresholds))
+    wt_lit = lit_longs(w)
+    mask = F.lit(WORD_BITS - 1)
+
+    def _bit(col, d):
+        word = F.element_at(col, (F.shiftright(d, 5) + F.lit(1)).cast("int"))
+        return F.call_function(
+            "shiftright", word, d.bitwiseAND(mask).cast("int")
         ).bitwiseAND(F.lit(1))
-        acc = acc + F.when(
-            stored != F.lit(qbit), F.lit(int(w[d])).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+
+    acc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.lit(0).cast("long"),
+        lambda a, d: a
+        + F.when(
+            _bit(F.col("words"), d) != _bit(qw_lit, d),
+            F.element_at(wt_lit, (d + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
     return F.when(guard, acc).otherwise(
         F.raise_error(
             F.concat(

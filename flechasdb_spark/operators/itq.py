@@ -130,17 +130,43 @@ def itq_train(
 def itq_code_expr(vec_col: Column | str, model: ITQModel) -> Column:
     """Packed code (one BIGINT, LSB = bit 0): bit j set iff
     <x - mu, c_j> >= 0. Pure Catalyst: ``bits`` literal-array dot folds
-    + conditional bit weights summed — map-only, codegen'd."""
-    from flechasdb_spark.functions.linalg import dot, lit_doubles
+    + conditional bit weights summed — map-only, codegen'd.
+
+    r13: the components ride as ONE matrix literal and the per-bit
+    unrolled when-chain is one aggregate over sequence(0, bits-1) —
+    same dot fold per component, same <x-mu, c_j> = <x, c_j> - <mu,
+    c_j> arithmetic, same ascending-bit integer sum (0 + b_0 + ...),
+    so the packed code is identical while plan construction drops from
+    O(bits * dim) py4j round-trips to O(bits)."""
+    from flechasdb_spark.functions.linalg import (
+        dot,
+        lit_double_matrix,
+        lit_doubles,
+    )
     from flechasdb_spark.operators.pca import _seq_dot
 
-    acc: Column = F.lit(0).cast("long")
-    for j, c in enumerate(model.components):
-        proj = dot(vec_col, lit_doubles(c)) - F.lit(_seq_dot(model.mean, c))
-        acc = acc + F.when(proj >= 0.0, F.lit(1 << j).cast("long")).otherwise(
+    comps_lit = lit_double_matrix(model.components)
+    mdots_lit = lit_doubles(
+        [_seq_dot(model.mean, c) for c in model.components]
+    )
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def _bit(acc, j):
+        proj = dot(col, F.element_at(comps_lit, (j + 1).cast("int"))) - (
+            F.element_at(mdots_lit, (j + 1).cast("int"))
+        )
+        one = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), j.cast("int")
+        )
+        return acc + F.when(proj >= 0.0, one).otherwise(
             F.lit(0).cast("long")
         )
-    return acc
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(model.components) - 1)),
+        F.lit(0).cast("long"),
+        _bit,
+    )
 
 
 def itq_encode(
