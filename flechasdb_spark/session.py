@@ -39,7 +39,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver overhead); SPARK_GRAFT_UI=1 turns it
+        # on for per-job diagnosis (scripts/jobtrace_r13.py reads the
+        # REST API for job names/durations)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet splits are sized on COMPRESSED bytes; our post-scan
         # stages are CPU-dense (hashing, PQ encode, norms) over text /
