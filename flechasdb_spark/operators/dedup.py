@@ -557,22 +557,6 @@ def minhash_estimate_error(
         .join(ids, id_col, "semi")
         .localCheckpoint(eager=True)
     )
-    sa = sig.select(
-        F.col(id_col).alias("id_a"), "j", F.col("minhash").alias("__ma")
-    )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"), "j", F.col("minhash").alias("__mb")
-    )
-    match = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "j"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(
-                F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
-            ).alias("__n_match")
-        )
-    )
     toks = (
         df.select(
             F.col(id_col),
@@ -581,15 +565,54 @@ def minhash_estimate_error(
         .join(ids, id_col, "semi")
         .localCheckpoint(eager=True)
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    # r13 (guide §2.4, VERDICT r12 #7): the estimate branch (join on
+    # signature component j) and the exact branch (join on token)
+    # shared the whole join-aggregate shape but ran as two chains plus
+    # a pair-merge join. One UNIFIED key space — 's:<j>' rows carrying
+    # the minhash, 't:<tok>' rows carrying nothing — runs both through
+    # ONE cand -> side_a -> side_b join chain and ONE per-pair
+    # aggregate: n_match counts 's' rows whose minhashes agree (every
+    # candidate doc has all H signature rows, so each pair appears —
+    # the former left-join + coalesce(0) empty-intersection case falls
+    # out naturally as sum() = 0 over 't' rows), n_inter counts 't'
+    # rows (a 't:<tok>' key joins exactly when both docs share the
+    # token — the same intersection count). Counts are identical
+    # integers; one join chain, one aggregate and one merge join fewer.
+    u = sig.select(
+        F.col(id_col),
+        F.concat(F.lit("s:"), F.col("j").cast("string")).alias("__k"),
+        F.col("minhash").alias("__v"),
+    ).unionByName(
+        toks.select(
+            F.col(id_col),
+            F.concat(F.lit("t:"), F.col("tok")).alias("__k"),
+            F.lit(None).cast("long").alias("__v"),
+        )
     )
+    ua = u.select(
+        F.col(id_col).alias("id_a"), "__k", F.col("__v").alias("__va")
+    )
+    ub = u.select(
+        F.col(id_col).alias("id_b"), "__k", F.col("__v").alias("__vb")
+    )
+    both = (
+        cand.join(ua, "id_a")
+        .join(ub, ["id_b", "__k"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__k").startswith("s:")
+                    & (F.col("__va") == F.col("__vb")),
+                    1,
+                ).otherwise(0)
+            ).alias("__n_match"),
+            F.sum(
+                F.when(F.col("__k").startswith("t:"), 1).otherwise(0)
+            ).alias("__n_inter"),
+        )
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("__n_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("__n_b"))
     est = F.col("__n_match").cast("double") / F.lit(float(num_hashes))
@@ -597,12 +620,7 @@ def minhash_estimate_error(
         F.col("__n_a") + F.col("__n_b") - F.col("__n_inter")
     )
     return (
-        # left join + coalesce: a candidate pair with an EMPTY token
-        # intersection must still appear — est > 0 with exact = 0 is
-        # the worst-case error the audit exists to surface
-        match.join(inter, ["id_a", "id_b"], "left")
-        .withColumn("__n_inter", F.coalesce(F.col("__n_inter"), F.lit(0)))
-        .join(za, "id_a")
+        both.join(za, "id_a")
         .join(zb, "id_b")
         .select(
             "id_a",
