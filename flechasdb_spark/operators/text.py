@@ -230,11 +230,29 @@ def quality_score(
     )
 
 
+def _lm_literal_budget() -> int:
+    """Model-entry budget for the literal LM scorers (driver-collected
+    rows; 256k entries of token + int64 is a few MB)."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_LM_LITERAL_MAX", "262144"))
+
+
+def _collect_bounded(df: DataFrame, budget: int):
+    """All rows, or None when the table exceeds ``budget`` (one
+    limit-bounded job — the `_small_centroid_rows` pattern)."""
+    rows = df.limit(budget + 1).collect()
+    if len(rows) > budget:
+        return None
+    return rows
+
+
 def unigram_logprob_score(
     df: DataFrame,
     reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """CCNet-style LM quality signal with a RELATIONAL unigram language
     model (Wenzek et al. 2020 use a KenLM 5-gram; the unigram form is
@@ -265,7 +283,23 @@ def unigram_logprob_score(
     Returns (id_col, n_tokens, nll_micro_nats, mean_nll, seen_ratio);
     empty documents score nll 0 / mean 0.0 / seen_ratio 1.0 by
     convention.
+
+    r13 (guide §2.4 + §4.2, VERDICT r12 #5 — NB's literal-model
+    recipe): the trained table is O(V) integer micro-nats, so when V
+    fits the driver budget ($SPARK_GRAFT_LM_LITERAL_MAX, default
+    262144 entries) it is collected once and scoring runs as ONE
+    Arrow-batched map pass — tokenization stays the codegen SQL
+    expression, the kernel only does dict lookups over the batch's
+    UNIQUE tokens plus exact int64 segment sums, and the ratio
+    columns keep the identical SQL expressions over the kernel's
+    integer outputs. Crucially every log/round is still evaluated BY
+    THE JVM at train time (the collected lq values); the kernel never
+    touches a transcendental, so scores are bit-identical to the
+    explode + join + aggregate shape, which remains the fallback for
+    an over-budget vocabulary (``impl="relational"`` forces it).
     """
+    if impl not in ("auto", "literal", "relational"):
+        raise ValueError(f"unknown impl: {impl!r}")
     ref = reference if reference is not None else df
     rtok = ref.select(F.explode(tokens(text_col)).alias("__tok"))
     counts = rtok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
@@ -288,6 +322,33 @@ def unigram_logprob_score(
             .alias("__floor")
         )
     )
+    if impl != "relational":
+        # one bounded collect: the lq table plus the floor as a
+        # NULL-token row (tokens are never null, so the key is free)
+        model_rows = _collect_bounded(
+            lp.unionByName(
+                floor_lq.select(
+                    F.lit(None).cast("string").alias("__tok"),
+                    F.col("__floor").alias("__lq"),
+                )
+            ),
+            _lm_literal_budget(),
+        )
+        if model_rows is None and impl == "literal":
+            raise ValueError(
+                "vocabulary exceeds SPARK_GRAFT_LM_LITERAL_MAX — use "
+                "impl='relational' or 'auto'"
+            )
+        if model_rows is not None:
+            floor = next(
+                int(r["__lq"]) for r in model_rows if r["__tok"] is None
+            )
+            lq_map = {
+                r["__tok"]: int(r["__lq"])
+                for r in model_rows
+                if r["__tok"] is not None
+            }
+            return _unigram_kernel_score(df, lq_map, floor, text_col, id_col)
     dtok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
     scored = (
         dtok.join(lp, "__tok", "left")
@@ -325,6 +386,66 @@ def unigram_logprob_score(
                 4,
             ).alias("seen_ratio"),
         )
+    )
+
+
+def _unigram_kernel_score(
+    df: DataFrame, lq_map: dict, floor: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One-map-pass unigram NLL scoring against a collected integer
+    model (see `unigram_logprob_score` — literal path): the kernel
+    receives the SQL-tokenized arrays, looks up each batch's UNIQUE
+    tokens in the model dict, and accumulates exact int64 sums; ratio
+    columns are the same SQL expressions as the relational form."""
+    import numpy as np
+    import pandas as pd
+
+    toks_expr = F.coalesce(tokens(text_col), F.array())
+
+    @F.pandas_udf(
+        "struct<n_tokens:long, nll:long, seen:long>",
+        F.PandasUDFType.SCALAR,
+    )
+    def _score(tokens_s):
+        n = len(tokens_s)
+        lists = [t if t is not None else [] for t in tokens_s]
+        lens = np.array([len(t) for t in lists], dtype=np.int64)
+        nll = np.zeros(n, dtype=np.int64)
+        seen = np.zeros(n, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in lists if len(t)]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            u_lq = np.array(
+                [lq_map.get(t, floor) for t in uniq], dtype=np.int64
+            )
+            u_seen = np.array(
+                [1 if t in lq_map else 0 for t in uniq], dtype=np.int64
+            )
+            rows = np.repeat(np.arange(n), lens)
+            np.add.at(nll, rows, -u_lq[inv])
+            np.add.at(seen, rows, u_seen[inv])
+        return pd.DataFrame(
+            {"n_tokens": lens, "nll": nll, "seen": seen}
+        )
+
+    out = df.select(F.col(id_col), _score(toks_expr).alias("__lm"))
+    nt = F.col("__lm")["n_tokens"]
+    return out.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        F.col("__lm")["nll"].cast("long").alias("nll_micro_nats"),
+        F.round(
+            F.when(nt == 0, F.lit(0.0)).otherwise(
+                F.col("__lm")["nll"] / nt / 1e6
+            ),
+            4,
+        ).alias("mean_nll"),
+        F.round(
+            F.when(nt == 0, F.lit(1.0)).otherwise(F.col("__lm")["seen"] / nt),
+            4,
+        ).alias("seen_ratio"),
     )
 
 
@@ -395,6 +516,7 @@ def bigram_backoff_score(
     alpha: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """Stupid-backoff BIGRAM language-model scoring (Brants et al.
     2007, "Large Language Models in Machine Translation" §4 — the
@@ -425,9 +547,23 @@ def bigram_backoff_score(
 
     Returns (id_col, n_tokens, nll_micro_nats, mean_nll,
     bigram_hit_ratio); empty docs score 0 / 0.0 / 1.0.
+
+    r13 (guide §2.4 + §4.2, VERDICT r12 #5): with the unigram table
+    (O(V)) AND the bigram table (O(types)) inside the driver budget,
+    both are collected once and scoring runs as ONE Arrow map pass of
+    pure integer lookups/sums — every log/round is still the JVM's
+    (collected lq values), the kernel computes no transcendental, so
+    per-token addends and therefore every output are bit-identical to
+    the lag-window + three-join shape, which stays as the over-budget
+    fallback (``impl="relational"`` forces it). The SCORING side's lag
+    window disappears (pairs are adjacent array elements inside the
+    kernel); the reference-side window that trains the model is
+    unchanged.
     """
     import math
 
+    if impl not in ("auto", "literal", "relational"):
+        raise ValueError(f"unknown impl: {impl!r}")
     lq_alpha = int(round(math.log(float(alpha)) * 1e6))
     ref = reference if reference is not None else df
 
@@ -482,6 +618,40 @@ def bigram_backoff_score(
         .cast("long")
         .alias("__lq2"),
     )
+    if impl != "relational":
+        budget = _lm_literal_budget()
+        uni_rows = _collect_bounded(
+            lp1.unionByName(
+                floor1.select(
+                    F.lit(None).cast("string").alias("w1"),
+                    F.col("__floor").alias("__lq1"),
+                )
+            ),
+            budget,
+        )
+        big_rows = (
+            _collect_bounded(lp2, budget) if uni_rows is not None else None
+        )
+        if big_rows is None and impl == "literal":
+            raise ValueError(
+                "model exceeds SPARK_GRAFT_LM_LITERAL_MAX — use "
+                "impl='relational' or 'auto'"
+            )
+        if big_rows is not None:
+            floor = next(
+                int(r["__lq1"]) for r in uni_rows if r["w1"] is None
+            )
+            lq1_map = {
+                r["w1"]: int(r["__lq1"])
+                for r in uni_rows
+                if r["w1"] is not None
+            }
+            lq2_map = {
+                (r["u2"], r["w2"]): int(r["__lq2"]) for r in big_rows
+            }
+            return _bigram_kernel_score(
+                df, lq1_map, floor, lq2_map, lq_alpha, text_col, id_col
+            )
     dp = _pairs(df)
     scored = (
         dp.join(lp1, dp["__w"] == lp1["w1"], "left")
@@ -536,6 +706,108 @@ def bigram_backoff_score(
                 4,
             ).alias("bigram_hit_ratio"),
         )
+    )
+
+
+def _bigram_kernel_score(
+    df: DataFrame,
+    lq1_map: dict,
+    floor: int,
+    lq2_map: dict,
+    lq_alpha: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One-map-pass stupid-backoff scoring against collected integer
+    models (see `bigram_backoff_score` — literal path). Per position:
+    first token -> lq1(w)|floor; seen bigram -> lq2(u,w); else
+    lq_alpha + (lq1(w)|floor) — the identical integer addends, summed
+    per doc in int64."""
+    import numpy as np
+    import pandas as pd
+
+    toks_expr = F.coalesce(tokens(text_col), F.array())
+
+    @F.pandas_udf(
+        "struct<n_tokens:long, nll:long, nhit:long, nbig:long>",
+        F.PandasUDFType.SCALAR,
+    )
+    def _score(tokens_s):
+        n = len(tokens_s)
+        lists = [
+            list(t) if t is not None else [] for t in tokens_s
+        ]
+        lens = np.array([len(t) for t in lists], dtype=np.int64)
+        nll = np.zeros(n, dtype=np.int64)
+        nhit = np.zeros(n, dtype=np.int64)
+        nbig = np.zeros(n, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in lists if len(t)]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            u_lq1 = np.array(
+                [lq1_map.get(t, floor) for t in uniq], dtype=np.int64
+            )
+            # prev-token index per position; -1 marks doc starts
+            prev = np.empty(total, dtype=np.int64)
+            prev[0] = -1
+            prev[1:] = inv[:-1]
+            starts = np.zeros(total, dtype=bool)
+            pos = 0
+            for ln in lens:
+                if ln:
+                    starts[pos] = True
+                    pos += ln
+            prev[starts] = -1
+            is_big = ~starts
+            # unique (u, w) code pairs -> one dict lookup per distinct
+            # pair in the batch
+            k = len(uniq)
+            codes = (prev + 1) * np.int64(k) + inv  # 0 when doc start
+            ucodes, cinv = np.unique(codes, return_inverse=True)
+            u_lq2 = np.full(len(ucodes), np.iinfo(np.int64).min,
+                            dtype=np.int64)
+            for i, c in enumerate(ucodes):
+                ui = int(c) // k - 1
+                if ui >= 0:
+                    v = lq2_map.get((uniq[ui], uniq[int(c) % k]))
+                    if v is not None:
+                        u_lq2[i] = v
+            lq2 = u_lq2[cinv]
+            hit = is_big & (lq2 != np.iinfo(np.int64).min)
+            backoff = np.int64(lq_alpha) + u_lq1[inv]
+            lq = np.where(
+                ~is_big, u_lq1[inv], np.where(hit, lq2, backoff)
+            )
+            rows = np.repeat(np.arange(n), lens)
+            np.add.at(nll, rows, -lq)
+            np.add.at(nhit, rows, hit.astype(np.int64))
+            np.add.at(nbig, rows, is_big.astype(np.int64))
+        return pd.DataFrame(
+            {"n_tokens": lens, "nll": nll, "nhit": nhit, "nbig": nbig}
+        )
+
+    out = df.select(F.col(id_col), _score(toks_expr).alias("__lm"))
+    nt = F.col("__lm")["n_tokens"]
+    nb = F.col("__lm")["nbig"]
+    return out.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        F.col("__lm")["nll"].cast("long").alias("nll_micro_nats"),
+        F.round(
+            F.when(nt == 0, F.lit(0.0)).otherwise(
+                F.col("__lm")["nll"] / nt / 1e6
+            ),
+            4,
+        ).alias("mean_nll"),
+        F.round(
+            F.when(nb == 0, F.lit(1.0)).otherwise(
+                F.col("__lm")["nhit"] / nb
+            ),
+            4,
+        ).alias("bigram_hit_ratio"),
     )
 
 

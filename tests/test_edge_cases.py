@@ -1014,3 +1014,50 @@ def test_psi_report_ungrouped_default(spark):
         .collect()[0]
     )
     assert g.psi == row.psi and g.n_cur == row.n_cur
+
+
+def test_lm_literal_scorer_matches_relational(spark):
+    """r13 literal LM scorers: the collected-model Arrow kernel must
+    be row-identical to the explode/lag + join + aggregate relational
+    form — including empty docs, OOV-only docs, single-token docs and
+    a disjoint reference (every addend is a JVM-computed integer, so
+    equality is exact, not approximate)."""
+    from flechasdb_spark.operators.text import (
+        bigram_backoff_score,
+        unigram_logprob_score,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "a a b c"), (1, "b c d"), (2, "")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "z z q"), (12, ""), (13, "c"), (14, "a c d e")],
+        "doc_id long, text string",
+    )
+    for fn in (unigram_logprob_score, bigram_backoff_score):
+        lit = sorted(
+            map(tuple, fn(docs, ref, impl="literal").collect())
+        )
+        rel = sorted(
+            map(tuple, fn(docs, ref, impl="relational").collect())
+        )
+        assert lit == rel, f"{fn.__name__}: literal != relational"
+
+
+def test_lm_literal_budget_fallback(spark, monkeypatch):
+    """A vocabulary past SPARK_GRAFT_LM_LITERAL_MAX must fall back to
+    the relational form under impl='auto' and raise under
+    impl='literal'."""
+    import pytest as _pytest
+
+    from flechasdb_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LM_LITERAL_MAX", "2")
+    out = unigram_logprob_score(docs).collect()  # auto -> relational
+    assert out[0].n_tokens == 6
+    with _pytest.raises(ValueError, match="LM_LITERAL_MAX"):
+        unigram_logprob_score(docs, impl="literal")

@@ -234,26 +234,40 @@ def test_cdc_chunk_dedup_plan_is_join_free(spark):
 
 
 def test_bigram_backoff_plan_two_token_stream_passes(spark):
-    """The token-stream lag window may appear exactly twice (reference
-    bigrams + scored docs): the unigram branch must stay window-free
-    and the context-total must ride the tiny bigram-type table, not
-    re-derive the corpus pass (r6: both leaks existed in the first
-    cut)."""
+    """Literal path (r13): the SCORING side's lag window is gone —
+    pairs are adjacent array elements inside the Arrow kernel — so the
+    plan holds exactly ONE lag (the reference-side training pass) and
+    one Python kernel. The relational fallback keeps the former
+    two-window shape: the unigram branch stays window-free and the
+    context-total rides the tiny bigram-type table, not a re-derived
+    corpus pass (r6: both leaks existed in the first cut)."""
     from pyspark.sql import functions as F
 
     from flechasdb_spark.operators.text import bigram_backoff_score
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
     plan = (
-        bigram_backoff_score(
-            docs, reference=docs.where(F.col("doc_id") % 2 == 0)
-        )
+        bigram_backoff_score(docs, reference=ref)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("lag(") == 2, "token stream must be windowed twice"
+    # the training window ran once at model-collect time; the returned
+    # scoring plan is the pure map pass
+    assert plan.count("lag(") == 0, (
+        "literal path must score window-free"
+    )
+    assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
+    rel = (
+        bigram_backoff_score(docs, reference=ref, impl="relational")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert rel.count("lag(") == 2, "token stream must be windowed twice"
+    assert "CartesianProduct" not in rel
 
 
 def test_cluster_balanced_sample_plan(spark):
