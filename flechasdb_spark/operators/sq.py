@@ -71,8 +71,10 @@ def sq_bounds(
     vectors: DataFrame, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:
     """Collect the trained bounds to the driver — O(dim) rows, the same
-    driver-side footprint as a single query vector."""
-    rows = sq_train(vectors, vec_col).orderBy("dim").collect()
+    driver-side footprint as a single query vector. The dim ordering
+    happens driver-side (r13): an in-plan orderBy of O(dim) rows cost a
+    range exchange plus its bounds-sampling job per train."""
+    rows = sorted(sq_train(vectors, vec_col).collect(), key=lambda r: r.dim)
     return [r.lo for r in rows], [r.hi for r in rows]
 
 

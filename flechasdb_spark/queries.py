@@ -1749,14 +1749,16 @@ def q_index_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     mx = max(counts.values())
     hot = min(p for p, c in counts.items() if c == mx)
-    member_ids = [
-        r[0]
-        for r in model.encoded.where(F.col("partition_id") == hot)
-        .select("vec_id")
-        .collect()
-    ]
+    # min/max member id as ONE aggregate (r13, guide §5: the former
+    # collect() pulled EVERY member id of the hottest cell to the
+    # driver just to take min/max — O(|cell|) driver memory at scale)
+    mm = (
+        model.encoded.where(F.col("partition_id") == hot)
+        .agg(F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi"))
+        .first()
+    )
     kid_rows = (
-        emb.where(F.col("vec_id").isin([min(member_ids), max(member_ids)]))
+        emb.where(F.col("vec_id").isin([int(mm["lo"]), int(mm["hi"])]))
         .orderBy("vec_id")
         .collect()
     )
