@@ -800,10 +800,37 @@ def stateful_session_count(
     )
 
 
-def run_available_now(query, timeout_sec: int = 300) -> None:
+def run_available_now(query, timeout_sec: int = 300, poll_sec: float = 0.5) -> None:
     """Drain a bounded stream: wait for the availableNow trigger to
-    process everything, then stop."""
-    query.awaitTermination(timeout_sec)
+    process everything, then stop.
+
+    A query whose stateful operator registered ProcessingTimeTimeout
+    timers (e.g. stateful_session_count with idle_ttl_sec) never
+    self-terminates after an availableNow drain — once the source is
+    exhausted it loops "no new data but cleaning up state" batches
+    (~2/s) forever to service future timers — so waiting on
+    termination alone burns the full timeout. Every such housekeeping
+    batch commits with numInputRows == 0, and a zero-input batch can
+    only run AFTER every data batch has committed (the availableNow
+    source plans data batches until its end offsets are reached), so
+    three distinct committed empty batches prove the drain is done:
+    all data outputs (and any watermark-flush emissions — those happen
+    IN the first empty batch) are already in the sink. Queries without
+    timers still terminate on their own and return via
+    awaitTermination before the empty-batch count is reached.
+    timeout_sec stays the hard ceiling."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    empty_batches: set[int] = set()
+    while query.isActive and time.monotonic() < deadline:
+        if query.awaitTermination(poll_sec):
+            return
+        progress = query.lastProgress
+        if progress is not None and progress.get("numInputRows", 0) == 0:
+            empty_batches.add(progress.get("batchId", -1))
+            if len(empty_batches) >= 3:
+                break
     if query.isActive:
         query.stop()
 
