@@ -312,15 +312,25 @@ def test_weighted_sample_proportional_inclusion(spark):
     well within binomial noise."""
     from flechasdb_spark.operators.sampling import weighted_sample_topk
 
+    from concurrent.futures import ThreadPoolExecutor
+
     df = spark.createDataFrame(
         [(0, 1.0), (1, 4.0), (2, 16.0)], "doc_id long, weight double"
     )
-    wins = {0: 0, 1: 0, 2: 0}
-    for s in range(300):
-        r = weighted_sample_topk(
+    # same 300 independent operator calls and salts as ever, but the
+    # tiny one-row jobs are submitted from a thread pool so their
+    # scheduling latencies overlap (sequentially this test alone was
+    # ~2 min of the suite's wall clock; nothing about any single draw
+    # changes — Spark schedules concurrent jobs independently)
+    def _win(s: int) -> int:
+        return weighted_sample_topk(
             df, k=1, weight_col="weight", salt=f"t{s}"
-        ).first()
-        wins[r["doc_id"]] += 1
+        ).first()["doc_id"]
+
+    wins = {0: 0, 1: 0, 2: 0}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for doc_id in pool.map(_win, range(300)):
+            wins[doc_id] += 1
     # expected 14.3 / 57.1 / 228.6; 3-sigma binomial bands are wide
     assert 2 <= wins[0] <= 34, wins
     assert 30 <= wins[1] <= 90, wins
