@@ -7510,13 +7510,19 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
         "user_id",
     )
-    ev.write.mode("overwrite").parquet(src)
-    mx = ev.agg(F.max("event_time")).first()[0]
-    spark.createDataFrame(
-        [(mx, -1)], "event_time timestamp, user_id long"
-    ).withColumn(
-        "event_time", F.col("event_time") + F.expr("INTERVAL 2 HOURS")
-    ).write.mode("append").parquet(src)
+    # the watermark-advancing sentinel (max event_time + 2h, user -1)
+    # is computed in-plan and unioned into the ONE source write —
+    # identical parquet content to the former write + max-probe +
+    # append triple, two fewer driver actions per fixture run; the
+    # availableNow drain still sees all rows in the same single batch
+    # (no maxFilesPerTrigger on this source)
+    sentinel = ev.agg(F.max("event_time").alias("event_time")).select(
+        (F.col("event_time") + F.expr("INTERVAL 2 HOURS")).alias(
+            "event_time"
+        ),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(
         "event_time timestamp, user_id long"
     ).parquet(src)
@@ -7611,13 +7617,17 @@ def q_hll_stream_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
         "user_id",
     )
-    ev.where(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
-    mx = ev.agg(F.max("event_time")).first()[0]
-    spark.createDataFrame(
-        [(mx, -1)], "event_time timestamp, user_id long"
-    ).withColumn(
-        "event_time", F.col("event_time") + F.expr("INTERVAL 2 HOURS")
-    ).write.mode("append").parquet(src)
+    # sentinel folded into the one source write (see stream_hll_users);
+    # the max is over ALL events — identical to the former probe
+    sentinel = ev.agg(F.max("event_time").alias("event_time")).select(
+        (F.col("event_time") + F.expr("INTERVAL 2 HOURS")).alias(
+            "event_time"
+        ),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    ev.where(F.col("user_id") % 2 == 0).unionByName(sentinel).write.mode(
+        "overwrite"
+    ).parquet(src)
     stream = spark.readStream.schema(
         "event_time timestamp, user_id long"
     ).parquet(src)
